@@ -14,14 +14,23 @@ import org.apache.spark.sql.functions._
   * genuinely procedural functions (`fixWrappedName`, `normalizeWords`)
   * are Scala UDFs, with the pure-Scala implementation exposed for unit
   * tests and for driver-side header inference.
+  *
+  * All regexes carry the `(?U)` (UNICODE_CHARACTER_CLASS) flag so that
+  * `\s`/`\d` match Unicode whitespace/digits exactly like Python's
+  * `str.strip()` / `re` on `str` do — PDF extraction routinely emits
+  * NBSP (U+00A0) and friends (`utils.py:33,75,155`).
   */
 object Cleanse {
 
-  /** Python-`str.strip()` equivalent (Spark's `trim` only strips 0x20). */
-  def pyTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  /** Python-`str.strip()` equivalent (Spark's `trim` only strips 0x20;
+    * `(?U)` makes `\s` cover NBSP etc. like Python).
+    */
+  def pyTrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
 
-  private def pyStrip(s: String): String = s.replaceAll("^\\s+|\\s+$", "")
-  private def pyRstrip(s: String): String = s.replaceAll("\\s+$", "")
+  private[graft] def pyStrip(s: String): String =
+    s.replaceAll("(?U)^\\s+|\\s+$", "")
+  private[graft] def pyRstrip(s: String): String =
+    s.replaceAll("(?U)\\s+$", "")
 
   /** clean_name (`utils.py:23-38`): strip; drop CR; TAB->space; then the
     * 5 ordered regex passes (leading digits+NL, trailing NL+digits,
@@ -29,16 +38,20 @@ object Cleanse {
     * Order is load-bearing: digit artifacts are stripped while newlines
     * still exist, so `"1 Bakongan"` -> `"Bakongan"` but `"Limba U I"`
     * survives. Pure built-ins — stays inside codegen.
+    *
+    * Null-propagating by design (Column semantics); the Scala mirror
+    * [[cleanNameScala]] returns "" for null — callers that need ""
+    * should wrap with `coalesce(..., lit(""))` or use [[cleanseName]].
     */
   def cleanName(c: Column): Column = {
     val t0 = pyTrim(c)
     val t1 = regexp_replace(t0, "\r", "")
     val t2 = regexp_replace(t1, "\t", " ")
-    val t3 = regexp_replace(t2, "^\\d+\n", "")
-    val t4 = regexp_replace(t3, "\n\\d+$", "")
+    val t3 = regexp_replace(t2, "(?U)^\\d+\n", "")
+    val t4 = regexp_replace(t3, "(?U)\n\\d+$", "")
     val t5 = regexp_replace(t4, "\n+", " ")
-    val t6 = regexp_replace(t5, "^\\d+\\s+", "")
-    val t7 = regexp_replace(t6, "\\s{2,}", " ")
+    val t6 = regexp_replace(t5, "(?U)^\\d+\\s+", "")
+    val t7 = regexp_replace(t6, "(?U)\\s{2,}", " ")
     pyTrim(t7)
   }
 
@@ -46,11 +59,11 @@ object Cleanse {
   def cleanNameScala(name: String): String = {
     if (name == null) return ""
     var t = pyStrip(name).replace("\r", "").replace("\t", " ")
-    t = t.replaceAll("^\\d+\n", "")
-    t = t.replaceAll("\n\\d+$", "")
+    t = t.replaceAll("(?U)^\\d+\n", "")
+    t = t.replaceAll("(?U)\n\\d+$", "")
     t = t.replaceAll("\n+", " ")
-    t = t.replaceAll("^\\d+\\s+", "")
-    t = t.replaceAll("\\s{2,}", " ")
+    t = t.replaceAll("(?U)^\\d+\\s+", "")
+    t = t.replaceAll("(?U)\\s{2,}", " ")
     pyStrip(t)
   }
 
@@ -86,21 +99,34 @@ object Cleanse {
     if (words == null) return ""
     val s = pyStrip(words)
     if (s.isEmpty) return ""
-    val tokens = s.split("\\s+")
+    val tokens = s.split("(?U)\\s+")
     if (tokens.exists(t => t.length > 1 && t != "/" && t != "-")) s
     else tokens.mkString("")
   }
 
-  val fixWrappedName = udf((s: String) => fixWrappedNameScala(s))
-  val normalizeWords = udf((s: String) => normalizeWordsScala(s))
+  val fixWrappedNameUdf = udf((s: String) => fixWrappedNameScala(s))
+  val normalizeWordsUdf = udf((s: String) => normalizeWordsScala(s))
 
-  /** The composed cleanse chain applied to every area/island name:
+  def fixWrappedName(c: Column): Column = fixWrappedNameUdf(c)
+  def normalizeWords(c: Column): Column = normalizeWordsUdf(c)
+
+  /** The composed cleanse chain applied to every area name:
     * `normalize_words(clean_name(fix_wrapped_name(s))) if s else ""`
     * (`extractors.py:151`).
     */
   def cleanseName(c: Column): Column =
     when(c.isNull || c === "", lit(""))
       .otherwise(normalizeWords(cleanName(fixWrappedName(c))))
+
+  /** Island-side cleanse: `clean_name(fix_wrapped_name(s))` — no
+    * normalize_words pass (`extractors.py:279`).
+    */
+  def cleanseIslandName(c: Column): Column =
+    cleanName(fixWrappedName(coalesce(c, lit(""))))
+
+  /** Scala mirror of [[cleanseIslandName]]. */
+  def cleanseIslandNameScala(s: String): String =
+    cleanNameScala(fixWrappedNameScala(s))
 
   // ---- code-derived columns (`extractors.py:164-176,244-248,287-291`) ----
 
@@ -128,7 +154,7 @@ object Cleanse {
     * (`extractors.py:287-290`). `BP` prefix ⇒ 1, `TBP` ⇒ 0.
     */
   def isPopulated(status: Column): Column =
-    when(upper(status).rlike("^\\s*BP\\b"), lit(1)).otherwise(lit(0))
+    when(upper(status).rlike("(?U)^\\s*BP\\b"), lit(1)).otherwise(lit(0))
 
   /** F5: is_outermost_small — info contains "PPKT" (`extractors.py:291`). */
   def isOutermostSmall(info: Column): Column =

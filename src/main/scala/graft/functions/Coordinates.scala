@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions.udf
   * quote/hemisphere/space-normalized input is returned as a fallback.
   *
   * Procedural (regex scan + first-lat/first-lon assembly) — a Scala UDF.
+  * Regexes carry `(?U)` so `\s`/`\b` are Unicode-aware like Python `re`.
   */
 object Coordinates {
 
@@ -21,19 +22,17 @@ object Coordinates {
     "U" -> "N", "LU" -> "N", "T" -> "E", "BT" -> "E",
     "LS" -> "S", "B" -> "W", "BB" -> "W")
 
-  private val HemiTokenRe = "(?i)\\b(LU|LS|BT|BB|[NSEWUTB])\\b".r
+  private val HemiTokenRe = "(?iU)\\b(LU|LS|BT|BB|[NSEWUTB])\\b".r
 
   /** One flexible DMS pattern: optional leading OR trailing hemisphere
     * (`utils.py:177-186`). Groups: 1=h1, 2=deg, 3=min, 4=sec, 5=h2.
     */
   private val CoordRe = (
-    "(?:([NSEW])\\s*)?" +
+    "(?U)(?:([NSEW])\\s*)?" +
     "(\\d{1,3})\\s*°\\s*" +
     "(\\d{1,2})\\s*'\\s*" +
     "(\\d{1,2}(?:\\.\\d+)?)\\s*\"?\\s*" +
     "([NSEW])?").r
-
-  private def pyStrip(s: String): String = s.replaceAll("^\\s+|\\s+$", "")
 
   /** Smart quotes/primes -> ASCII; collapse duplicated quotes
     * (`utils.py:137-150`).
@@ -48,7 +47,7 @@ object Coordinates {
     HemiTokenRe.replaceAllIn(s, m => HemiMap(m.group(1).toUpperCase))
 
   private def normalizeSpaces(s: String): String =
-    pyStrip(s.replaceAll("\\s+", " "))
+    Cleanse.pyStrip(s.replaceAll("(?U)\\s+", " "))
 
   /** "3"->"3.00", "3.4"->"3.40", "3.444"->"3.44" (`utils.py:166-173`). */
   private def formatSecondsTwoDecimals(sec: String): String = {
@@ -62,7 +61,7 @@ object Coordinates {
     * no pair ⇒ normalized-input fallback; blank ⇒ "".
     */
   def formatCoordinateScala(cell: String): String = {
-    if (cell == null || pyStrip(cell).isEmpty) return ""
+    if (cell == null || Cleanse.pyStrip(cell).isEmpty) return ""
     val s = normalizeSpaces(mapHemispheres(normalizeQuotes(cell)))
     var lat: String = null
     var lon: String = null
@@ -78,7 +77,10 @@ object Coordinates {
     if (lat != null && lon != null) s"$lat $lon" else s
   }
 
-  val formatCoordinate = udf((s: String) => formatCoordinateScala(s))
+  /** UDF form; see the advisor note — distinct name from the Column API
+    * to avoid overload/eta-expansion ambiguity.
+    */
+  val formatCoordinateUdf = udf((s: String) => formatCoordinateScala(s))
 
-  def formatCoordinate(c: Column): Column = formatCoordinate.apply(c)
+  def formatCoordinate(c: Column): Column = formatCoordinateUdf(c)
 }

@@ -1,0 +1,88 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** S6/S7/W1 CSV sink with reference semantics (`writer.py:7-74`,
+  * `extractors.py:41-47`):
+  *  - one headered CSV per entity, named `{output}.{suffix}.csv`;
+  *  - header row written even when there are zero data rows
+  *    (pinned by `tests/test_extractors.py:735-744`);
+  *  - rows in document order (`seq`), quoting matching Python's
+  *    `csv.writer` (QUOTE_MINIMAL, `""` escaping — golden files are
+  *    byte-compared, `tests/test_e2e.py:9-21`).
+  *
+  * Scale note: `singleFile=true` reproduces the reference's one-file
+  * layout via a total sort + single writer task — correct for
+  * golden-parity output sizes. At 100 TB use `singleFile=false`:
+  * a range-repartition on `seq` + `sortWithinPartitions` keeps global
+  * document order across part files with no single-task bottleneck.
+  */
+object CsvSink {
+
+  /** Write one entity stream. `df` must contain a `seq` column (dropped
+    * on write) plus the output columns in schema order.
+    */
+  def write(
+      df: DataFrame,
+      destination: String,
+      outputName: String,
+      suffix: String,
+      singleFile: Boolean = true): Path = {
+    val spark = df.sparkSession
+    val ordered =
+      if (singleFile) df.orderBy(col("seq")).drop("seq").coalesce(1)
+      else df.repartitionByRange(col("seq")).sortWithinPartitions(col("seq"))
+        .drop("seq")
+    val outCols = ordered.columns
+    // Cast everything to string: the reference serializes all fields as
+    // text (`extractors.py:294-295` stringifies the flag ints).
+    val asText = ordered.select(outCols.map(c => col(c).cast("string").as(c)): _*)
+
+    val tmp = Files.createTempDirectory("graft-csv-").toString
+    asText.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      // Python csv.writer escapes quotes by doubling (QUOTE_MINIMAL);
+      // Spark's default escape is backslash — override both.
+      .option("escape", "\"")
+      .option("quote", "\"")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      // Python csv.writer terminates rows with CRLF (golden files are
+      // byte-compared — see the od dump of expected_island.csv).
+      .option("lineSep", "\r\n")
+      .csv(tmp)
+
+    Files.createDirectories(Paths.get(destination))
+    if (singleFile) {
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".csv"))
+        .toSeq.headOption
+      val target = Paths.get(destination, s"$outputName.$suffix.csv")
+      part match {
+        case Some(p) =>
+          Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // Zero-partition result: emit the header-only file ourselves.
+          Files.writeString(target, outCols.mkString(",") + "\r\n")
+      }
+      deleteRecursively(Paths.get(tmp))
+      target
+    } else {
+      val target = Paths.get(destination, s"$outputName.$suffix.csv.d")
+      deleteRecursively(target)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.REPLACE_EXISTING)
+      target
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+}

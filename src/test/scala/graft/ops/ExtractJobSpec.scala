@@ -1,0 +1,88 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+import graft.SparkSpec
+import graft.config.EtlConfig
+import graft.config.EtlConfig.{Config, DataConfig}
+import scala.jdk.CollectionConverters._
+
+/** IO-level behavior mirroring `tests/test_extractors.py:713-808`:
+  * per-entity headered CSV files named `{output}.{suffix}.csv`,
+  * header-only files for zero rows, CRLF + `""` quoting (the reference
+  * goldens are byte-compared), zero-total failure.
+  */
+class ExtractJobSpec extends SparkSpec {
+
+  private val config = Config(Map(
+    "province" -> DataConfig(2, Seq("code", "name"), "province"),
+    "regency" -> DataConfig(2, Seq("code", "province_code", "name"), "regency"),
+    "district" -> DataConfig(2, Seq("code", "regency_code", "name"), "district"),
+    "village" -> DataConfig(2, Seq("code", "district_code", "name"), "village"),
+    "island" -> DataConfig(2,
+      Seq("code", "regency_code", "coordinate", "is_populated",
+        "is_outermost_small", "name"), "island")))
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-spec-")
+
+  private def readLines(p: Path): List[String] =
+    Files.readAllLines(p).asScala.toList
+
+  test("full run writes five files with reference naming + counts") {
+    val dest = tmpDir()
+    val cells = CellTables.ofGrids(spark,
+      Seq(Fixtures.dfArea, Fixtures.dfIsland, Fixtures.dfAreaUnmatched))
+    val result = ExtractJob.run(cells, dest.toString, "x", config)
+    assert(result.counts == Map("province" -> 1, "regency" -> 1,
+      "district" -> 1, "village" -> 4, "island" -> 6))
+    for (suffix <- Seq("province", "regency", "district", "village", "island"))
+      assert(Files.exists(dest.resolve(s"x.$suffix.csv")), suffix)
+    val provinceLines = readLines(dest.resolve("x.province.csv"))
+    assert(provinceLines == List("code,name", "11,Aceh"))
+  }
+
+  test("island CSV bytes match Python csv.writer semantics (CRLF + doubled quotes)") {
+    val dest = tmpDir()
+    val cells = CellTables.ofGrid(spark, Seq(
+      Seq("header", "kode pulau", "nama", "koordinat", "status"),
+      Seq("1", "12.01.40001", "Pulau X",
+        "03°19'03.44\" U 097°07'41.73\" T", "BP")))
+    ExtractJob.run(cells, dest.toString, "sample", config)
+    val bytes = Files.readString(dest.resolve("sample.island.csv"))
+    assert(bytes ==
+      "code,regency_code,coordinate,is_populated,is_outermost_small,name\r\n" +
+      "12.01.40001,12.01,\"03°19'03.44\"\" N 097°07'41.73\"\" E\",1,0,Pulau X\r\n")
+  }
+
+  test("empty-entity outputs are header-only files (test_extract_and_write_empty_result)") {
+    val dest = tmpDir()
+    // island-only input: the four area files must still exist, header-only
+    val cells = CellTables.ofGrid(spark, Seq(
+      Seq("header", "kode pulau", "nama", "koordinat", "status"),
+      Seq("1", "12.01.40001", "Pulau X",
+        "03°19'03.44\" U 097°07'41.73\" T", "BP")))
+    ExtractJob.run(cells, dest.toString, "empty", config)
+    val lines = readLines(dest.resolve("empty.province.csv"))
+    assert(lines == List("code,name"))
+  }
+
+  test("zero extracted rows raises NoMatchingDataException (A2, cli.py:198-201)") {
+    val dest = tmpDir()
+    val cells = CellTables.ofGrid(spark, Fixtures.dfAreaUnmatched)
+    intercept[ExtractJob.NoMatchingDataException] {
+      ExtractJob.run(cells, dest.toString, "none", config)
+    }
+    // writers opened before extraction: header-only files still exist
+    assert(readLines(dest.resolve("none.village.csv")) ==
+      List("code,district_code,name"))
+  }
+
+  test("document order is preserved in written CSVs (W1)") {
+    val dest = tmpDir()
+    val cells = CellTables.ofGrid(spark, Fixtures.dfIsland)
+    ExtractJob.run(cells, dest.toString, "ord", config)
+    val lines = readLines(dest.resolve("ord.island.csv"))
+    val codes = lines.drop(1).map(_.split(",")(0))
+    assert(codes == List("11.01.40001", "11.01.40002", "11.01.40004",
+      "11.03.40003", "11.03.40005", "11.06.40007"))
+  }
+}
