@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dir
+written by graft.Verify, run the matching oracle SQL in DuckDB over the
+same sf directory and compare rows/schema/values (columns sorted by
+name, rows sorted by all columns).
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        spark_df = con.execute(
+            f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+        if name not in oracle:
+            results[name] = f"rows_only rows={len(spark_df)}" + (
+                " EMPTY!" if len(spark_df) == 0 else "")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR {str(e)[:160]}"
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+            continue
+        if len(a) != len(b):
+            results[name] = f"ROWS_MISMATCH spark={len(a)} duck={len(b)}"
+            continue
+        # value compare with exact equality (dtype-coerced)
+        mism = []
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            try:
+                eq = (av.astype(object).where(pd.notna(av), None) ==
+                      bv.astype(object).where(pd.notna(bv), None))
+                bad = int((~eq).sum())
+            except Exception as e:
+                bad = -1
+            if bad:
+                mism.append((c, bad))
+        if mism:
+            results[name] = f"VALUE_MISMATCH {mism}"
+            # show a sample diff for first bad column
+            c = mism[0][0]
+            neq = a[c].astype(object) != b[c].astype(object)
+            idx = neq[neq].index[:3]
+            for i in idx:
+                print(f"  {name}.{c}[{i}]: spark={a[c][i]!r} duck={b[c][i]!r}")
+        else:
+            results[name] = f"OK rows={len(a)}"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    ro = sum(1 for v in results.values() if v.startswith("rows_only"))
+    for k, v in results.items():
+        print(f"{k:26s} {v}")
+    print(f"\n{ok} OK / {len(results) - ro} oracled, {ro} rows-only")
+    return 0 if ok == len(results) - ro else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,476 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cleanse
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 (plus the
+  * LLM-data-pipeline extensions) onto the driver's synthetic tables at
+  * `/root/testdata/<sf>/`; `oracleSql` carries the DuckDB-equivalent SQL
+  * for every SQL-expressible entry. Where an oracle expression is a
+  * composite (the cleanse chain, the language-marker counters), the SQL
+  * is GENERATED from the same constants the Spark side uses, so the two
+  * can't silently drift.
+  *
+  * Column names and types are aligned on both sides (the driver's
+  * comparator sorts columns by name and hashes values): every computed
+  * column is aliased identically, counts are BIGINT on both sides, and
+  * no floating-point arithmetic feeds an oracle-compared column except
+  * values copied verbatim from the input (min/max/projection) or sums
+  * of integer-valued doubles, which are exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+    // rejects at schema inference; none of our queries need it, so read
+    // events through an explicit ts-free schema (the scan then never
+    // touches that column — same effect as column pruning).
+    if (name == "events")
+      s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+        .parquet(s"$dir/$name.parquet")
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Runs the
+    * REAL pipeline — fixture cell tables through dispatch and both
+    * extractor families (area + island) — not a parquet peek.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val area: Seq[Seq[String]] = Seq(
+      Seq("K o d e", "NAMA PROVINSI / KABUPATEN / KOTA", "2", "3", "4", "5", "6"),
+      Seq("1", "2", "3", "4", "5", "6", "7"),
+      Seq("11", "ACEH", "", "", "", "", ""),
+      Seq("11.01", "KAB. ACEH SELATAN", "", "", "", "", ""),
+      Seq("11.01.01", "Bakongan", "", "", "", "", ""),
+      Seq("11.01.01.2001", "Keude Bakongan", "", "", "", "", ""))
+    val island: Seq[Seq[String]] = Seq(
+      Seq("No", "Kode Pulau", "Nama Pulau", "Koordinat", "BP/TBP", "Keterangan"),
+      Seq("1", "11.01.40001", "Pulau Batukapal",
+        "03°19'03.44\" U 097°07'41.73\" T", "TBP", "PPKT"),
+      Seq("2", "11.01.40002", "Pulau Batutunggal",
+        "03°24'55.00\" U 097°04'21.00\" T", "BP", ""))
+    val cells = CellTables.ofGrids(spark, Seq(area, island))
+    val (areaRows, islandRows) = Dispatch.extractAll(cells)
+    areaRows.select(col("entity"), col("code"), col("name"))
+      .unionByName(islandRows.select(
+        lit("island").as("entity"), col("code"), col("name")))
+  }
+
+  // ------------------------------------------------- oracle SQL builders
+
+  /** DuckDB rendition of [[Cleanse.cleanName]] — same 9 ordered regex
+    * passes (trim, CR, TAB, leading digits+NL, trailing NL+digits,
+    * NL-collapse, leading digits+space, multispace, trim).
+    */
+  private def duckCleanName(inner: String): String = {
+    val steps = Seq(
+      ("^\\s+|\\s+$", "", true), ("\\r", "", true), ("\\t", " ", true),
+      ("^\\d+\\n", "", false), ("\\n\\d+$", "", false), ("\\n+", " ", true),
+      ("^\\d+\\s+", "", false), ("\\s{2,}", " ", true),
+      ("^\\s+|\\s+$", "", true))
+    steps.foldLeft(inner) { case (acc, (pat, rep, g)) =>
+      s"regexp_replace($acc, '$pat', '$rep'${if (g) ", 'g'" else ""})"
+    }
+  }
+
+  /** DuckDB rendition of [[TextAnalysis.occurrences]]. */
+  private def occSql(textExpr: String, needle: String): String = {
+    val esc = needle.replace("'", "''")
+    s"CAST((length($textExpr) - length(replace($textExpr, '$esc', ''))) / ${needle.length} AS BIGINT)"
+  }
+
+  private val PaddedLower = "(' ' || lower(text) || ' ')"
+
+  private def hitsSql(markers: Seq[String]): String =
+    markers.map(occSql(PaddedLower, _)).mkString("(", " + ", ")")
+
+  private val NormTextSql =
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  // --------------------------------------------------------------- inputs
+  // Synthetic "messy" columns derived deterministically from the test
+  // tables, so the cleanse/filter operators have something to clean.
+
+  private def messyName: Column =
+    concat(lit("  "), pmod(col("p_partkey"), lit(1000)).cast("string"),
+      lit("  "), col("p_name"), lit("\t"))
+  private val messyNameSql =
+    "('  ' || CAST(p_partkey % 1000 AS VARCHAR) || '  ' || p_name || chr(9))"
+
+  private def islandishCode: Column =
+    when(pmod(col("l_linenumber"), lit(3)) === 0,
+      concat(pmod(col("l_suppkey"), lit(100)).cast("string"), lit("."),
+        pmod(col("l_partkey"), lit(100)).cast("string")))
+      .otherwise(concat(
+        lpad(pmod(col("l_suppkey"), lit(100)).cast("string"), 2, "0"), lit("."),
+        lpad(pmod(col("l_partkey"), lit(100)).cast("string"), 2, "0"), lit("."),
+        lpad(pmod(col("l_orderkey"), lit(100000)).cast("string"), 5, "0")))
+  private val islandishCodeSql =
+    """(CASE WHEN l_linenumber % 3 = 0
+      | THEN CAST(l_suppkey % 100 AS VARCHAR) || '.' || CAST(l_partkey % 100 AS VARCHAR)
+      | ELSE lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') || '.' ||
+      |      lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') || '.' ||
+      |      lpad(CAST(l_orderkey % 100000 AS VARCHAR), 5, '0') END)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: clean_name regexp chain over a synthesized messy column.
+    "f1_clean_name" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey"),
+        Cleanse.cleanName(messyName).as("cleaned"))),
+
+    // P5: variant-dependent projection (width-keyed column pick).
+    "p5_variant_projection" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"),
+        when(pmod(length(col("props")), lit(2)) === 0, col("event_type"))
+          .otherwise(col("user_id").cast("string")).as("picked"))),
+
+    // P6: first-non-empty coalesce across candidate columns.
+    "p6_coalesce" -> ((s, dir) => {
+      val cand1 = when(pmod(col("c_custkey"), lit(3)) === 0, lit("   "))
+        .otherwise(col("c_name"))
+      def nonEmpty(c: Column) =
+        when(trim(c) === "", lit(null)).otherwise(trim(c))
+      T(s, dir, "customer").select(col("c_custkey"),
+        coalesce(nonEmpty(cand1), nonEmpty(col("c_mktsegment")),
+          lit("unknown")).as("picked_name"))
+    }),
+
+    // P7: non-empty row filter (code AND name non-blank after trim).
+    "p7_nonempty_filter" -> ((s, dir) => {
+      val name2 = when(pmod(col("p_partkey"), lit(7)) === 0, lit(" "))
+        .otherwise(col("p_name"))
+      T(s, dir, "part")
+        .select(col("p_partkey"), name2.as("name"), col("p_brand").as("brand"))
+        .filter(length(trim(col("name"))) > 0 && length(trim(col("brand"))) > 0)
+    }),
+
+    // P8: island code-format rlike filter over synthesized codes.
+    "p8_code_filter" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          islandishCode.as("code"))
+        .filter(col("code").rlike(Cleanse.IslandCodeRegex))),
+
+    // F5: is_populated / is_outermost_small flag derivation.
+    "f5_flags" -> ((s, dir) => {
+      val status = when(pmod(col("o_orderkey"), lit(3)) === 0, lit(" BP"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("TBP"))
+        .otherwise(lit("BP/TBP"))
+      val info = when(pmod(col("o_orderkey"), lit(5)) === 0,
+        lit("pulau PPKT kecil")).otherwise(col("o_orderstatus"))
+      T(s, dir, "orders").select(col("o_orderkey"),
+        Cleanse.isPopulated(status).as("is_populated"),
+        Cleanse.isOutermostSmall(info).as("is_outermost_small"))
+    }),
+
+    // F6: island parent code with the "00" -> empty sentinel.
+    "f6_island_parent" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        islandishCode.as("code"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("code"),
+          Cleanse.islandParentCode(col("code")).as("regency_code"))),
+
+    // F7: area parent prefixes (province/regency/district from village).
+    "f7_parent_prefix" -> ((s, dir) => {
+      val vcode = lpad(col("o_orderkey").cast("string"), 13, "0")
+      T(s, dir, "orders").select(col("o_orderkey"), vcode.as("vcode"),
+        Cleanse.parentPrefix(vcode, Cleanse.ProvinceCodeLength).as("province_code"),
+        Cleanse.parentPrefix(vcode, Cleanse.RegencyCodeLength).as("regency_code"),
+        Cleanse.parentPrefix(vcode, Cleanse.DistrictCodeLength).as("district_code"))
+    }),
+
+    // A1: first-occurrence dedup (window by key, ordered, rn=1).
+    "a1_first_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+          col("o_orderstatus"))
+    }),
+
+    // O1: sort + top-k with deterministic tie-break.
+    "o1_topk" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // J1: broadcast left-anti RI check (orphan children).
+    "j1_ri_antijoin" -> ((s, dir) => {
+      val parents = T(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+      RefIntegrity.orphans(T(s, dir, "orders"), parents,
+        "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // S3: page-range pruning pushed to the scan as an isin filter.
+    "s3_page_prune" -> ((s, dir) => {
+      val pages = PageRange.parse("1-4,6", 20)
+      T(s, dir, "events")
+        .withColumn("page", (pmod(col("event_id"), lit(20)) + 1).cast("int"))
+        .filter(col("page").isin(pages: _*))
+        .select(col("event_id"), col("page"), col("event_type"))
+    }),
+
+    // Hash-agg with partial (map-side) aggregation — the Catalyst
+    // counterpart of the reference's count accumulation, at scale.
+    "agg_groupby" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 25)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
+
+    // W1: document-order discipline (ordered projection + bound).
+    "w1_ordered_projection" -> ((s, dir) =>
+      T(s, dir, "events")
+        .orderBy(col("event_id"))
+        .limit(500)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))),
+
+    // ------------------------- LLM-data-pipeline operators -------------
+
+    // Exact dedup, group summary (hash-keyed groupBy).
+    "dedup_exact_groups" -> ((s, dir) =>
+      TextDedup.exactDupGroups(T(s, dir, "documents"))),
+
+    // Exact dedup, keep-first flavor (window by hash).
+    "dedup_exact_keep" -> ((s, dir) =>
+      TextDedup.exactDedupKeepFirst(T(s, dir, "documents"))
+        .select(col("doc_id"), col("text_hash"))),
+
+    // Token/length/shape statistics.
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(T(s, dir, "documents"))),
+
+    // Stopword-marker language identification.
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(T(s, dir, "documents"))),
+
+    // Quality scoring with categorical verdict.
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(T(s, dir, "documents"))),
+
+    // Document fingerprint (normalized md5).
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(T(s, dir, "documents"))),
+
+    // MinHash/LSH near-dup candidate pairs (banded, bucket-joined —
+    // never an all-pairs product). xxhash64-based: no SQL oracle.
+    "minhash_candidates" -> ((s, dir) =>
+      TextDedup.minHashCandidates(T(s, dir, "documents"),
+        numHashes = 32, rowsPerBand = 2)),
+
+    // Exact n-gram Jaccard verification over the LSH candidates only.
+    "ngram_jaccard" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextDedup.jaccardVerify(
+        TextDedup.minHashCandidates(docs, numHashes = 32, rowsPerBand = 2),
+        docs)
+    }),
+
+    // SimHash signatures (64-bit sketch via explode + partial-agg
+    // bit-sums; no SQL oracle).
+    "simhash_signatures" -> ((s, dir) =>
+      TextDedup.simHashSignatures(T(s, dir, "documents"))),
+
+    // Brute-force cosine top-k (exact ANN baseline, broadcast queries).
+    "ann_cosine_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
+    // LSH-bucketed approximate top-k (the scale path; no SQL oracle).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(corpus, queries, k = 10, numBits = 4)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
+    // Per-vector LSH bucket assignment (deterministic hyperplanes).
+    "ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.withBuckets(T(s, dir, "embeddings"), numBits = 12)
+        .select(col("vec_id"), col("label"), col("bucket"))),
+
+    // Multimodal: byte-level payload description (pre-decode pass).
+    "mm_describe_binary" -> ((s, dir) =>
+      Multimodal.describeBinary(
+        Multimodal.withFakePayload(T(s, dir, "documents")),
+        "doc_id", "payload")),
+
+    // Multimodal: frame-sampling expansion from typed metadata.
+    "mm_sample_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withFakePayload(T(s, dir, "documents")), everyMs = 250L)),
+
+    // Multimodal: stubbed decode -> fixed-width feature vector (UDF
+    // boundary; deterministic fake decoder — no SQL oracle).
+    "mm_featurize" -> ((s, dir) =>
+      Multimodal.featurize(
+        Multimodal.withFakePayload(T(s, dir, "documents")),
+        "doc_id", "payload")))
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = {
+    val langs = TextAnalysis.LangMarkers
+    val allMarkers = langs.flatMap(_._2)
+    val hitCols = langs.map { case (l, ms) => s"${hitsSql(ms)} AS ${l}_hits" }
+    val great = "greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits)"
+    val statsCols =
+      s"""CAST(length(text) AS BIGINT) AS char_len,
+         | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS word_cnt,
+         | CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tokenish_cnt,
+         | CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+         | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_cnt"""
+        .stripMargin.replaceAll("\\s+", " ").trim
+
+    Map(
+      "f1_clean_name" ->
+        s"SELECT p_partkey, ${duckCleanName(messyNameSql)} AS cleaned FROM part",
+
+      "p5_variant_projection" ->
+        ("SELECT event_id, CASE WHEN length(props) % 2 = 0 THEN event_type " +
+          "ELSE CAST(user_id AS VARCHAR) END AS picked FROM events"),
+
+      "p6_coalesce" ->
+        ("SELECT c_custkey, coalesce(" +
+          "nullif(trim(CASE WHEN c_custkey % 3 = 0 THEN '   ' ELSE c_name END), ''), " +
+          "nullif(trim(c_mktsegment), ''), 'unknown') AS picked_name FROM customer"),
+
+      "p7_nonempty_filter" ->
+        ("SELECT p_partkey, CASE WHEN p_partkey % 7 = 0 THEN ' ' ELSE p_name END AS name, " +
+          "p_brand AS brand FROM part " +
+          "WHERE length(trim(CASE WHEN p_partkey % 7 = 0 THEN ' ' ELSE p_name END)) > 0 " +
+          "AND length(trim(p_brand)) > 0"),
+
+      "p8_code_filter" ->
+        (s"SELECT l_orderkey, l_linenumber, $islandishCodeSql AS code FROM lineitem " +
+          s"WHERE regexp_matches($islandishCodeSql, '^\\d{2}\\.\\d{2}\\.\\d{5}$$')"),
+
+      "f5_flags" ->
+        ("SELECT o_orderkey, " +
+          "CASE WHEN regexp_matches(upper(CASE WHEN o_orderkey % 3 = 0 THEN ' BP' " +
+          "WHEN o_orderkey % 3 = 1 THEN 'TBP' ELSE 'BP/TBP' END), '^\\s*BP\\b') " +
+          "THEN 1 ELSE 0 END AS is_populated, " +
+          "CASE WHEN contains(upper(CASE WHEN o_orderkey % 5 = 0 THEN 'pulau PPKT kecil' " +
+          "ELSE o_orderstatus END), 'PPKT') THEN 1 ELSE 0 END AS is_outermost_small " +
+          "FROM orders"),
+
+      "f6_island_parent" ->
+        (s"SELECT l_orderkey, l_linenumber, $islandishCodeSql AS code, " +
+          s"CASE WHEN substr($islandishCodeSql, 4, 2) = '00' THEN '' " +
+          s"ELSE substr($islandishCodeSql, 1, 5) END AS regency_code FROM lineitem"),
+
+      "f7_parent_prefix" ->
+        ("SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 13, '0') AS vcode, " +
+          "substr(lpad(CAST(o_orderkey AS VARCHAR), 13, '0'), 1, 2) AS province_code, " +
+          "substr(lpad(CAST(o_orderkey AS VARCHAR), 13, '0'), 1, 5) AS regency_code, " +
+          "substr(lpad(CAST(o_orderkey AS VARCHAR), 13, '0'), 1, 8) AS district_code " +
+          "FROM orders"),
+
+      "a1_first_dedup" ->
+        ("SELECT o_custkey, o_orderkey AS first_orderkey, o_orderstatus FROM orders " +
+          "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1"),
+
+      "o1_topk" ->
+        ("SELECT o_orderkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+      "j1_ri_antijoin" ->
+        ("SELECT o_orderkey, o_custkey FROM orders WHERE NOT EXISTS " +
+          "(SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 7 <> 0)"),
+
+      "s3_page_prune" ->
+        ("SELECT event_id, CAST(event_id % 20 + 1 AS INTEGER) AS page, event_type " +
+          "FROM events WHERE event_id % 20 + 1 IN (1, 2, 3, 4, 6)"),
+
+      "agg_groupby" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "count(*) AS cnt, min(l_extendedprice) AS min_price, " +
+          "max(l_extendedprice) AS max_price FROM lineitem " +
+          "WHERE l_quantity <= 25 GROUP BY l_returnflag, l_linestatus"),
+
+      "w1_ordered_projection" ->
+        ("SELECT event_id, user_id, event_type, value FROM events " +
+          "ORDER BY event_id LIMIT 500"),
+
+      "dedup_exact_groups" ->
+        (s"SELECT md5($NormTextSql) AS text_hash, min(doc_id) AS keep_doc_id, " +
+          "count(*) AS dup_count FROM documents GROUP BY 1"),
+
+      "dedup_exact_keep" ->
+        (s"SELECT doc_id, md5($NormTextSql) AS text_hash FROM documents " +
+          s"QUALIFY row_number() OVER (PARTITION BY md5($NormTextSql) ORDER BY doc_id) = 1"),
+
+      "text_stats" ->
+        (s"SELECT doc_id, $statsCols FROM documents WHERE length(trim(text)) > 0"),
+
+      "lang_id" ->
+        (s"WITH h AS (SELECT doc_id, lang, ${hitCols.mkString(", ")} FROM documents) " +
+          s"SELECT doc_id, lang, CASE WHEN $great = 0 THEN 'und' " +
+          s"WHEN en_hits = $great THEN 'en' WHEN de_hits = $great THEN 'de' " +
+          s"WHEN fr_hits = $great THEN 'fr' WHEN es_hits = $great THEN 'es' " +
+          "ELSE 'zh' END AS lang_guess, " +
+          "en_hits, de_hits, fr_hits, es_hits, zh_hits FROM h"),
+
+      "quality_score" ->
+        (s"WITH s AS (SELECT doc_id, $statsCols, " +
+          s"${hitsSql(allMarkers)} AS stop_hits " +
+          "FROM documents WHERE length(trim(text)) > 0) " +
+          "SELECT doc_id, char_len, word_cnt, punct_cnt, digit_cnt, stop_hits, " +
+          "CASE WHEN char_len < 64 THEN 'too_short' " +
+          "WHEN punct_cnt * 5 > char_len THEN 'punct_noise' " +
+          "WHEN digit_cnt * 5 > char_len THEN 'digit_noise' " +
+          "WHEN stop_hits = 0 THEN 'no_stopwords' ELSE 'good' END AS quality FROM s"),
+
+      "doc_fingerprint" ->
+        (s"SELECT doc_id, md5($NormTextSql) AS fingerprint FROM documents"),
+
+      "mm_describe_binary" ->
+        ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          // DuckDB's sha256 takes VARCHAR (hashing its UTF-8 bytes) —
+          // identical to Spark's sha2 over the UTF-8-encoded payload.
+          "sha256(text) AS sha256, " +
+          // DuckDB 1.x can't substring a BLOB — hex the whole payload
+          // and take the first 16 hex chars (= first 8 bytes).
+          "lower(substring(hex(encode(text)), 1, 16)) AS header_hex FROM documents"),
+
+      "mm_sample_frames" ->
+        ("SELECT doc_id, unnest(generate_series(0, length(text) * 10, 250)) " +
+          "AS frame_ts_ms FROM documents"),
+
+      // Ranks only (no float sim column): verified locally that the
+      // smallest neighbor-similarity gap (~2e-5) is orders of magnitude
+      // above float32 cosine noise, so rank order is engine-stable.
+      "ann_cosine_topk" ->
+        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec " +
+          "FROM embeddings WHERE vec_id < 10), " +
+          "sims AS (SELECT q.q_id, e.vec_id, " +
+          "list_cosine_similarity(q.q_vec, e.embedding) AS sim " +
+          "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id) " +
+          "SELECT q_id, vec_id, CAST(row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM sims QUALIFY rk <= 10"))
+  }
 }

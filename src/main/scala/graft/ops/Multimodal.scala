@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling: image/audio/video payloads as opaque
+  * `binary` columns plus a typed metadata struct, with the decode /
+  * feature-extraction boundary isolated behind one deterministic stub.
+  *
+  * The Spark-side plumbing is the real deliverable and is fully
+  * exercised: schema (binary + struct), partition-parallel batch decode
+  * (`mapPartitions`-free — a vectorizable UDF over the payload), byte
+  * level ops as pure built-ins, and frame-sampling as `sequence` +
+  * `explode`. The actual codec call (`ImageIO.read`, ffmpeg, …) is not
+  * available in this environment, so [[fakeDecodeFeatures]] computes a
+  * deterministic byte-histogram "embedding" with the exact signature a
+  * real decoder UDF would have (`Array[Byte] => Array[Float]`); swap
+  * the body, keep the plan.
+  *
+  * At 100 TB: payloads dominate I/O, so every operator here projects
+  * the binary column once, derives small fixed-width outputs, and never
+  * shuffles payload bytes — group/join keys are ids and hashes only.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  case class MediaMeta(
+      kind: String,
+      width: Int,
+      height: Int,
+      durationMs: Long)
+
+  /** Attach a synthetic payload + metadata to a documents frame —
+    * the test stand-in for reading real media files
+    * (`spark.read.format("binaryFile")` in production).
+    */
+  def withFakePayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("image/fake").as("kind"),
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
+        (length(col("text")) * 10L).as("durationMs")).as("meta"))
+
+  /** Byte-level description of a payload — all built-ins, no decode:
+    * (id, n_bytes, sha256 hex, first-8-bytes hex header). This is the
+    * dedup/integrity pass you run before any expensive decode.
+    */
+  def describeBinary(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      sha2(col(binCol), 256).as("sha256"),
+      lower(hex(substring(col(binCol), 1, 8))).as("header_hex"))
+
+  /** The decode stub: a deterministic 16-bin byte histogram, L1
+    * normalized — stands in for "decode image → pooled feature vector".
+    * Signature and batch shape match a real decoder (one payload in,
+    * one fixed-width Float vector out); runs partition-parallel with no
+    * driver involvement.
+    */
+  val fakeDecodeFeatures = udf { bytes: Array[Byte] =>
+    val bins = new Array[Float](16)
+    if (bytes != null && bytes.nonEmpty) {
+      bytes.foreach(b => bins((b & 0xFF) >> 4) += 1.0f)
+      val n = bytes.length.toFloat
+      var i = 0
+      while (i < 16) { bins(i) /= n; i += 1 }
+    }
+    bins
+  }
+
+  /** Decode + featurize: (id, features[16]). The UDF is the single
+    * non-codegen island; everything around it stays whole-stage.
+    */
+  def featurize(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), fakeDecodeFeatures(col(binCol)).as("features"))
+
+  /** Frame-sampling plan for video-like payloads: given `durationMs` in
+    * the meta struct and a sampling interval, emit one row per sampled
+    * frame timestamp. Pure `sequence` + `explode` — the Spark-native
+    * expansion a real frame extractor plugs into.
+    */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.select(
+      col("doc_id"),
+      explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs)))
+        .as("frame_ts_ms"))
+}

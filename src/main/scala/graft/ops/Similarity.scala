@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding: Array[Float], label)`).
+  *
+  * Two tiers, per the standard scale playbook:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small)
+  *    query set against the full corpus; cosine via built-in
+  *    higher-order functions (`zip_with` + `aggregate`, codegen'd — no
+  *    UDF, no serialization); per-query top-k via a window. The corpus
+  *    side streams: one scan, no shuffle except the final top-k
+  *    (partitioned by query id, k rows per query survive).
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets both
+  *    sides; cosine is evaluated only within matching buckets, so the
+  *    join is an equi-join on the bucket key instead of a cross
+  *    product. Hyperplanes are deterministic (seeded) driver-side
+  *    literals, broadcast with the plan — no extra data movement.
+  *
+  * For 100 TB corpora the same shapes hold: brute force is one pass ×
+  * |Q| comparisons/row (use only for small Q or reranking); LSH keys
+  * the corpus once and turns search into a bucket join. An IVF variant
+  * would swap the hash for learned centroid ids — same join shape.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-matches excluded). `queries` must have columns
+    * (q_id, q_vec); ties broken by vec_id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `numBits` rows × `dims` entries
+    * in {-1, +1}, from a fixed-seed PRNG. Evaluated once on the driver
+    * and shipped as a plan literal.
+    */
+  def hyperplanes(numBits: Int, dims: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numBits)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  /** Sign-LSH bucket key: bit j = sign(embedding · plane_j), packed into
+    * an int. Vectors with small angle agree on most bits, hence collide
+    * on the key with high probability.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val proj = dot(vec, typedLit(p))
+      when(proj >= 0.0d, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Per-vector LSH bucket assignment (vec_id, label, bucket). */
+  def withBuckets(corpus: DataFrame, numBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val dims = 64 // embeddings.parquet fixture dimensionality
+    corpus.withColumn("bucket",
+      lshBucket(col("embedding"), hyperplanes(numBits, dims, seed)))
+  }
+
+  /** Approximate top-k: cosine evaluated only within the query's LSH
+    * bucket. Fewer bits ⇒ bigger buckets ⇒ better recall, more work.
+    * Returns (q_id, vec_id, rk, sim); queries whose bucket holds fewer
+    * than k neighbors return fewer rows (standard single-probe LSH —
+    * multi-probe would union per-bit-flipped bucket keys).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      numBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numBits, 64, seed)
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = queries.withColumn("bucket", lshBucket(col("q_vec"), planes))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines,
+  * applied over a `documents(doc_id, text, ...)` table.
+  *
+  * Everything here is pure built-in `Column` expressions — no UDFs — so
+  * the whole stage compiles into one WholeStageCodegen span and the
+  * parquet scan reads only the referenced columns. Each operator is a
+  * narrow per-row map: no shuffle, embarrassingly parallel, and
+  * therefore scales linearly with input size (the 100 TB case is just
+  * more partitions).
+  *
+  * Semantics are deliberately SQL-expressible so the driver's DuckDB
+  * oracle can replay them verbatim (see SparkEntry.oracleSql).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. `split` on `\s+` after trim; empty text
+    * would yield `[""]` (size 1), so callers should filter empties or
+    * rely on [[tokenStats]]' explicit guard.
+    */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish token count: count maximal word runs plus individual
+    * punctuation marks — the classic pre-tokenizer regex
+    * (`\w+|[^\w\s]`). A cheap, deterministic proxy for LLM token
+    * budgeting at corpus scale.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Per-document length/shape statistics:
+    * (doc_id, char_len, word_cnt, tokenish_cnt, punct_cnt, digit_cnt).
+    * All counts are exact integers — safe for byte-exact oracles.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        wordCount(col("text")).as("word_cnt"),
+        bpeishTokenCount(col("text")).as("tokenish_cnt"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("punct_cnt"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("digit_cnt"))
+
+  /** Number of non-overlapping occurrences of `needle` in `text`,
+    * computed exactly via length difference (no regex, no UDF):
+    * `(len(s) - len(replace(s, needle, ''))) / len(needle)`.
+    * The quotient is an exact small integer, so the double division is
+    * lossless and the result oracle-safe.
+    */
+  def occurrences(text: Column, needle: String): Column = {
+    require(needle.nonEmpty, "needle must be non-empty")
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
+      lit(needle.length)).cast("long")
+  }
+
+  // Stopword marker lists per language. Tiny, deterministic, and chosen
+  // from high-frequency function words; padded with spaces so matches
+  // are word-bounded. A production system would use a trained n-gram
+  // model (e.g. fastText); the *Spark shape* is identical — a per-row
+  // scoring expression, no shuffle.
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " with "),
+    "de" -> Seq(" der ", " und ", " die ", " mit "),
+    "fr" -> Seq(" le ", " et ", " les ", " avec "),
+    "es" -> Seq(" el ", " y ", " los ", " con "),
+    "zh" -> Seq(" 的 ", " 和 ", " 是 ", " 在 "))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    markers.map(m => occurrences(text, m)).reduce(_ + _)
+
+  /** Language identification by stopword-marker voting: per language,
+    * count marker-word hits in the (space-padded, lowercased) text; the
+    * argmax wins, ties/zero-hits → "und" (undetermined). Returns
+    * (doc_id, lang, lang_guess, en_hits..zh_hits) so accuracy vs the
+    * ground-truth `lang` column is inspectable.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val hitCols = LangMarkers.map { case (lang, ms) =>
+      lang -> markerHits(padded, ms)
+    }
+    val withHits = docs.select(
+      Seq(col("doc_id"), col("lang")) ++
+        hitCols.map { case (l, c) => c.as(s"${l}_hits") }: _*)
+    // argmax with deterministic tie-break: highest count wins; on a tie
+    // the earlier language in LangMarkers order wins via strict '>'.
+    val best = hitCols.map(_._1).foldLeft((lit(0L), lit("und"))) {
+      case ((bestCnt, bestLang), lang) =>
+        val c = col(s"${lang}_hits")
+        (when(c > bestCnt, c).otherwise(bestCnt),
+          when(c > bestCnt, lit(lang)).otherwise(bestLang))
+    }
+    withHits.withColumn("lang_guess", best._2)
+      .select("doc_id", "lang", "lang_guess",
+        "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits")
+  }
+
+  /** Quality scoring with integer-exact components and a categorical
+    * verdict — the standard pre-training filters (too short, too much
+    * punctuation/digit noise, no stopwords) expressed as one codegen'd
+    * projection. Thresholds are integer comparisons on exact counts, so
+    * the verdict is bit-stable across engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stats = tokenStats(docs)
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val anyStop = LangMarkers.flatMap(_._2)
+      .map(m => occurrences(padded, m)).reduce(_ + _)
+    stats
+      .join(docs.select(col("doc_id"), anyStop.as("stop_hits")), "doc_id")
+      .withColumn("quality",
+        when(col("char_len") < 64, "too_short")
+          .when(col("punct_cnt") * 5 > col("char_len"), "punct_noise")
+          .when(col("digit_cnt") * 5 > col("char_len"), "digit_noise")
+          .when(col("stop_hits") === 0, "no_stopwords")
+          .otherwise("good"))
+      .select("doc_id", "char_len", "word_cnt", "punct_cnt",
+        "digit_cnt", "stop_hits", "quality")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized, lowercased
+    * text — the canonical key for exact dedup after trivial formatting
+    * drift. One row in, one row out; the hash is computed streamside
+    * (no driver involvement) and is stable across engines.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .as("fingerprint"))
+}

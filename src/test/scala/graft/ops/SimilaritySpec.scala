@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal -> 0, parallel -> 1, zero-norm guarded") {
+    val d = Seq(
+      (1L, Seq(1f, 0f), Seq(0f, 1f)),
+      (2L, Seq(2f, 0f), Seq(5f, 0f)),
+      (3L, Seq(0f, 0f), Seq(1f, 1f)))
+      .toDF("id", "a", "b")
+    val r = d.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._2)
+    assert(math.abs(r(0)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(r(2) == 0.0)
+  }
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val corpus = emb(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f), // closest to 0
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0.5f, 0.5f, 0f))
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rk").select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    assert(Similarity.hyperplanes(4, 8, 42L) == Similarity.hyperplanes(4, 8, 42L))
+    assert(Similarity.hyperplanes(4, 8, 42L) != Similarity.hyperplanes(4, 8, 43L))
+  }
+
+  test("lshBucket: identical vectors share a bucket; buckets bounded") {
+    val corpus = emb(
+      0L -> Seq.fill(64)(1f),
+      1L -> Seq.fill(64)(1f),
+      2L -> Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+    val b = Similarity.withBuckets(corpus.withColumn("label", lit(0)), numBits = 8)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b.values.forall(v => v >= 0 && v < 256))
+  }
+
+  test("lshTopK finds the duplicate vector as nearest neighbor") {
+    val corpus = emb(
+      0L -> Seq.tabulate(64)(_.toFloat),
+      1L -> Seq.tabulate(64)(_.toFloat), // exact dup of 0
+      2L -> Seq.tabulate(64)(i => (63 - i).toFloat))
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.lshTopK(corpus, queries, k = 1, numBits = 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L))
+  }
+}

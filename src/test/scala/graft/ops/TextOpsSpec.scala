@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the LLM-data-pipeline text operators: exact dedup,
+  * MinHash/LSH near-dup, SimHash, Jaccard verify, and text analysis.
+  */
+class TextOpsSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---------------------------------------------------------- exact dedup
+
+  test("exactDupGroups keys on normalized text and keeps min doc_id") {
+    val d = docs(
+      1L -> "Hello  World",
+      2L -> "  hello world ",
+      3L -> "something else")
+    val groups = TextDedup.exactDupGroups(d)
+      .orderBy("keep_doc_id").collect()
+    assert(groups.length == 2)
+    assert(groups(0).getAs[Long]("keep_doc_id") == 1L)
+    assert(groups(0).getAs[Long]("dup_count") == 2L)
+    assert(groups(1).getAs[Long]("keep_doc_id") == 3L)
+  }
+
+  test("exactDedupKeepFirst keeps exactly the first doc per text") {
+    val d = docs(5L -> "a b c", 2L -> "A  B  C", 9L -> "unique")
+    val kept = TextDedup.exactDedupKeepFirst(d)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 9L))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  test("shingles: distinct word n-grams; short text falls back whole") {
+    val sh = docs(1L -> "a b c d", 2L -> "xy")
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(sh(0).getSeq[String](1).toSet == Set("a b c", "b c d"))
+    assert(sh(1).getSeq[String](1).toSeq == Seq("xy"))
+  }
+
+  test("minhash: identical texts collide on all bands; candidates found") {
+    val base = "the quick brown fox jumps over the lazy dog and runs away"
+    val d = docs(
+      1L -> base,
+      2L -> base, // exact dup => same signature
+      3L -> (base + " tonight"), // near dup => most bands agree
+      4L -> "completely different words nothing shared here at all today")
+    val pairs = TextDedup.minHashCandidates(d, numHashes = 32, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val d = docs(1L -> "some stable text for hashing goes here")
+    val sig = TextDedup
+      .minHashSignature(TextDedup.shingles(col("text")), 8).as("sig")
+    val a = d.select(sig).collect()(0).getSeq[Long](0)
+    val b = d.select(sig).collect()(0).getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("jaccardVerify computes exact jaccard on candidate pairs") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    // shingles(3): {abc,bcd} vs {abc,bce} => intersect 1, union 3
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = TextDedup.jaccardVerify(pairs, d).collect()(0)
+      .getAs[Double]("jaccard")
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  test("simhash: equal for identical text, unequal for unrelated text") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha  beta   gamma delta", // same after normalization
+      3L -> "totally different content words")
+    val sigs = TextDedup.simHashSignatures(d)
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simHashCandidates pairs docs agreeing on a 16-bit band") {
+    // Band equality is only guaranteed for small hamming distance
+    // (pigeonhole: ≤3 flipped bits ⇒ one of 4 bands untouched); use a
+    // normalization-equal pair (hamming 0) and a clearly distinct doc.
+    val d = docs(
+      1L -> "shared vocabulary one two three four five six seven eight",
+      2L -> "  Shared   vocabulary one two three four five six seven eight ",
+      3L -> "zzz qqq www eee rrr ttt yyy uuu iii ooo")
+    val pairs = TextDedup.simHashCandidates(d).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  test("occurrences counts non-overlapping needle hits exactly") {
+    val d = docs(1L -> " the cat the dog the bird ")
+    val n = d.select(TextAnalysis.occurrences(col("text"), " the ").as("n"))
+      .as[Long].collect()(0)
+    // " the cat the dog the bird " — ' the ' at 0, then 8..13, then 16..21:
+    // replace() consumes left-to-right: all three hit.
+    assert(n == 3L)
+  }
+
+  test("tokenStats: exact counts") {
+    val d = docs(1L -> "Hello, world! 42 times.")
+    val r = TextAnalysis.tokenStats(d).collect()(0)
+    assert(r.getAs[Long]("char_len") == 23L)
+    assert(r.getAs[Long]("word_cnt") == 4L)
+    assert(r.getAs[Long]("punct_cnt") == 3L) // , ! .
+    assert(r.getAs[Long]("digit_cnt") == 2L)
+  }
+
+  test("langId votes by marker hits with deterministic ties") {
+    val d = Seq(
+      (1L, "this is the cat and the dog of the house with style", "en"),
+      (2L, "das ist der hund und die katze mit der maus", "de"),
+      (3L, "no markers here whatsoever", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langId(d).orderBy("doc_id")
+      .select("lang_guess").as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore buckets by exact integer thresholds") {
+    val good = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running with great persistence through the night"
+    val d = Seq((1L, good), (2L, "short"), (3L, good.replace(" the ", " ,,,,, ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(d).orderBy("doc_id")
+      .select("quality").as[String].collect()
+    assert(r(0) == "good")
+    assert(r(1) == "too_short")
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val d = docs(1L -> "A  b C", 2L -> " a b c ")
+    val fps = TextAnalysis.fingerprint(d).select("fingerprint")
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
