@@ -129,12 +129,27 @@ object EtlConfig {
     sb.toString
   }
 
+  /** Net bracket depth of a line, ignoring brackets inside quoted
+    * strings (an array element like `"Luas [Km2]"` must not corrupt
+    * multi-line array joining).
+    */
+  private def bracketDepth(line: String): Int = {
+    var inStr = false
+    var depth = 0
+    for (c <- line) {
+      if (c == '"') inStr = !inStr
+      else if (!inStr && c == '[') depth += 1
+      else if (!inStr && c == ']') depth -= 1
+    }
+    depth
+  }
+
   private def joinMultilineArrays(lines: Seq[String]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val pending = new StringBuilder
     var depth = 0
     for (line <- lines) {
-      val opens = line.count(_ == '[') - line.count(_ == ']')
+      val opens = bracketDepth(line)
       if (depth > 0) {
         pending.append(" ").append(line.trim)
         depth += opens

@@ -16,9 +16,10 @@ import scala.jdk.CollectionConverters._
   *
   * Scale note: `singleFile=true` reproduces the reference's one-file
   * layout via a total sort + single writer task — correct for
-  * golden-parity output sizes. At 100 TB use `singleFile=false`:
-  * a range-repartition on `seq` + `sortWithinPartitions` keeps global
-  * document order across part files with no single-task bottleneck.
+  * golden-parity output sizes but a scale-killer, so it is NOT the
+  * default. The default (`singleFile=false`) range-repartitions on
+  * `seq` + `sortWithinPartitions`, keeping global document order
+  * across part files with no single-task bottleneck.
   */
 object CsvSink {
 
@@ -30,7 +31,7 @@ object CsvSink {
       destination: String,
       outputName: String,
       suffix: String,
-      singleFile: Boolean = true): Path = {
+      singleFile: Boolean = false): Path = {
     val spark = df.sparkSession
     val ordered =
       if (singleFile) df.orderBy(col("seq")).drop("seq").coalesce(1)
@@ -57,10 +58,13 @@ object CsvSink {
 
     Files.createDirectories(Paths.get(destination))
     if (singleFile) {
-      val part = Files.list(Paths.get(tmp)).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".csv"))
-        .toSeq.headOption
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) {
+        stream =>
+          stream.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".csv"))
+            .toSeq.headOption
+      }
       val target = Paths.get(destination, s"$outputName.$suffix.csv")
       part match {
         case Some(p) =>
@@ -81,8 +85,10 @@ object CsvSink {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(p)) { stream =>
+        stream.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
     }
   }
 }

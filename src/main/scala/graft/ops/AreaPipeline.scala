@@ -35,12 +35,21 @@ object AreaPipeline {
 
   /** Per-table metadata DF: (table_id, table_width, is_area).
     * One row per table; small enough to broadcast.
+    *
+    * Pre-filters to `row_idx === 0` before aggregating: ingest pads
+    * rows to uniform width (CellTables.ofGrid), so the header row alone
+    * carries both the header text and the table width — the filter is
+    * pushed to the scan and the aggregate touches one row per table
+    * instead of the full stream (at 100 TB the difference is a full
+    * extra pass). Tables with no row 0 cannot occur at the camelot
+    * boundary (an empty table raises in the reference and is skipped,
+    * `cli.py:190-191`).
     */
   def tableMeta(cells: DataFrame): DataFrame =
-    cells.groupBy("table_id").agg(
-      max(size(col("cells"))).as("table_width"),
-      // header = row 0 of the table (`df.iloc[0]`)
-      max(when(col("row_idx") === 0, col("cells"))).as("header_cells"))
+    cells.filter(col("row_idx") === 0)
+      .groupBy("table_id").agg(
+        max(size(col("cells"))).as("table_width"),
+        max(col("cells")).as("header_cells"))
       .withColumn("is_area",
         coalesce(matchesHeaderUdf(col("header_cells")), lit(false)))
       .drop("header_cells")
@@ -62,8 +71,13 @@ object AreaPipeline {
     * Input must have (table_id, row_idx, seq, cells); output
     * (code, name, seq).
     */
-  def codeNamePairs(cells: DataFrame, requireMatch: Boolean = false): DataFrame = {
-    val meta0 = tableMeta(cells)
+  def codeNamePairs(
+      cells: DataFrame,
+      requireMatch: Boolean = false,
+      precomputedMeta: Option[DataFrame] = None): DataFrame = {
+    // Reuse the caller's tableMeta when dispatch already computed it —
+    // the inner broadcast join drops rows for tables not in `cells`.
+    val meta0 = precomputedMeta.getOrElse(tableMeta(cells))
     // The reference separates matches() (the dispatch gate,
     // `cli.py:183-191`) from _extract_rows (no gate) — direct extraction
     // processes any table, like its unit tests do.
@@ -128,8 +142,11 @@ object AreaPipeline {
   }
 
   /** Full pipeline: cell tables -> tagged entity rows. */
-  def extract(cells: DataFrame, requireMatch: Boolean = false): DataFrame =
-    classify(codeNamePairs(cells, requireMatch))
+  def extract(
+      cells: DataFrame,
+      requireMatch: Boolean = false,
+      precomputedMeta: Option[DataFrame] = None): DataFrame =
+    classify(codeNamePairs(cells, requireMatch, precomputedMeta))
 
   /** One entity stream, shaped to its output schema (SURVEY §1.2). */
   def entity(extracted: DataFrame, name: String): DataFrame = name match {

@@ -11,14 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Dispatch {
 
-  /** Per-table routing: (table_id, route) where route ∈
-    * {"area", "island", null}. Area wins ties, like the extractor
-    * ordering in `cli.py:158-160,183-189`.
+  /** Routing from precomputed per-table metadata: (table_id, route)
+    * where route ∈ {"area", "island", null}. Area wins ties, like the
+    * extractor ordering in `cli.py:158-160,183-189`.
     */
-  def routes(cells: DataFrame): DataFrame = {
-    val area = AreaPipeline.tableMeta(cells)
-      .select(col("table_id"), col("is_area"))
-    val island = IslandPipeline.tableMeta(cells)
+  def routesFromMeta(areaMeta: DataFrame, islandMeta: DataFrame): DataFrame = {
+    val area = areaMeta.select(col("table_id"), col("is_area"))
+    val island = islandMeta
       .select(col("table_id"), col("match3").as("is_island"))
     area.join(island, Seq("table_id"), "full_outer")
       .select(col("table_id"),
@@ -27,17 +26,30 @@ object Dispatch {
           .as("route"))
   }
 
+  /** Per-table routing computed from scratch. */
+  def routes(cells: DataFrame): DataFrame =
+    routesFromMeta(AreaPipeline.tableMeta(cells),
+      IslandPipeline.tableMeta(cells))
+
   /** Dispatch + extract both families. Returns (area tagged rows,
     * island rows); each side only sees tables routed to it.
+    *
+    * Each family's tableMeta is built ONCE and threaded through both
+    * the routing filter and the extract pipeline (the identical
+    * broadcast subtrees inside one action are then deduplicated by
+    * ReuseExchange), instead of being recomputed per consumer.
     */
   def extractAll(cells: DataFrame): (DataFrame, DataFrame) = {
-    val r = routes(cells)
+    val areaMeta = AreaPipeline.tableMeta(cells)
+    val islandMeta = IslandPipeline.tableMeta(cells)
+    val r = routesFromMeta(areaMeta, islandMeta)
     val areaCells = cells.join(
       broadcast(r.filter(col("route") === "area").select("table_id")),
       "table_id")
     val islandCells = cells.join(
       broadcast(r.filter(col("route") === "island").select("table_id")),
       "table_id")
-    (AreaPipeline.extract(areaCells), IslandPipeline.extract(islandCells))
+    (AreaPipeline.extract(areaCells, precomputedMeta = Some(areaMeta)),
+      IslandPipeline.extract(islandCells, precomputedMeta = Some(islandMeta)))
   }
 }

@@ -11,10 +11,18 @@ import graft.io.CsvSink
   * the five entity CSVs in document order, fail on zero rows (A2,
   * `cli.py:198-201`).
   *
-  * S7 multi-sink fan-out: the tagged area frame is cached once and four
-  * entity projections write from it — one pass over the input, four
-  * cheap filtered writes (entities have different schemas, so separate
-  * writes, per SURVEY §2.1).
+  * S7 multi-sink fan-out: BOTH extracted frames (area-tagged, island)
+  * are cached once; the five entity projections write from the caches —
+  * one scan of the cell input per extract family, five cheap filtered
+  * writes (entities have different schemas, so separate writes, per
+  * SURVEY §2.1).
+  *
+  * Row counts (A2's count accumulation) are taken AFTER each write,
+  * from the already-populated cache: the count job reads memory, not
+  * the source, so the extract pipelines execute exactly once. (A
+  * `Dataset.observe` metric was tried and rejected: the ordered write's
+  * range-partitioner sampling pass evaluates the plan a second time and
+  * double-counts the metric.)
   */
 object ExtractJob {
 
@@ -33,14 +41,18 @@ object ExtractJob {
       destination: String,
       outputName: String,
       config: EtlConfig.Config,
-      singleFile: Boolean = true): Result = {
+      // Scale-safe default: range-partitioned multi-file output (no
+      // single-task total-sort drain). Pass singleFile=true explicitly
+      // for reference-parity one-file-per-entity layout (the CLI does).
+      singleFile: Boolean = false): Result = {
     val (area, island) = Dispatch.extractAll(cells)
     val areaCached = area.cache()
+    val islandCached = island.cache()
     try {
       val entityFrames: Seq[(String, DataFrame)] =
         Seq("province", "regency", "district", "village")
           .map(e => e -> AreaPipeline.entity(areaCached, e)) :+
-          ("island" -> island.withColumn("is_populated",
+          ("island" -> islandCached.withColumn("is_populated",
             col("is_populated").cast("string"))
             .withColumn("is_outermost_small",
               col("is_outermost_small").cast("string")))
@@ -51,21 +63,26 @@ object ExtractJob {
             s"Missing or invalid configuration for area '$entityName'"))
         val headers = cfg.outputHeaders
         val dataCols = df.columns.filterNot(_ == "seq")
-        require(headers.length == dataCols.length,
-          s"header arity mismatch for $entityName: $headers vs ${dataCols.toSeq}")
+        if (headers.length != dataCols.length)
+          throw EtlConfig.ConfigError(
+            s"header arity mismatch for $entityName: " +
+              s"$headers vs ${dataCols.toSeq}")
         val renamed = df.select(
           dataCols.zip(headers).map { case (c, h) => col(c).as(h) } :+
             col("seq"): _*)
-        val count = renamed.count() - 0L
         val path = CsvSink.write(renamed, destination, outputName,
           cfg.filenameSuffix, singleFile)
-        (entityName, count, path)
+        // cache is hot after the write; this count never hits the source
+        (entityName, renamed.count(), path)
       }
 
       val counts = written.map { case (e, c, _) => e -> c }.toMap
       if (counts.values.sum == 0)
         throw NoMatchingDataException("No matching data found")
       Result(counts, written.map(_._3))
-    } finally areaCached.unpersist()
+    } finally {
+      areaCached.unpersist()
+      islandCached.unpersist()
+    }
   }
 }

@@ -114,8 +114,12 @@ object IslandPipeline {
     *   dispatched pipeline (`cli.py:183-191`), false when calling the
     *   extractor directly (as the reference unit tests do).
     */
-  def extract(cells: DataFrame, requireMatch3: Boolean = false): DataFrame = {
-    val meta0 = tableMeta(cells).filter(col("header_idx") >= 0)
+  def extract(
+      cells: DataFrame,
+      requireMatch3: Boolean = false,
+      precomputedMeta: Option[DataFrame] = None): DataFrame = {
+    val meta0 = precomputedMeta.getOrElse(tableMeta(cells))
+      .filter(col("header_idx") >= 0)
     val meta = if (requireMatch3) meta0.filter(col("match3")) else meta0
 
     val withMeta = cells.join(broadcast(meta), "table_id")

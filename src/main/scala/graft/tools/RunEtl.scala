@@ -2,14 +2,23 @@ package graft.tools
 
 import java.nio.file.Paths
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.config.EtlConfig
-import graft.ops.ExtractJob
+import graft.ops.{ExtractJob, PageRange}
 
 /** CLI entry mirroring the reference's `idnareaetl extract` command
   * (`cli.py:77-205`), minus PDF parsing: input is a cell-table parquet
   * at the post-camelot boundary (FIXTURES.md §1).
   *
-  * Usage: RunEtl <cells.parquet> <destDir> <outputName> [config.toml]
+  * Usage:
+  *   RunEtl <cells.parquet> <destDir> <outputName>
+  *          [--config <toml>] [--pages <range>] [--multi-file]
+  *
+  * `--pages` takes the reference's `1-4,6` grammar (`cli.py:146-150`,
+  * `utils.py:87-100`) and prunes the scan by the `page` column — the
+  * partition-pruning analog of the reference's page selection. The CLI
+  * writes reference-parity single files by default; `--multi-file`
+  * switches to the scale-safe range-partitioned layout.
   *
   * Without a config path, the reference's shipped `idnareaetl.toml`
   * defaults apply (suffixes province/regency/district/village/island,
@@ -30,16 +39,51 @@ object RunEtl {
       Seq("code", "regency_code", "coordinate", "is_populated",
         "is_outermost_small", "name"), "island")))
 
+  private val Usage =
+    "usage: RunEtl <cells.parquet> <destDir> <outputName> " +
+      "[--config <toml>] [--pages <range>] [--multi-file]"
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println(
-        "usage: RunEtl <cells.parquet> <destDir> <outputName> [config.toml]")
+      System.err.println(Usage)
       sys.exit(2)
     }
     val Array(input, dest, name) = args.take(3)
+    var configPath: Option[String] = None
+    var pageRange: Option[String] = None
+    var singleFile = true
+    var i = 3
+    while (i < args.length) {
+      args(i) match {
+        case "--config" if i + 1 < args.length =>
+          configPath = Some(args(i + 1)); i += 2
+        case "--pages" if i + 1 < args.length =>
+          pageRange = Some(args(i + 1)); i += 2
+        case "--multi-file" => singleFile = false; i += 1
+        case other =>
+          System.err.println(s"unknown argument: $other\n$Usage")
+          sys.exit(2)
+      }
+    }
+    // page-range grammar validated before starting Spark, like the
+    // reference validates before opening the PDF (`cli.py:56-74`)
+    pageRange.foreach { r =>
+      if (!PageRange.validate(r)) {
+        System.err.println(s"Error: invalid page range '$r'")
+        sys.exit(1)
+      }
+    }
     val config =
-      if (args.length >= 4) EtlConfig.load(Paths.get(args(3)))
-      else defaultConfig
+      try configPath.map(p => EtlConfig.load(Paths.get(p)))
+        .getOrElse(defaultConfig)
+      catch {
+        case e: EtlConfig.ConfigError =>
+          // reference prints "Configuration error: ..." and exits 1
+          // (`cli.py:140-144`)
+          System.err.println(s"Configuration error: ${e.getMessage}")
+          sys.exit(1)
+          throw e // unreachable; keeps the type checker happy
+      }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -52,11 +96,23 @@ object RunEtl {
 
     val t0 = System.nanoTime()
     try {
-      val cells = spark.read.parquet(input)
-      val result = ExtractJob.run(cells, dest, name, config)
+      val all = spark.read.parquet(input)
+      val cells = pageRange match {
+        case None => all
+        case Some(r) =>
+          // clip to the actual page count (`utils.py:100` drops
+          // out-of-range silently); one tiny max() job stands in for
+          // the reference's PdfReader page count (`cli.py:146-147`)
+          val total = all.agg(max(col("page"))).head.getInt(0)
+          val pages = PageRange.parse(r, total)
+          // isin over an int column pushes to the parquet scan
+          all.filter(col("page").isin(pages: _*))
+      }
+      val result = ExtractJob.run(cells, dest, name, config,
+        singleFile = singleFile)
       val secs = (System.nanoTime() - t0) / 1e9
       // report shape follows `cli.py:196,203-205`
-      println(s"Extraction completed in ${graft.ops.PageRange.formatDuration(secs)}")
+      println(s"Extraction completed in ${PageRange.formatDuration(secs)}")
       println(s"Total rows extracted: ${result.total}")
       result.counts.toSeq.sortBy(_._1).foreach { case (e, c) =>
         println(s"  $e: $c")

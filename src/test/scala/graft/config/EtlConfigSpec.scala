@@ -65,6 +65,19 @@ class EtlConfigSpec extends AnyFunSuite {
       "[data.province]\nbatch_size = 5\noutput_headers = \"\""))
   }
 
+  test("multi-line arrays tolerate brackets inside quoted strings") {
+    val cfg = loadString(
+      """|[data.province]
+         |batch_size = 5
+         |output_headers = [
+         |  "code",
+         |  "Luas [Km2]",
+         |]
+         |filename_suffix = "province"
+         |""".stripMargin)
+    assert(cfg.data("province").outputHeaders == Seq("code", "Luas [Km2]"))
+  }
+
   test("missing file raises ConfigError") {
     intercept[ConfigError](load(Paths.get("/nonexistent/config.toml")))
   }

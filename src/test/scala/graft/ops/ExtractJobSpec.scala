@@ -31,7 +31,7 @@ class ExtractJobSpec extends SparkSpec {
     val dest = tmpDir()
     val cells = CellTables.ofGrids(spark,
       Seq(Fixtures.dfArea, Fixtures.dfIsland, Fixtures.dfAreaUnmatched))
-    val result = ExtractJob.run(cells, dest.toString, "x", config)
+    val result = ExtractJob.run(cells, dest.toString, "x", config, singleFile = true)
     assert(result.counts == Map("province" -> 1, "regency" -> 1,
       "district" -> 1, "village" -> 4, "island" -> 6))
     for (suffix <- Seq("province", "regency", "district", "village", "island"))
@@ -46,7 +46,7 @@ class ExtractJobSpec extends SparkSpec {
       Seq("header", "kode pulau", "nama", "koordinat", "status"),
       Seq("1", "12.01.40001", "Pulau X",
         "03°19'03.44\" U 097°07'41.73\" T", "BP")))
-    ExtractJob.run(cells, dest.toString, "sample", config)
+    ExtractJob.run(cells, dest.toString, "sample", config, singleFile = true)
     val bytes = Files.readString(dest.resolve("sample.island.csv"))
     assert(bytes ==
       "code,regency_code,coordinate,is_populated,is_outermost_small,name\r\n" +
@@ -60,7 +60,7 @@ class ExtractJobSpec extends SparkSpec {
       Seq("header", "kode pulau", "nama", "koordinat", "status"),
       Seq("1", "12.01.40001", "Pulau X",
         "03°19'03.44\" U 097°07'41.73\" T", "BP")))
-    ExtractJob.run(cells, dest.toString, "empty", config)
+    ExtractJob.run(cells, dest.toString, "empty", config, singleFile = true)
     val lines = readLines(dest.resolve("empty.province.csv"))
     assert(lines == List("code,name"))
   }
@@ -69,17 +69,34 @@ class ExtractJobSpec extends SparkSpec {
     val dest = tmpDir()
     val cells = CellTables.ofGrid(spark, Fixtures.dfAreaUnmatched)
     intercept[ExtractJob.NoMatchingDataException] {
-      ExtractJob.run(cells, dest.toString, "none", config)
+      ExtractJob.run(cells, dest.toString, "none", config, singleFile = true)
     }
     // writers opened before extraction: header-only files still exist
     assert(readLines(dest.resolve("none.village.csv")) ==
       List("code,district_code,name"))
   }
 
+  test("default (scale-safe) layout writes partitioned dirs, order kept") {
+    val dest = tmpDir()
+    val cells = CellTables.ofGrid(spark, Fixtures.dfIsland)
+    val result = ExtractJob.run(cells, dest.toString, "part", config)
+    assert(result.counts("island") == 6)
+    val dir = dest.resolve("part.island.csv.d")
+    assert(Files.isDirectory(dir))
+    // global document order holds across range-partitioned part files
+    // (part file names sort in range order)
+    val codes = Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".csv")).sortBy(_.toString)
+      .flatMap(p => readLines(p).drop(1))
+      .map(_.split(",")(0))
+    assert(codes == List("11.01.40001", "11.01.40002", "11.01.40004",
+      "11.03.40003", "11.03.40005", "11.06.40007"))
+  }
+
   test("document order is preserved in written CSVs (W1)") {
     val dest = tmpDir()
     val cells = CellTables.ofGrid(spark, Fixtures.dfIsland)
-    ExtractJob.run(cells, dest.toString, "ord", config)
+    ExtractJob.run(cells, dest.toString, "ord", config, singleFile = true)
     val lines = readLines(dest.resolve("ord.island.csv"))
     val codes = lines.drop(1).map(_.split(",")(0))
     assert(codes == List("11.01.40001", "11.01.40002", "11.01.40004",
