@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FixWrappedNameExpr, FormatCoordinateExpr, NormalizeWordsExpr}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * cleanse expressions as SQL functions, so `spark.sql` users get the
+  * same reference-exact semantics the DataFrame API exposes:
+  *
+  * {{{
+  * spark.sql("SELECT graft_normalize_words(h) FROM headers")
+  * }}}
+  *
+  * Activate via `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)` on the session builder;
+  * [[GraftExtensions.register]] injects into an already-built session
+  * (useful in shells and tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def unary(
+      name: String,
+      usage: String,
+      build: Expression => Expression): (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo("graft", null, name, usage, ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name takes exactly one argument")
+        build(args.head)
+      })
+
+  /** (name, info, builder) for every exposed SQL function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      unary("graft_normalize_words",
+        "_FUNC_(str) - De-spaces PDF-kerned text ('K o d e' -> 'Kode').",
+        NormalizeWordsExpr),
+      unary("graft_fix_wrapped_name",
+        "_FUNC_(str) - Repairs PDF line-wrap artifacts in names.",
+        FixWrappedNameExpr),
+      unary("graft_format_coordinate",
+        "_FUNC_(str) - Canonicalizes an Indonesian DMS coordinate pair.",
+        FormatCoordinateExpr))
+
+  /** Register into an existing session (post-construction). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

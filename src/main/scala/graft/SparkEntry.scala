@@ -235,6 +235,25 @@ object SparkEntry {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))),
 
+    // S1: metadata scan analog — per-page row stats, the file-listing/
+    // page-count step that bounds the reference's page range
+    // (`cli.py:146-150`).
+    "s1_page_stats" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("page", (pmod(col("event_id"), lit(20)) + 1).cast("int"))
+        .groupBy("page")
+        .agg(count(lit(1)).as("n_rows"), max(col("event_id")).as("max_id"))),
+
+    // Salted two-stage aggregation (skew defense); result identical to
+    // the plain groupBy, which is exactly what the oracle checks.
+    "skew_salted_agg" -> ((s, dir) =>
+      SkewAgg.sumCountSalted(
+        T(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        value = col("l_quantity"),
+        salt = pmod(col("l_orderkey"), lit(8)),
+        keyName = "l_returnflag")),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -410,6 +429,15 @@ object SparkEntry {
           "count(*) AS cnt, min(l_extendedprice) AS min_price, " +
           "max(l_extendedprice) AS max_price FROM lineitem " +
           "WHERE l_quantity <= 25 GROUP BY l_returnflag, l_linestatus"),
+
+      "s1_page_stats" ->
+        ("SELECT CAST(event_id % 20 + 1 AS INTEGER) AS page, " +
+          "count(*) AS n_rows, max(event_id) AS max_id FROM events " +
+          "GROUP BY 1"),
+
+      "skew_salted_agg" ->
+        ("SELECT l_returnflag, sum(l_quantity) AS sum_value, " +
+          "count(*) AS cnt FROM lineitem GROUP BY l_returnflag"),
 
       "w1_ordered_projection" ->
         ("SELECT event_id, user_id, event_type, value FROM events " +

@@ -104,11 +104,15 @@ object Cleanse {
     else tokens.mkString("")
   }
 
+  // ScalaUDF variants kept as the portable fallback; the default
+  // Column builders below use the native Catalyst expressions
+  // (NativeExpressions.scala) — same Scala semantics, but codegen'd
+  // without the ScalaUDF encoder/boxing layer.
   val fixWrappedNameUdf = udf((s: String) => fixWrappedNameScala(s))
   val normalizeWordsUdf = udf((s: String) => normalizeWordsScala(s))
 
-  def fixWrappedName(c: Column): Column = fixWrappedNameUdf(c)
-  def normalizeWords(c: Column): Column = normalizeWordsUdf(c)
+  def fixWrappedName(c: Column): Column = NativeExpressions.fixWrappedName(c)
+  def normalizeWords(c: Column): Column = NativeExpressions.normalizeWords(c)
 
   /** The composed cleanse chain applied to every area name:
     * `normalize_words(clean_name(fix_wrapped_name(s))) if s else ""`

@@ -78,9 +78,12 @@ object Coordinates {
   }
 
   /** UDF form; see the advisor note — distinct name from the Column API
-    * to avoid overload/eta-expansion ambiguity.
+    * to avoid overload/eta-expansion ambiguity. Kept as the portable
+    * fallback; the default Column builder uses the native Catalyst
+    * expression (no ScalaUDF boxing, stays in whole-stage codegen).
     */
   val formatCoordinateUdf = udf((s: String) => formatCoordinateScala(s))
 
-  def formatCoordinate(c: Column): Column = formatCoordinateUdf(c)
+  def formatCoordinate(c: Column): Column =
+    NativeExpressions.formatCoordinate(c)
 }

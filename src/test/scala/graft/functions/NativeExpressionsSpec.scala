@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{GraftExtensions, SparkSpec}
+
+/** The native Catalyst expression tier: same semantics as the Scala
+  * reference implementations, null propagation, SQL registration via
+  * GraftExtensions, and no ScalaUDF node in the plan.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private val samples = Seq(
+    "K o d e", "NAMA PROVINSI", "Bakongan\nTimur", "",
+    "03°19'03.44\" U 097°07'41.73\" T", "1 Bakongan")
+
+  test("native expressions match the Scala reference implementations") {
+    val df = samples.toDF("s")
+    val rows = df.select(
+      NativeExpressions.normalizeWords(col("s")).as("nw"),
+      NativeExpressions.fixWrappedName(col("s")).as("fw"),
+      NativeExpressions.formatCoordinate(col("s")).as("fc"),
+      col("s")).collect()
+    rows.foreach { r =>
+      val s = r.getAs[String]("s")
+      assert(r.getAs[String]("nw") == Cleanse.normalizeWordsScala(s))
+      assert(r.getAs[String]("fw") == Cleanse.fixWrappedNameScala(s))
+      assert(r.getAs[String]("fc") == Coordinates.formatCoordinateScala(s))
+    }
+  }
+
+  test("null propagates (nullSafeEval semantics)") {
+    val df = Seq[Option[String]](None, Some("x")).toDF("s")
+    val out = df.select(NativeExpressions.normalizeWords(col("s")).as("n"))
+      .collect().map(r => Option(r.getAs[String]("n")))
+    assert(out.toSeq == Seq(None, Some("x")))
+  }
+
+  test("GraftExtensions.register exposes the SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_normalize_words('K o d e') AS a,
+        |       graft_fix_wrapped_name('Pematang Pudu Besar\nke') AS b,
+        |       graft_format_coordinate('03°19\'03.44" U 097°07\'41.73" T') AS c
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("a") == "Kode")
+    assert(r.getAs[String]("c") ==
+      "03°19'03.44\" N 097°07'41.73\" E")
+  }
+
+  test("plan contains no ScalaUDF for the cleanse chain") {
+    val df = samples.toDF("s")
+      .select(Cleanse.cleanseName(col("s")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
