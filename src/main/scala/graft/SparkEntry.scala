@@ -342,10 +342,12 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.withFakePayload(T(s, dir, "documents")), everyMs = 250L)),
 
-    // Multimodal: stubbed decode -> fixed-width feature vector (UDF
-    // boundary; deterministic fake decoder — no SQL oracle).
+    // Multimodal: stubbed decode -> fixed-width feature vector via the
+    // partition-batched mapPartitions path (once-per-partition decoder
+    // session — the mapInPandas shape; deterministic stub, no SQL
+    // oracle).
     "mm_featurize" -> ((s, dir) =>
-      Multimodal.featurize(
+      Multimodal.featurizeBatched(
         Multimodal.withFakePayload(T(s, dir, "documents")),
         "doc_id", "payload")))
 

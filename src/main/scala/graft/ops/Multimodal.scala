@@ -88,4 +88,44 @@ object Multimodal {
       col("doc_id"),
       explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs)))
         .as("frame_ts_ms"))
+
+  /** Partition-batched decode — the Scala analog of a Pandas UDF over
+    * `mapInPandas`: the expensive decoder context (codec handle, model
+    * weights, GPU session) is initialized ONCE PER PARTITION and reused
+    * across that partition's rows, instead of per row. That
+    * amortization is the entire point of batch-shaped decode UDFs at
+    * 100 TB; the per-row scalar UDF ([[fakeDecodeFeatures]]) cannot
+    * express it.
+    *
+    * The "decoder" here is the deterministic stub; swap
+    * `FakeDecoderSession` for a real codec binding, keep the plan.
+    */
+  def featurizeBatched(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val session = new FakeDecoderSession // once per partition
+        rows.map { case (id, bytes) => (id, session.decode(bytes)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** Stands in for a heavyweight decoder handle (ffmpeg context, JNI
+    * codec, ONNX session). Construction is the expensive step a real
+    * implementation amortizes per partition.
+    */
+  final class FakeDecoderSession {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](16)
+      if (bytes != null && bytes.nonEmpty) {
+        bytes.foreach(b => bins((b & 0xFF) >> 4) += 1.0f)
+        val n = bytes.length.toFloat
+        var i = 0
+        while (i < 16) { bins(i) /= n; i += 1 }
+      }
+      bins
+    }
+  }
 }

@@ -41,6 +41,14 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
   }
 
+  test("featurizeBatched (mapPartitions decode) matches the scalar UDF") {
+    val scalar = Multimodal.featurize(payloadDf, "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1).toSeq)
+    val batched = Multimodal.featurizeBatched(payloadDf, "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1).toSeq)
+    assert(scalar.toSeq == batched.toSeq)
+  }
+
   test("sampleFrames: one row per sampled timestamp, inclusive bounds") {
     val frames = Multimodal.sampleFrames(payloadDf, everyMs = 20L)
       .filter(col("doc_id") === 1L)

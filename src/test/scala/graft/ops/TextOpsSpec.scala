@@ -143,6 +143,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1) == "too_short")
   }
 
+  test("ragged grids pad with empty string; padded cells never rescue a row") {
+    // VERDICT r2 item 5: pandas astype(str) turns NaN padding into the
+    // string "nan", which the reference would accept as a name
+    // candidate; our ingest pads with "" (CellTables.ofGrid), which the
+    // non-empty filter drops. Camelot emits rectangular grids so the
+    // branch is unreachable in practice — this pins OUR choice so a
+    // future byte-compare regression is attributable.
+    val cells = CellTables.ofGrid(graft.SparkTestSession.spark, Seq(
+      Seq("K o d e", "NAMA PROVINSI", "x", "x", "x", "x", "x"),
+      Seq("1", "2", "3", "4", "5", "6", "7"),
+      Seq("11", "Aceh"), // ragged: cols 2-6 padded with ""
+      Seq("12"))) // ragged: ALL name candidates padded -> dropped
+    val out = AreaPipeline.extract(cells).select("code").as[String]
+      .collect().toSet
+    assert(out == Set("11")) // "12" has no non-empty name candidate
+  }
+
   test("fingerprint is normalization-invariant") {
     val d = docs(1L -> "A  b C", 2L -> " a b c ")
     val fps = TextAnalysis.fingerprint(d).select("fingerprint")
