@@ -331,6 +331,41 @@ object SparkEntry {
       Similarity.withBuckets(T(s, dir, "embeddings"), numBits = 12)
         .select(col("vec_id"), col("label"), col("bucket"))),
 
+    // IVF-style ANN: coarse-quantize into cells (broadcast argmin),
+    // probe the query's nearest cells only. Centroids here are the 8
+    // lowest-id vectors standing in for trained k-means centers.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("c_vec"))
+      val queries = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(corpus, queries, centroids, k = 10, nProbe = 2)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
+    // Event-time window aggregation: tumbling 1-hour windows over the
+    // events stream table (ts stored as TIMESTAMP(NANOS) parquet, read
+    // as nanos-long, bucketed with the window() operator). Buckets are
+    // emitted as strings so the oracle compare is tz-representation-
+    // proof.
+    "time_window_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+      ev.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00")
+            .as("hour_bucket"),
+          col("event_type"), col("cnt"), col("min_v"), col("max_v"))
+    }),
+
     // Multimodal: byte-level payload description (pre-decode pass).
     "mm_describe_binary" -> ((s, dir) =>
       Multimodal.describeBinary(
@@ -489,6 +524,12 @@ object SparkEntry {
       "mm_sample_frames" ->
         ("SELECT doc_id, unnest(generate_series(0, length(text) * 10, 250)) " +
           "AS frame_ts_ms FROM documents"),
+
+      "time_window_agg" ->
+        ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') " +
+          "AS hour_bucket, event_type, count(*) AS cnt, " +
+          "min(value) AS min_v, max(value) AS max_v " +
+          "FROM events GROUP BY 1, 2"),
 
       // Ranks only (no float sim column): verified locally that the
       // smallest neighbor-similarity gap (~2e-5) is orders of magnitude

@@ -88,6 +88,54 @@ object Similarity {
       lshBucket(col("embedding"), hyperplanes(numBits, dims, seed)))
   }
 
+  /** IVF-style cell assignment: every corpus vector goes to its
+    * nearest centroid (argmin over a BROADCAST centroid set — one pass,
+    * no shuffle). `centroids` must have columns (cell, c_vec). In
+    * production the centroids come from k-means over a sample; any
+    * deterministic coarse quantizer slots in unchanged.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("c_vec")).as("c_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** IVF top-k: probe only the query's `nProbe` nearest cells — the
+    * candidate set is an equi-join on the cell id, never a cross
+    * product. With trained centroids and nProbe << cells this is the
+    * standard billion-scale ANN layout (FAISS IVF-Flat shape).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        cosine(col("q_vec"), col("c_vec")).as("c_sim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
+  }
+
   /** Approximate top-k: cosine evaluated only within the query's LSH
     * bucket. Fewer bits ⇒ bigger buckets ⇒ better recall, more work.
     * Returns (q_id, vec_id, rk, sim); queries whose bucket holds fewer

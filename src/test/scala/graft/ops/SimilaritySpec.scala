@@ -51,6 +51,30 @@ class SimilaritySpec extends SparkSpec {
     assert(b.values.forall(v => v >= 0 && v < 256))
   }
 
+  test("ivfTopK probes the right cell and finds the duplicate vector") {
+    val corpus = emb(
+      0L -> Seq.tabulate(64)(_.toFloat),
+      1L -> Seq.tabulate(64)(_.toFloat), // exact dup of 0
+      2L -> Seq.tabulate(64)(i => (63 - i).toFloat),
+      3L -> Seq.tabulate(64)(i => (63 - i).toFloat))
+    // two well-separated centroids: ascending-ramp cell vs descending
+    val centroids = emb(0L -> Seq.tabulate(64)(_.toFloat),
+      1L -> Seq.tabulate(64)(i => (63 - i).toFloat))
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("c_vec"))
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.ivfTopK(corpus, queries, centroids, k = 1, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L))
+    // assignment itself: dups share a cell, ramps split
+    val cells = Similarity.ivfAssign(corpus, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(0L) == cells(1L))
+    assert(cells(2L) == cells(3L))
+    assert(cells(0L) != cells(2L))
+  }
+
   test("lshTopK finds the duplicate vector as nearest neighbor") {
     val corpus = emb(
       0L -> Seq.tabulate(64)(_.toFloat),
