@@ -291,13 +291,19 @@ object SparkEntry {
 
     // MinHash/LSH near-dup candidate pairs (banded, bucket-joined —
     // never an all-pairs product). xxhash64-based: no SQL oracle.
+    // The fixture is ONE small parquet file = one input partition, so
+    // the CPU-heavy signature fold would run on a single core without
+    // the repartition; at production scale inputs are many files and
+    // the repartition is unnecessary (and would be a real shuffle).
     "minhash_candidates" -> ((s, dir) =>
-      TextDedup.minHashCandidates(T(s, dir, "documents"),
+      TextDedup.minHashCandidates(
+        T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
         numHashes = 32, rowsPerBand = 2)),
 
     // Exact n-gram Jaccard verification over the LSH candidates only.
     "ngram_jaccard" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       TextDedup.jaccardVerify(
         TextDedup.minHashCandidates(docs, numHashes = 32, rowsPerBand = 2),
         docs)
