@@ -254,6 +254,28 @@ object SparkEntry {
         salt = pmod(col("l_orderkey"), lit(8)),
         keyName = "l_returnflag")),
 
+    // Distinct aggregates (absent in the reference; Catalyst built-in
+    // — expand + two-phase agg, SURVEY §2.4).
+    "count_distinct_agg" -> ((s, dir) =>
+      T(s, dir, "orders").agg(
+        count_distinct(col("o_custkey")).as("distinct_custs"),
+        count_distinct(col("o_orderpriority")).as("distinct_prios"),
+        count(lit(1)).as("total"))),
+
+    // ROLLUP hierarchy totals (Catalyst Expand; SURVEY §2.4 freebie).
+    // Sums are of integer-valued doubles — exact, oracle-safe. The
+    // NULL grouping keys are coalesced to a sentinel on BOTH sides:
+    // null-sort placement differs across engines and would misalign
+    // the row-sorted hash compare.
+    "rollup_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("cnt"))),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -481,6 +503,17 @@ object SparkEntry {
       "skew_salted_agg" ->
         ("SELECT l_returnflag, sum(l_quantity) AS sum_value, " +
           "count(*) AS cnt FROM lineitem GROUP BY l_returnflag"),
+
+      "count_distinct_agg" ->
+        ("SELECT count(DISTINCT o_custkey) AS distinct_custs, " +
+          "count(DISTINCT o_orderpriority) AS distinct_prios, " +
+          "count(*) AS total FROM orders"),
+
+      "rollup_agg" ->
+        ("SELECT coalesce(l_returnflag, '(all)') AS returnflag, " +
+          "coalesce(l_linestatus, '(all)') AS linestatus, " +
+          "sum(l_quantity) AS sum_qty, count(*) AS cnt FROM lineitem " +
+          "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
 
       "w1_ordered_projection" ->
         ("SELECT event_id, user_id, event_type, value FROM events " +
