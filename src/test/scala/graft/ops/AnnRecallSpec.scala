@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Recall measurement for the approximate ANN paths against the exact
+  * brute-force baseline, on the real sf0.001 embeddings. Pins that the
+  * approximations trade recall for work in the expected band rather
+  * than silently degrading — the check a production ANN rollout runs
+  * before switching query traffic.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def recallOf(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("LSH top-k recall vs brute force is nonzero and bounded work") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val exact = topkMap(Similarity.bruteForceTopK(corpus, queries, k = 10))
+    val lsh = topkMap(Similarity.lshTopK(corpus, queries, k = 10, numBits = 4))
+
+    val r = recallOf(lsh, exact)
+    // random embeddings + 16 coarse buckets: single-probe LSH keeps a
+    // meaningful fraction of true neighbors without scanning the corpus
+    assert(r > 0.05, s"LSH recall collapsed: $r")
+    assert(exact.values.forall(_.size == 10))
+  }
+
+  test("IVF top-k recall with full probe count equals brute force") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("c_vec"))
+    val queries = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val exact = topkMap(Similarity.bruteForceTopK(corpus, queries, k = 5))
+    // probing ALL cells degenerates IVF to exact search — recall 1.0
+    val ivfAll = topkMap(
+      Similarity.ivfTopK(corpus, queries, centroids, k = 5, nProbe = 4))
+    assert(recallOf(ivfAll, exact) == 1.0)
+    // single-probe searches a quarter of the corpus on average
+    val ivf1 = topkMap(
+      Similarity.ivfTopK(corpus, queries, centroids, k = 5, nProbe = 1))
+    assert(recallOf(ivf1, exact) > 0.0)
+  }
+}
