@@ -24,8 +24,12 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("at least 20 operators are registered, >=15 with oracles") {
-    assert(SparkEntry.queries.size >= 20)
-    assert(SparkEntry.oracleSql.size >= 15)
+  test("registry sizes are exact (guards against silent Map-key dupes)") {
+    // A duplicated key in the Map literal would silently drop an entry;
+    // pin the exact counts so that shows up as a test failure.
+    assert(SparkEntry.queries.size == 35,
+      s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
+    assert(SparkEntry.oracleSql.size == 28,
+      s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
   }
 }
