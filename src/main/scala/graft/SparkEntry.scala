@@ -284,6 +284,79 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))),
 
+    // Whole-pipeline E2E, area family: cell tables are SYNTHESIZED from
+    // the customer table (header + subheader literals unioned with one
+    // data row per customer, code length cycling 2/5/8/13), then run
+    // through the REAL dispatch + area pipeline — header sniff, meta
+    // broadcast join, variant projection, cleanse chain (native
+    // expressions), length classification, parent prefixes, ordered
+    // province dedup. The oracle replays the data-row semantics in SQL.
+    "pipeline_area_e2e" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val code = when(pmod(k, lit(4)) === 0,
+        lpad(pmod(k, lit(100)).cast("string"), 2, "0"))
+        .when(pmod(k, lit(4)) === 1, lpad(k.cast("string"), 5, "0"))
+        .when(pmod(k, lit(4)) === 2, lpad(k.cast("string"), 8, "0"))
+        .otherwise(lpad(k.cast("string"), 13, "0"))
+      val pad5 = Seq.fill(5)(lit(""))
+      val data = T(s, dir, "customer").select(
+        lit(0L).as("table_id"), lit(1).as("page"),
+        (k + 2).cast("int").as("row_idx"), (k + 2).as("seq"),
+        array(code +: col("c_name") +: pad5: _*).as("cells"))
+      val headRows = Seq(
+        (0, Seq("K o d e", "NAMA PROVINSI / KABUPATEN / KOTA",
+          "", "", "", "", "")),
+        (1, Seq("1", "2", "3", "4", "5", "6", "7")))
+      val header = headRows.foldLeft(Option.empty[DataFrame]) {
+        case (acc, (idx, cs)) =>
+          val row = s.range(1).select(
+            lit(0L).as("table_id"), lit(1).as("page"),
+            lit(idx).as("row_idx"), lit(idx.toLong).as("seq"),
+            typedLit(cs).as("cells"))
+          Some(acc.fold(row)(_.unionByName(row)))
+      }.get
+      val cells = header.unionByName(data)
+      val (areaRows, _) = Dispatch.extractAll(cells)
+      areaRows.select(col("entity"), col("code"),
+        coalesce(col("parent_code"), lit("")).as("parent"), col("name"))
+    }),
+
+    // Whole-pipeline E2E, island family: same construction over orders
+    // — canonical coordinates (format_coordinate is idempotent on its
+    // own output, pinned by ScalaCheck), status/info flags by key
+    // parity, an invalid short code every 5th row that the code-format
+    // filter must drop.
+    "pipeline_island_e2e" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val code = when(pmod(k, lit(5)) === 0, lit("bad"))
+        .otherwise(concat(
+          lpad(pmod(k, lit(90)).cast("string"), 2, "0"), lit("."),
+          lpad(pmod(k, lit(97)).cast("string"), 2, "0"), lit("."),
+          lpad(pmod(k, lit(99999)).cast("string"), 5, "0")))
+      val coord = concat(
+        lpad(pmod(k, lit(10)).cast("string"), 2, "0"), lit("°"),
+        lpad(pmod(k, lit(60)).cast("string"), 2, "0"), lit("'"),
+        lpad(pmod(k, lit(60)).cast("string"), 2, "0"), lit(".00\" N "),
+        lpad(pmod(k, lit(140)).cast("string"), 3, "0"), lit("°"),
+        lpad(pmod(k, lit(59)).cast("string"), 2, "0"), lit("'"),
+        lpad(pmod(k, lit(59)).cast("string"), 2, "0"), lit(".00\" E"))
+      val status = when(pmod(k, lit(2)) === 0, lit("BP")).otherwise(lit("TBP"))
+      val info = when(pmod(k, lit(3)) === 0, lit("PPKT")).otherwise(lit(""))
+      val name = concat(lit("Pulau "), k.cast("string"))
+      val data = T(s, dir, "orders").select(
+        lit(0L).as("table_id"), lit(1).as("page"),
+        (k + 1).cast("int").as("row_idx"), (k + 1).as("seq"),
+        array(k.cast("string"), code, name, coord, status, info).as("cells"))
+      val header = s.range(1).select(
+        lit(0L).as("table_id"), lit(1).as("page"),
+        lit(0).as("row_idx"), lit(0L).as("seq"),
+        typedLit(Seq("No", "Kode Pulau", "Nama Pulau", "Koordinat",
+          "BP/TBP", "Keterangan")).as("cells"))
+      val (_, islandRows) = Dispatch.extractAll(header.unionByName(data))
+      islandRows.select(col("code"), col("regency_code"), col("coordinate"),
+        col("is_populated"), col("is_outermost_small"), col("name"))
+    }),
+
     // ------------------------- LLM-data-pipeline operators -------------
 
     // Exact dedup, group summary (hash-keyed groupBy).
@@ -518,6 +591,47 @@ object SparkEntry {
       "w1_ordered_projection" ->
         ("SELECT event_id, user_id, event_type, value FROM events " +
           "ORDER BY event_id LIMIT 500"),
+
+      "pipeline_area_e2e" ->
+        ("WITH d AS (SELECT c_custkey AS k, trim(c_name) AS name, " +
+          "CASE c_custkey % 4 " +
+          "WHEN 0 THEN lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') " +
+          "WHEN 1 THEN lpad(CAST(c_custkey AS VARCHAR), 5, '0') " +
+          "WHEN 2 THEN lpad(CAST(c_custkey AS VARCHAR), 8, '0') " +
+          "ELSE lpad(CAST(c_custkey AS VARCHAR), 13, '0') END AS code " +
+          "FROM customer) " +
+          "SELECT CASE k % 4 WHEN 1 THEN 'regency' WHEN 2 THEN 'district' " +
+          "ELSE 'village' END AS entity, code, " +
+          "CASE k % 4 WHEN 1 THEN substr(code, 1, 2) " +
+          "WHEN 2 THEN substr(code, 1, 5) ELSE substr(code, 1, 8) END AS parent, " +
+          "name FROM d WHERE k % 4 <> 0 " +
+          "UNION ALL " +
+          "SELECT 'province', code, '', name FROM " +
+          "(SELECT code, name, row_number() OVER " +
+          "(PARTITION BY code ORDER BY k) AS rn FROM d WHERE k % 4 = 0) " +
+          "WHERE rn = 1"),
+
+      "pipeline_island_e2e" ->
+        ("WITH d AS (SELECT o_orderkey AS k, " +
+          "CASE WHEN o_orderkey % 5 = 0 THEN 'bad' ELSE " +
+          "lpad(CAST(o_orderkey % 90 AS VARCHAR), 2, '0') || '.' || " +
+          "lpad(CAST(o_orderkey % 97 AS VARCHAR), 2, '0') || '.' || " +
+          "lpad(CAST(o_orderkey % 99999 AS VARCHAR), 5, '0') END AS code, " +
+          "lpad(CAST(o_orderkey % 10 AS VARCHAR), 2, '0') || '°' || " +
+          "lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || '''' || " +
+          "lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || '.00\" N ' || " +
+          "lpad(CAST(o_orderkey % 140 AS VARCHAR), 3, '0') || '°' || " +
+          "lpad(CAST(o_orderkey % 59 AS VARCHAR), 2, '0') || '''' || " +
+          "lpad(CAST(o_orderkey % 59 AS VARCHAR), 2, '0') || '.00\" E' " +
+          "AS coord, " +
+          "'Pulau ' || CAST(o_orderkey AS VARCHAR) AS name FROM orders) " +
+          "SELECT code, CASE WHEN substr(code, 4, 2) = '00' THEN '' " +
+          "ELSE substr(code, 1, 5) END AS regency_code, " +
+          "coord AS coordinate, " +
+          "CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS is_populated, " +
+          "CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS is_outermost_small, " +
+          "name FROM d " +
+          "WHERE regexp_matches(code, '^\\d{2}\\.\\d{2}\\.\\d{5}$')"),
 
       "dedup_exact_groups" ->
         (s"SELECT md5($NormTextSql) AS text_hash, min(doc_id) AS keep_doc_id, " +
