@@ -276,6 +276,39 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
           col("sum_qty"), col("cnt"))),
 
+    // Set operation (§2.7 — absent in the reference; Catalyst built-in
+    // shown here as except/anti semantics over projections): customers
+    // in the two largest market segments minus those holding the top
+    // account balances.
+    "set_except" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      c.filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(col("c_custkey"))
+        .except(c.filter(col("c_acctbal") > 9000.0).select(col("c_custkey")))
+    }),
+
+    // Window frame beyond row_number: running totals per customer in
+    // order-key order (ROWS UNBOUNDED PRECEDING). o_orderkey is unique,
+    // so the frame order is total and the integer accumulation exact —
+    // (lineitem's (orderkey, linenumber) is NOT unique in this data,
+    // which makes running sums over it engine-nondeterministic).
+    "window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(pmod(col("o_orderkey"), lit(100))).over(w).as("running_mod"),
+        count(lit(1)).over(w).as("running_orders"))
+    }),
+
+    // Edit distance (dedup-adjacent fuzzy matching): exact integer on
+    // both engines (same DP algorithm).
+    "edit_distance" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000000"))
+          .as("dist_from_ref"))),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -587,6 +620,25 @@ object SparkEntry {
           "coalesce(l_linestatus, '(all)') AS linestatus, " +
           "sum(l_quantity) AS sum_qty, count(*) AS cnt FROM lineitem " +
           "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+      "set_except" ->
+        ("SELECT c_custkey FROM customer " +
+          "WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') " +
+          "EXCEPT " +
+          "SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0"),
+
+      "window_running_sum" ->
+        ("SELECT o_custkey, o_orderkey, " +
+          // CAST: DuckDB integer SUM widens to HUGEINT; Spark stays BIGINT
+          "CAST(sum(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_mod, " +
+          "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_orders " +
+          "FROM orders"),
+
+      "edit_distance" ->
+        ("SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') " +
+          "AS dist_from_ref FROM customer"),
 
       "w1_ordered_projection" ->
         ("SELECT event_id, user_id, event_type, value FROM events " +
