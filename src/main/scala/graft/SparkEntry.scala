@@ -309,6 +309,16 @@ object SparkEntry {
         levenshtein(col("c_name"), lit("Customer#000000000"))
           .as("dist_from_ref"))),
 
+    // Semi-structured JSON extraction + aggregation over the events
+    // props column (get_json_object stays inside codegen; the cast to
+    // BIGINT keeps the sum integer-exact).
+    "json_extract_agg" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long"))
+          .as("sum_k"),
+          count(lit(1)).as("cnt"))),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -639,6 +649,11 @@ object SparkEntry {
       "edit_distance" ->
         ("SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') " +
           "AS dist_from_ref FROM customer"),
+
+      "json_extract_agg" ->
+        ("SELECT event_type, " +
+          "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) " +
+          "AS sum_k, count(*) AS cnt FROM events GROUP BY event_type"),
 
       "w1_ordered_projection" ->
         ("SELECT event_id, user_id, event_type, value FROM events " +
