@@ -126,6 +126,13 @@ object TextDedup {
     * drops degenerate buckets (empty-shingle collisions, boilerplate)
     * before the join — the skew guard that keeps the worst key from
     * going quadratic at scale.
+    *
+    * Plan note (verified on the executed plan): the self-join's two
+    * sides share the signature+banding subtree; AQE's ReuseExchange
+    * dedups the identical shuffle, so the expensive fold executes ONCE
+    * and only the cheap bucket-count window runs per side. The window
+    * (rather than a groupBy+collect_list pair expansion) also bounds
+    * memory: no bucket's member list is ever materialized as one row.
     */
   def minHashCandidates(
       docs: DataFrame,
