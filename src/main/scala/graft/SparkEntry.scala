@@ -319,6 +319,14 @@ object SparkEntry {
           .as("sum_k"),
           count(lit(1)).as("cnt"))),
 
+    // Sketch aggregates (HLL++ cardinalities): sublinear state, sketch
+    // bytes on the shuffle instead of rows. Estimates are
+    // engine-specific — rows-only check; error bounds pinned by
+    // SketchesSpec against exact answers.
+    "sketch_approx_distinct" -> ((s, dir) =>
+      Sketches.approxDistinct(
+        T(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")

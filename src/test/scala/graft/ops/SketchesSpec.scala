@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Error bounds for the sketch aggregates against exact answers on the
+  * real sf0.001 tables — the acceptance check before trusting a sketch
+  * at a scale where the exact answer is unaffordable.
+  */
+class SketchesSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  test("HLL approx distinct is within the configured rsd band") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(
+      approx_count_distinct(col("l_partkey"), 0.02)).as[Long].head()
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.05, s"exact=$exact approx=$approx relErr=$relErr")
+  }
+
+  test("grouped sketch matches exact per-group cardinalities closely") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val approx = Sketches.approxDistinct(li, "l_returnflag", "l_orderkey")
+      .select("l_returnflag", "approx_distinct")
+      .as[(String, Long)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: exact=$e approx=$a")
+    }
+  }
+
+  test("approx quantiles bracket the exact median") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val qs = li.select(
+      Sketches.approxQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75)))
+      .as[Seq[Double]].head()
+    assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+    val exactMedian = li.stat.approxQuantile("l_extendedprice",
+      Array(0.5), 0.0)(0) // accuracy 0 -> exact
+    assert(math.abs(qs(1) - exactMedian) / exactMedian < 0.02)
+  }
+}
