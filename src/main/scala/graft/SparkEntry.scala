@@ -435,6 +435,15 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
 
+    // Winnowing (MOSS rolling-hash) fingerprints: shared ≥7-token runs
+    // guarantee a shared fingerprint. xxhash64-based — rows-only.
+    // (Embedding-cosine near-dup pairs — Similarity.cosineNearDupPairs
+    // — are exercised by spec instead: the synthetic embeddings contain
+    // no high-cosine pairs, so a registered query would be empty.)
+    "winnowing_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(
+        T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))),
+
     // MinHash/LSH near-dup candidate pairs (banded, bucket-joined —
     // never an all-pairs product). xxhash64-based: no SQL oracle.
     // The fixture is ONE small parquet file = one input partition, so

@@ -60,6 +60,33 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup flavor that
+    * catches semantic copies exact/MinHash text dedup misses. LSH
+    * buckets both occurrences of a near-identical vector into the same
+    * bucket with high probability (identical vectors: always), so the
+    * self-join is an equi-join on the bucket key, never an all-pairs
+    * product; cosine is evaluated inside buckets only and thresholded.
+    * Lower `numBits` for higher recall at more comparisons.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      numBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numBits, 64, seed)
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("vec_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: `numBits` rows × `dims` entries
     * in {-1, +1}, from a fixed-seed PRNG. Evaluated once on the driver
     * and shipped as a plan literal.

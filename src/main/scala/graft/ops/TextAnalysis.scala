@@ -139,4 +139,36 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
         .as("fingerprint"))
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    * word k-gram, slide a window of `windowSize` hashes, keep each
+    * window's minimum — a guarantee that any shared run of at least
+    * `k + windowSize - 1` tokens between two documents shares a
+    * fingerprint. Output: (doc_id, fingerprint) rows, distinct per doc;
+    * substring-plagiarism/quotation detection then reduces to a
+    * groupBy on the fingerprint — the same bucket-join shape as LSH.
+    *
+    * Entirely built-in expressions: the k-gram hash array is computed
+    * once, the window minima via one `transform` over the (cheap,
+    * already-hashed) array.
+    */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      k: Int = 4,
+      windowSize: Int = 4): DataFrame = {
+    val tokens = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokens) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+    // Two projections on purpose: `grams` is referenced twice in the
+    // window expression, which stops CollapseProject from inlining the
+    // (expensive, per-token-hashing) gram array back into every window
+    // lambda iteration — it is materialized once per row.
+    val mins = transform(
+      sequence(lit(0), greatest(size(col("grams")) - windowSize, lit(0))),
+      i => array_min(slice(col("grams"), i + 1, lit(windowSize))))
+    docs.select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        explode(array_distinct(mins)).as("fingerprint"))
+  }
 }

@@ -27,7 +27,7 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 42,
+    assert(SparkEntry.queries.size == 43,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
     assert(SparkEntry.oracleSql.size == 34,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")

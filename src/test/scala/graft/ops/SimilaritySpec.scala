@@ -75,6 +75,16 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(0L) != cells(2L))
   }
 
+  test("cosineNearDupPairs finds planted duplicates, skips distinct vectors") {
+    val corpus = emb(
+      0L -> Seq.tabulate(64)(_.toFloat),
+      1L -> Seq.tabulate(64)(i => i.toFloat * 2f), // parallel dup of 0
+      2L -> Seq.tabulate(64)(i => (63 - i).toFloat))
+    val pairs = Similarity.cosineNearDupPairs(corpus, threshold = 0.99, numBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("lshTopK finds the duplicate vector as nearest neighbor") {
     val corpus = emb(
       0L -> Seq.tabulate(64)(_.toFloat),

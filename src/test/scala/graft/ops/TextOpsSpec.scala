@@ -166,4 +166,19 @@ class TextOpsSpec extends SparkSpec {
       .as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("winnowing: shared long runs share a fingerprint; disjoint texts don't") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> (run + " extra tail words here"),
+      2L -> ("different prefix words then " + run),
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo")
+    val fps = TextAnalysis.winnowingFingerprints(d, k = 4, windowSize = 4)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: any shared run of >= k + windowSize - 1 (7) tokens
+    // yields at least one shared fingerprint
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
 }
