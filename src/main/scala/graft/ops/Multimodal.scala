@@ -89,6 +89,27 @@ object Multimodal {
       explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs)))
         .as("frame_ts_ms"))
 
+  /** Resize stub: produce a payload for the target geometry and update
+    * the typed metadata in one projection. The byte transform is a
+    * deterministic fake (truncate/cycle to `w*h` bytes — a real codec
+    * binding would decode, scale, re-encode); the Spark-side contract
+    * is the real thing: payload and meta stay consistent, the struct is
+    * rebuilt immutably, and the operation is a pure per-row map (no
+    * shuffle — resizes parallelize with the scan).
+    */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val target = w.toLong * h
+    val fakeResize = udf { bytes: Array[Byte] =>
+      if (bytes == null || bytes.isEmpty) new Array[Byte](target.toInt)
+      else Array.tabulate(target.toInt)(i => bytes(i % bytes.length))
+    }
+    df.withColumn("payload", fakeResize(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.kind").as("kind"),
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.durationMs").as("durationMs")))
+  }
+
   /** Partition-batched decode — the Scala analog of a Pandas UDF over
     * `mapInPandas`: the expensive decoder context (codec handle, model
     * weights, GPU session) is initialized ONCE PER PARTITION and reused

@@ -49,6 +49,22 @@ class MultimodalSpec extends SparkSpec {
     assert(scalar.toSeq == batched.toSeq)
   }
 
+  test("resizeStub: payload matches target geometry, meta stays consistent") {
+    val resized = Multimodal.resizeStub(payloadDf, w = 4, h = 3)
+      .orderBy("doc_id").collect()
+    resized.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").length == 12)
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getAs[Int]("width") == 4 && meta.getAs[Int]("height") == 3)
+      assert(meta.getAs[String]("kind") == "image/fake") // preserved
+    }
+    // deterministic: same bytes both runs
+    val again = Multimodal.resizeStub(payloadDf, 4, 3).orderBy("doc_id")
+      .collect().map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(resized.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq ==
+      again.toSeq)
+  }
+
   test("sampleFrames: one row per sampled timestamp, inclusive bounds") {
     val frames = Multimodal.sampleFrames(payloadDf, everyMs = 20L)
       .filter(col("doc_id") === 1L)
