@@ -117,32 +117,47 @@ object EtlConfig {
     out.map { case (k, v) => k -> v.toMap }.toMap
   }
 
-  private def stripComment(line: String): String = {
-    // naive but sufficient: strip # outside quotes
-    var inStr = false
-    val sb = new StringBuilder
-    for (c <- line) {
-      if (c == '"') inStr = !inStr
-      if (c == '#' && !inStr) return sb.toString
-      sb.append(c)
+  /** Walk a line tracking TOML string state — basic `"…"` strings
+    * (where `\"` escapes a quote) and literal `'…'` strings (no
+    * escapes) — yielding each char with an in-string flag. Shared by
+    * comment stripping and bracket counting so both respect the same
+    * string grammar.
+    */
+  private def annotate(line: String): Seq[(Char, Boolean)] = {
+    val out = Seq.newBuilder[(Char, Boolean)]
+    var quote: Char = 0 // 0 = outside a string; else the open quote
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quote == 0) {
+        if (c == '"' || c == '\'') { quote = c; out += ((c, true)) }
+        else out += ((c, false))
+      } else {
+        out += ((c, true))
+        if (c == '\\' && quote == '"' && i + 1 < line.length) {
+          i += 1; out += ((line.charAt(i), true))
+        } else if (c == quote) quote = 0
+      }
+      i += 1
     }
-    sb.toString
+    out.result()
   }
 
+  private def stripComment(line: String): String =
+    annotate(line).takeWhile { case (c, in) => in || c != '#' }
+      .map(_._1).mkString
+
   /** Net bracket depth of a line, ignoring brackets inside quoted
-    * strings (an array element like `"Luas [Km2]"` must not corrupt
-    * multi-line array joining).
+    * strings (an array element like `"Luas [Km2]"` or `'Luas [Km2]'`
+    * must not corrupt multi-line array joining).
     */
-  private def bracketDepth(line: String): Int = {
-    var inStr = false
-    var depth = 0
-    for (c <- line) {
-      if (c == '"') inStr = !inStr
-      else if (!inStr && c == '[') depth += 1
-      else if (!inStr && c == ']') depth -= 1
+  private def bracketDepth(line: String): Int =
+    annotate(line).foldLeft(0) { case (d, (c, in)) =>
+      if (in) d
+      else if (c == '[') d + 1
+      else if (c == ']') d - 1
+      else d
     }
-    depth
-  }
 
   private def joinMultilineArrays(lines: Seq[String]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -42,7 +42,12 @@ object CsvSink {
     // text (`extractors.py:294-295` stringifies the flag ints).
     val asText = ordered.select(outCols.map(c => col(c).cast("string").as(c)): _*)
 
-    val tmp = Files.createTempDirectory("graft-csv-").toString
+    // Staging dir lives UNDER the destination so the final Files.move
+    // is a same-filestore rename — moving a non-empty directory across
+    // stores (e.g. tmpfs /tmp -> disk) throws in java.nio.
+    Files.createDirectories(Paths.get(destination))
+    val tmp = Files.createTempDirectory(
+      Paths.get(destination), ".graft-csv-").toString
     asText.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       // Python csv.writer escapes quotes by doubling (QUOTE_MINIMAL);
@@ -56,7 +61,6 @@ object CsvSink {
       .option("lineSep", "\r\n")
       .csv(tmp)
 
-    Files.createDirectories(Paths.get(destination))
     if (singleFile) {
       val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) {
         stream =>

@@ -62,14 +62,9 @@ object Multimodal {
     * driver involvement.
     */
   val fakeDecodeFeatures = udf { bytes: Array[Byte] =>
-    val bins = new Array[Float](16)
-    if (bytes != null && bytes.nonEmpty) {
-      bytes.foreach(b => bins((b & 0xFF) >> 4) += 1.0f)
-      val n = bytes.length.toFloat
-      var i = 0
-      while (i < 16) { bins(i) /= n; i += 1 }
-    }
-    bins
+    // delegate to the one stub implementation so the scalar and
+    // batched paths can never diverge
+    new FakeDecoderSession().decode(bytes)
   }
 
   /** Decode + featurize: (id, features[16]). The UDF is the single

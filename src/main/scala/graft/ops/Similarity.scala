@@ -72,8 +72,9 @@ object Similarity {
       corpus: DataFrame,
       threshold: Double = 0.95,
       numBits: Int = 8,
+      dims: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numBits, 64, seed)
+    val planes = hyperplanes(numBits, dims, seed)
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val l = b.select(col("bucket"), col("vec_id").as("id_a"),
@@ -108,12 +109,18 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Per-vector LSH bucket assignment (vec_id, label, bucket). */
-  def withBuckets(corpus: DataFrame, numBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val dims = 64 // embeddings.parquet fixture dimensionality
+  /** Per-vector LSH bucket assignment (vec_id, label, bucket).
+    * `dims` must match the embedding width — zip_with against a
+    * mismatched plane yields NULL dots and collapses every vector into
+    * one bucket (turning the bucket join quadratic).
+    */
+  def withBuckets(
+      corpus: DataFrame,
+      numBits: Int = 12,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame =
     corpus.withColumn("bucket",
       lshBucket(col("embedding"), hyperplanes(numBits, dims, seed)))
-  }
 
   /** IVF-style cell assignment: every corpus vector goes to its
     * nearest centroid (argmin over a BROADCAST centroid set — one pass,
@@ -174,8 +181,9 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       numBits: Int = 8,
+      dims: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numBits, 64, seed)
+    val planes = hyperplanes(numBits, dims, seed)
     val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
     val q = queries.withColumn("bucket", lshBucket(col("q_vec"), planes))
     val joined = c.join(broadcast(q), Seq("bucket"))

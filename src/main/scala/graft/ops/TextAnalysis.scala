@@ -137,8 +137,8 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
-        .as("fingerprint"))
+      // same canonical form exact dedup keys on — one definition
+      md5(TextDedup.normText(col("text"))).as("fingerprint"))
 
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * word k-gram, slide a window of `windowSize` hashes, keep each
@@ -156,7 +156,7 @@ object TextAnalysis {
       docs: DataFrame,
       k: Int = 4,
       windowSize: Int = 4): DataFrame = {
-    val tokens = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val tokens = split(TextDedup.normText(col("text")), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(tokens) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k)))))

@@ -55,25 +55,28 @@ object StreamingExtract {
 
   /** End-to-end streaming extract: per micro-batch, run the batch
     * dispatch+extract pipeline and hand each entity frame to `sink`
-    * (entity name, rows). `Trigger.AvailableNow` processes the backlog
-    * then stops — the chunked-run analog; drop the trigger for a
-    * long-lived tail-the-directory job.
+    * (batchId, entity name, rows). The batchId is the CHECKPOINTED
+    * micro-batch id — monotonic across restarts, so sinks keying
+    * output on it never collide with a previous run's output.
+    * `Trigger.AvailableNow` processes the backlog then stops — the
+    * chunked-run analog; drop the trigger for a long-lived
+    * tail-the-directory job.
     */
   def run(
       cells: DataFrame,
       checkpointDir: String,
-      sink: (String, DataFrame) => Unit): StreamingQuery =
+      sink: (Long, String, DataFrame) => Unit): StreamingQuery =
     cells.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (area, island) = Dispatch.extractAll(batch)
         val areaCached = area.cache()
         try {
           Seq("province", "regency", "district", "village").foreach { e =>
-            sink(e, AreaPipeline.entity(areaCached, e))
+            sink(batchId, e, AreaPipeline.entity(areaCached, e))
           }
-          sink("island", island)
+          sink(batchId, "island", island)
         } finally { areaCached.unpersist(); () }
       }
       .start()

@@ -102,8 +102,11 @@ object RunEtl {
         case Some(r) =>
           // clip to the actual page count (`utils.py:100` drops
           // out-of-range silently); one tiny max() job stands in for
-          // the reference's PdfReader page count (`cli.py:146-147`)
-          val total = all.agg(max(col("page"))).head.getInt(0)
+          // the reference's PdfReader page count (`cli.py:146-147`).
+          // Empty input -> max is NULL -> zero pages, which flows into
+          // the reference-parity "No matching data found" exit.
+          val maxRow = all.agg(max(col("page"))).head()
+          val total = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
           val pages = PageRange.parse(r, total)
           // isin over an int column pushes to the parquet scan
           all.filter(col("page").isin(pages: _*))

@@ -39,16 +39,16 @@ object RunStreamEtl {
     spark.sparkContext.setLogLevel("WARN")
 
     val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
-    var batches = 0L
     val q = StreamingExtract.run(
       StreamingExtract.readCells(spark, input),
       ckpt,
-      (entity, df) => {
+      (batchId, entity, df) => {
         val n = df.count()
         counts.updateWith(entity)(c => Some(c.getOrElse(0L) + n))
         if (n > 0) {
-          batches += 1
-          CsvSink.write(df, Paths.get(dest, s"batch_$batches").toString,
+          // keyed by the CHECKPOINTED batch id: re-runs continue the
+          // sequence instead of overwriting a previous run's output
+          CsvSink.write(df, Paths.get(dest, s"batch_$batchId").toString,
             name, entity, singleFile = false)
         }
         ()

@@ -78,6 +78,22 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(cfg.data("province").outputHeaders == Seq("code", "Luas [Km2]"))
   }
 
+  test("brackets inside TOML literal (single-quoted) strings don't corrupt parsing") {
+    val cfg = loadString(
+      """|[data.province]
+         |batch_size = 5
+         |output_headers = "code, name"
+         |filename_suffix = "prov [x]"
+         |
+         |[data.regency]
+         |batch_size = 7
+         |output_headers = "code, name"
+         |filename_suffix = "regency"
+         |""".stripMargin)
+    assert(cfg.data("province").filenameSuffix == "prov [x]")
+    assert(cfg.data("regency").batchSize == 7)
+  }
+
   test("missing file raises ConfigError") {
     intercept[ConfigError](load(Paths.get("/nonexistent/config.toml")))
   }

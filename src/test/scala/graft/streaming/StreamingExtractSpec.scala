@@ -55,11 +55,13 @@ class StreamingExtractSpec extends SparkSpec {
       .write.mode("append").parquet(srcDir.toString)
 
     val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val batchIds = scala.collection.concurrent.TrieMap.empty[Long, Unit]
     val q = StreamingExtract.run(
       StreamingExtract.readCells(spark, srcDir.toString),
       ckpt.toString,
-      (entity, df) => {
+      (batchId, entity, df) => {
         val n = df.count()
+        batchIds.put(batchId, ())
         counts.updateWith(entity) { c => Some(c.getOrElse(0L) + n) }
         ()
       })
@@ -69,5 +71,6 @@ class StreamingExtractSpec extends SparkSpec {
     assert(counts("island") >= 1L)
     assert(counts.keySet ==
       Set("province", "regency", "district", "village", "island"))
+    assert(batchIds.keySet.nonEmpty) // checkpointed ids delivered
   }
 }
