@@ -49,6 +49,12 @@ def main(out_dir: str, sf_dir: str) -> int:
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
             continue
+        dtype_diff = [(c, str(a[c].dtype), str(b[c].dtype))
+                      for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+        if dtype_diff:
+            # surface but don't fail: the driver may or may not compare
+            # dtypes this strictly
+            print(f"  [dtype note] {name}: {dtype_diff}")
         if len(a) != len(b):
             results[name] = f"ROWS_MISMATCH spark={len(a)} duck={len(b)}"
             continue

@@ -664,8 +664,9 @@ object SparkEntry {
           "FROM orders"),
 
       "edit_distance" ->
-        ("SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') " +
-          "AS dist_from_ref FROM customer"),
+        // CAST: DuckDB levenshtein returns BIGINT, Spark's INT
+        ("SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000000') " +
+          "AS INTEGER) AS dist_from_ref FROM customer"),
 
       "json_extract_agg" ->
         ("SELECT event_type, " +
