@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.AreaPipeline
+
+/** The DataSource V2 connector: schema, round-trip fidelity, and —
+  * the point — page-predicate pushdown pruning input partitions at
+  * file-listing time.
+  */
+class CellTsvSourceSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private val Fmt = classOf[CellTsvSource].getName
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft-cellsv-").toString
+    CellTsvSource.write(dir, Seq(
+      (0L, 1, 0, 0L, Seq("K o d e", "NAMA PROVINSI", "", "", "", "", "")),
+      (0L, 1, 1, 1L, Seq("1", "2", "3", "4", "5", "6", "7")),
+      (0L, 1, 2, 2L, Seq("11", "Aceh", "", "", "", "", "")),
+      (1L, 2, 0, 3L, Seq("K o d e", "NAMA PROVINSI", "", "", "", "", "")),
+      (1L, 2, 1, 4L, Seq("1", "2", "3", "4", "5", "6", "7")),
+      (1L, 2, 2, 5L, Seq("12", "Sumatera Utara", "", "", "", "", "")),
+      (2L, 5, 0, 6L, Seq("K o d e", "NAMA PROVINSI", "", "", "", "", "")),
+      (2L, 5, 1, 7L, Seq("1", "2", "3", "4", "5", "6", "7")),
+      (2L, 5, 2, 8L, Seq("13", "Sumatera Barat", "", "", "", "", ""))))
+    dir
+  }
+
+  test("reads the format with the declared schema and full fidelity") {
+    val df = spark.read.format(Fmt).option("path", writeFixture()).load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("table_id", "page", "row_idx", "seq", "cells"))
+    assert(df.count() == 9)
+    val r = df.filter($"seq" === 2L).collect()(0)
+    assert(r.getSeq[String](r.fieldIndex("cells")).take(2).toList ==
+      List("11", "Aceh"))
+  }
+
+  test("page predicates prune input partitions at file-listing time") {
+    val dir = writeFixture()
+    val all = spark.read.format(Fmt).option("path", dir).load()
+    def partitionsFor(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    assert(partitionsFor(all) == 3) // one per page file
+    val pruned = all.filter($"page".isin(1, 2))
+    assert(partitionsFor(pruned) == 2) // page=5 file never planned
+    assert(pruned.select("table_id").distinct().count() == 2)
+    val range = all.filter($"page" <= 2)
+    assert(partitionsFor(range) == 2)
+  }
+
+  test("the DSv2 scan feeds the real pipeline end-to-end") {
+    val cells = spark.read.format(Fmt).option("path", writeFixture()).load()
+      .filter($"page".isin(1, 5))
+    val out = AreaPipeline.extract(cells)
+      .select("code").as[String].collect().toSet
+    assert(out == Set("11", "13")) // page 2's province pruned at source
+  }
+}
