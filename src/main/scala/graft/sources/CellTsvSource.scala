@@ -65,13 +65,20 @@ object CellTsvSource {
 }
 
 private[sources] class CellTsvTable(path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"cells($path)"
   override def schema(): StructType = CellTsvSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellTsvScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CellTsvWriteBuilder(path, info.schema())
 }
 
 private[sources] class CellTsvScanBuilder(path: String)
@@ -118,9 +125,11 @@ private[sources] class CellTsvScan(path: String, pushed: Array[Filter])
       stream.iterator().asScala
         .filter(_.getFileName.toString.endsWith(CellTsvSource.FileSuffix))
         .flatMap { p =>
-          val name = p.getFileName.toString
-            .stripSuffix(CellTsvSource.FileSuffix)
-          name.stripPrefix("page=").toIntOption
+          // accept both "page=N.cells" and writer-emitted
+          // "page=N-pX-<uuid>.cells": the page id is the digit run
+          val digits = p.getFileName.toString
+            .stripPrefix("page=").takeWhile(_.isDigit)
+          digits.toIntOption
             .filter(pageAccepted)
             .map(_ => CellTsvPartition(p.toString): InputPartition)
         }

@@ -52,6 +52,26 @@ class CellTsvSourceSpec extends SparkSpec {
     assert(partitionsFor(range) == 2)
   }
 
+  test("DSv2 write round-trips: two-phase commit, page layout preserved") {
+    val src = writeFixture()
+    val dst = Files.createTempDirectory("graft-cellsv-w-").toString
+    val df = spark.read.format(Fmt).option("path", src).load()
+    df.write.format(Fmt).option("path", dst).mode("append").save()
+    // no stray temp files after commit
+    val names = Files.list(java.nio.file.Paths.get(dst)).iterator()
+    val files = Iterator.continually(names).takeWhile(_ => names.hasNext)
+      .map(_.next().getFileName.toString).toList
+    assert(files.nonEmpty && files.forall(_.endsWith(".cells")), files)
+    assert(!files.exists(_.endsWith(".tmp")), files)
+    val back = spark.read.format(Fmt).option("path", dst).load()
+    assert(back.count() == df.count())
+    assert(back.orderBy("seq").collect().map(_.toSeq).toSeq ==
+      df.orderBy("seq").collect().map(_.toSeq).toSeq)
+    // page pruning still works on writer-emitted file names
+    assert(back.filter($"page" === 5).rdd.getNumPartitions >= 1)
+    assert(back.filter($"page" === 5).count() == 3)
+  }
+
   test("the DSv2 scan feeds the real pipeline end-to-end") {
     val cells = spark.read.format(Fmt).option("path", writeFixture()).load()
       .filter($"page".isin(1, 5))
