@@ -61,10 +61,15 @@ object Multimodal {
     * one fixed-width Float vector out); runs partition-parallel with no
     * driver involvement.
     */
+  // One decoder handle per executor JVM — the scalar path must not pay
+  // (real-codec-grade) session construction per ROW; lazy so the
+  // closure serializes the module reference, not the session.
+  @transient private lazy val sharedSession = new FakeDecoderSession
+
   val fakeDecodeFeatures = udf { bytes: Array[Byte] =>
     // delegate to the one stub implementation so the scalar and
     // batched paths can never diverge
-    new FakeDecoderSession().decode(bytes)
+    sharedSession.decode(bytes)
   }
 
   /** Decode + featurize: (id, features[16]). The UDF is the single
@@ -93,6 +98,8 @@ object Multimodal {
     * shuffle — resizes parallelize with the scan).
     */
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize target ${w}x$h out of range")
     val target = w.toLong * h
     val fakeResize = udf { bytes: Array[Byte] =>
       if (bytes == null || bytes.isEmpty) new Array[Byte](target.toInt)

@@ -51,12 +51,23 @@ object CellTsvSource {
   val CellSep = '\u0001' // SOH — never appears in extracted cell text
   val FileSuffix = ".cells"
 
+  /** Cells field encoding: each cell PREFIXED (not joined) with SOH, so
+    * zero cells ("") and one empty cell (a lone SOH) stay distinct —
+    * an empty array must round-trip; the table width is load-bearing.
+    */
+  def encodeCells(cells: Seq[String]): String =
+    cells.map(CellSep.toString + _).mkString
+
+  def decodeCells(field: String): Array[String] =
+    if (field.isEmpty) Array.empty[String]
+    else field.split(CellSep.toString, -1).drop(1)
+
   /** Writer utility for the format (tests, interchange). */
   def write(dir: String, rows: Seq[(Long, Int, Int, Long, Seq[String])]): Unit = {
     Files.createDirectories(Paths.get(dir))
     rows.groupBy(_._2).foreach { case (page, pageRows) =>
       val lines = pageRows.map { case (t, p, r, s, cells) =>
-        s"$t\t$p\t$r\t$s\t${cells.mkString(CellSep.toString)}"
+        s"$t\t$p\t$r\t$s\t${encodeCells(cells)}"
       }
       Files.write(Paths.get(dir, s"page=$page$FileSuffix"),
         lines.mkString("\n").getBytes("UTF-8"))
@@ -161,11 +172,8 @@ private[sources] class CellTsvReader(file: String)
       val line = lines.next()
       if (line.nonEmpty) {
         val parts = line.split("\t", 5)
-        // limit -1 preserves TRAILING empty cells — tables are padded
-        // to uniform width with "" and the width is load-bearing
-        // (variant projection keys off it)
         val cells = if (parts.length < 5) Array.empty[String]
-          else parts(4).split(CellTsvSource.CellSep.toString, -1)
+          else CellTsvSource.decodeCells(parts(4))
         current = InternalRow(
           parts(0).toLong, parts(1).toInt, parts(2).toInt, parts(3).toLong,
           new GenericArrayData(

@@ -72,6 +72,30 @@ class CellTsvSourceSpec extends SparkSpec {
     assert(back.filter($"page" === 5).count() == 3)
   }
 
+  test("DSv2 overwrite mode truncates prior visible files") {
+    val src = writeFixture()
+    val dst = Files.createTempDirectory("graft-cellsv-ow-").toString
+    val df = spark.read.format(Fmt).option("path", src).load()
+    df.write.format(Fmt).option("path", dst).mode("append").save()
+    // overwrite with only page 1 rows: pages 2/5 must disappear
+    df.filter($"page" === 1)
+      .write.format(Fmt).option("path", dst).mode("overwrite").save()
+    val back = spark.read.format(Fmt).option("path", dst).load()
+    assert(back.count() == 3)
+    assert(back.select("page").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("empty cells arrays round-trip (width is load-bearing)") {
+    val dir = Files.createTempDirectory("graft-cellsv-empty-").toString
+    CellTsvSource.write(dir, Seq(
+      (0L, 1, 0, 0L, Seq.empty[String]),
+      (0L, 1, 1, 1L, Seq("")),
+      (0L, 1, 2, 2L, Seq("", ""))))
+    val widths = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("seq").select(size($"cells")).as[Int].collect().toSeq
+    assert(widths == Seq(0, 1, 2))
+  }
+
   test("the DSv2 scan feeds the real pipeline end-to-end") {
     val cells = spark.read.format(Fmt).option("path", writeFixture()).load()
       .filter($"page".isin(1, 5))
