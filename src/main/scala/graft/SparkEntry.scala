@@ -464,6 +464,19 @@ object SparkEntry {
         docs)
     }),
 
+    // Exact n-gram Jaccard COUNTS over a deterministic pair set
+    // (adjacent doc_ids) — the integer-exact verification math under a
+    // full DuckDB oracle (the LSH-candidate variant above stays
+    // rows-only because its pair set is xxhash64-derived).
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+      TextDedup.jaccardCounts(pairs, docs)
+    }),
+
     // SimHash signatures (64-bit sketch via explode + partial-agg
     // bit-sums; no SQL oracle).
     "simhash_signatures" -> ((s, dir) =>
@@ -508,9 +521,15 @@ object SparkEntry {
 
     // Event-time window aggregation: tumbling 1-hour windows over the
     // events stream table (ts stored as TIMESTAMP(NANOS) parquet, read
-    // as nanos-long, bucketed with the window() operator). Buckets are
-    // emitted as strings so the oracle compare is tz-representation-
-    // proof.
+    // as nanos-long, bucketed with the window() operator). The bucket
+    // is emitted as EPOCH SECONDS (window.start cast long) — window
+    // alignment and the epoch cast are both timezone-independent, so
+    // the oracle compare holds in any session timezone (a date_format
+    // rendering would depend on spark.sql.session.timeZone).
+    // The nanosAsLong conf is a session-wide read flag (required to
+    // scan TIMESTAMP(NANOS) parquet at all); it is deliberately left
+    // set — other queries read events through an explicit ts-free
+    // schema and never touch the column.
     "time_window_agg" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read
@@ -522,8 +541,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
         .select(
-          date_format(col("window.start"), "yyyy-MM-dd HH:00:00")
-            .as("hour_bucket"),
+          col("window.start").cast("long").as("hour_epoch"),
           col("event_type"), col("cnt"), col("min_v"), col("max_v"))
     }),
 
@@ -540,12 +558,23 @@ object SparkEntry {
 
     // Multimodal: stubbed decode -> fixed-width feature vector via the
     // partition-batched mapPartitions path (once-per-partition decoder
-    // session — the mapInPandas shape; deterministic stub, no SQL
-    // oracle).
-    "mm_featurize" -> ((s, dir) =>
-      Multimodal.featurizeBatched(
-        Multimodal.withFakePayload(T(s, dir, "documents")),
-        "doc_id", "payload")))
+    // session — the mapInPandas shape). The registered result folds
+    // the vector back to the 16 integer histogram-bin counts
+    // (`round(features[i] * n_bytes)` — exact: counts are small
+    // integers and the f32 normalize/denormalize round-trip error is
+    // ≪ 0.5), both because the driver's comparator can't sort array
+    // columns and because the integer counts admit an EXACT DuckDB
+    // oracle (high nibble of each UTF-8 byte via hex()).
+    "mm_featurize" -> ((s, dir) => {
+      val payload = Multimodal.withFakePayload(T(s, dir, "documents"))
+      val feats = Multimodal.featurizeBatched(payload, "doc_id", "payload")
+      val nb = payload.select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      val bins = (0 until 16).map(i =>
+        round(element_at(col("features"), i + 1) * col("n_bytes"))
+          .cast("long").as(f"bin_$i%x"))
+      feats.join(nb, "doc_id").select(col("doc_id") +: bins: _*)
+    }))
 
   // ------------------------------------------------------------- oracles
 
@@ -718,6 +747,25 @@ object SparkEntry {
           "name FROM d " +
           "WHERE regexp_matches(code, '^\\d{2}\\.\\d{2}\\.\\d{5}$')"),
 
+      // Replays shingles() exactly: normalize, split on the collapsed
+      // single space, 3-token grams via list slicing (truncating at the
+      // end like Spark's slice()), distinct; union arithmetically.
+      "ngram_jaccard_pairs" ->
+        (s"""WITH sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents)
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+           |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+           |       AS BIGINT) AS union_cnt
+           |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       "dedup_exact_groups" ->
         (s"SELECT md5($NormTextSql) AS text_hash, min(doc_id) AS keep_doc_id, " +
           "count(*) AS dup_count FROM documents GROUP BY 1"),
@@ -759,13 +807,27 @@ object SparkEntry {
           // and take the first 16 hex chars (= first 8 bytes).
           "lower(substring(hex(encode(text)), 1, 16)) AS header_hex FROM documents"),
 
+      "mm_featurize" -> {
+        // high-nibble-per-byte string: hex() emits 2 chars per byte,
+        // the regexp collapses each pair to its first (high) nibble
+        val binCols = (0 until 16).map { i =>
+          val hexUp = f"$i%X" // hex() output is uppercase
+          val name = f"bin_$i%x"
+          s"CAST(length(hn) - length(replace(hn, '$hexUp', '')) AS BIGINT) AS $name"
+        }
+        "WITH hh AS (SELECT doc_id, " +
+          "regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hn " +
+          "FROM documents) " +
+          s"SELECT doc_id, ${binCols.mkString(", ")} FROM hh"
+      },
+
       "mm_sample_frames" ->
         ("SELECT doc_id, unnest(generate_series(0, length(text) * 10, 250)) " +
           "AS frame_ts_ms FROM documents"),
 
       "time_window_agg" ->
-        ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') " +
-          "AS hour_bucket, event_type, count(*) AS cnt, " +
+        ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) " +
+          "AS hour_epoch, event_type, count(*) AS cnt, " +
           "min(value) AS min_v, max(value) AS max_v " +
           "FROM events GROUP BY 1, 2"),
 

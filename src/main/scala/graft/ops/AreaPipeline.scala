@@ -36,12 +36,17 @@ object AreaPipeline {
   /** Per-table metadata DF: (table_id, table_width, is_area).
     * One row per table; small enough to broadcast.
     *
-    * Pre-filters to `row_idx === 0` before aggregating: ingest pads
-    * rows to uniform width (CellTables.ofGrid), so the header row alone
-    * carries both the header text and the table width — the filter is
-    * pushed to the scan and the aggregate touches one row per table
-    * instead of the full stream (at 100 TB the difference is a full
-    * extra pass). Tables with no row 0 cannot occur at the camelot
+    * Pre-filters to `row_idx === 0` before aggregating: INPUT MUST BE
+    * RECTANGULAR (the camelot/pandas invariant — every ingest path in
+    * this engine pads: CellTables.ofGrid, the engine's own parquet),
+    * so the header row alone carries both the header text and the
+    * table width — the filter is pushed to the scan and the aggregate
+    * touches one row per table instead of the full stream (at 100 TB
+    * the difference is a full extra pass). Sources that cannot
+    * guarantee rectangularity (hand-written CellTsv files) must pass
+    * through [[CellTables.rectangularize]] first; a data row wider
+    * than its header would otherwise shift the width-keyed variant
+    * projection. Tables with no row 0 cannot occur at the camelot
     * boundary (an empty table raises in the reference and is skipped,
     * `cli.py:190-191`).
     */

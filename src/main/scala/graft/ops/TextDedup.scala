@@ -180,6 +180,28 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Integer-exact core of [[jaccardVerify]]: |A∩B| and |A∪B| shingle
+    * counts per candidate pair, as BIGINTs. Same join shape; use this
+    * flavor when the result feeds an exact comparison (the float ratio
+    * is derived, the counts are the ground truth). Union size computed
+    * arithmetically (|A|+|B|-|A∩B|) — shingle arrays are distinct sets.
+    */
+  def jaccardCounts(
+      pairs: DataFrame,
+      docs: DataFrame,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleSize).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("long").as("inter_cnt"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("long")
+          .as("union_cnt"))
+  }
+
   /** 64-bit SimHash per document: hash every token, sum ±1 per bit
     * position over the token set, take the sign bit-vector.
     *

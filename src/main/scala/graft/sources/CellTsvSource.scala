@@ -97,16 +97,23 @@ private[sources] class CellTsvScanBuilder(path: String)
 
   private var pushedPagePredicates: Array[Filter] = Array.empty
 
-  /** Accept page-column predicates; everything else stays post-scan. */
+  /** Accept page-column predicates for FILE PRUNING, but report every
+    * filter back as residual: for `SupportsPushDownFilters` Spark
+    * re-evaluates only the returned residual post-scan, so anything
+    * omitted here is trusted as EXACT. Our page pushdown is a
+    * listing-time pruning hint, not an exactness contract — a
+    * hand-written `page=N` file containing stray rows must still be
+    * caught by the post-scan Filter, at the cost of re-evaluating a
+    * trivial int predicate per row.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (pushable, residual) = filters.partition {
+    pushedPagePredicates = filters.filter {
       case EqualTo("page", _) | In("page", _) | LessThan("page", _) |
            LessThanOrEqual("page", _) | GreaterThan("page", _) |
            GreaterThanOrEqual("page", _) => true
       case _ => false
     }
-    pushedPagePredicates = pushable
-    residual // Spark still applies pushed filters post-scan (exactness)
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushedPagePredicates
 

@@ -42,6 +42,10 @@ private[sources] class CellTsvBatchWrite(path: String, truncate: Boolean)
     new CellTsvWriterFactory(path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // An overwrite of an EMPTY DataFrame into a fresh path runs no
+    // DataWriter (so nothing created the directory), yet truncate
+    // still lists it below — guarantee existence first.
+    Files.createDirectories(Paths.get(path))
     if (truncate) {
       // overwrite semantics: clear prior visible files just before
       // publishing the new batch (staged temps are unaffected)

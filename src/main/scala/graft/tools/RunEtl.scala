@@ -41,7 +41,8 @@ object RunEtl {
 
   private val Usage =
     "usage: RunEtl <cells.parquet> <destDir> <outputName> " +
-      "[--config <toml>] [--pages <range>] [--multi-file]"
+      "[--config <toml>] [--pages <range>] [--multi-file] " +
+      "[--rectangularize]"
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
@@ -52,6 +53,10 @@ object RunEtl {
     var configPath: Option[String] = None
     var pageRange: Option[String] = None
     var singleFile = true
+    // pad ragged rows to table width before extraction — required for
+    // sources that don't guarantee the rectangular invariant
+    // (see CellTables.rectangularize)
+    var rectangularize = false
     var i = 3
     while (i < args.length) {
       args(i) match {
@@ -60,6 +65,7 @@ object RunEtl {
         case "--pages" if i + 1 < args.length =>
           pageRange = Some(args(i + 1)); i += 2
         case "--multi-file" => singleFile = false; i += 1
+        case "--rectangularize" => rectangularize = true; i += 1
         case other =>
           System.err.println(s"unknown argument: $other\n$Usage")
           sys.exit(2)
@@ -96,7 +102,10 @@ object RunEtl {
 
     val t0 = System.nanoTime()
     try {
-      val all = spark.read.parquet(input)
+      val read = spark.read.parquet(input)
+      val all =
+        if (rectangularize) graft.ops.CellTables.rectangularize(read)
+        else read
       val cells = pageRange match {
         case None => all
         case Some(r) =>
