@@ -831,6 +831,28 @@ object SparkEntry {
           "min(value) AS min_v, max(value) AS max_v " +
           "FROM events GROUP BY 1, 2"),
 
+      // The sign-LSH bucket key is fully replayable in SQL: the
+      // hyperplanes are deterministic ±1 driver-side literals
+      // (Similarity.hyperplanes), rendered here into the generated
+      // oracle so the two sides can't drift. Sign decisions are
+      // float-margin-safe: ±1 products are EXACT in both engines
+      // (a sign flip never rounds), so only accumulation-order noise
+      // (≲1e-5 even if one engine accumulated in f32) remains — the
+      // measured |projection| floor on the sf0.01 embeddings is
+      // 3.5e-4, ~35× above it. Bits are disjoint powers of two —
+      // SUM ≡ bitwise OR.
+      "ann_lsh_buckets" -> {
+        val bucket = graft.ops.Similarity.hyperplanes(numBits = 12, dims = 64)
+          .zipWithIndex.map { case (p, j) =>
+            val lst = p.map(v => if (v > 0) "1.0" else "-1.0")
+              .mkString("[", ", ", "]")
+            s"(CASE WHEN list_dot_product(embedding, $lst) >= 0 " +
+              s"THEN ${1 << j} ELSE 0 END)"
+          }.mkString(" + ")
+        s"SELECT vec_id, label, CAST($bucket AS INTEGER) AS bucket " +
+          "FROM embeddings"
+      },
+
       // Ranks only (no float sim column): verified locally that the
       // smallest neighbor-similarity gap (~2e-5) is orders of magnitude
       // above float32 cosine noise, so rank order is engine-stable.
@@ -842,6 +864,57 @@ object SparkEntry {
           "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id) " +
           "SELECT q_id, vec_id, CAST(row_number() OVER " +
           "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
-          "FROM sims QUALIFY rk <= 10"))
+          "FROM sims QUALIFY rk <= 10"),
+
+      // Single-probe sign-LSH top-k replayed in SQL: same 4-bit plane
+      // literals for both sides of the bucket join, then the exact
+      // rank/tie-break of the Spark side. Rank-only output.
+      "ann_lsh_topk" -> {
+        def bucketSql(vecCol: String): String =
+          graft.ops.Similarity.hyperplanes(numBits = 4, dims = 64)
+            .zipWithIndex.map { case (p, j) =>
+              val lst = p.map(v => if (v > 0) "1.0" else "-1.0")
+                .mkString("[", ", ", "]")
+              s"(CASE WHEN list_dot_product($vecCol, $lst) >= 0 " +
+                s"THEN ${1 << j} ELSE 0 END)"
+            }.mkString("(", " + ", ")")
+        s"WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} " +
+          "AS bucket FROM embeddings), " +
+          s"q AS (SELECT vec_id AS q_id, embedding AS q_vec, " +
+          s"${bucketSql("embedding")} AS bucket FROM embeddings " +
+          "WHERE vec_id < 10), " +
+          "cand AS (SELECT q.q_id, b.vec_id, " +
+          "list_cosine_similarity(q.q_vec, b.embedding) AS sim " +
+          "FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id) " +
+          "SELECT q_id, vec_id, CAST(row_number() OVER (" +
+          "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM cand QUALIFY rk <= 10"
+      },
+
+      // IVF replayed end-to-end in SQL: same deterministic centroid
+      // set (the 8 lowest-id vectors), same argmax cell assignment,
+      // same 2-probe candidate join, same rank/tie-break — rank-only
+      // output like ann_cosine_topk, for the same float-margin reason.
+      "ann_ivf_topk" ->
+        ("WITH cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
+          "embedding AS c_vec FROM embeddings WHERE vec_id < 8), " +
+          "assigned AS (SELECT vec_id, embedding, cell FROM (" +
+          "SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (" +
+          "PARTITION BY e.vec_id ORDER BY " +
+          "list_cosine_similarity(e.embedding, c.c_vec) DESC, c.cell) AS rn " +
+          "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+          "probes AS (SELECT q_id, q_vec, cell FROM (" +
+          "SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "list_cosine_similarity(q.embedding, c.c_vec) DESC, c.cell) AS rn " +
+          "FROM embeddings q CROSS JOIN cent c " +
+          "WHERE q.vec_id >= 10 AND q.vec_id < 20) WHERE rn <= 2), " +
+          "cand AS (SELECT p.q_id, a.vec_id, " +
+          "list_cosine_similarity(p.q_vec, a.embedding) AS sim " +
+          "FROM assigned a JOIN probes p ON a.cell = p.cell " +
+          "WHERE a.vec_id <> p.q_id) " +
+          "SELECT q_id, vec_id, CAST(row_number() OVER (" +
+          "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM cand QUALIFY rk <= 10"))
   }
 }

@@ -22,6 +22,31 @@ class AreaPipelineSpec extends SparkSpec {
     assert(!AreaPipeline.matchesHeader(Nil))
   }
 
+  test("rectangularize restores the width invariant for ragged sources") {
+    import graft.SparkTestSession.spark.implicits._
+    import graft.schema.RawTableRow
+    import org.apache.spark.sql.functions.{col, size}
+    // A ragged variant of the area fixture: trailing empty cells
+    // dropped (what a lossless interchange format like CellTsv can
+    // deliver) — direct extraction is out-of-contract; rectangularize
+    // must make it byte-identical to the padded grid.
+    val padded = CellTables.ofGrid(spark, Fixtures.dfArea)
+    val ragged = Fixtures.dfArea.zipWithIndex.map { case (row, i) =>
+      RawTableRow(0L, 1, i, i.toLong,
+        row.reverse.dropWhile(_ == "").reverse)
+    }.toDF()
+    assert(ragged.select(size(col("cells"))).distinct().count() > 1)
+    val fixed = CellTables.rectangularize(ragged)
+    assert(fixed.select(size(col("cells"))).distinct().count() == 1)
+    val got = AreaPipeline.extract(fixed)
+      .orderBy("seq").select("entity", "code", "name")
+      .collect().map(_.toSeq.toList).toList
+    val want = AreaPipeline.extract(padded)
+      .orderBy("seq").select("entity", "code", "name")
+      .collect().map(_.toSeq.toList).toList
+    assert(got == want && got.nonEmpty)
+  }
+
   test("extract happy path (test_extract_rows_happy_path)") {
     val cells = CellTables.ofGrid(spark, Fixtures.dfArea)
     val extracted = AreaPipeline.extract(cells).cache()

@@ -96,6 +96,36 @@ class CellTsvSourceSpec extends SparkSpec {
     assert(widths == Seq(0, 1, 2))
   }
 
+  test("page filters stay exact on mis-filed rows (pushdown = pruning only)") {
+    // A hand-written page=1 file smuggling a page=7 row: the pushed
+    // predicate prunes FILES, but the post-scan residual Filter must
+    // still evaluate the row's actual page column. (The mis-filed row
+    // is unreachable via page=7 — its file is pruned away — which is
+    // the documented consequence of file-level pruning; silently
+    // RETURNING it for page=1 would be a wrong answer, not a layout
+    // quirk.)
+    val dir = Files.createTempDirectory("graft-cellsv-stray-").toString
+    val lines = Seq(
+      s"0\t1\t0\t0\t${CellTsvSource.encodeCells(Seq("a", "b"))}",
+      s"0\t7\t1\t1\t${CellTsvSource.encodeCells(Seq("stray", "row"))}")
+    Files.write(java.nio.file.Paths.get(dir, "page=1.cells"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    assert(df.count() == 2)
+    assert(df.filter($"page" === 1).count() == 1)
+    assert(df.filter($"page" === 1).select("cells").as[Seq[String]]
+      .collect().head == Seq("a", "b"))
+  }
+
+  test("overwrite of an empty DataFrame into a fresh path commits cleanly") {
+    val src = writeFixture()
+    val dst = Files.createTempDirectory("graft-cellsv-fresh-").toString + "/sub"
+    val df = spark.read.format(Fmt).option("path", src).load()
+    df.filter($"page" === 999) // empty: no DataWriter ever runs
+      .write.format(Fmt).option("path", dst).mode("overwrite").save()
+    assert(spark.read.format(Fmt).option("path", dst).load().count() == 0)
+  }
+
   test("the DSv2 scan feeds the real pipeline end-to-end") {
     val cells = spark.read.format(Fmt).option("path", writeFixture()).load()
       .filter($"page".isin(1, 5))
