@@ -482,6 +482,24 @@ object SparkEntry {
     "simhash_signatures" -> ((s, dir) =>
       TextDedup.simHashSignatures(T(s, dir, "documents"))),
 
+    // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join,
+    // never all-pairs). The synthetic embeddings hold no true
+    // near-dups, so the threshold is set low (0.3) to exercise the
+    // machinery with a non-empty result; the nearest sim to the
+    // threshold is 4.4e-4 away (measured at sf0.01), far above float
+    // cosine noise, so the float cut is engine-stable. Pair ids only —
+    // no float column reaches the comparator.
+    "cosine_neardup_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(T(s, dir, "embeddings"),
+        threshold = 0.3, numBits = 8)
+        .select(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup candidates: 16-bit band buckets over the 64-bit
+    // signatures (pigeonhole: hamming ≤ 3 ⇒ some band equal).
+    // xxhash64-based — rows-only.
+    "simhash_candidates" -> ((s, dir) =>
+      TextDedup.simHashCandidates(T(s, dir, "documents"))),
+
     // Brute-force cosine top-k (exact ANN baseline, broadcast queries).
     "ann_cosine_topk" -> ((s, dir) => {
       val corpus = T(s, dir, "embeddings")
@@ -851,6 +869,26 @@ object SparkEntry {
           }.mkString(" + ")
         s"SELECT vec_id, label, CAST($bucket AS INTEGER) AS bucket " +
           "FROM embeddings"
+      },
+
+      // Same plane-literal replay as ann_lsh_buckets, 8-bit planes
+      // (the same seed draws the 12-bit set's prefix, but rendered
+      // independently from the same constants).
+      "cosine_neardup_pairs" -> {
+        def bucketSql(vecCol: String): String =
+          graft.ops.Similarity.hyperplanes(numBits = 8, dims = 64)
+            .zipWithIndex.map { case (p, j) =>
+              val lst = p.map(v => if (v > 0) "1.0" else "-1.0")
+                .mkString("[", ", ", "]")
+              s"(CASE WHEN list_dot_product($vecCol, $lst) >= 0 " +
+                s"THEN ${1 << j} ELSE 0 END)"
+            }.mkString("(", " + ", ")")
+        s"WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} " +
+          "AS bucket FROM embeddings) " +
+          "SELECT l.vec_id AS id_a, r.vec_id AS id_b " +
+          "FROM b l JOIN b r USING (bucket) " +
+          "WHERE l.vec_id < r.vec_id " +
+          "AND list_cosine_similarity(l.embedding, r.embedding) >= 0.3"
       },
 
       // Ranks only (no float sim column): verified locally that the
