@@ -342,6 +342,10 @@ object SparkEntry {
     // broadcast join, variant projection, cleanse chain (native
     // expressions), length classification, parent prefixes, ordered
     // province dedup. The oracle replays the data-row semantics in SQL.
+    // (No repartition here, unlike the island e2e below: the customer
+    // stream is 10× smaller and the cleanse work per row lighter, so
+    // the extra shuffle costs more than the parallelism buys —
+    // measured both ways at sf0.1.)
     "pipeline_area_e2e" -> ((s, dir) => {
       val k = col("c_custkey")
       val code = when(pmod(k, lit(4)) === 0,
@@ -394,7 +398,12 @@ object SparkEntry {
       val status = when(pmod(k, lit(2)) === 0, lit("BP")).otherwise(lit("TBP"))
       val info = when(pmod(k, lit(3)) === 0, lit("PPKT")).otherwise(lit(""))
       val name = concat(lit("Pulau "), k.cast("string"))
-      val data = T(s, dir, "orders").select(
+      // repartition: the single-file fixture scan would otherwise run
+      // the coordinate/cleanse-heavy projection on ONE core (cf. the
+      // minhash_candidates note) — measured 2× at sf0.1
+      val data = T(s, dir, "orders")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
         lit(0L).as("table_id"), lit(1).as("page"),
         (k + 1).cast("int").as("row_idx"), (k + 1).as("seq"),
         array(k.cast("string"), code, name, coord, status, info).as("cells"))
@@ -470,6 +479,7 @@ object SparkEntry {
     // rows-only because its pair set is xxhash64-derived).
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val pairs = docs.select(col("doc_id").as("doc_a"),
         (col("doc_id") + 1).as("doc_b"))
         .join(docs.select(col("doc_id").as("doc_b")), "doc_b")

@@ -34,22 +34,26 @@ object Dispatch {
   /** Dispatch + extract both families. Returns (area tagged rows,
     * island rows); each side only sees tables routed to it.
     *
-    * Each family's tableMeta is built ONCE and threaded through both
-    * the routing filter and the extract pipeline (the identical
-    * broadcast subtrees inside one action are then deduplicated by
-    * ReuseExchange), instead of being recomputed per consumer.
+    * Route resolution is folded INTO each side's metadata instead of
+    * materializing a routes frame and broadcast-filtering the cell
+    * stream per side: the extract pipelines already broadcast-join
+    * their (tiny, per-table) meta onto the cells, so pre-filtering the
+    * meta to the routed tables makes that one join do the dispatch as
+    * well — one meta aggregate and ONE broadcast join per family,
+    * rather than the previous routes full_outer join plus a second
+    * broadcast route-filter join on the full stream. Area wins ties
+    * like the extractor ordering (`cli.py:158-160,183-189`): an
+    * area-matched table is removed from the island meta by a tiny
+    * meta-vs-meta broadcast anti-join.
     */
   def extractAll(cells: DataFrame): (DataFrame, DataFrame) = {
-    val areaMeta = AreaPipeline.tableMeta(cells)
-    val islandMeta = IslandPipeline.tableMeta(cells)
-    val r = routesFromMeta(areaMeta, islandMeta)
-    val areaCells = cells.join(
-      broadcast(r.filter(col("route") === "area").select("table_id")),
-      "table_id")
-    val islandCells = cells.join(
-      broadcast(r.filter(col("route") === "island").select("table_id")),
-      "table_id")
-    (AreaPipeline.extract(areaCells, precomputedMeta = Some(areaMeta)),
-      IslandPipeline.extract(islandCells, precomputedMeta = Some(islandMeta)))
+    val areaRouted = AreaPipeline.tableMeta(cells)
+      .filter(col("is_area"))
+    val islandRouted = IslandPipeline.tableMeta(cells)
+      .filter(col("match3") && col("header_idx") >= 0)
+      .join(broadcast(areaRouted.select("table_id")), Seq("table_id"),
+        "left_anti")
+    (AreaPipeline.extract(cells, precomputedMeta = Some(areaRouted)),
+      IslandPipeline.extract(cells, precomputedMeta = Some(islandRouted)))
   }
 }
