@@ -444,6 +444,13 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
 
+    // Gopher-style duplicate-n-gram repetition filter (integer-exact;
+    // repartition: single-file fixture, cf. minhash_candidates note).
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(
+        T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))),
+
     // Winnowing (MOSS rolling-hash) fingerprints: shared ≥7-token runs
     // guarantee a shared fingerprint. xxhash64-based — rows-only.
     // (Embedding-cosine near-dup pairs — Similarity.cosineNearDupPairs
@@ -825,6 +832,23 @@ object SparkEntry {
 
       "doc_fingerprint" ->
         (s"SELECT doc_id, md5($NormTextSql) AS fingerprint FROM documents"),
+
+      // Bigram list built like ngram_jaccard_pairs' but NOT dedup'd —
+      // the duplicate fraction is the signal.
+      "repetition_stats" ->
+        (s"""WITH g AS (
+           |  SELECT doc_id, list_transform(
+           |    range(0, greatest(len(toks) - 2, 0) + 1),
+           |    i -> array_to_string(toks[i+1:i+2], ' ')) AS grams
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents))
+           |SELECT doc_id,
+           |  CAST(len(grams) AS BIGINT) AS total_ngrams,
+           |  CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_ngrams,
+           |  CASE WHEN (len(grams) - len(list_distinct(grams))) * 5
+           |       > len(grams) THEN 1 ELSE 0 END AS is_repetitive
+           |FROM g"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       "mm_describe_binary" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

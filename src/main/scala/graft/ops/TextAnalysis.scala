@@ -134,6 +134,26 @@ object TextAnalysis {
     * drift. One row in, one row out; the hash is computed streamside
     * (no driver involvement) and is stable across engines.
     */
+  /** Repetition stats (the Gopher/MassiveText-style duplicate-n-gram
+    * quality rule): per document, total vs distinct word n-gram counts
+    * and a repetitive flag (>20% duplicate n-grams). Unlike
+    * [[TextDedup.shingles]] the gram list here is NOT deduplicated —
+    * the duplication ratio is the signal. Integer-exact, pure per-row
+    * expressions.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val tokens = split(TextDedup.normText(col("text")), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    docs.select(col("doc_id"),
+      size(grams).cast("long").as("total_ngrams"),
+      size(array_distinct(grams)).cast("long").as("distinct_ngrams"))
+      .withColumn("is_repetitive",
+        when((col("total_ngrams") - col("distinct_ngrams")) * 5 >
+          col("total_ngrams"), lit(1)).otherwise(lit(0)))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

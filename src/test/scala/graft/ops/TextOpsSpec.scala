@@ -101,7 +101,27 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("jaccardCounts: integer intersection/union sizes") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = TextDedup.jaccardCounts(pairs, d).collect()(0)
+    assert(r.getAs[Long]("inter_cnt") == 1L)
+    assert(r.getAs[Long]("union_cnt") == 3L)
+  }
+
   // ------------------------------------------------------- text analysis
+
+  test("repetitionStats flags >20% duplicate bigrams") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam",  // 5 bigrams, 1 distinct
+      2L -> "one two three four five six")    // 5 bigrams, 5 distinct
+    val r = TextAnalysis.repetitionStats(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("total_ngrams") == 5L)
+    assert(r(0).getAs[Long]("distinct_ngrams") == 1L)
+    assert(r(0).getAs[Int]("is_repetitive") == 1)
+    assert(r(1).getAs[Long]("distinct_ngrams") == 5L)
+    assert(r(1).getAs[Int]("is_repetitive") == 0)
+  }
 
   test("occurrences counts non-overlapping needle hits exactly") {
     val d = docs(1L -> " the cat the dog the bird ")
