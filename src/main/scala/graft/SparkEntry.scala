@@ -591,6 +591,18 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.withFakePayload(T(s, dir, "documents")), everyMs = 250L)),
 
+    // Multimodal: resize stub to an 8x8 target — payload and typed
+    // meta updated in one projection. The 64-byte cycled payload is
+    // emitted as a 128-char hex column, which DuckDB replays by
+    // cycling the hex string (2 chars/byte keeps byte alignment).
+    "mm_resize" -> ((s, dir) => {
+      val resized = Multimodal.resizeStub(
+        Multimodal.withFakePayload(T(s, dir, "documents")), 8, 8)
+      resized.select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        lower(hex(col("payload"))).as("resized_hex"))
+    }),
+
     // Multimodal: stubbed decode -> fixed-width feature vector via the
     // partition-batched mapPartitions path (once-per-partition decoder
     // session — the mapInPandas shape). The registered result folds
@@ -872,6 +884,13 @@ object SparkEntry {
           "FROM documents) " +
           s"SELECT doc_id, ${binCols.mkString(", ")} FROM hh"
       },
+
+      "mm_resize" ->
+        ("SELECT doc_id, 8 AS width, 8 AS height, " +
+          "CASE WHEN octet_length(encode(text)) = 0 THEN repeat('00', 64) " +
+          "ELSE lower(substr(repeat(hex(encode(text)), " +
+          "(64 // octet_length(encode(text))) + 1), 1, 128)) END " +
+          "AS resized_hex FROM documents"),
 
       "mm_sample_frames" ->
         ("SELECT doc_id, unnest(generate_series(0, length(text) * 10, 250)) " +
