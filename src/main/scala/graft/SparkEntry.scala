@@ -98,6 +98,13 @@ object SparkEntry {
   // Synthetic "messy" columns derived deterministically from the test
   // tables, so the cleanse/filter operators have something to clean.
 
+  /** Per-language keep-rates for `sample_stratified` (downsample the
+    * over-represented languages harder) — rendered into both the Spark
+    * predicate and the generated DuckDB CASE so they can't drift.
+    */
+  private val SampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.125, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25)
+
   private def messyName: Column =
     concat(lit("  "), pmod(col("p_partkey"), lit(1000)).cast("string"),
       lit("  "), col("p_name"), lit("\t"))
@@ -621,6 +628,46 @@ object SparkEntry {
         round(element_at(col("features"), i + 1) * col("n_bytes"))
           .cast("long").as(f"bin_$i%x"))
       feats.join(nb, "doc_id").select(col("doc_id") +: bins: _*)
+    }),
+
+    // Deterministic stratified sampling: content-keyed md5-bucket
+    // predicate with per-language keep rates (rebalance the language
+    // mix) — pure scan→filter, no shuffle at any scale. Thresholds are
+    // rendered into the oracle from the same SampleRates constants.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"),
+        col("lang"), col("text"), SampleRates, defaultRate = 0.0625)
+        .select(col("doc_id"), col("lang"))),
+
+    // PII scrub: RE2-compatible detect + redact chains over documents
+    // with deterministic synthetic PII injected (the synthetic corpus
+    // contains none) — injector replayed verbatim in the oracle.
+    "pii_redact" -> ((s, dir) =>
+      Redaction.piiScrub(Redaction.withFakePii(T(s, dir, "documents")))),
+
+    // Near-dup clustering: integer-exact n-gram Jaccard edges over a
+    // deterministic pair set (adjacent doc_ids, +1/+2), then
+    // distributed connected components (min-label propagation with
+    // pointer jumping; O(log diameter) rounds). component = min
+    // reachable doc_id; oracled by a DuckDB recursive CTE.
+    "neardup_components" -> ((s, dir) => {
+      // repartition: single-file fixture would otherwise compute every
+      // shingle array serially (cf. minhash_candidates note)
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val ids = docs.select(col("doc_id"))
+      val cand = ids
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .union(ids
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 2).as("doc_b")))
+      val pairs = cand.join(ids.select(col("doc_id").as("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+      val edges = TextDedup.jaccardCounts(pairs, docs)
+        .filter(col("inter_cnt") * 100 >= col("union_cnt"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Components.connectedComponents(edges,
+          ids.select(col("doc_id").as("node")))
+        .select(col("node").as("doc_id"), col("component"))
     }))
 
   // ------------------------------------------------------------- oracles
@@ -1006,6 +1053,71 @@ object SparkEntry {
           "WHERE a.vec_id <> p.q_id) " +
           "SELECT q_id, vec_id, CAST(row_number() OVER (" +
           "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
-          "FROM cand QUALIFY rk <= 10"))
+          "FROM cand QUALIFY rk <= 10"),
+
+      // Threshold hex literals generated from the same SampleRates
+      // constants as the Spark predicate; fixed-width lowercase hex
+      // compares identically (lexical = numeric) in both engines.
+      "sample_stratified" -> {
+        val cases = SampleRates.map { case (l, r) =>
+          s"WHEN '$l' THEN '${Sampling.thresholdHex(r)}'"
+        }.mkString(" ")
+        "SELECT doc_id, lang FROM documents " +
+          s"WHERE substring(md5(text), 1, 4) < CASE lang $cases " +
+          s"ELSE '${Sampling.thresholdHex(0.0625)}' END"
+      },
+
+      // Counts via regexp_extract_all (DuckDB's regexp_count analog);
+      // the injector and the redaction chain are both rendered from
+      // Redaction.Patterns / the same CASE arithmetic as withFakePii.
+      "pii_redact" -> {
+        val inj = "(text || " +
+          "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || " +
+          "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/' || " +
+          "CAST(doc_id AS VARCHAR) ELSE '' END || " +
+          "CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || " +
+          "CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+          "CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
+          "CASE WHEN doc_id % 11 = 0 THEN ' call +62' || " +
+          "CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END)"
+        val countCols = Redaction.Patterns.map { case (cat, pat, _) =>
+          s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$cat"
+        }
+        val redacted = Redaction.Patterns.foldLeft("t") {
+          case (acc, (_, pat, tok)) =>
+            s"regexp_replace($acc, '$pat', '$tok', 'g')"
+        }
+        s"WITH p AS (SELECT doc_id, $inj AS t FROM documents) " +
+          s"SELECT doc_id, ${countCols.mkString(", ")}, " +
+          s"$redacted AS redacted FROM p"
+      },
+
+      // Min reachable doc_id per node via a recursive CTE over the
+      // same integer-exact Jaccard edge set (UNION dedups the frontier
+      // so the recursion terminates).
+      "neardup_components" ->
+        (s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents)),
+           |edges0 AS (
+           |  SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM sh a JOIN sh b
+           |    ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+           |  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+           |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+           |edges AS (SELECT src, dst FROM edges0
+           |          UNION SELECT dst, src FROM edges0),
+           |reach(node, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+           |SELECT node AS doc_id, min(lbl) AS component
+           |FROM reach GROUP BY node"""
+          .stripMargin.replaceAll("\\s+", " ").trim))
   }
 }

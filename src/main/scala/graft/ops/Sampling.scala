@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for corpus curation — the
+  * "rebalance the language mix" / "take a stable p% slice" operators a
+  * training-data pipeline runs constantly.
+  *
+  * Design: a row is kept iff the first 4 hex chars of `md5(key)` fall
+  * below a per-stratum threshold. That makes the sample
+  *
+  *  - **deterministic**: same corpus → same sample, on any cluster
+  *    size, any partitioning, any run (no `rand()`, no seed plumbing);
+  *  - **content-keyed**: a document keeps/loses membership based on its
+  *    own bytes, so re-shards, re-ingests and dedup passes can't flip
+  *    membership — the property that makes train/eval splits stable;
+  *  - **scan-shaped**: a pure per-row predicate — no shuffle, no state,
+  *    survives any scale-up untouched. At 100 TB the plan is scan →
+  *    filter, and column pruning still reaches the parquet reader.
+  *
+  * The threshold compare is LEXICAL on fixed-width lowercase hex
+  * (`'0'<'9'<'a'<'f'` — ASCII order equals numeric order), which is why
+  * it replays exactly in the DuckDB oracle: both engines print md5 as
+  * lowercase hex over the UTF-8 bytes.
+  *
+  * Reference analog: none (the reference has no sampling surface) —
+  * this is part of the LLM-pipeline extension mandated by the brief.
+  */
+object Sampling {
+
+  /** 16-bit content bucket: first 4 hex chars of md5(key). */
+  def hexBucket(key: Column): Column = substring(md5(key), 1, 4)
+
+  /** 4-hex-digit exclusive upper bound for a keep-rate in [0,1].
+    * rate=1.0 maps to "g000" — lexically above every hex bucket (hex
+    * chars are 0-9a-f < 'g'), so it keeps everything while staying
+    * fixed-width-comparable.
+    */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    val n = math.round(rate * 65536.0)
+    if (n >= 65536L) "g000" else f"$n%04x"
+  }
+
+  /** Stable Bernoulli(rate) sample keyed on `key`'s content. */
+  def deterministicSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hexBucket(key) < lit(thresholdHex(rate)))
+
+  /** Stratified sample: per-stratum keep-rates (e.g. downsample an
+    * over-represented language), `defaultRate` for unlisted strata.
+    * One CASE-shaped predicate — still scan-only, still deterministic.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      rates: Seq[(String, Double)],
+      defaultRate: Double): DataFrame = {
+    val threshold = rates.foldRight(lit(thresholdHex(defaultRate)): Column) {
+      case ((stratum, rate), acc) =>
+        when(strata === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(hexBucket(key) < threshold)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampling, Redaction, and Components — the corpus-curation trio. */
+class CurationOpsSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  // ------------------------------------------------------------ Sampling
+
+  test("thresholdHex maps rates to fixed-width bounds") {
+    assert(Sampling.thresholdHex(0.0) == "0000")
+    assert(Sampling.thresholdHex(0.5) == "8000")
+    assert(Sampling.thresholdHex(0.125) == "2000")
+    assert(Sampling.thresholdHex(1.0) == "g000") // above every hex bucket
+    intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
+  }
+
+  test("deterministic sample is stable and rate-accurate") {
+    val df = (0 until 2000).map(i => (i.toLong, s"document number $i"))
+      .toDF("id", "text")
+    val once = Sampling.deterministicSample(df, col("text"), 0.25)
+      .select("id").as[Long].collect().toSet
+    val again = Sampling.deterministicSample(df, col("text"), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(once == again, "same input must give the same sample")
+    // binomial(2000, 0.25): sd ≈ 19; allow 5 sd
+    assert(math.abs(once.size - 500) < 100, s"got ${once.size}")
+    // rate monotonicity: a higher-rate sample is a superset
+    val wider = Sampling.deterministicSample(df, col("text"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(once.subsetOf(wider))
+    assert(Sampling.deterministicSample(df, col("text"), 1.0).count() == 2000)
+    assert(Sampling.deterministicSample(df, col("text"), 0.0).count() == 0)
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val df = (0 until 3000).map { i =>
+      (i.toLong, s"text body $i", if (i % 3 == 0) "en" else "zh")
+    }.toDF("id", "text", "lang")
+    val sampled = Sampling.stratifiedSample(df, col("lang"), col("text"),
+      Seq("en" -> 1.0, "zh" -> 0.0), defaultRate = 0.5)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang.getOrElse("en", 0L) == 1000L, "en kept fully")
+    assert(byLang.getOrElse("zh", 0L) == 0L, "zh dropped fully")
+  }
+
+  // ----------------------------------------------------------- Redaction
+
+  test("redact replaces each PII category with its token") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "fetch https://example.com/a/b?q=1#frag now"),
+      (3L, "server 192.168.10.1 and backup 10.0.0.254"),
+      (4L, "call +6281234567890 anytime"),
+      (5L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = Redaction.piiScrub(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(out(0)._6 == "mail me at <EMAIL> today")
+    assert(out(1)._6 == "fetch <URL> now")
+    assert(out(2)._6 == "server <IP> and backup <IP>")
+    assert(out(3)._6 == "call <PHONE> anytime")
+    assert(out(4)._6 == "nothing sensitive here")
+    // counts line up with the categories: n_url, n_email, n_ip, n_phone
+    assert(out(0)._3 == 1 && out(0)._2 == 0)
+    assert(out(1)._2 == 1)
+    assert(out(2)._4 == 2)
+    assert(out(3)._5 == 1)
+    assert(out(4).productIterator.toSeq.slice(1, 5) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("withFakePii injects on the doc_id-keyed subsets") {
+    val df = (0L to 20L).map(i => (i, "base")).toDF("doc_id", "text")
+    val out = Redaction.piiScrub(Redaction.withFakePii(df))
+    val row15 = out.filter(col("doc_id") === 15).head() // %3 and %5
+    assert(row15.getAs[Long]("n_email") == 1)
+    assert(row15.getAs[Long]("n_url") == 1)
+    assert(row15.getAs[Long]("n_ip") == 0)
+    val row14 = out.filter(col("doc_id") === 14).head() // %7 only
+    assert(row14.getAs[Long]("n_ip") == 1)
+    assert(row14.getAs[Long]("n_email") == 0)
+  }
+
+  // ---------------------------------------------------------- Components
+
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    val labeled = Components.connectedComponents(
+      edges.toDF("src", "dst"), nodes.toDF("node"))
+    labeled.as[(Long, Long)].collect().toMap
+  }
+
+  test("components: two clusters plus a singleton") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 2L, 3L, 10L, 11L, 99L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 99L -> 99L))
+  }
+
+  test("components: a long chain converges via pointer jumping") {
+    // path 0-1-2-...-63: diameter 63 >> maxIter 20 — plain propagation
+    // would NOT converge; pointer jumping must (O(log n) rounds).
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val got = cc(edges, 0L until n)
+    assert(got.values.toSet == Set(0L), "whole chain is one component")
+  }
+
+  test("components matches a reference union-find on a random-ish graph") {
+    // deterministic pseudo-random edges (no RNG seed plumbing needed)
+    val nodes = (0L until 200L).toSeq
+    val edges = nodes.collect {
+      case i if (i * 2654435761L) % 7 == 0 => (i, (i * 31 + 17) % 200)
+    }.filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = nodes.map(n => n -> find(n)).toMap
+    assert(cc(edges, nodes) == expect)
+  }
+
+  test("componentSizes summarizes non-singleton clusters") {
+    val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("node", "component")
+    val sizes = Components.componentSizes(labeled)
+      .as[(Long, Long, Long)].collect().toList
+    assert(sizes == List((1L, 3L, 1L)))
+  }
+}
