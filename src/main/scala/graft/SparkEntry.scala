@@ -668,6 +668,32 @@ object SparkEntry {
       Components.connectedComponents(edges,
           ids.select(col("doc_id").as("node")))
         .select(col("node").as("doc_id"), col("component"))
+    }),
+
+    // Incremental (cross-snapshot) dedup: which docs of the "new crawl"
+    // half are genuinely new vs the corpus half — left-anti join on the
+    // 32-byte content hash, corpus side reduced to distinct hashes.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextDedup.incrementalNew(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250))
+        .select(col("doc_id"), col("text_hash"))
+    }),
+
+    // Quality filtering at an exact discrete percentile cutoff: keep
+    // docs at or below the global p90 of n_chars. Scale shape: a tiny
+    // one-row aggregate broadcast back as a filter — NOT a global
+    // window sort (percent_rank over an unpartitioned window would
+    // single-task the corpus at 100 TB).
+    "quantile_filter" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cutoff = docs.agg(
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+          .as("cut"))
+      docs.crossJoin(broadcast(cutoff))
+        .filter(col("n_chars") <= col("cut"))
+        .select(col("doc_id"), col("n_chars"))
     }))
 
   // ------------------------------------------------------------- oracles
@@ -1118,6 +1144,25 @@ object SparkEntry {
            |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
            |SELECT node AS doc_id, min(lbl) AS component
            |FROM reach GROUP BY node"""
-          .stripMargin.replaceAll("\\s+", " ").trim))
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "dedup_incremental" -> {
+        // qualify the column refs: inside the NOT EXISTS a bare `text`
+        // would resolve to the inner table and trivially match itself
+        val normN = NormTextSql.replace("text", "n.text")
+        val normC = NormTextSql.replace("text", "c.text")
+        s"SELECT doc_id, md5($normN) AS text_hash FROM documents n " +
+          "WHERE doc_id >= 250 AND NOT EXISTS (" +
+          "SELECT 1 FROM documents c WHERE c.doc_id < 250 AND " +
+          s"md5($normC) = md5($normN))"
+      },
+
+      // quantile_disc is DuckDB's SQL-standard percentile_disc: the
+      // smallest actual value with cume_dist >= 0.9 — same definition
+      // Spark's percentile_disc implements, on BIGINTs, so the cutoff
+      // is integer-exact in both engines.
+      "quantile_filter" ->
+        ("SELECT doc_id, n_chars FROM documents WHERE n_chars <= " +
+          "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"))
   }
 }

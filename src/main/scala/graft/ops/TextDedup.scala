@@ -59,6 +59,20 @@ object TextDedup {
       .drop("rn")
   }
 
+  /** Incremental (cross-snapshot) dedup: rows of `newDocs` whose
+    * normalized text does NOT already appear in `corpus` — the "what is
+    * actually new in this crawl" operator. A left-anti join on the
+    * 32-byte content hash: the corpus side reduces to distinct hashes
+    * (never full texts), so the build side of the join is minimal; at
+    * scale Spark picks broadcast vs shuffled-hash from its actual size.
+    */
+  def incrementalNew(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs
+      .withColumn("text_hash", md5(normText(col("text"))))
+      .join(
+        corpus.select(md5(normText(col("text"))).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+
   /** Word `n`-gram shingles of the normalized text as a distinct array.
     * Short texts (< n tokens) fall back to one whole-text shingle so no
     * document silently vanishes from the signature stage.

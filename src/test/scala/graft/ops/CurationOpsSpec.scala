@@ -123,6 +123,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(cc(edges, nodes) == expect)
   }
 
+  // -------------------------------------------------- plan shape / misc
+
+  test("sampling and redaction are scan-shaped: no Exchange in the plan") {
+    val df = (0 until 100).map(i => (i.toLong, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    for ((name, plan) <- Seq(
+        "sample" -> Sampling.stratifiedSample(df, col("lang"), col("text"),
+          Seq("en" -> 0.5), 0.1).queryExecution.executedPlan.toString,
+        "redact" -> Redaction.piiScrub(df)
+          .queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle — pure per-row predicate/projection:\n$plan")
+    }
+  }
+
+  test("incrementalNew keeps only content absent from the corpus") {
+    val corpus = Seq(1L -> "old doc", 2L -> "kept doc").toDF("doc_id", "text")
+    val fresh = Seq(
+      10L -> " OLD   doc ", // dup of corpus 1 after normalization
+      11L -> "genuinely new").toDF("doc_id", "text")
+    val got = TextDedup.incrementalNew(fresh, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L))
+  }
+
   test("componentSizes summarizes non-singleton clusters") {
     val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("node", "component")

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Streaming exact dedup: bounded-state within-watermark dedup and the
+  * stream-static anti-join against an ingested-corpus snapshot.
+  */
+class StreamDedupSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  case class Doc(ingest_ts: Timestamp, doc_id: Long, text: String)
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("dropDuplicatesWithinWatermark keeps one copy of a re-sent doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = StreamDedup.dedupWithinWatermark(
+      input.toDF(), maxLateness = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("sd_watermark")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sd-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 1L, "alpha beta"),
+        Doc(ts(2), 2L, "  Alpha   BETA "), // same normalized content
+        Doc(ts(3), 3L, "gamma"))
+      q.processAllAvailable()
+      // a later micro-batch re-sends the same content within the horizon
+      input.addData(Doc(ts(5), 4L, "alpha beta"))
+      q.processAllAvailable()
+      val kept = spark.table("sd_watermark")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L),
+        s"one copy per content within the watermark, got $kept")
+    } finally q.stop()
+  }
+
+  test("stream-static anti-join drops docs already in the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(5L -> "seen before").toDF("doc_id", "text")
+      .select(md5(graft.ops.TextDedup.normText(col("text")))
+        .as("text_hash"))
+    val input = MemoryStream[Doc]
+    val out = StreamDedup.dedupAgainstCorpus(input.toDF(), corpus)
+    val q = out.writeStream
+      .format("memory").queryName("sd_corpus")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdc-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 10L, "SEEN  before"), // dup of the corpus row
+        Doc(ts(2), 11L, "brand new"))
+      q.processAllAvailable()
+      val kept = spark.table("sd_corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L), s"corpus dup must be dropped, got $kept")
+    } finally q.stop()
+  }
+}
