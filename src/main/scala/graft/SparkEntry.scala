@@ -25,6 +25,18 @@ import graft.ops._
   */
 object SparkEntry {
 
+  /** Events with the TIMESTAMP(NANOS) `ts` column read as epoch-nanos
+    * BIGINT (the nanosAsLong session flag is required to scan that
+    * parquet type at all; cf. time_window_agg's note).
+    */
+  private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
     // rejects at schema inference; none of our queries need it, so read
@@ -694,7 +706,52 @@ object SparkEntry {
       docs.crossJoin(broadcast(cutoff))
         .filter(col("n_chars") <= col("cut"))
         .select(col("doc_id"), col("n_chars"))
-    }))
+    }),
+
+    // Gap-based sessionization (30-min gap): lag boundary + running-sum
+    // numbering over ONE (shuffle, sort) on user_id. Timestamps are
+    // truncated to MICROS on both sides: DuckDB reads TIMESTAMP(NANOS)
+    // parquet at microsecond precision, so nano-resolution arithmetic
+    // can't be oracled (verified collision-free at micros).
+    "sessionize" -> ((s, dir) =>
+      EventOps.sessionize(
+        eventsNanos(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts")),
+        gapNs = EventOps.SessionGapNs / 1000)
+        .select(col("event_id"), col("user_id"), col("session_idx"))),
+
+    // As-of join composed from a window carry-forward (no range join,
+    // no self-join): every click paired with the most recent purchase
+    // at-or-before it by the same user. NULL (no prior purchase) → -1
+    // sentinel so no nullable column reaches the comparator. Oracled
+    // against DuckDB's native ASOF LEFT JOIN; micros for the same
+    // precision reason as sessionize.
+    "asof_prior_purchase" -> ((s, dir) =>
+      EventOps.withAsofTs(
+        eventsNanos(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts"), col("event_type")),
+        col("event_type") === "purchase", "purchase_ts")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          coalesce(col("purchase_ts"), lit(-1L)).as("prior_purchase_us"))),
+
+    // Overlapping token-window chunking (64-token windows, stride 48) —
+    // scan → generate, no shuffle. repartition: single-file fixture
+    // (cf. minhash_candidates note).
+    "doc_chunks" -> ((s, dir) =>
+      Chunking.chunk(T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))),
+
+    // Deterministic sequence packing into ~2048-token packs per source
+    // (exclusive running token sum div target — reproducible at any
+    // parallelism, unlike a greedy stateful packer).
+    "sequence_packing" -> ((s, dir) =>
+      Chunking.packSequences(T(s, dir, "documents"))),
+
+    // Corpus top-50 terms by document frequency (partial-agg counts +
+    // TakeOrdered top-k — never a global sort).
+    "term_doc_freq" -> ((s, dir) =>
+      TextAnalysis.termDocFreq(T(s, dir, "documents"))))
 
   // ------------------------------------------------------------- oracles
 
@@ -1163,6 +1220,65 @@ object SparkEntry {
       // is integer-exact in both engines.
       "quantile_filter" ->
         ("SELECT doc_id, n_chars FROM documents WHERE n_chars <= " +
-          "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"))
+          "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"),
+
+      "sessionize" ->
+        (s"""SELECT event_id, user_id,
+           |  CAST(sum(b) OVER (PARTITION BY user_id
+           |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |  AS session_idx
+           |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+           |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |    > ${EventOps.SessionGapNs / 1000} THEN 1 ELSE 0 END AS b
+           |  FROM events)"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "asof_prior_purchase" ->
+        ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, " +
+          "COALESCE(epoch_us(r.ts), -1) AS prior_purchase_us " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+          "ASOF LEFT JOIN " +
+          "(SELECT * FROM events WHERE event_type = 'purchase') r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+
+      // Same window arithmetic as Chunking.chunk: starts every 48
+      // tokens (DuckDB range() excludes its stop — +1 matches Spark
+      // sequence()'s inclusive stop), windows of 64 via list_slice
+      // (inclusive 1-based bounds = Spark slice(start+1, 64)). The
+      // parallel unnests zip by position.
+      "doc_chunks" ->
+        (s"""WITH t AS (SELECT doc_id,
+           |    string_split($NormTextSql, ' ') AS toks FROM documents),
+           |w AS (SELECT doc_id, toks,
+           |    range(0, greatest(len(toks) - 1, 0) + 1, 48) AS starts
+           |  FROM t)
+           |SELECT doc_id,
+           |  unnest(list_transform(starts,
+           |    s -> CAST(s // 48 AS INTEGER))) AS chunk_idx,
+           |  unnest(list_transform(starts,
+           |    s -> CAST(least(len(toks) - s, 64) AS BIGINT))) AS n_tokens,
+           |  unnest(list_transform(starts,
+           |    s -> md5(array_to_string(list_slice(toks, s + 1, s + 64),
+           |      ' ')))) AS chunk_hash
+           |FROM w"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "sequence_packing" ->
+        (s"""WITH t AS (SELECT doc_id, source,
+           |    CAST(len(string_split($NormTextSql, ' ')) AS BIGINT)
+           |      AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+           |  FROM t)
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id FROM c"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "term_doc_freq" ->
+        (s"SELECT term, count(*) AS df FROM (SELECT doc_id, " +
+          s"unnest(list_distinct(string_split($NormTextSql, ' '))) AS term " +
+          "FROM documents) GROUP BY term ORDER BY df DESC, term LIMIT 50"))
   }
 }

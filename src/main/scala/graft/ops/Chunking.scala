@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for training pipelines: split long
+  * documents into overlapping token chunks, and pack short documents
+  * into fixed-token-budget groups.
+  *
+  * Both are pure per-row / single-window shapes:
+  *  - [[chunk]] is a per-row expression + `posexplode` — no shuffle at
+  *    all; the 100 TB plan is scan → generate.
+  *  - [[packSequences]] is one window (partition by source, order by
+  *    doc_id) computing an exclusive running token sum; the pack id is
+  *    arithmetic on that sum. One shuffle, one sort — and because the
+  *    assignment is deterministic arithmetic (not a greedy stateful
+  *    scan), it reproduces identically at any parallelism.
+  */
+object Chunking {
+
+  /** Overlapping token-window chunks: windows of `size` tokens starting
+    * every `stride` tokens (overlap = size - stride), truncated at the
+    * document end. One output row per (doc, chunk): chunk_idx,
+    * n_tokens, and the chunk's content hash.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "stride must be in (0, chunkSize]")
+    val toks = split(TextDedup.normText(col("text")), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(
+          sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(stride))))
+      .select(col("doc_id"),
+        col("pos").as("chunk_idx"),
+        least(size(col("toks")) - col("col"), lit(chunkSize)).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize))))
+          .as("chunk_hash"))
+  }
+
+  /** Deterministic sequence packing: assign documents (in doc_id order,
+    * per source) to packs of roughly `targetTokens` whitespace tokens —
+    * pack_id = exclusive-running-token-sum div target. A document
+    * larger than the budget gets its own pack(s) worth of span; chunk
+    * first (see [[chunk]]) if hard caps matter.
+    */
+  def packSequences(docs: DataFrame, targetTokens: Int = 2048): DataFrame = {
+    require(targetTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        size(split(TextDedup.normText(col("text")), " ")).cast("long"))
+      .withColumn("cum_excl",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_excl") / targetTokens).cast("long").as("pack_id"))
+  }
+}

@@ -154,6 +154,22 @@ object TextAnalysis {
           col("total_ngrams"), lit(1)).otherwise(lit(0)))
   }
 
+  /** Corpus-level top-k terms by document frequency: explode distinct
+    * tokens per doc, count docs per term, take the top `k` (ties broken
+    * by term for determinism). Scale shape: map-side partial counts
+    * compress the token fan-out before the one shuffle; the top-k is a
+    * TakeOrdered (per-partition heaps + driver merge of k rows), never
+    * a global sort.
+    */
+  def termDocFreq(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(explode(
+        array_distinct(split(TextDedup.normText(col("text")), " ")))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
