@@ -751,7 +751,17 @@ object SparkEntry {
     // Corpus top-50 terms by document frequency (partial-agg counts +
     // TakeOrdered top-k — never a global sort).
     "term_doc_freq" -> ((s, dir) =>
-      TextAnalysis.termDocFreq(T(s, dir, "documents"))))
+      TextAnalysis.termDocFreq(T(s, dir, "documents"))),
+
+    // Eval-set decontamination: training docs (id < 480) sharing a
+    // 3-gram with any benchmark doc (id >= 480), with shared-gram
+    // counts. Benchmark side broadcast; no cross join.
+    "decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextDedup.contaminationHits(
+        docs.filter(col("doc_id") < 480),
+        docs.filter(col("doc_id") >= 480), n = 3)
+    }))
 
   // ------------------------------------------------------------- oracles
 
@@ -1279,6 +1289,25 @@ object SparkEntry {
       "term_doc_freq" ->
         (s"SELECT term, count(*) AS df FROM (SELECT doc_id, " +
           s"unnest(list_distinct(string_split($NormTextSql, ' '))) AS term " +
-          "FROM documents) GROUP BY term ORDER BY df DESC, term LIMIT 50"))
+          "FROM documents) GROUP BY term ORDER BY df DESC, term LIMIT 50"),
+
+      // Shared distinct 3-grams per (train, eval) pair — the count via
+      // list_intersect equals Spark's join-then-count over exploded
+      // distinct shingles.
+      "decontaminate" ->
+        (s"""WITH sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents))
+           |SELECT t.doc_id, e.doc_id AS eval_id,
+           |  CAST(len(list_intersect(t.sh, e.sh)) AS BIGINT)
+           |    AS shared_ngrams
+           |FROM sh t JOIN sh e
+           |  ON t.doc_id < 480 AND e.doc_id >= 480
+           | AND len(list_intersect(t.sh, e.sh)) > 0"""
+          .stripMargin.replaceAll("\\s+", " ").trim))
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -64,6 +64,77 @@ case class FormatCoordinateExpr(child: Expression) extends StringMapExpression {
     copy(child = newChild)
 }
 
+/** Single-pass cosine similarity over two FLOAT-array columns, as a
+  * codegen'd binary expression — the ANN hot path.
+  *
+  * Why native: the HOF formulation (`aggregate(zip_with(a,b,*))` for
+  * the dot plus two self-dots for the norms) materializes three
+  * intermediate arrays per row and evaluates its lambdas through the
+  * interpreted HigherOrderFunction path; this node is one fused loop
+  * in generated Java inside whole-stage codegen. Semantics mirror the
+  * HOF version bit-for-bit: products are computed in FLOAT then
+  * widened, accumulation is in double, zero denominator → 0.0 —
+  * so swapping it under the oracled ANN queries changes nothing but
+  * time. Arrays are assumed equal-length non-null-element vectors
+  * (the embedding contract).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      dot += (xi * yi).toDouble // float product then widen = HOF order
+      na += (xi * xi).toDouble
+      nb += (yi * yi).toDouble
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $xi = $a.getFloat($i);
+         |  float $yi = $b.getFloat($i);
+         |  $dot += (double) ($xi * $yi);
+         |  $na += (double) ($xi * $xi);
+         |  $nb += (double) ($yi * $yi);
+         |}
+         |double $denom =
+         |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
   /** Static single-arg bridge (the Scala default-arg method is not
     * directly callable from generated Java).
@@ -77,4 +148,6 @@ object NativeExpressions {
   def normalizeWords(c: Column): Column = col(NormalizeWordsExpr(expr(c)))
   def fixWrappedName(c: Column): Column = col(FixWrappedNameExpr(expr(c)))
   def formatCoordinate(c: Column): Column = col(FormatCoordinateExpr(expr(c)))
+  def cosineSim(a: Column, b: Column): Column =
+    col(CosineSimExpr(expr(a), expr(b)))
 }

@@ -35,8 +35,19 @@ object Similarity {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 when either side has zero norm. Backed by the
+    * native codegen'd [[graft.functions.CosineSimExpr]] — one fused
+    * loop per row instead of three interpreted HOF array passes;
+    * bit-identical to [[cosineHof]] (pinned by spec), just faster.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosineSim(a, b)
+
+  /** The composed higher-order-function formulation of [[cosine]] —
+    * kept as the semantic reference the native expression is verified
+    * against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
   }

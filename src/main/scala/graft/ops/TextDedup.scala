@@ -73,6 +73,31 @@ object TextDedup {
         corpus.select(md5(normText(col("text"))).as("text_hash")).distinct(),
         Seq("text_hash"), "left_anti")
 
+  /** Eval-set decontamination: for every training document sharing at
+    * least one word `n`-gram with a benchmark document, the pair and
+    * its shared-distinct-n-gram count — the screen a training corpus
+    * runs against held-out eval sets before anything trains on it.
+    *
+    * Scale shape: both sides explode their DISTINCT shingles; the
+    * benchmark side is broadcast (eval sets are tiny next to the
+    * corpus), so the join never shuffles the training grams; the
+    * per-pair count partial-aggregates map-side. Never a cross join —
+    * a document pair only materializes if an actual gram matches.
+    */
+  def contaminationHits(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val trainGrams = train.select(col("doc_id"),
+      explode(shingles(col("text"), n)).as("gram"))
+    val evalGrams = evalDocs.select(col("doc_id").as("eval_id"),
+      explode(shingles(col("text"), n)).as("gram"))
+    trainGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** Word `n`-gram shingles of the normalized text as a distinct array.
     * Short texts (< n tokens) fall back to one whole-text shingle so no
     * document silently vanishes from the signature stage.

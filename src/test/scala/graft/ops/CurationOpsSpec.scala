@@ -148,6 +148,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Set(11L))
   }
 
+  test("contaminationHits finds n-gram overlap with the eval set only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training content here"),
+      (3L, "quick brown fox appears again elsewhere"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a quick brown fox story")).toDF("doc_id", "text")
+    val got = TextDedup.contaminationHits(train, evalSet, n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // "quick brown fox" is the one shared trigram for docs 1 and 3
+    assert(got == Set((1L, 100L, 1L), (3L, 100L, 1L)))
+  }
+
   test("componentSizes summarizes non-singleton clusters") {
     val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("node", "component")

@@ -22,6 +22,43 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2) == 0.0)
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    // pseudo-random f32 vectors incl. a zero vector and exact dups —
+    // the native single-pass loop must reproduce the HOF result to the
+    // last bit (same float-product-then-widen accumulation order)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 64).map { j =>
+        if (i == 7) 0f
+        else (((i * 1315423911L + j * 2654435761L) % 1000) - 500) / 250f
+      })
+    }
+    val pairs = vecs.zip(vecs.drop(1) :+ vecs.head).map {
+      case ((ia, va), (_, vb)) => (ia, va, vb)
+    }.toDF("id", "a", "b")
+    val diff = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "native and HOF cosine must agree exactly")
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    // spark.range source: a literal local relation would be constant-
+    // folded away before any codegen span could appear
+    val d = spark.range(8).select(
+      transform(sequence(lit(0), lit(7)),
+        i => (col("id") + i).cast("float")).as("v"))
+    val plan = d.select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen span; the Project
+    // evaluating graft_cosine must carry it (the HOF transform Project
+    // below it notably does NOT — that's the interpreted path this
+    // expression exists to avoid)
+    val cosineLine = plan.linesIterator
+      .find(_.contains("graft_cosine")).getOrElse("")
+    assert(cosineLine.trim.startsWith("*("), plan)
+  }
+
   test("bruteForceTopK returns exact neighbors in rank order") {
     val corpus = emb(
       0L -> Seq(1f, 0f, 0f),
