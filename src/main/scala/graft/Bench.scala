@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
 
     // Untimed warmup: session/codegen/parquet-footer initialization and
     // the JIT of the heavy operator paths (hash/shuffle/HOF-fold

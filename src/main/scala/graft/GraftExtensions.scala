@@ -19,13 +19,26 @@ import graft.functions.{FixWrappedNameExpr, FormatCoordinateExpr, NormalizeWords
   * (useful in shells and tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.FuseHofDotProduct)
+  }
 }
 
 object GraftExtensions {
+
+  private def binary(
+      name: String,
+      usage: String,
+      build: (Expression, Expression) => Expression): (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo("graft", null, name, usage, ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name takes exactly two arguments")
+        build(args(0), args(1))
+      })
 
   private def unary(
       name: String,
@@ -49,12 +62,27 @@ object GraftExtensions {
         FixWrappedNameExpr),
       unary("graft_format_coordinate",
         "_FUNC_(str) - Canonicalizes an Indonesian DMS coordinate pair.",
-        FormatCoordinateExpr))
+        FormatCoordinateExpr),
+      binary("graft_cosine",
+        "_FUNC_(a, b) - Fused cosine similarity of two float arrays.",
+        graft.functions.CosineSimExpr),
+      binary("graft_dot",
+        "_FUNC_(a, b) - Fused dot product of two float arrays.",
+        graft.functions.DotProductExpr))
 
-  /** Register into an existing session (post-construction). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session (post-construction): SQL
+    * functions into the function registry, and the HOF-fusion rule via
+    * `experimental.extraOptimizations` (the post-hoc analog of
+    * `injectOptimizerRule`; idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.FuseHofDotProduct))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.FuseHofDotProduct
+  }
 }

@@ -135,6 +135,72 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Single-pass dot product over two FLOAT-array columns — the fusion
+  * target of [[graft.plans.FuseHofDotProduct]], which rewrites the
+  * composed `aggregate(zip_with(a, b, _*_), 0.0, _+_)` higher-order-
+  * function pattern into this node so naive user code gets the
+  * codegen'd loop automatically.
+  *
+  * Semantics replicate the HOF chain exactly, including its null
+  * behavior: mismatched array lengths → null (zip_with pads with null,
+  * the aggregate absorbs it), any null element → null, products
+  * computed in FLOAT then widened into a double accumulator.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      dot += (xi * yi).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    float xi = $a.getFloat($i);
+         |    float yi = $b.getFloat($i);
+         |    $dot += (double) (xi * yi);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
   /** Static single-arg bridge (the Scala default-arg method is not
     * directly callable from generated Java).
@@ -150,4 +216,6 @@ object NativeExpressions {
   def formatCoordinate(c: Column): Column = col(FormatCoordinateExpr(expr(c)))
   def cosineSim(a: Column, b: Column): Column =
     col(CosineSimExpr(expr(a), expr(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    col(DotProductExpr(expr(a), expr(b)))
 }

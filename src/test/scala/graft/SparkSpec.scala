@@ -14,6 +14,7 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s)
     s
   }
 }
