@@ -1,0 +1,136 @@
+package graft.functions
+
+import java.util.{LinkedHashSet => JLinkedHashSet}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native fused text-shingling primitives.
+  *
+  * The composed formulation in [[graft.ops.TextDedup.shinglesHof]] —
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(split(text, " "), i+1, n))))` — is built-ins only, but every
+  * higher-order function in the chain evaluates its lambda through the
+  * interpreted path and allocates an intermediate array per row
+  * (sequence, transform results, per-gram slices). For corpus-scale
+  * shingling (every dedup/decontamination/Jaccard query starts here)
+  * that interpreter overhead dominates the actual string work. These
+  * nodes compute identical results in one pass with a single output
+  * allocation, while keeping the normalization prefix
+  * (`lower`/`regexp_replace`) on the codegen'd built-in path.
+  */
+object TextNative {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct word `n`-grams of a normalized text, first-occurrence
+    * order — bit-compatible with the HOF chain:
+    * `split(text, " ", -1)` token semantics (trailing empties kept),
+    * grams `i ∈ [0, max(T-n, 0)]` of width `min(n, T-i)` joined with
+    * one space (short texts: one whole-text shingle), `array_distinct`
+    * first-occurrence dedup.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.split(SPACE, -1)
+    val t = tokens.length
+    val last = math.max(t - n, 0)
+    val seen = new JLinkedHashSet[UTF8String](math.min(last + 1, 1024))
+    var i = 0
+    while (i <= last) {
+      val width = math.min(n, t - i)
+      val gram =
+        if (width == 1) tokens(i)
+        else {
+          val parts = new Array[UTF8String](width)
+          System.arraycopy(tokens, i, parts, 0, width)
+          UTF8String.concatWs(SPACE, parts: _*)
+        }
+      seen.add(gram)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** `size(array_intersect(a, b))` as one pass: the number of distinct
+    * elements of `a` (nulls counted once, matching array_intersect)
+    * that also occur in `b`.
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val nb = b.numElements()
+    val inB = new java.util.HashSet[UTF8String](math.max(16, nb * 2))
+    var bNull = false
+    var j = 0
+    while (j < nb) {
+      if (b.isNullAt(j)) bNull = true else inB.add(b.getUTF8String(j))
+      j += 1
+    }
+    val seen = new java.util.HashSet[UTF8String]()
+    var aNullCounted = false
+    var count = 0L
+    val na = a.numElements()
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bNull && !aNullCounted) { count += 1; aNullCounted = true }
+      } else {
+        val v = a.getUTF8String(i)
+        if (inB.contains(v) && seen.add(v)) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+/** `string` (pre-normalized) → `array<string>` distinct word n-grams. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.shingles($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** `(array<string>, array<string>)` → `bigint` distinct-intersection
+  * size; one hash pass instead of materializing `array_intersect`.
+  */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextNative.intersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextNative.intersectCount($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextExprs {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def shingles(normText: Column, n: Int): Column =
+    col(ShinglesExpr(expr(normText), n))
+  def intersectCount(a: Column, b: Column): Column =
+    col(IntersectCountExpr(expr(a), expr(b)))
+}

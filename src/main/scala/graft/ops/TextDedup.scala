@@ -100,9 +100,20 @@ object TextDedup {
 
   /** Word `n`-gram shingles of the normalized text as a distinct array.
     * Short texts (< n tokens) fall back to one whole-text shingle so no
-    * document silently vanishes from the signature stage.
+    * document silently vanishes from the signature stage. Backed by the
+    * native single-pass [[graft.functions.ShinglesExpr]] (bit-identical
+    * to [[shinglesHof]], spec-pinned); the normalization prefix stays
+    * on the codegen'd built-in path.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextExprs.shingles(normText(text), n)
+
+  /** The composed built-in formulation of [[shingles]] — the semantic
+    * reference for the native node. Every HOF in the chain runs its
+    * lambda interpreted and allocates per row, which is what the native
+    * expression eliminates.
+    */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val tokens = split(normText(text), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(tokens) - n, lit(0))),
@@ -118,16 +129,27 @@ object TextDedup {
 
   /** MinHash signature: `numHashes` independent min-hashes, each the
     * minimum of `xxhash64(seed_i, shingle)` over the shingle set.
-    *
-    * Shaped as a SINGLE `aggregate` fold over the shingle array with an
-    * element-wise `least` merge: the shingle array is evaluated exactly
-    * once per row. (The naive `transform(seeds, i => array_min(...))`
-    * nesting re-evaluates the shingle expression per seed — Catalyst
-    * does not CSE subtrees across lambda iterations — which measured
-    * ~30× slower.) Pure per-row expression work — the 100 TB plan is
+    * Backed by the native fused loop
+    * ([[graft.functions.MinHashSignatureExpr]]) — bit-identical to
+    * [[minHashSignatureHof]] (spec-pinned), with zero per-shingle
+    * allocation. Pure per-row expression work — the 100 TB plan is
     * scan → project.
     */
   def minHashSignature(shingleArr: Column, numHashes: Int = 32): Column =
+    graft.functions.MinHashExprs.minHashSignature(shingleArr, numHashes)
+
+  /** The composed higher-order-function formulation of
+    * [[minHashSignature]] — kept as the semantic reference the native
+    * expression is verified against: a SINGLE `aggregate` fold with an
+    * element-wise `least` merge, so the shingle array is evaluated
+    * exactly once per row. (The naive `transform(seeds, i =>
+    * array_min(...))` nesting re-evaluates the shingle expression per
+    * seed — Catalyst does not CSE subtrees across lambda iterations —
+    * which measured ~30× slower. The interpreted fold still allocates
+    * three `numHashes`-wide arrays per shingle, which is what the
+    * native node eliminates.)
+    */
+  def minHashSignatureHof(shingleArr: Column, numHashes: Int = 32): Column =
     aggregate(
       shingleArr,
       array_repeat(lit(Long.MaxValue), numHashes),
@@ -143,21 +165,36 @@ object TextDedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    // Signature fold + banding fused into ONE native loop (see
+    // [[graft.functions.MinHashBandsExpr]]); the HOF reference
+    // formulation lives in [[minHashBandsHof]] and the equivalence is
+    // spec-pinned.
+    val bandHashes = graft.functions.MinHashExprs.minHashBands(
+      shingles(col("text"), shingleSize), numHashes, rowsPerBand)
+    docs
+      .select(col("doc_id"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** The composed HOF reference for [[minHashBands]]'s band-hash
+    * column: signature fold + per-band `xxhash64` fused into one
+    * `aggregate` whose `finish` lambda sees the final accumulator
+    * exactly once. The native node must match this bit-for-bit.
+    */
+  def minHashBandHashesHof(
+      text: Column,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): Column = {
     val numBands = numHashes / rowsPerBand
-    // Signature fold + banding fused into ONE aggregate: the `finish`
-    // lambda sees the final accumulator exactly once, so neither the
-    // shingle array nor the signature is ever re-evaluated per band.
-    val bandHashes = aggregate(
-      shingles(col("text"), shingleSize),
+    aggregate(
+      shingles(text, shingleSize),
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, s) => zip_with(acc, hashVector(s, numHashes), (a, b) => least(a, b)),
       acc => transform(
         sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(acc, b * rowsPerBand + 1, lit(rowsPerBand)))))
-    docs
-      .select(col("doc_id"), posexplode(bandHashes))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
   }
 
   /** LSH candidate pairs: self-join of the band rows on
@@ -209,8 +246,11 @@ object TextDedup {
       threshold: Double = 0.0): DataFrame = {
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
+    // one-pass native intersection count; union arithmetically from the
+    // distinct-set sizes (|A|+|B|-|A∩B|) — no array materialization
+    val inter =
+      graft.functions.TextExprs.intersectCount(col("sh_a"), col("sh_b"))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -231,7 +271,8 @@ object TextDedup {
       shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter =
+      graft.functions.TextExprs.intersectCount(col("sh_a"), col("sh_b"))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
