@@ -273,6 +273,29 @@ object SparkEntry {
         salt = pmod(col("l_orderkey"), lit(8)),
         keyName = "l_returnflag")),
 
+    // Salted shuffle JOIN (SkewAgg's sibling for joins): events on the
+    // 5-value event_type key — maximal skew — against a derived type
+    // dim, salted into 16 sub-keys; aggregated after the join so the
+    // oracle compares exact integers. Row-identical to the plain join.
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_weight", length(col("event_type")).cast("long"))
+      SkewJoin.saltedInnerJoin(ev, dim, "event_type",
+        salt = xxhash64(col("event_id")), buckets = 16)
+        .groupBy("event_type", "type_weight")
+        .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_event_id"))
+    }),
+
+    // Two-pass exact heavy hitters: freqItems sketch (no false
+    // negatives above support) prunes to candidates, then an exact
+    // recount keyed only on candidates — GROUP BY HAVING semantics
+    // without the full-cardinality shuffle. support 5e-4 <= minCount/N
+    // at every tested SF, preserving the no-miss guarantee.
+    "heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHitters(T(s, dir, "events"),
+        key = "user_id", minCount = 80L, support = 5e-4)),
+
     // Distinct aggregates (absent in the reference; Catalyst built-in
     // — expand + two-phase agg, SURVEY §2.4).
     "count_distinct_agg" -> ((s, dir) =>
@@ -852,6 +875,18 @@ object SparkEntry {
       "skew_salted_agg" ->
         ("SELECT l_returnflag, sum(l_quantity) AS sum_value, " +
           "count(*) AS cnt FROM lineitem GROUP BY l_returnflag"),
+
+      "skew_salted_join" ->
+        ("SELECT e.event_type, d.type_weight, count(*) AS cnt, " +
+          "CAST(sum(e.event_id) AS BIGINT) AS sum_event_id " +
+          "FROM events e JOIN (SELECT DISTINCT event_type, " +
+          "CAST(length(event_type) AS BIGINT) AS type_weight " +
+          "FROM events) d USING (event_type) " +
+          "GROUP BY e.event_type, d.type_weight"),
+
+      "heavy_hitters" ->
+        ("SELECT user_id, count(*) AS cnt FROM events " +
+          "GROUP BY user_id HAVING count(*) >= 80"),
 
       "count_distinct_agg" ->
         ("SELECT count(DISTINCT o_custkey) AS distinct_custs, " +

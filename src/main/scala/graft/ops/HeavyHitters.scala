@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters in two passes — "which keys appear at least N
+  * times" over a corpus whose key cardinality is far too large to
+  * group-count wholesale (URLs, n-grams, user ids at 100 TB).
+  *
+  * Pass 1 runs Spark's `stat.freqItems` (the Karp/Shenker/
+  * Papadimitriou streaming frequent-items sketch): one scan, fixed
+  * memory, and the guarantee that every item with frequency above
+  * `support × rows` IS in the returned candidate set (false positives
+  * possible, false NEGATIVES not). Pass 2 re-scans filtered to the
+  * candidates — a broadcast-sized `isin` literal — and counts exactly,
+  * keeping keys with `count >= minCount`.
+  *
+  * The result is exactly equal to `GROUP BY key HAVING count >=
+  * minCount`, but the shuffle only ever carries candidate keys: the
+  * full-cardinality hash aggregate that would dominate (or OOM) the
+  * naive plan never materializes. Caller contract: `support` must not
+  * exceed `minCount / totalRows`, otherwise a true heavy hitter could
+  * hide below the sketch threshold.
+  */
+object HeavyHitters {
+
+  def exactHeavyHitters(
+      df: DataFrame,
+      key: String,
+      minCount: Long,
+      support: Double): DataFrame = {
+    val candidates: Seq[Any] = df.stat.freqItems(Array(key), support)
+      .head.getSeq[Any](0)
+    if (candidates.isEmpty)
+      // no candidate cleared the sketch threshold -> empty result with
+      // the contract schema
+      df.select(col(key)).limit(0)
+        .withColumn("cnt", lit(0L))
+    else
+      df.filter(col(key).isin(candidates: _*))
+        .groupBy(col(key))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Salted join and two-pass heavy hitters must be result-identical to
+  * their naive formulations — the whole point is changing the plan
+  * shape, never the answer.
+  */
+class SkewOpsSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  test("saltedInnerJoin == plain inner join, including dim duplicates") {
+    // skewed big side: 90% of rows on one key
+    val big = spark.range(1000)
+      .select(col("id"),
+        when(col("id") % 10 === 0, lit("cold")).otherwise(lit("hot"))
+          .as("k"))
+    // dim with a DUPLICATE key row: join multiplicity must be preserved
+    val dim = Seq(("hot", 1L), ("cold", 2L), ("cold", 3L))
+      .toDF("k", "weight")
+    val salted = SkewJoin.saltedInnerJoin(
+      big, dim, "k", salt = xxhash64(col("id")), buckets = 8)
+      .select("id", "k", "weight")
+    val plain = big.join(dim, "k").select("id", "k", "weight")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("exactHeavyHitters == GROUP BY HAVING") {
+    // zipf-ish: key k appears ~1000/k times
+    val df = spark.range(1, 3000)
+      .select((lit(3000) / col("id")).cast("long").as("k"))
+    val hh = HeavyHitters.exactHeavyHitters(df, "k", minCount = 50L,
+      support = 0.01)
+      .as[(Long, Long)].collect().toMap
+    val naive = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 50L)
+      .as[(Long, Long)].collect().toMap
+    assert(hh == naive && naive.nonEmpty)
+  }
+
+  test("exactHeavyHitters returns the contract schema when nothing qualifies") {
+    val df = spark.range(100).select(col("id").as("k")) // all unique
+    val out = HeavyHitters.exactHeavyHitters(df, "k", minCount = 5L,
+      support = 0.04)
+    assert(out.columns.toSeq == Seq("k", "cnt"))
+    assert(out.count() == 0L)
+  }
+}
