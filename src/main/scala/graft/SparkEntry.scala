@@ -674,6 +674,14 @@ object SparkEntry {
         col("lang"), col("text"), SampleRates, defaultRate = 0.0625)
         .select(col("doc_id"), col("lang"))),
 
+    // Per-key cap: at most 20 docs per language, ranked by content
+    // hash (run-stable, order-bias-free); WindowGroupLimit prunes to
+    // k rows per key map-side before the one shuffle.
+    "cap_per_key" -> ((s, dir) =>
+      Sampling.capPerKey(T(s, dir, "documents"),
+        key = col("lang"), tieBreaker = col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"))),
+
     // PII scrub: RE2-compatible detect + redact chains over documents
     // with deterministic synthetic PII injected (the synthetic corpus
     // contains none) — injector replayed verbatim in the oracle.
@@ -887,6 +895,11 @@ object SparkEntry {
       "heavy_hitters" ->
         ("SELECT user_id, count(*) AS cnt FROM events " +
           "GROUP BY user_id HAVING count(*) >= 80"),
+
+      "cap_per_key" ->
+        ("SELECT doc_id, lang FROM documents QUALIFY " +
+          "row_number() OVER (PARTITION BY lang " +
+          "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20"),
 
       "count_distinct_agg" ->
         ("SELECT count(DISTINCT o_custkey) AS distinct_custs, " +

@@ -63,4 +63,30 @@ object Sampling {
     }
     df.filter(hexBucket(key) < threshold)
   }
+
+  /** Deterministic per-key cap — "at most `k` documents per domain/
+    * language/source", the anti-spam guard every crawl corpus applies.
+    * Rows are ranked inside each key by content hash (an unbiased,
+    * run-stable shuffle of the key's rows — NOT "first k in file
+    * order", which would bias toward old crawl segments), ties broken
+    * by `tieBreaker` (must be unique per row for determinism), and
+    * rows ranked past `k` drop.
+    *
+    * Scale shape: one shuffle on the cap key, and Spark's rank-limit
+    * pushdown (`WindowGroupLimit`) keeps only k rows per key per map
+    * task BEFORE the shuffle — a hot domain never concentrates its
+    * full fan-in on one reducer's input.
+    */
+  def capPerKey(
+      df: DataFrame,
+      key: Column,
+      tieBreaker: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key)
+      .orderBy(md5(tieBreaker.cast("string")), tieBreaker)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

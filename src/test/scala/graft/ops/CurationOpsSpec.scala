@@ -35,6 +35,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(Sampling.deterministicSample(df, col("text"), 0.0).count() == 0)
   }
 
+  test("capPerKey keeps at most k rows per key, partitioning-invariant") {
+    val df = (0 until 900).map { i =>
+      (i.toLong, if (i % 9 == 0) "rare" else "hot")
+    }.toDF("id", "domain")
+    val capped = Sampling.capPerKey(df, col("domain"), col("id"), k = 50)
+    val byKey = capped.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byKey("hot") == 50L && byKey("rare") == 50L, byKey.toString)
+    // survivor SET is a function of content only, not of partitioning
+    val ids1 = capped.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.capPerKey(df.repartition(7), col("domain"),
+      col("id"), k = 50).select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // the rank-limit pushdown must be in the physical plan
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = (0 until 3000).map { i =>
       (i.toLong, s"text body $i", if (i % 3 == 0) "en" else "zh")
