@@ -1,0 +1,50 @@
+package graft
+
+import graft.SparkSpec
+
+/** Registry-wide plan invariants: EVERY registered query must plan
+  * without the operators that do not survive a 100× scale-up.
+  *
+  *  - `CartesianProduct` (a non-broadcast all-pairs product) may appear
+  *    nowhere: every candidate-pair operator is required to bucket or
+  *    broadcast first.
+  *  - `BroadcastNestedLoopJoin` is the intentional shape ONLY for the
+  *    brute-force ANN baselines and IVF centroid assignment, where one
+  *    side is a deliberately tiny broadcast set (query vectors /
+  *    centroids) — everywhere else it flags a join that lost its equi
+  *    condition.
+  *
+  * Plans are built at sf0.001: plan SHAPE does not depend on the scale
+  * factor (AQE may later replace exchanges, but a cartesian product
+  * never becomes an equi-join at runtime).
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose broadcast nested-loop join is the designed plan. */
+  private val bnljByDesign = Set(
+    "ann_cosine_topk", // brute-force baseline: corpus × broadcast(queries)
+    "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
+    "cosine_neardup_pairs",
+    "quantile_filter") // × broadcast(single-row percentile cutoff)
+
+  test("no registered query plans a CartesianProduct; BNLJ only by design") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to plan at sf0.001: ${e.getMessage}")
+          }
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljByDesign.contains(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
