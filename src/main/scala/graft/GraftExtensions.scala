@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 import graft.functions.{FixWrappedNameExpr, FormatCoordinateExpr, NormalizeWordsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -68,7 +69,30 @@ object GraftExtensions {
         graft.functions.CosineSimExpr),
       binary("graft_dot",
         "_FUNC_(a, b) - Fused dot product of two float arrays.",
-        graft.functions.DotProductExpr))
+        graft.functions.DotProductExpr),
+      binary("graft_intersect_count",
+        "_FUNC_(a, b) - Distinct-intersection size of two string arrays.",
+        graft.functions.IntersectCountExpr),
+      ("graft_shingles",
+        new ExpressionInfo("graft", null, "graft_shingles",
+          "_FUNC_(text, n) - Distinct word n-grams (n a literal int).", ""),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_shingles takes (text, n)")
+          graft.functions.ShinglesExpr(args(0), litInt(args(1), "n"))
+        }),
+      ("graft_minhash",
+        new ExpressionInfo("graft", null, "graft_minhash",
+          "_FUNC_(shingles, k) - k-seed MinHash signature (k a literal int).", ""),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_minhash takes (shingles, k)")
+          graft.functions.MinHashSignatureExpr(args(0), litInt(args(1), "k"))
+        }))
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(i: java.lang.Integer, IntegerType) => i
+    case _ => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $e")
+  }
 
   /** Register into an existing session (post-construction): SQL
     * functions into the function registry, and the HOF-fusion rule via

@@ -97,11 +97,21 @@ object FuseHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Literal +0.0 exactly — a `case Literal(0.0d, _)` constant pattern
+    * also matches -0.0 (numeric equality), and a -0.0 seed yields -0.0
+    * for empty arrays where the fused node yields +0.0.
+    */
+  private def isPositiveZero(e: Expression): Boolean = e match {
+    case Literal(d: java.lang.Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(d) == 0L
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ArrayAggregate(
-            ZipWith(a, b, product), Literal(0.0d, DoubleType), merge, finish)
-          if isFloatArray(a.dataType) && isFloatArray(b.dataType) &&
+      case ArrayAggregate(ZipWith(a, b, product), zero, merge, finish)
+          if isPositiveZero(zero) &&
+            isFloatArray(a.dataType) && isFloatArray(b.dataType) &&
             isPairProduct(product) && isAccumulate(merge) &&
             isIdentity(finish) =>
         DotProductExpr(a, b)

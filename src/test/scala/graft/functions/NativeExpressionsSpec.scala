@@ -48,6 +48,22 @@ class NativeExpressionsSpec extends SparkSpec {
       "03°19'03.44\" N 097°07'41.73\" E")
   }
 
+  test("text-native SQL functions: shingles, minhash, intersect count") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS sh, " +
+        "size(graft_minhash(graft_shingles('a b c d', 3), 8)) AS k, " +
+        "graft_intersect_count(array('a','b'), array('b','c')) AS ic")
+      .head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getInt(1) == 8)
+    assert(r.getLong(2) == 1L)
+    // non-literal n must be rejected, not silently misplanned
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', length('xy'))").collect()
+    }
+  }
+
   test("plan contains no ScalaUDF for the cleanse chain") {
     val df = samples.toDF("s")
       .select(Cleanse.cleanseName(col("s")).as("n"))

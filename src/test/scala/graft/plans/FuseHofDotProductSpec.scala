@@ -55,6 +55,20 @@ class FuseHofDotProductSpec extends SparkSpec {
     assert(fused(nullArr) && nullArr.head.isNullAt(0))
   }
 
+  test("a -0.0 seed does not fuse (its empty-array result is -0.0)") {
+    val df = spark.range(1)
+      .selectExpr("cast(array() as array<float>) as a",
+        "cast(array() as array<float>) as b")
+      .select(org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(
+          col("a"), col("b"), (x, y) => x * y),
+        org.apache.spark.sql.functions.lit(-0.0d),
+        (acc, v) => acc + v).as("d"))
+    assert(!fused(df) && hasHof(df))
+    assert(java.lang.Double.doubleToRawLongBits(df.head.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0d))
+  }
+
   test("double arrays do not fuse and keep HOF semantics") {
     val df = hofDot("array(double(1.5), double(2.5))",
       "array(double(2.0), double(4.0))")
