@@ -296,6 +296,14 @@ object SparkEntry {
       HeavyHitters.exactHeavyHitters(T(s, dir, "events"),
         key = "user_id", minCount = 80L, support = 5e-4)),
 
+    // Same exact result through the engine's own TypedImperativeAggregate
+    // (mergeable Misra-Gries sketch) + broadcast semi-join — no driver
+    // collect. k=2048 keeps the no-miss bound N/(k+1) < 80 at every
+    // tested SF.
+    "heavy_hitters_mg" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHittersMG(T(s, dir, "events"),
+        key = "user_id", minCount = 80L, k = 2048)),
+
     // Distinct aggregates (absent in the reference; Catalyst built-in
     // — expand + two-phase agg, SURVEY §2.4).
     "count_distinct_agg" -> ((s, dir) =>
@@ -893,6 +901,10 @@ object SparkEntry {
           "GROUP BY e.event_type, d.type_weight"),
 
       "heavy_hitters" ->
+        ("SELECT user_id, count(*) AS cnt FROM events " +
+          "GROUP BY user_id HAVING count(*) >= 80"),
+
+      "heavy_hitters_mg" ->
         ("SELECT user_id, count(*) AS cnt FROM events " +
           "GROUP BY user_id HAVING count(*) >= 80"),
 

@@ -42,4 +42,28 @@ object HeavyHitters {
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
   }
+
+  /** Fully distributed variant: the candidate stage is the engine's
+    * own [[graft.functions.MisraGriesAgg]] typed aggregate (partial
+    * sketches per partition, mergeable, one `k`-entry map as the
+    * result), and candidates reach the recount through a broadcast
+    * semi-join — NOTHING is ever collected to the driver, so the
+    * pattern survives candidate sets too large for an `isin` literal.
+    * Caller contract: `minCount > totalRows / (k+1)`, the Misra-Gries
+    * no-miss bound; size `k` to the data (`k >= N/minCount`).
+    */
+  def exactHeavyHittersMG(
+      df: DataFrame,
+      key: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    val keyStr = col(key).cast("string")
+    val candidates = df
+      .agg(graft.functions.MisraGriesAgg.misraGries(keyStr, k).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("__cand"))
+    df.join(broadcast(candidates), keyStr === col("__cand"), "left_semi")
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }
