@@ -117,6 +117,12 @@ object SparkEntry {
   private val SampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.125, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25)
 
+  /** Combining-mark suffix appended for `unicode_nfc`: decomposed
+    * e+COMBINING ACUTE (U+0301) forms that NFC precomposes — the same
+    * constant is rendered into the DuckDB oracle literal.
+    */
+  private val DecomposedSuffix = " désa été"
+
   private def messyName: Column =
     concat(lit("  "), pmod(col("p_partkey"), lit(1000)).cast("string"),
       lit("  "), col("p_name"), lit("\t"))
@@ -696,6 +702,28 @@ object SparkEntry {
     "pii_redact" -> ((s, dir) =>
       Redaction.piiScrub(Redaction.withFakePii(T(s, dir, "documents")))),
 
+    // Unicode NFC normalization (no Spark built-in — native JDK
+    // Normalizer expression) over text with injected combining-mark
+    // sequences; DuckDB's nfc_normalize implements the same standard
+    // algorithm, giving an exact oracle.
+    "unicode_nfc" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(DecomposedSuffix))
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.functions.CurationExprs.nfcNormalize(raw).as("norm_text"),
+        when(graft.functions.CurationExprs.nfcNormalize(raw) =!= raw, 1)
+          .otherwise(0).as("changed"))
+    }),
+
+    // Compression-ratio redundancy signal (Gopher-style boilerplate
+    // screen): single-shot fixed-level deflate size per document.
+    // Rows-only: DuckDB has no zlib surface; determinism and the
+    // repetitive-compresses-better ordering are spec-pinned.
+    "compression_signal" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        graft.functions.CurationExprs.deflateSize(col("text"))
+          .as("deflate_len"))),
+
     // Near-dup clustering: integer-exact n-gram Jaccard edges over a
     // deterministic pair set (adjacent doc_ids, +1/+2), then
     // distributed connected components (min-label propagation with
@@ -912,6 +940,13 @@ object SparkEntry {
         ("SELECT doc_id, lang FROM documents QUALIFY " +
           "row_number() OVER (PARTITION BY lang " +
           "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20"),
+
+      "unicode_nfc" ->
+        (s"SELECT doc_id, nfc_normalize(text || '$DecomposedSuffix') " +
+          "AS norm_text, " +
+          s"CAST(nfc_normalize(text || '$DecomposedSuffix') <> " +
+          s"(text || '$DecomposedSuffix') AS INTEGER) AS changed " +
+          "FROM documents"),
 
       "count_distinct_agg" ->
         ("SELECT count(DISTINCT o_custkey) AS distinct_custs, " +

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Corpus-curation native expressions Spark has no built-in for.
+  *
+  *  - Unicode NFC normalization: crawled text mixes precomposed and
+  *    combining-mark forms of the same grapheme, which breaks every
+  *    downstream equality — exact dedup keys, shingle hashes, join
+  *    keys. Spark exposes no normalizer; this node wraps
+  *    `java.text.Normalizer` (the JDK's Unicode implementation) as a
+  *    codegen'd expression. DuckDB's `nfc_normalize` implements the
+  *    same standard algorithm, which gives the query an exact oracle.
+  *  - Deflate size: the compressed-size/raw-size ratio is the classic
+  *    cheap redundancy signal (boilerplate and template spam compress
+  *    far better than prose). The node runs a single-shot JDK
+  *    `Deflater` at a FIXED level so the value is deterministic for a
+  *    given zlib build; treat cross-version output as an opaque
+  *    signal, not a portable constant (rows-only under the gate).
+  */
+object CurationNative {
+
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  def deflateSize(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
+/** Unicode NFC normalization as a codegen'd expression. */
+case class NfcNormalizeExpr(child: Expression) extends StringMapExpression {
+  override def staticCall: String = "graft.functions.CurationNative.nfc"
+  override def eval(s: String): String = CurationNative.nfc(s)
+  override def prettyName: String = "graft_nfc"
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Single-shot zlib-deflate byte count of a string column. */
+case class DeflateSizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_size"
+  override def nullSafeEval(input: Any): Any =
+    CurationNative.deflateSize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CurationNative.deflateSize($c);")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object CurationExprs {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def nfcNormalize(c: Column): Column = col(NfcNormalizeExpr(expr(c)))
+  def deflateSize(c: Column): Column = col(DeflateSizeExpr(expr(c)))
+}
