@@ -28,17 +28,26 @@ object CurationNative {
   def nfc(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
+  // one zlib state per task thread, reset() per row: a fresh Deflater
+  // allocates ~256 KB of native memory through JNI, and paying that
+  // allocate/free cycle per document would dominate the actual
+  // compression work on a corpus-scale scan. reset() restores the
+  // initial dictionary/state, so output is identical to a fresh
+  // instance. Deflater is not thread-safe but is never shared here.
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, false))
+
   def deflateSize(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(6, false)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 
@@ -52,7 +61,11 @@ case class NfcNormalizeExpr(child: Expression) extends StringMapExpression {
 }
 
 /** Single-shot zlib-deflate byte count of a string column. */
-case class DeflateSizeExpr(child: Expression) extends UnaryExpression {
+case class DeflateSizeExpr(child: Expression)
+    extends UnaryExpression with GraftTypeChecks {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes((child.dataType, "a string argument", isString))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_deflate_size"
   override def nullSafeEval(input: Any): Any =

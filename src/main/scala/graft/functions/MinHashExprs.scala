@@ -94,8 +94,11 @@ object MinHashNative {
   }
 }
 
-abstract class MinHashExprBase extends UnaryExpression {
+abstract class MinHashExprBase extends UnaryExpression with GraftTypeChecks {
   def numHashes: Int
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes((child.dataType, "an array<string> argument", isStringArray))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient protected lazy val seeds: Array[Long] =
     MinHashNative.seeds(numHashes)

@@ -47,6 +47,15 @@ case class MisraGriesAgg(
 
   require(k >= 1, "sketch size k must be positive")
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, " +
+          s"got ${child.dataType.catalogString}")
+
   override def prettyName: String = "graft_misra_gries"
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
@@ -60,11 +69,13 @@ case class MisraGriesAgg(
       input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    // clone: the UTF8String may point into a reused row buffer
-    val item = v.asInstanceOf[UTF8String].clone()
+    // probe with the transient row-backed UTF8String; clone only when
+    // the key is actually inserted (scala HashMap.update on an existing
+    // key retains the original key object, so the hit path never copies)
+    val item = v.asInstanceOf[UTF8String]
     buf.get(item) match {
       case Some(c) => buf.update(item, c + 1)
-      case None if buf.size < k => buf.update(item, 1L)
+      case None if buf.size < k => buf.update(item.clone(), 1L)
       case None =>
         // decrement-all; drop exhausted counters
         val dead = mutable.ArrayBuffer.empty[UTF8String]

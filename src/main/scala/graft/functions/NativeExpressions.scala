@@ -1,11 +1,39 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Explicit input-type validation for the natively-implemented nodes.
+  * These expressions read raw `ArrayData`/`UTF8String` storage
+  * (`getFloat`, `getUTF8String`), so a wrong-typed argument reaching
+  * eval would produce silently garbage values, not an error — and SQL
+  * registration (`GraftExtensions`) makes them user-reachable with
+  * arbitrary argument types. Each node therefore rejects at analysis.
+  */
+trait GraftTypeChecks { self: Expression =>
+  protected def requireTypes(
+      checks: (DataType, String, DataType => Boolean)*): TypeCheckResult = {
+    checks.collectFirst {
+      case (dt, what, ok) if !ok(dt) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires $what, got ${dt.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+  protected val isFloatArray: DataType => Boolean = {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  protected val isString: DataType => Boolean = _ == StringType
+}
 
 /** Native Catalyst expressions for the three procedural cleanse
   * functions — the (b) tier of the engine's extension ladder: a custom
@@ -19,11 +47,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[Coordinates]] (single source of truth, unit-tested against the
   * reference's pinned tables); these nodes are the codegen wrappers.
   */
-abstract class StringMapExpression extends UnaryExpression {
+abstract class StringMapExpression extends UnaryExpression with GraftTypeChecks {
   /** Fully-qualified static method `String => String` to invoke. */
   def staticCall: String
   def eval(s: String): String
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireTypes((child.dataType, "a string argument", isString))
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(eval(input.asInstanceOf[UTF8String].toString))
@@ -79,10 +109,14 @@ case class FormatCoordinateExpr(child: Expression) extends StringMapExpression {
   * (the embedding contract).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftTypeChecks {
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types.DoubleType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireTypes(
+      (left.dataType, "two array<float> arguments", isFloatArray),
+      (right.dataType, "two array<float> arguments", isFloatArray))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -147,10 +181,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * computed in FLOAT then widened into a double accumulator.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftTypeChecks {
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types.DoubleType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireTypes(
+      (left.dataType, "two array<float> arguments", isFloatArray),
+      (right.dataType, "two array<float> arguments", isFloatArray))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
@@ -177,6 +215,8 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -187,9 +227,9 @@ case class DotProductExpr(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    float xi = $a.getFloat($i);
-         |    float yi = $b.getFloat($i);
-         |    $dot += (double) (xi * yi);
+         |    float $xi = $a.getFloat($i);
+         |    float $yi = $b.getFloat($i);
+         |    $dot += (double) ($xi * $yi);
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}

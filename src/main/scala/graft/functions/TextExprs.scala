@@ -92,8 +92,12 @@ object TextNative {
 }
 
 /** `string` (pre-normalized) → `array<string>` distinct word n-grams. */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with GraftTypeChecks {
   require(n >= 1, "shingle width must be positive")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes((child.dataType, "a string argument", isString))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
   override def nullSafeEval(input: Any): Any =
@@ -110,7 +114,12 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   * size; one hash pass instead of materializing `array_intersect`.
   */
 case class IntersectCountExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftTypeChecks {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes(
+      (left.dataType, "two array<string> arguments", isStringArray),
+      (right.dataType, "two array<string> arguments", isStringArray))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_intersect_count"
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -31,16 +31,16 @@ object HeavyHitters {
       support: Double): DataFrame = {
     val candidates: Seq[Any] = df.stat.freqItems(Array(key), support)
       .head.getSeq[Any](0)
-    if (candidates.isEmpty)
-      // no candidate cleared the sketch threshold -> empty result with
-      // the contract schema
-      df.select(col(key)).limit(0)
-        .withColumn("cnt", lit(0L))
-    else
-      df.filter(col(key).isin(candidates: _*))
-        .groupBy(col(key))
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
+    // NULL keys never enter the sketch (and isin never matches NULL,
+    // three-valued logic), but GROUP BY treats NULL as a group — keep
+    // the NULL rows in the recount so the HAVING contract holds exactly
+    val isCandidate =
+      if (candidates.isEmpty) col(key).isNull
+      else col(key).isNull || col(key).isin(candidates: _*)
+    df.filter(isCandidate)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 
   /** Fully distributed variant: the candidate stage is the engine's
@@ -61,7 +61,13 @@ object HeavyHitters {
     val candidates = df
       .agg(graft.functions.MisraGriesAgg.misraGries(keyStr, k).as("mg"))
       .select(explode(map_keys(col("mg"))).as("__cand"))
-    df.join(broadcast(candidates), keyStr === col("__cand"), "left_semi")
+    // NULL keys skip the sketch but form a GROUP BY group; the
+    // column-pruned null-rows scan keeps the HAVING contract exact
+    // (an isNull OR in the semi-join condition would force the join
+    // out of the hash path)
+    val matched =
+      df.join(broadcast(candidates), keyStr === col("__cand"), "left_semi")
+    matched.unionByName(df.filter(col(key).isNull))
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

@@ -29,7 +29,9 @@ object SkewJoin {
   /** Inner equi-join of `big` and `small` on `key`, salted into
     * `buckets` sub-keys. `salt` must be a deterministic per-row column
     * on the big side (e.g. `xxhash64(col("id"))`); it is reduced
-    * `pmod buckets` internally.
+    * `pmod buckets` internally, and a NULL-evaluating salt falls back
+    * to bucket 0 — a NULL sub-key would silently drop the row from the
+    * inner join, breaking row-parity with the plain join.
     */
   def saltedInnerJoin(
       big: DataFrame,
@@ -39,7 +41,7 @@ object SkewJoin {
       buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
     val saltedBig = big.withColumn(
-      "__salt", pmod(salt, lit(buckets)).cast("int"))
+      "__salt", coalesce(pmod(salt, lit(buckets)).cast("int"), lit(0)))
     val replicated = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")

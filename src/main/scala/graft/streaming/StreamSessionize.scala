@@ -36,20 +36,27 @@ case class SessionOut(
   * watermark; each invocation sorts its batch and merges into the open
   * session by the gap rule. An event older than `watermark` is dropped
   * by Spark before the function ever sees it, so a finalized session
-  * can never be reopened.
+  * can never be reopened. `maxLateness <= gap` is REQUIRED: it
+  * guarantees every admitted event lies within `gap` of the open
+  * session's end (`t > watermark >= maxEventTime - lateness >= end -
+  * gap`), so the single-open-session merge is exactly the batch gap
+  * rule. With a longer lateness an admitted event could predate the
+  * open session by more than the gap and would wrongly merge.
   */
 object StreamSessionize {
 
   def sessions(
       events: DataFrame,
       gapMinutes: Int = 30,
-      maxLateness: String = "10 minutes"): Dataset[SessionOut] = {
+      maxLatenessMinutes: Int = 10): Dataset[SessionOut] = {
+    require(maxLatenessMinutes >= 0 && maxLatenessMinutes <= gapMinutes,
+      "maxLateness must be within [0, gap] for exact gap semantics")
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
     events
-      .withWatermark("event_ts", maxLateness)
+      .withWatermark("event_ts", s"$maxLatenessMinutes minutes")
       .select(col("user_id").cast("long").as("user_id"), col("event_ts"))
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
@@ -83,14 +90,21 @@ object StreamSessionize {
             cur match {
               case Some(s) =>
                 val closeAt = s.end + gapMs
-                if (closeAt <= state.getCurrentWatermarkMs()) {
+                val wm = state.getCurrentWatermarkMs()
+                if (closeAt < wm) {
                   // the watermark already passed the would-be timeout:
-                  // emit now (setTimeoutTimestamp would reject the past)
+                  // emit now (setTimeoutTimestamp rejects the past).
+                  // Strictly-less: any future admitted event has
+                  // t >= wm > closeAt, i.e. past the gap — safe.
                   closed ::= finalize(s)
                   state.remove()
                 } else {
                   state.update(s)
-                  state.setTimeoutTimestamp(closeAt)
+                  // timeout must be strictly beyond the watermark; at
+                  // exact equality keep the session open one tick so an
+                  // on-time event at exactly end + gap can still merge
+                  // (the in-batch rule is `t - end <= gap`)
+                  state.setTimeoutTimestamp(math.max(closeAt, wm + 1))
                 }
               case None => ()
             }

@@ -64,6 +64,24 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("wrong-typed arguments fail analysis instead of reading garbage") {
+    GraftExtensions.register(spark)
+    val bad = Seq(
+      // the native nodes read raw float/string storage; double or int
+      // arrays would be silently reinterpreted without the type check
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))",
+      "SELECT graft_cosine(array(1, 2), array(3, 4))",
+      "SELECT graft_intersect_count(array(1, 2), array(2))",
+      "SELECT graft_minhash(array(1, 2), 8)",
+      "SELECT graft_shingles(42, 3)",
+      "SELECT graft_normalize_words(7)")
+    bad.foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(e.getMessage.contains("requires") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), s"$q -> ${e.getMessage}")
+    }
+  }
+
   test("plan contains no ScalaUDF for the cleanse chain") {
     val df = samples.toDF("s")
       .select(Cleanse.cleanseName(col("s")).as("n"))

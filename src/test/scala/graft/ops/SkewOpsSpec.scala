@@ -41,6 +41,33 @@ class SkewOpsSpec extends SparkSpec {
     assert(hh == naive && naive.nonEmpty)
   }
 
+  test("NULL keys form a HAVING group in both heavy-hitter variants") {
+    val df = spark.range(200)
+      .select(when(col("id") < 120, lit(null).cast("string"))
+        .when(col("id") < 190, lit("hot"))
+        .otherwise(concat(lit("u"), col("id"))).as("k"))
+    val expect = Map((null: String) -> 120L, "hot" -> 70L)
+    val a = HeavyHitters.exactHeavyHitters(df, "k", minCount = 50L,
+      support = 0.01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = HeavyHitters.exactHeavyHittersMG(df, "k", minCount = 50L,
+      k = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == expect, a.toString)
+    assert(b == expect, b.toString)
+  }
+
+  test("NULL salt rows survive the salted join") {
+    val big = spark.range(100)
+      .select(col("id"), lit("k1").as("k"),
+        when(col("id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("saltSrc"))
+    val dim = Seq(("k1", 7L)).toDF("k", "w")
+    val joined = SkewJoin.saltedInnerJoin(big, dim, "k",
+      salt = col("saltSrc"), buckets = 8)
+    assert(joined.count() == 100L)
+  }
+
   test("exactHeavyHitters returns the contract schema when nothing qualifies") {
     val df = spark.range(100).select(col("id").as("k")) // all unique
     val out = HeavyHitters.exactHeavyHitters(df, "k", minCount = 5L,

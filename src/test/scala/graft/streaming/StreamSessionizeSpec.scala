@@ -23,7 +23,7 @@ class StreamSessionizeSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
     val out = StreamSessionize.sessions(
-      input.toDF(), gapMinutes = 10, maxLateness = "1 minute")
+      input.toDF(), gapMinutes = 10, maxLatenessMinutes = 1)
     val q = out.writeStream
       .format("memory").queryName("sessions_out")
       .outputMode(OutputMode.Append)
@@ -67,7 +67,7 @@ class StreamSessionizeSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
     val out = StreamSessionize.sessions(
-      input.toDF(), gapMinutes = 10, maxLateness = "15 minutes")
+      input.toDF(), gapMinutes = 10, maxLatenessMinutes = 10)
     val q = out.writeStream
       .format("memory").queryName("sessions_late")
       .outputMode(OutputMode.Append)
@@ -89,5 +89,14 @@ class StreamSessionizeSpec extends SparkSpec {
         .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
       assert(rows.contains((1L, ts(10, 2), ts(10, 10), 2L)), rows.toString)
     } finally q.stop()
+  }
+
+  test("lateness beyond the gap is rejected — merge would not be exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    intercept[IllegalArgumentException] {
+      StreamSessionize.sessions(
+        input.toDF(), gapMinutes = 10, maxLatenessMinutes = 15)
+    }
   }
 }
