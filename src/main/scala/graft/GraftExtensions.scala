@@ -70,6 +70,12 @@ object GraftExtensions {
       binary("graft_dot",
         "_FUNC_(a, b) - Fused dot product of two float arrays.",
         graft.functions.DotProductExpr),
+      unary("graft_nfc",
+        "_FUNC_(str) - Unicode NFC normalization (JDK Normalizer).",
+        graft.functions.NfcNormalizeExpr),
+      unary("graft_deflate_size",
+        "_FUNC_(str) - Fixed-level zlib deflate size of the string.",
+        graft.functions.DeflateSizeExpr),
       binary("graft_intersect_count",
         "_FUNC_(a, b) - Distinct-intersection size of two string arrays.",
         graft.functions.IntersectCountExpr),

@@ -24,6 +24,15 @@ class CurationExprsSpec extends SparkSpec {
     assert(rows.toMap.apply("plain ascii") == "plain ascii")
   }
 
+  test("graft_nfc / graft_deflate_size are callable from SQL") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('été') AS n, " +
+        "graft_deflate_size('abcabcabc') AS z").head
+    assert(r.getString(0) == "été")
+    assert(r.getLong(1) > 0L)
+  }
+
   test("deflateSize: deterministic, repetitive text compresses far better") {
     val repetitive = "spam " * 400
     val prose = (1 to 400).map(i => s"w${i * 7919 % 997}").mkString(" ")
