@@ -48,18 +48,26 @@ object CsvSink {
     Files.createDirectories(Paths.get(destination))
     val tmp = Files.createTempDirectory(
       Paths.get(destination), ".graft-csv-").toString
-    asText.write.mode(SaveMode.Overwrite)
-      .option("header", "true")
-      // Python csv.writer escapes quotes by doubling (QUOTE_MINIMAL);
-      // Spark's default escape is backslash — override both.
-      .option("escape", "\"")
-      .option("quote", "\"")
-      .option("emptyValue", "")
-      .option("nullValue", "")
-      // Python csv.writer terminates rows with CRLF (golden files are
-      // byte-compared — see the od dump of expected_island.csv).
-      .option("lineSep", "\r\n")
-      .csv(tmp)
+    try {
+      asText.write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        // Python csv.writer escapes quotes by doubling (QUOTE_MINIMAL);
+        // Spark's default escape is backslash — override both.
+        .option("escape", "\"")
+        .option("quote", "\"")
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        // Python csv.writer terminates rows with CRLF (golden files are
+        // byte-compared — see the od dump of expected_island.csv).
+        .option("lineSep", "\r\n")
+        .csv(tmp)
+    } catch {
+      // a failed write must not leak the staging dir under the
+      // user-visible destination (repeated failed runs would pile up)
+      case e: Throwable =>
+        deleteRecursively(Paths.get(tmp))
+        throw e
+    }
 
     if (singleFile) {
       val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) {
@@ -83,6 +91,18 @@ object CsvSink {
       val target = Paths.get(destination, s"$outputName.$suffix.csv.d")
       deleteRecursively(target)
       Files.move(Paths.get(tmp), target, StandardCopyOption.REPLACE_EXISTING)
+      // Zero-partition result (same case the singleFile branch guards):
+      // the directory would hold only _SUCCESS — emit the header-only
+      // part so "header row written even when there are zero data
+      // rows" holds for the default layout too.
+      val hasPart = scala.util.Using.resource(Files.list(target)) { s =>
+        s.iterator().asScala.exists(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".csv"))
+      }
+      if (!hasPart)
+        Files.writeString(target.resolve("part-00000-header.csv"),
+          outCols.mkString(",") + "\r\n")
       target
     }
   }

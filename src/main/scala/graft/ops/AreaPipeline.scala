@@ -87,9 +87,11 @@ object AreaPipeline {
     // `cli.py:183-191`) from _extract_rows (no gate) — direct extraction
     // processes any table, like its unit tests do.
     val meta = if (requireMatch) meta0.filter(col("is_area")) else meta0
+    // width gating happens once, below: `=== 6 || >= 7` subsumes any
+    // minimum-width check
     val withMeta = cells
       .join(broadcast(meta), "table_id")
-      .filter(col("row_idx") >= 2 && col("table_width") >= 2)
+      .filter(col("row_idx") >= 2)
 
     // `get` is 0-based and null-safe for ragged rows (ANSI mode on).
     def cell(i: Int): Column = coalesce(get(col("cells"), lit(i)), lit(""))

@@ -52,10 +52,9 @@ object ExtractJob {
       val entityFrames: Seq[(String, DataFrame)] =
         Seq("province", "regency", "district", "village")
           .map(e => e -> AreaPipeline.entity(areaCached, e)) :+
-          ("island" -> islandCached.withColumn("is_populated",
-            col("is_populated").cast("string"))
-            .withColumn("is_outermost_small",
-              col("is_outermost_small").cast("string")))
+          // flags stay Int here; CsvSink casts every column to string
+          // at write (matching the reference's stringify-at-serialize)
+          ("island" -> islandCached)
 
       val written = entityFrames.map { case (entityName, df) =>
         val cfg = config.data.getOrElse(entityName,

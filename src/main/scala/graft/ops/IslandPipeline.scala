@@ -38,10 +38,12 @@ object IslandPipeline {
     * ride a broadcast join as plain ints).
     */
   def inferColumns(headers: Seq[String]): IslandColumns = {
-    def findFirst(pred: String => Boolean): Int = {
-      val i = headers.indexWhere(pred)
-      i
-    }
+    // Left-most column matching the OR'd keyword predicate wins —
+    // exactly the reference's `find_first` scan (`extractors.py:
+    // 219-234`): there is NO keyword priority across columns, so e.g.
+    // headers ["keterangan", "bp/tbp"] resolve status to column 0
+    // (pinned by spec).
+    def findFirst(pred: String => Boolean): Int = headers.indexWhere(pred)
     IslandColumns(
       code = findFirst(h => h.contains("kode") && h.contains("pulau")),
       name = findFirst(h => h.contains("nama")),
@@ -76,7 +78,7 @@ object IslandPipeline {
     if (h4 < 0) (-1, false, -1, -1, -1, -1, -1)
     else {
       val cols = inferColumns(
-        normHeaderRow(top.sortBy(_._1).find(_._1 == h4).get._2))
+        normHeaderRow(top.find(_._1 == h4).get._2))
       (h4, h3 >= 0, cols.code, cols.name, cols.coordinate,
         cols.status, cols.info)
     }

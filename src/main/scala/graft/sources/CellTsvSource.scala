@@ -54,13 +54,53 @@ object CellTsvSource {
   /** Cells field encoding: each cell PREFIXED (not joined) with SOH, so
     * zero cells ("") and one empty cell (a lone SOH) stay distinct —
     * an empty array must round-trip; the table width is load-bearing.
+    *
+    * Cell text is backslash-escaped for the line-oriented container:
+    * raw `\n`/`\r` are routine in PDF-extracted cells (the cleanse
+    * chain exists to strip artifacts like `"1\nBakongan"`), and an
+    * unescaped newline would split one record across two physical
+    * lines — the reader would then crash or silently misalign.
+    * (Embedded TABs are safe as-is: the reader splits with limit 5, so
+    * the cells field keeps everything after the fourth tab.)
     */
   def encodeCells(cells: Seq[String]): String =
-    cells.map(CellSep.toString + _).mkString
+    cells.map(c => CellSep.toString + escape(c)).mkString
 
   def decodeCells(field: String): Array[String] =
     if (field.isEmpty) Array.empty[String]
-    else field.split(CellSep.toString, -1).drop(1)
+    else field.split(CellSep.toString, -1).drop(1).map(unescape)
+
+  private def escape(s: String): String =
+    if (s.indexOf('\\') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+  private def unescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Writer utility for the format (tests, interchange). */
   def write(dir: String, rows: Seq[(Long, Int, Int, Long, Seq[String])]): Unit = {

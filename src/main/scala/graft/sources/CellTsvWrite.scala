@@ -86,8 +86,22 @@ private[sources] class CellTsvWriterFactory(path: String)
 private[sources] class CellTsvDataWriter(path: String, partitionId: Int)
     extends DataWriter[InternalRow] {
 
-  private val byPage = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
-  private val written = mutable.ArrayBuffer.empty[Path]
+  // One open stream per page, fed as rows arrive: buffering a whole
+  // partition's lines in memory (the previous shape) scales task
+  // memory with partition size — an OOM at exactly the corpus sizes
+  // the connector exists for. Memory is now O(pages in partition)
+  // file handles; the reader skips empty lines, so a trailing
+  // newline per file is harmless.
+  private val streams =
+    mutable.Map.empty[Int, (Path, java.io.BufferedWriter)]
+
+  private def streamFor(page: Int): java.io.BufferedWriter =
+    streams.getOrElseUpdate(page, {
+      Files.createDirectories(Paths.get(path))
+      val tmp: Path = Paths.get(path,
+        s".page=$page-p$partitionId-${UUID.randomUUID()}.tmp")
+      (tmp, Files.newBufferedWriter(tmp))
+    })._2
 
   override def write(row: InternalRow): Unit = {
     val cellsData = row.getArray(4)
@@ -95,23 +109,21 @@ private[sources] class CellTsvDataWriter(path: String, partitionId: Int)
       .map(i => cellsData.getUTF8String(i).toString)
     val line = s"${row.getLong(0)}\t${row.getInt(1)}\t${row.getInt(2)}\t" +
       s"${row.getLong(3)}\t${CellTsvSource.encodeCells(cells)}"
-    byPage.getOrElseUpdate(row.getInt(1), mutable.ArrayBuffer.empty) += line
+    val out = streamFor(row.getInt(1))
+    out.write(line)
+    out.write('\n')
   }
 
   override def commit(): WriterCommitMessage = {
-    Files.createDirectories(Paths.get(path))
-    val temps = byPage.toSeq.map { case (page, lines) =>
-      val tmp: Path = Paths.get(path,
-        s".page=$page-p$partitionId-${UUID.randomUUID()}.tmp")
-      written += tmp // tracked BEFORE the write so abort can clean up
-      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      tmp.toString
-    }
-    CellTsvTaskCommit(temps)
+    streams.values.foreach { case (_, w) => w.close() }
+    CellTsvTaskCommit(streams.values.map(_._1.toString).toSeq)
   }
 
-  // A failure mid-commit leaves temps that never reach a commit
+  // A failure mid-write leaves temps that never reach a commit
   // message; the task-side abort is the only place that knows them.
-  override def abort(): Unit = written.foreach(Files.deleteIfExists(_))
+  override def abort(): Unit = streams.values.foreach { case (p, w) =>
+    try w.close() catch { case _: Throwable => () }
+    Files.deleteIfExists(p)
+  }
   override def close(): Unit = ()
 }

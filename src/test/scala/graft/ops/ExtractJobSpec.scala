@@ -65,6 +65,21 @@ class ExtractJobSpec extends SparkSpec {
     assert(lines == List("code,name"))
   }
 
+  test("empty entity keeps the header in the DEFAULT partitioned layout too") {
+    val dest = tmpDir()
+    val cells = CellTables.ofGrid(spark, Seq(
+      Seq("header", "kode pulau", "nama", "koordinat", "status"),
+      Seq("1", "12.01.40001", "Pulau X",
+        "03°19'03.44\" U 097°07'41.73\" T", "BP")))
+    ExtractJob.run(cells, dest.toString, "mf", config) // singleFile = false
+    val dir = dest.resolve("mf.province.csv.d")
+    assert(Files.isDirectory(dir))
+    val headers = Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .flatMap(p => readLines(p).headOption)
+    assert(headers.contains("code,name"), headers.toString)
+  }
+
   test("zero extracted rows raises NoMatchingDataException (A2, cli.py:198-201)") {
     val dest = tmpDir()
     val cells = CellTables.ofGrid(spark, Fixtures.dfAreaUnmatched)

@@ -106,4 +106,18 @@ class IslandPipelineSpec extends SparkSpec {
     assert(rows == List(List("12.01.40001", "12.01",
       "03°19'03.44\" N 097°07'41.73\" E", 1, 0, "Pulau X")))
   }
+
+  test("inferColumns: left-most column wins the OR'd predicate (find_first parity)") {
+    // the reference's find_first (extractors.py:219-234) scans columns
+    // left-to-right with ONE OR'd predicate per target — "keterangan"
+    // before "bp/tbp" resolves status to column 0, not to the
+    // higher-signal keyword at column 1
+    val cols = IslandPipeline.inferColumns(
+      Seq("keterangan", "bp/tbp", "kode pulau", "nama", "koordinat"))
+    assert(cols.status == 0)
+    assert(cols.info == 0)
+    assert(cols.code == 2 && cols.name == 3 && cols.coordinate == 4)
+    // absent targets stay -1
+    assert(IslandPipeline.inferColumns(Seq("a", "b")).code == -1)
+  }
 }

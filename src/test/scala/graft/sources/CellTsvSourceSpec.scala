@@ -85,6 +85,29 @@ class CellTsvSourceSpec extends SparkSpec {
     assert(back.select("page").distinct().as[Int].collect().toSeq == Seq(1))
   }
 
+  test("cells with newlines, CRs, tabs, and backslashes round-trip") {
+    // raw \n in cell text is routine pre-cleanse ("1\nBakongan") — an
+    // unescaped newline would split one record across physical lines
+    val gnarly = Seq(
+      (0L, 1, 0, 0L, Seq("1\nBakongan", "a\rb", "c\r\nd")),
+      (0L, 1, 1, 1L, Seq("tab\there", "back\\slash", "\\n literal")),
+      (0L, 1, 2, 2L, Seq("", "trailing\n")))
+    val dir = Files.createTempDirectory("graft-cellsv-esc-").toString
+    CellTsvSource.write(dir, gnarly)
+    val direct = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("seq").collect()
+      .map(r => r.getSeq[String](r.fieldIndex("cells")).toList).toList
+    assert(direct == gnarly.map(_._5.toList).toList)
+    // and through the DSv2 writer as well
+    val dst = Files.createTempDirectory("graft-cellsv-esc-w-").toString
+    spark.read.format(Fmt).option("path", dir).load()
+      .write.format(Fmt).option("path", dst).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dst).load()
+      .orderBy("seq").collect()
+      .map(r => r.getSeq[String](r.fieldIndex("cells")).toList).toList
+    assert(back == gnarly.map(_._5.toList).toList)
+  }
+
   test("empty cells arrays round-trip (width is load-bearing)") {
     val dir = Files.createTempDirectory("graft-cellsv-empty-").toString
     CellTsvSource.write(dir, Seq(
