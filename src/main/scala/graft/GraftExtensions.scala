@@ -92,6 +92,16 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_minhash takes (shingles, k)")
           graft.functions.MinHashSignatureExpr(args(0), litInt(args(1), "k"))
+        }),
+      ("graft_misra_gries",
+        new ExpressionInfo("graft", null, "graft_misra_gries",
+          "_FUNC_(str, k) - Misra-Gries frequent-items sketch aggregate " +
+            "(k a literal int); map of candidate -> lower-bound count.", ""),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_misra_gries takes (col, k)")
+          // a bare AggregateFunction from a builder is wrapped into an
+          // AggregateExpression by the analyzer, like built-in sum()
+          graft.functions.MisraGriesAgg(args(0), litInt(args(1), "k"))
         }))
 
   private def litInt(e: Expression, name: String): Int = e match {

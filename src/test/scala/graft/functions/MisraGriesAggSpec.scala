@@ -40,6 +40,15 @@ class MisraGriesAggSpec extends SparkSpec {
       k = 512).count() == 0L)
   }
 
+  test("graft_misra_gries is callable as a SQL aggregate") {
+    graft.GraftExtensions.register(spark)
+    val m = spark.sql(
+      "SELECT graft_misra_gries(w, 4) AS mg FROM VALUES " +
+        "('a'),('a'),('a'),('b'),('c') AS t(w)")
+      .selectExpr("mg['a'] AS a").head
+    assert(m.getLong(0) >= 1L) // 'a' dominates: must be present
+  }
+
   test("serialization round-trips the buffer exactly") {
     val agg = MisraGriesAgg(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w")), 4)
