@@ -296,19 +296,21 @@ object SparkEntry {
     // Two-pass exact heavy hitters: freqItems sketch (no false
     // negatives above support) prunes to candidates, then an exact
     // recount keyed only on candidates — GROUP BY HAVING semantics
-    // without the full-cardinality shuffle. support 5e-4 <= minCount/N
-    // at every tested SF, preserving the no-miss guarantee.
+    // without the full-cardinality shuffle. support derives from the
+    // ACTUAL row count (minCount/N with 2× margin), so the no-miss
+    // guarantee holds at any SF rather than only where a pinned
+    // constant happens to sit below minCount/N.
     "heavy_hitters" -> ((s, dir) =>
-      HeavyHitters.exactHeavyHitters(T(s, dir, "events"),
-        key = "user_id", minCount = 80L, support = 5e-4)),
+      HeavyHitters.exactHeavyHittersAuto(T(s, dir, "events"),
+        key = "user_id", minCount = 80L)),
 
     // Same exact result through the engine's own TypedImperativeAggregate
     // (mergeable Misra-Gries sketch) + broadcast semi-join — no driver
-    // collect. k=2048 keeps the no-miss bound N/(k+1) < 80 at every
-    // tested SF.
+    // collect. k likewise derives from the actual row count to keep
+    // the N/(k+1) < minCount no-miss bound at any SF.
     "heavy_hitters_mg" -> ((s, dir) =>
-      HeavyHitters.exactHeavyHittersMG(T(s, dir, "events"),
-        key = "user_id", minCount = 80L, k = 2048)),
+      HeavyHitters.exactHeavyHittersMGAuto(T(s, dir, "events"),
+        key = "user_id", minCount = 80L)),
 
     // Distinct aggregates (absent in the reference; Catalyst built-in
     // — expand + two-phase agg, SURVEY §2.4).

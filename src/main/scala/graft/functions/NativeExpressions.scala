@@ -101,12 +101,15 @@ case class FormatCoordinateExpr(child: Expression) extends StringMapExpression {
   * the dot plus two self-dots for the norms) materializes three
   * intermediate arrays per row and evaluates its lambdas through the
   * interpreted HigherOrderFunction path; this node is one fused loop
-  * in generated Java inside whole-stage codegen. Semantics mirror the
+  * in generated Java inside whole-stage codegen. On well-formed
+  * embeddings (equal-length, no null elements) semantics mirror the
   * HOF version bit-for-bit: products are computed in FLOAT then
-  * widened, accumulation is in double, zero denominator → 0.0 —
-  * so swapping it under the oracled ANN queries changes nothing but
-  * time. Arrays are assumed equal-length non-null-element vectors
-  * (the embedding contract).
+  * widened, accumulation is in double, zero denominator → 0.0 — so
+  * swapping it under the oracled ANN queries changes nothing but
+  * time. Malformed input null-poisons exactly like [[DotProductExpr]]
+  * (and like the HOF chain itself): mismatched lengths or any null
+  * element → NULL, never a silently-plausible number — the function
+  * is SQL-reachable (`graft_cosine`), so arbitrary arrays can arrive.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression with GraftTypeChecks {
@@ -118,15 +121,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
       (left.dataType, "two array<float> arguments", isFloatArray),
       (right.dataType, "two array<float> arguments", isFloatArray))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i); val yi = y.getFloat(i)
       dot += (xi * yi).toDouble // float product then widen = HOF order
       na += (xi * xi).toDouble
@@ -149,18 +155,27 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  float $xi = $a.getFloat($i);
-         |  float $yi = $b.getFloat($i);
-         |  $dot += (double) ($xi * $yi);
-         |  $na += (double) ($xi * $xi);
-         |  $nb += (double) ($yi * $yi);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    float $xi = $a.getFloat($i);
+         |    float $yi = $b.getFloat($i);
+         |    $dot += (double) ($xi * $yi);
+         |    $na += (double) ($xi * $xi);
+         |    $nb += (double) ($yi * $yi);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom =
+         |      java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  }
          |}
-         |double $denom =
-         |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

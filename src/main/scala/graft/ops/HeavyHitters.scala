@@ -24,6 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** [[exactHeavyHitters]] with `support` derived from the ACTUAL row
+    * count, so the no-false-negative bound `support <= minCount / N`
+    * holds at any input size instead of silently breaking when the
+    * data outgrows a hand-pinned constant. The count is one
+    * column-pruned pass (metadata-only on plain parquet scans); the
+    * derived support takes a 2× safety margin below the threshold.
+    * Spark's freqItems floors support at 1e-4 (sketch size 1/support),
+    * so inputs where `minCount / N < 1e-4` cannot keep the guarantee
+    * in this sketch — that is detected and REJECTED here, never
+    * silently degraded; use [[exactHeavyHittersMG]] with a sized `k`
+    * for those.
+    */
+  def exactHeavyHittersAuto(
+      df: DataFrame,
+      key: String,
+      minCount: Long): DataFrame = {
+    val n = math.max(df.count(), 1L)
+    val exact = minCount.toDouble / n
+    val support = math.max(exact / 2.0, 1e-4)
+    require(support <= exact,
+      s"no-miss bound unsatisfiable in freqItems: minCount/N = $exact " +
+        s"< 1e-4 sketch floor (N=$n, minCount=$minCount); " +
+        "use exactHeavyHittersMG with k >= N/minCount")
+    exactHeavyHitters(df, key, minCount, support)
+  }
+
   def exactHeavyHitters(
       df: DataFrame,
       key: String,
@@ -52,6 +78,26 @@ object HeavyHitters {
     * Caller contract: `minCount > totalRows / (k+1)`, the Misra-Gries
     * no-miss bound; size `k` to the data (`k >= N/minCount`).
     */
+  /** [[exactHeavyHittersMG]] with `k` derived from the ACTUAL row
+    * count: the Misra-Gries no-miss bound needs `k + 1 > N / minCount`.
+    * `maxK` caps the sketch's memory (each of the k entries lives in
+    * every partial aggregate); exceeding it throws rather than
+    * silently dropping true heavy hitters.
+    */
+  def exactHeavyHittersMGAuto(
+      df: DataFrame,
+      key: String,
+      minCount: Long,
+      maxK: Int = 1 << 22): DataFrame = {
+    val n = math.max(df.count(), 1L)
+    val needed = n / minCount + 1 // k >= ceil(N/minCount) ⇒ N/(k+1) < minCount
+    require(needed <= maxK,
+      s"Misra-Gries sketch would need k=$needed > maxK=$maxK entries " +
+        s"for the no-miss bound (N=$n, minCount=$minCount); raise maxK " +
+        "if the memory cost is acceptable")
+    exactHeavyHittersMG(df, key, minCount, k = needed.toInt)
+  }
+
   def exactHeavyHittersMG(
       df: DataFrame,
       key: String,

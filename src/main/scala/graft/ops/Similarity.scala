@@ -37,8 +37,12 @@ object Similarity {
 
   /** Cosine similarity; 0 when either side has zero norm. Backed by the
     * native codegen'd [[graft.functions.CosineSimExpr]] — one fused
-    * loop per row instead of three interpreted HOF array passes;
-    * bit-identical to [[cosineHof]] (pinned by spec), just faster.
+    * loop per row instead of three interpreted HOF array passes.
+    * Bit-identical to [[cosineHof]] on well-formed embeddings
+    * (equal-length, no null elements; pinned by spec). Malformed input
+    * null-poisons: ragged lengths or a null element → NULL — stricter
+    * than [[cosineHof]] only on the ragged+zero-norm corner, where the
+    * HOF's denominator-first check manufactures a 0.0.
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.NativeExpressions.cosineSim(a, b)

@@ -71,13 +71,17 @@ object CellTsvSource {
     else field.split(CellSep.toString, -1).drop(1).map(unescape)
 
   private def escape(s: String): String =
-    if (s.indexOf('\\') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    if (s.indexOf('\\') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0 &&
+        s.indexOf(CellSep) < 0) s
     else {
       val sb = new StringBuilder(s.length + 8)
       s.foreach {
         case '\\' => sb.append("\\\\")
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
+        // the cell separator itself: a raw SOH inside cell text would
+        // split one cell into two on read, shifting every later column
+        case CellSep => sb.append("\\x01")
         case c => sb.append(c)
       }
       sb.toString
@@ -95,6 +99,8 @@ object CellTsvSource {
             case 'n' => sb.append('\n'); i += 2
             case 'r' => sb.append('\r'); i += 2
             case '\\' => sb.append('\\'); i += 2
+            case 'x' if s.regionMatches(i + 2, "01", 0, 2) =>
+              sb.append(CellSep); i += 4
             case _ => sb.append(c); i += 1
           }
         } else { sb.append(c); i += 1 }

@@ -64,7 +64,14 @@ class NativeParitySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
-  test("fused dot-product parity on random float arrays incl. NaN/Inf") {
+  test("dot-product + cosine parity on random float arrays incl. NaN/Inf") {
+    // NOTE: FuseHofDotProduct (registered on this session) rewrites the
+    // Similarity.dot HOF chain into the same DotProductExpr node the
+    // direct column builds, so comparing those two columns alone would
+    // be vacuous. The ground truth here is therefore an INDEPENDENT
+    // Scala replica of the HOF semantics (zip_with null-pads ragged
+    // arrays, aggregate null-poisons, products in FLOAT then widened),
+    // and both plan-evaluated columns must match it bit-for-bit.
     val specials = Seq(Float.NaN, Float.PositiveInfinity,
       Float.NegativeInfinity, 0.0f, -0.0f, 1e30f, -1e-30f)
     def vec(n: Int): Seq[java.lang.Float] = Seq.fill(n) {
@@ -73,31 +80,46 @@ class NativeParitySpec extends SparkSpec {
       else if (r < 9) java.lang.Float.valueOf(specials(rnd.nextInt(specials.length)))
       else null // null element -> both sides must yield NULL
     }
-    val rows = Seq.fill(300) {
+    val inputs = (0 until 300).map { i =>
       val n = rnd.nextInt(6)
       val m = if (rnd.nextInt(4) == 0) rnd.nextInt(6) else n // some ragged
-      Row(vec(n), vec(m))
+      (i, vec(n), vec(m))
     }
+    def refDot(a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Option[Double] = {
+      if (a.length != b.length || a.contains(null) || b.contains(null)) None
+      else Some(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.floatValue * y.floatValue).toDouble
+      })
+    }
+    def refCos(a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Option[Double] =
+      refDot(a, b).map { d =>
+        val denom = math.sqrt(refDot(a, a).get) * math.sqrt(refDot(b, b).get)
+        if (denom == 0.0) 0.0 else d / denom
+      }
+    val rows = inputs.map { case (i, a, b) => Row(i, a, b) }
     val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
       StructField("a", ArrayType(FloatType, containsNull = true)),
       StructField("b", ArrayType(FloatType, containsNull = true))))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), schema)
-    val got = df.select(
+    val got = df.select(col("id"),
       Similarity.dot(col("a"), col("b")).as("fused"), // rewritten by rule
       graft.functions.NativeExpressions.dotProduct(col("a"), col("b"))
-        .as("direct"))
-      .collect()
-    // the fused HOF formulation and the direct native node must agree
-    // bit-for-bit, NaN and signed zero included
-    got.foreach { r =>
-      val x = if (r.isNullAt(0)) null
-        else java.lang.Long.valueOf(
-          java.lang.Double.doubleToLongBits(r.getDouble(0)))
-      val y = if (r.isNullAt(1)) null
-        else java.lang.Long.valueOf(
-          java.lang.Double.doubleToLongBits(r.getDouble(1)))
-      assert(x == y, s"row mismatch: $r")
+        .as("direct"),
+      Similarity.cosine(col("a"), col("b")).as("cos"))
+      .collect().map(r => r.getInt(0) ->
+        (Seq(1, 2, 3).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getDouble(i)))))
+      .toMap
+    def bits(o: Option[Double]): Option[Long] =
+      o.map(java.lang.Double.doubleToLongBits)
+    inputs.foreach { case (i, a, b) =>
+      val Seq(fused, direct, cos) = got(i)
+      val wantDot = refDot(a, b)
+      assert(bits(fused) == bits(wantDot), s"fused dot mismatch id=$i a=$a b=$b")
+      assert(bits(direct) == bits(wantDot), s"direct dot mismatch id=$i a=$a b=$b")
+      assert(bits(cos) == bits(refCos(a, b)), s"cosine mismatch id=$i a=$a b=$b")
     }
   }
 }

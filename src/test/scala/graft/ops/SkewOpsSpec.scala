@@ -68,6 +68,29 @@ class SkewOpsSpec extends SparkSpec {
     assert(joined.count() == 100L)
   }
 
+  test("Auto variants derive sound bounds from the actual row count") {
+    val df = spark.range(1, 3000)
+      .select((lit(3000) / col("id")).cast("long").as("k"))
+    val naive = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 50L)
+      .as[(Long, Long)].collect().toMap
+    val a = HeavyHitters.exactHeavyHittersAuto(df, "k", minCount = 50L)
+      .as[(Long, Long)].collect().toMap
+    val b = HeavyHitters.exactHeavyHittersMGAuto(df, "k", minCount = 50L)
+      .as[(Long, Long)].collect().toMap
+    assert(a == naive && b == naive && naive.nonEmpty)
+    // unsatisfiable bounds must throw, never silently drop hitters:
+    // freqItems floors support at 1e-4, so minCount/N below that is out
+    val big = spark.range(200000).select((col("id") % 100000).as("k"))
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHittersAuto(big, "k", minCount = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHittersMGAuto(big, "k", minCount = 2L,
+        maxK = 1024)
+    }
+  }
+
   test("exactHeavyHitters returns the contract schema when nothing qualifies") {
     val df = spark.range(100).select(col("id").as("k")) // all unique
     val out = HeavyHitters.exactHeavyHitters(df, "k", minCount = 5L,

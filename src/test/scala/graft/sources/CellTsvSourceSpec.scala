@@ -91,7 +91,11 @@ class CellTsvSourceSpec extends SparkSpec {
     val gnarly = Seq(
       (0L, 1, 0, 0L, Seq("1\nBakongan", "a\rb", "c\r\nd")),
       (0L, 1, 1, 1L, Seq("tab\there", "back\\slash", "\\n literal")),
-      (0L, 1, 2, 2L, Seq("", "trailing\n")))
+      (0L, 1, 2, 2L, Seq("", "trailing\n")),
+      // the SOH cell separator itself, plus lookalikes that must NOT
+      // be confused with its \x01 escape: a raw SOH splitting a cell
+      // would shift every later column
+      (0L, 1, 3, 3L, Seq("soh", "", "literal \\x01", "a\\b")))
     val dir = Files.createTempDirectory("graft-cellsv-esc-").toString
     CellTsvSource.write(dir, gnarly)
     val direct = spark.read.format(Fmt).option("path", dir).load()
