@@ -830,7 +830,88 @@ object SparkEntry {
       TextDedup.contaminationHits(
         docs.filter(col("doc_id") < 480),
         docs.filter(col("doc_id") >= 480), n = 3)
-    }))
+    }),
+
+    // Bloom-pruned join (the runtime-filter pattern as a first-class
+    // operator): fact rows that can't match the filtered dim die at
+    // the scan, BEFORE the join shuffle; the exact join over survivors
+    // makes the result row-identical to the plain join — which is
+    // exactly what the oracle replays.
+    "bloom_prune_join" -> ((s, dir) => {
+      val build = T(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      BloomPrune.prunedEquiJoin(
+        T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        build, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
+    }),
+
+    // Binned range join: lineitems shipped within 14 days of each
+    // big-ticket order's date — an interval×point join executed as an
+    // EQUI-join on a quantized day bin (+ exact BETWEEN residual),
+    // never the BNLJ/cartesian Spark would plan for a bare inequality
+    // condition.
+    "range_join_binned" -> ((s, dir) => {
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      val intervals = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 495000.0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 13)
+      val points = T(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      RangeJoin.pointInInterval(points, intervals,
+        col("ship_day"), col("start_day"), col("end_day"), binWidth = 14L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Per-document top-5 TF-IDF terms; integer-exact output, the IDF
+    // float only orders rows (rounded to 4dp before ranking so an
+    // engine ulp can't flip it).
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(T(s, dir, "documents"), k = 5)),
+
+    // CUBE over the same keys rollup_agg rolls up — all four grouping
+    // sets in one Expand + hash aggregate pass.
+    "cube_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("cnt"))),
+
+    // Pivot (wide conditional aggregation): order counts per status ×
+    // priority. Values enumerated so the output schema is static; the
+    // absent-combination NULLs are coalesced to 0 to match the
+    // conditional-sum oracle.
+    "pivot_agg" -> ((s, dir) => {
+      val prios = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+        "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "not_specified",
+        "5-LOW" -> "low")
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios.map(_._1))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +: prios.map { case (v, a) =>
+          coalesce(col(s"`$v`"), lit(0L)).as(a)
+        }: _*)
+    }),
+
+    // Aggregate-based argmax (max_by on a struct ordering key): each
+    // customer's highest-value order in ONE hash aggregate — no
+    // per-group sort, no window shuffle; ties broken by orderkey so
+    // the result is deterministic.
+    "argmax_per_group" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_orderkey"),
+          max(col("o_totalprice")).as("top_price"))))
 
   // ------------------------------------------------------------- oracles
 
@@ -1405,6 +1486,66 @@ object SparkEntry {
            |FROM sh t JOIN sh e
            |  ON t.doc_id < 480 AND e.doc_id >= 480
            | AND len(list_intersect(t.sh, e.sh)) > 0"""
-          .stripMargin.replaceAll("\\s+", " ").trim))
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // The bloom pass is a pure shuffle-thinner (no false negatives +
+      // exact residual join), so the oracle is simply the plain join.
+      "bloom_prune_join" ->
+        ("SELECT o_orderkey, o_custkey, c_acctbal FROM orders " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "WHERE c_acctbal > 9000.0"),
+
+      // The binning is row-preserving (each point has one bin, bin-equal
+      // is necessary for BETWEEN), so the oracle replays the naive
+      // interval join. Dates are timestamp[ms] in the data — CAST to
+      // DATE reproduces Spark datediff()'s day arithmetic exactly.
+      "range_join_binned" ->
+        ("SELECT o_orderkey, count(*) AS n_shipped, " +
+          "sum(l_quantity) AS sum_qty FROM orders JOIN lineitem " +
+          "ON CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE) " +
+          "AND CAST(o_orderdate AS DATE) + 13 " +
+          "WHERE o_totalprice > 495000.0 GROUP BY o_orderkey"),
+
+      // Same tokenization as term_doc_freq; ln() is Spark log()'s
+      // natural log; the 4dp-rounded score exists only inside ORDER BY
+      // in both engines, so the compared columns stay integer-exact.
+      "tfidf_top_terms" ->
+        (s"""WITH tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+           |      AS term FROM documents) GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+           |SELECT doc_id, term, tf, df,
+           |  CAST(row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY round(tf * ln(n_docs / df), 4) DESC, term)
+           |    AS INTEGER) AS rk
+           |FROM tf JOIN df USING (term) CROSS JOIN nd
+           |QUALIFY rk <= 5"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "cube_agg" ->
+        ("SELECT coalesce(l_returnflag, '(all)') AS returnflag, " +
+          "coalesce(l_linestatus, '(all)') AS linestatus, " +
+          "sum(l_quantity) AS sum_qty, count(*) AS cnt FROM lineitem " +
+          "GROUP BY CUBE (l_returnflag, l_linestatus)"),
+
+      "pivot_agg" ->
+        ("SELECT o_orderstatus, " +
+          "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent, " +
+          "count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high, " +
+          "count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium, " +
+          "count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') " +
+          "AS not_specified, " +
+          "count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low " +
+          "FROM orders GROUP BY o_orderstatus"),
+
+      // max_by over struct(price, orderkey) ≡ highest price, ties to the
+      // highest orderkey — exactly rn=1 under (price DESC, key DESC).
+      "argmax_per_group" ->
+        ("SELECT o_custkey, o_orderkey AS top_orderkey, " +
+          "o_totalprice AS top_price FROM orders " +
+          "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey DESC) = 1"))
   }
 }

@@ -170,6 +170,35 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
+  /** Per-document top-k terms by TF-IDF — the classic relevance
+    * weighting, shaped for scale: token explode → two hash aggregates
+    * (term frequency per doc, document frequency per term) → the tiny
+    * df table re-joined BROADCAST → per-doc top-k via row_number (rank
+    * pushdown turns it into WindowGroupLimit, never a global sort).
+    *
+    * Output is integer-exact (doc_id, term, tf, df, rk): the IDF
+    * product is only used to ORDER within a doc, rounded to 4 decimals
+    * first so the ranking can't flip on a last-ulp disagreement between
+    * engines' `ln`; the float itself never leaves the plan.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(TextDedup.normText(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "rk")
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -27,7 +27,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_cosine_topk", // brute-force baseline: corpus × broadcast(queries)
     "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
     "cosine_neardup_pairs",
-    "quantile_filter") // × broadcast(single-row percentile cutoff)
+    "quantile_filter",  // × broadcast(single-row percentile cutoff)
+    "tfidf_top_terms")  // × broadcast(single-row corpus doc count)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RangeJoin contract: bin-equi-join + BETWEEN residual reproduces the
+  * naive interval join verbatim — including intervals that span many
+  * bins, negative coordinates (floor-div, not truncate-div), and
+  * boundary-exact endpoints — while planning as an equi-join.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  private def points = spark.range(-500, 500)
+    .select(col("id").as("p"), (col("id") % 7).as("tag"))
+  // overlapping intervals of varied width, some spanning many bins
+  private def intervals = spark.range(-50, 50)
+    .select((col("id") * 17).as("s"),
+      (col("id") * 17 + (col("id") % 5 + 1) * 13).as("e"),
+      col("id").as("iv_id"))
+    .filter(col("s") <= col("e"))
+
+  private def naive = points.join(intervals,
+    col("p") >= col("s") && col("p") <= col("e"))
+    .select("p", "tag", "s", "e", "iv_id")
+
+  for (w <- Seq(1L, 10L, 64L)) {
+    test(s"binWidth=$w matches the naive interval join") {
+      val binned = RangeJoin.pointInInterval(
+        points, intervals, col("p"), col("s"), col("e"), binWidth = w)
+        .select("p", "tag", "s", "e", "iv_id")
+      assert(binned.exceptAll(naive).isEmpty &&
+        naive.exceptAll(binned).isEmpty)
+      assert(binned.count() == naive.count())
+    }
+  }
+
+  test("plans as an equi-join: no BNLJ, no cartesian product") {
+    val plan = RangeJoin.pointInInterval(
+      points, intervals, col("p"), col("s"), col("e"), binWidth = 14L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rejects a non-positive binWidth") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        points, intervals, col("p"), col("s"), col("e"), binWidth = 0L)
+    }
+  }
+}
