@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.FuseHofDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }
 
@@ -120,9 +121,9 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
+    val rules = Seq(graft.plans.FuseHofDotProduct, graft.plans.RewriteRangeJoin)
     val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.plans.FuseHofDotProduct))
-      spark.experimental.extraOptimizations =
-        extra :+ graft.plans.FuseHofDotProduct
+    spark.experimental.extraOptimizations =
+      extra ++ rules.filterNot(extra.contains)
   }
 }

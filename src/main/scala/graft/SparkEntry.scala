@@ -868,6 +868,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shipped"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // The same interval join written NAIVELY — no explicit binning.
+    // The RewriteRangeJoin optimizer rule (GraftExtensions) turns the
+    // inequality-only join into the binned equi-join plan on its own;
+    // PlanInvariantsSpec pins that no BNLJ/cartesian survives here.
+    "range_join_auto" -> ((s, dir) => {
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      val intervals = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 495000.0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 13)
+      val points = T(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      points.join(intervals,
+        col("ship_day") >= col("start_day") &&
+          col("ship_day") <= col("end_day"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // Per-document top-5 TF-IDF terms; integer-exact output, the IDF
     // float only orders rows (rounded to 4dp before ranking so an
     // engine ulp can't flip it).
@@ -1500,6 +1521,15 @@ object SparkEntry {
       // interval join. Dates are timestamp[ms] in the data — CAST to
       // DATE reproduces Spark datediff()'s day arithmetic exactly.
       "range_join_binned" ->
+        ("SELECT o_orderkey, count(*) AS n_shipped, " +
+          "sum(l_quantity) AS sum_qty FROM orders JOIN lineitem " +
+          "ON CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE) " +
+          "AND CAST(o_orderdate AS DATE) + 13 " +
+          "WHERE o_totalprice > 495000.0 GROUP BY o_orderkey"),
+
+      // identical semantics to range_join_binned — the Spark side
+      // differs only in WHO does the binning (the optimizer rule)
+      "range_join_auto" ->
         ("SELECT o_orderkey, count(*) AS n_shipped, " +
           "sum(l_quantity) AS sum_qty FROM orders JOIN lineitem " +
           "ON CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE) " +

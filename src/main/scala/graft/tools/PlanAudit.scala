@@ -23,6 +23,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same session shape as Verify/Bench: graft SQL functions + the
+    // FuseHofDotProduct / RewriteRangeJoin optimizer rules installed
+    graft.GraftExtensions.register(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
