@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.FuseHofDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -125,5 +126,9 @@ object GraftExtensions {
     val extra = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       extra ++ rules.filterNot(extra.contains)
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        strategies :+ graft.plans.AsofJoinStrategy
   }
 }

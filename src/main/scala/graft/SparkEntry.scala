@@ -804,6 +804,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
           coalesce(col("purchase_ts"), lit(-1L)).as("prior_purchase_us"))),
 
+    // The same as-of lookup through the NATIVE operator (AsofJoin
+    // logical node -> AsofJoinStrategy -> AsofJoinExec merge): each
+    // side shuffles on its own key and the join is one forward-only
+    // merge per partition. Oracle identical to asof_prior_purchase.
+    "asof_join_native" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      graft.plans.Asof.joinBackward(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("p_ts")),
+        "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          coalesce(col("p_ts"), lit(-1L)).as("prior_purchase_us"))
+    }),
+
     // Overlapping token-window chunking (64-token windows, stride 48) —
     // scan → generate, no shuffle. repartition: single-file fixture
     // (cf. minhash_candidates note).
@@ -1444,6 +1460,14 @@ object SparkEntry {
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       "asof_prior_purchase" ->
+        ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, " +
+          "COALESCE(epoch_us(r.ts), -1) AS prior_purchase_us " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+          "ASOF LEFT JOIN " +
+          "(SELECT * FROM events WHERE event_type = 'purchase') r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+
+      "asof_join_native" ->
         ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, " +
           "COALESCE(epoch_us(r.ts), -1) AS prior_purchase_us " +
           "FROM (SELECT * FROM events WHERE event_type = 'click') l " +

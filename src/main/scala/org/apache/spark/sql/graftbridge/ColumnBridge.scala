@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4 — same shim rationale as above; needed
+    * to surface custom logical operators like graft's AsofJoin through
+    * the public DataFrame API).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Native as-of join: merge semantics pinned against an in-memory
+  * brute force on randomized data, plan shape pinned (AsofJoinExec,
+  * both sides shuffled on their own key), edges (no match, null keys,
+  * timestamp ties, empty right) exercised.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Long, Long)], names: (String, String, String)) = {
+    import graft.SparkTestSession.spark.implicits._
+    rows.toDF(names._1, names._2, names._3)
+      .repartition(3) // force real shuffles/sorts, not a 1-partition accident
+  }
+
+  test("matches an in-memory brute force on randomized data") {
+    val rnd = new Random(7)
+    val lefts = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+    val rights = Seq.tabulate(300)(i =>
+      (1000L + i, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+
+    val out = Asof.joinBackward(
+      df(lefts, ("l_id", "l_key", "l_ts")),
+      df(rights, ("r_id", "r_key", "r_ts")),
+      "l_key", "r_key", "l_ts", "r_ts")
+      .select(col("l_id"), coalesce(col("r_ts"), lit(-1L)).as("m_ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val expected = lefts.map { case (id, k, t) =>
+      val cands = rights.filter(r => r._2 == k && r._3 <= t)
+      id -> (if (cands.isEmpty) -1L else cands.map(_._3).max)
+    }.toMap
+    assert(out.size == lefts.size) // every left row exactly once
+    assert(out == expected)
+  }
+
+  test("plan contains AsofJoinExec with both sides exchanged and sorted") {
+    val out = Asof.joinBackward(
+      df(Seq((1L, 1L, 10L)), ("l_id", "l_key", "l_ts")),
+      df(Seq((2L, 1L, 5L)), ("r_id", "r_key", "r_ts")),
+      "l_key", "r_key", "l_ts", "r_ts")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan) // SparkPlan prints sans "Exec"
+    assert("hashpartitioning\\((l_key|r_key)".r
+      .findAllIn(plan).size >= 2, plan)
+  }
+
+  test("timestamp ties: a right row at exactly t matches (<= contract)") {
+    val out = Asof.joinBackward(
+      df(Seq((1L, 1L, 10L)), ("l_id", "l_key", "l_ts")),
+      df(Seq((2L, 1L, 10L)), ("r_id", "r_key", "r_ts")),
+      "l_key", "r_key", "l_ts", "r_ts")
+    assert(out.select("r_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("null keys and null timestamps never match, rows still emitted") {
+    import graft.SparkTestSession.spark.implicits._
+    val left = Seq(
+      (1L, Some(1L), Some(10L)), (2L, None, Some(10L)),
+      (3L, Some(1L), None)).toDF("l_id", "l_key", "l_ts").repartition(2)
+    val right = Seq(
+      (7L, Some(1L), Some(5L)), (8L, None, Some(1L)),
+      (9L, Some(1L), None)).toDF("r_id", "r_key", "r_ts").repartition(2)
+    val got = Asof.joinBackward(left, right,
+      "l_key", "r_key", "l_ts", "r_ts")
+      .select(col("l_id"), col("r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(1L -> 7L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("empty right side: all left rows emit with nulls") {
+    import graft.SparkTestSession.spark.implicits._
+    val left = df(Seq((1L, 1L, 10L), (2L, 2L, 20L)), ("l_id", "l_key", "l_ts"))
+    val right = Seq.empty[(Long, Long, Long)]
+      .toDF("r_id", "r_key", "r_ts")
+    val got = Asof.joinBackward(left, right,
+      "l_key", "r_key", "l_ts", "r_ts")
+    assert(got.count() == 2 && got.filter(col("r_id").isNull).count() == 2)
+  }
+
+  test("unknown column name fails fast with the side named") {
+    val l = df(Seq((1L, 1L, 1L)), ("a", "b", "c"))
+    val e = intercept[IllegalArgumentException] {
+      Asof.joinBackward(l, l, "nope", "a", "c", "c")
+    }
+    assert(e.getMessage.contains("left side has no column 'nope'"))
+  }
+}
