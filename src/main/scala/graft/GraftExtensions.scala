@@ -81,6 +81,9 @@ object GraftExtensions {
       binary("graft_intersect_count",
         "_FUNC_(a, b) - Distinct-intersection size of two string arrays.",
         graft.functions.IntersectCountExpr),
+      binary("graft_zorder",
+        "_FUNC_(x, y) - 64-bit Morton (Z-order) code of two bigints.",
+        graft.functions.ZOrderExpr),
       ("graft_shingles",
         new ExpressionInfo("graft", null, "graft_shingles",
           "_FUNC_(text, n) - Distinct word n-grams (n a literal int).", ""),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Cleanse
+import graft.functions.{Cleanse, ZOrder}
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -938,6 +938,27 @@ object SparkEntry {
         }: _*)
     }),
 
+    // Per-group discrete percentiles: the selected values are ACTUAL
+    // data values (no interpolation), so doubles pass through exact
+    // and both engines pick the identical element.
+    "group_quantiles" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+          count(lit(1)).as("cnt"))),
+
+    // Z-order (Morton) layout key: the clustering column a 100 TB sink
+    // range-partitions + sorts by for two-dimensional scan pruning.
+    // Values are integer-exact; the oracle replays the interleave in
+    // SQL bit arithmetic.
+    "zorder_key" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          ZOrder.zorder(col("event_id"), col("user_id")).as("zval"))),
+
     // Aggregate-based argmax (max_by on a struct ordering key): each
     // customer's highest-value order in ONE hash aggregate — no
     // per-group sort, no window shuffle; ties broken by orderkey so
@@ -1593,6 +1614,21 @@ object SparkEntry {
           "AS not_specified, " +
           "count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low " +
           "FROM orders GROUP BY o_orderstatus"),
+
+      "group_quantiles" ->
+        ("SELECT event_type, quantile_disc(value, 0.5) AS p50, " +
+          "quantile_disc(value, 0.9) AS p90, " +
+          "quantile_disc(value, 0.99) AS p99, count(*) AS cnt " +
+          "FROM events GROUP BY event_type"),
+
+      // bit-exact Morton replay: disjoint power-of-two terms, so the
+      // list_sum IS the bitwise OR of the interleaved bits
+      "zorder_key" ->
+        ("SELECT event_id, user_id, " +
+          "CAST(list_sum(list_transform(range(0, 32), i -> " +
+          "(((event_id >> i) & 1) << (2*i)) + " +
+          "(((user_id >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval " +
+          "FROM events"),
 
       // max_by over struct(price, orderkey) ≡ highest price, ties to the
       // highest orderkey — exactly rn=1 under (price DESC, key DESC).
