@@ -820,6 +820,20 @@ object SparkEntry {
           coalesce(col("p_ts"), lit(-1L)).as("prior_purchase_us"))
     }),
 
+    // Forward direction of the native operator: each click's NEXT
+    // purchase (smallest purchase ts >= click ts, same user).
+    "asof_next_purchase" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      graft.plans.Asof.joinForward(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("p_ts")),
+        "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          coalesce(col("p_ts"), lit(-1L)).as("next_purchase_us"))
+    }),
+
     // Overlapping token-window chunking (64-token windows, stride 48) —
     // scan → generate, no shuffle. repartition: single-file fixture
     // (cf. minhash_candidates note).
@@ -1495,6 +1509,16 @@ object SparkEntry {
           "ASOF LEFT JOIN " +
           "(SELECT * FROM events WHERE event_type = 'purchase') r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+
+      // DuckDB's ASOF with <= picks the SMALLEST r.ts >= l.ts — the
+      // forward direction, verified on a hand case before relying on it
+      "asof_next_purchase" ->
+        ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, " +
+          "COALESCE(epoch_us(r.ts), -1) AS next_purchase_us " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+          "ASOF LEFT JOIN " +
+          "(SELECT * FROM events WHERE event_type = 'purchase') r " +
+          "ON l.user_id = r.user_id AND l.ts <= r.ts"),
 
       // Same window arithmetic as Chunking.chunk: starts every 48
       // tokens (DuckDB range() excludes its stop — +1 matches Spark

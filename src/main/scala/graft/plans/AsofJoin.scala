@@ -43,7 +43,8 @@ case class AsofJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -56,21 +57,26 @@ case class AsofJoin(
 /** Plans [[AsofJoin]] to [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Sort-merge backward as-of join. Children are required
-  * hash-clustered on their key and sorted `(key asc, ts asc)`; the
-  * merge walks both sorted iterators once per partition.
+/** Sort-merge as-of join. Children are required hash-clustered on
+  * their key and sorted `(key asc, ts asc)`; the merge walks both
+  * sorted iterators once per partition. `forward = false` matches the
+  * largest right ts `<= t` (the `>=` convention); `forward = true`
+  * matches the smallest right ts `>= t` — both are monotone
+  * single-pass merges because left timestamps are non-decreasing
+  * within a key.
   */
 case class AsofJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -145,6 +151,21 @@ case class AsofJoinExec(
           val t = lt.eval(l)
           if (k == null || t == null) {
             project(joined(l, nullRow))
+          } else if (forward) {
+            // discard right rows that sort before (k, t): they can't
+            // match this left row nor any later one; the surviving
+            // lookahead is NOT consumed on match — the same right row
+            // may be the "next" row for several left rows
+            var continue = rHead != null
+            while (continue) {
+              val c = keyOrd.compare(rHeadKey, k)
+              if (c < 0 || (c == 0 && tsOrd.compare(rHeadTs, t) < 0)) {
+                advanceHead()
+                continue = rHead != null
+              } else continue = false
+            }
+            val matched = rHead != null && keyOrd.compare(rHeadKey, k) == 0
+            project(joined(l, if (matched) rHead else nullRow))
           } else {
             var continue = rHead != null
             while (continue) {
@@ -178,7 +199,29 @@ object Asof {
       leftKeyCol: String,
       rightKeyCol: String,
       leftTsCol: String,
-      rightTsCol: String): DataFrame = {
+      rightTsCol: String): DataFrame =
+    join(left, right, leftKeyCol, rightKeyCol, leftTsCol, rightTsCol,
+      forward = false)
+
+  /** Forward as-of LEFT join: the smallest right ts `>= t` per key. */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      leftTsCol: String,
+      rightTsCol: String): DataFrame =
+    join(left, right, leftKeyCol, rightKeyCol, leftTsCol, rightTsCol,
+      forward = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      forward: Boolean): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
@@ -189,6 +232,7 @@ object Asof {
     ColumnBridge.ofRows(left.sparkSession, AsofJoin(
       lPlan, rPlan,
       attr(lPlan, leftKeyCol, "left"), attr(rPlan, rightKeyCol, "right"),
-      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right")))
+      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"),
+      forward))
   }
 }

@@ -39,6 +39,40 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("forward direction matches an in-memory brute force") {
+    val rnd = new Random(13)
+    val lefts = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+    val rights = Seq.tabulate(300)(i =>
+      (1000L + i, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+
+    val out = Asof.joinForward(
+      df(lefts, ("l_id", "l_key", "l_ts")),
+      df(rights, ("r_id", "r_key", "r_ts")),
+      "l_key", "r_key", "l_ts", "r_ts")
+      .select(col("l_id"), coalesce(col("r_ts"), lit(-1L)).as("m_ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val expected = lefts.map { case (id, k, t) =>
+      val cands = rights.filter(r => r._2 == k && r._3 >= t)
+      id -> (if (cands.isEmpty) -1L else cands.map(_._3).min)
+    }.toMap
+    assert(out.size == lefts.size)
+    assert(out == expected)
+  }
+
+  test("forward ties: a right row at exactly t matches (>= contract)") {
+    val out = Asof.joinForward(
+      df(Seq((1L, 1L, 10L), (2L, 1L, 11L)), ("l_id", "l_key", "l_ts")),
+      df(Seq((7L, 1L, 10L)), ("r_id", "r_key", "r_ts")),
+      "l_key", "r_key", "l_ts", "r_ts")
+      .select(col("l_id"), col("r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // l_ts=10 matches the ts-equal row; l_ts=11 has nothing at or after
+    assert(out == Map(1L -> 7L, 2L -> -1L))
+  }
+
   test("plan contains AsofJoinExec with both sides exchanged and sorted") {
     val out = Asof.joinBackward(
       df(Seq((1L, 1L, 10L)), ("l_id", "l_key", "l_ts")),
