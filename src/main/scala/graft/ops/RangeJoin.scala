@@ -46,9 +46,12 @@ object RangeJoin {
       .drop("__bin")
   }
 
-  /** Floor division as a Column (Spark's `/` on integrals is DOUBLE
-    * division; `div` truncates toward zero, wrong for negatives).
+  /** Floor division as a Column. `x - pmod(x, w)` is exactly divisible
+    * by `w` (and floors correctly for negatives, unlike `div`'s
+    * truncation); the division runs in DECIMAL so the quotient stays
+    * exact over the full long range — a double-division formulation
+    * would silently round past 2^53 (epoch-NANOS axes live there).
     */
   private def floorDiv(x: Column, w: Long): Column =
-    floor(x.cast("double") / lit(w.toDouble)).cast("long")
+    ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 }

@@ -34,6 +34,25 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("exact past 2^53: epoch-nanos-scale axis values bin correctly") {
+    // double-based floor division would round these; decimal must not
+    val base = (1L << 62) + 12345L
+    val bigPoints = spark.range(0, 200)
+      .select((lit(base) + col("id") * 7).as("p"))
+    val bigIntervals = spark.range(0, 20)
+      .select((lit(base) + col("id") * 70).as("s"),
+        (lit(base) + col("id") * 70 + 25).as("e"), col("id").as("iv_id"))
+    val naiveBig = bigPoints.join(bigIntervals,
+      col("p") >= col("s") && col("p") <= col("e"))
+      .select("p", "s", "e", "iv_id")
+    val binned = RangeJoin.pointInInterval(
+      bigPoints, bigIntervals, col("p"), col("s"), col("e"), binWidth = 30L)
+      .select("p", "s", "e", "iv_id")
+    assert(binned.exceptAll(naiveBig).isEmpty &&
+      naiveBig.exceptAll(binned).isEmpty)
+    assert(naiveBig.count() > 0 && binned.count() == naiveBig.count())
+  }
+
   test("plans as an equi-join: no BNLJ, no cartesian product") {
     val plan = RangeJoin.pointInInterval(
       points, intervals, col("p"), col("s"), col("e"), binWidth = 14L)
