@@ -1646,13 +1646,20 @@ object SparkEntry {
           "FROM events GROUP BY event_type"),
 
       // bit-exact Morton replay: disjoint power-of-two terms, so the
-      // list_sum IS the bitwise OR of the interleaved bits
+      // list_sum IS the bitwise OR of the interleaved bits. y's bit 31
+      // lands on bit 63, where DuckDB's checked `<<` overflows — that
+      // one term is added as the signed value -2^63 instead (HUGEINT
+      // sum, exact BIGINT cast), keeping the oracle valid over the
+      // operator's full 32-bit-per-axis domain, not just small ids.
       "zorder_key" ->
-        ("SELECT event_id, user_id, " +
-          "CAST(list_sum(list_transform(range(0, 32), i -> " +
-          "(((event_id >> i) & 1) << (2*i)) + " +
-          "(((user_id >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval " +
-          "FROM events"),
+        ("SELECT event_id, user_id, CAST(" +
+          "list_sum(list_transform(range(0, 32), i -> " +
+          "((event_id >> i) & 1) << (2*i))) + " +
+          "list_sum(list_transform(range(0, 31), i -> " +
+          "((user_id >> i) & 1) << (2*i + 1))) + " +
+          "CASE WHEN ((user_id >> 31) & 1) = 1 " +
+          "THEN -9223372036854775808 ELSE 0 END " +
+          "AS BIGINT) AS zval FROM events"),
 
       // max_by over struct(price, orderkey) ≡ highest price, ties to the
       // highest orderkey — exactly rn=1 under (price DESC, key DESC).

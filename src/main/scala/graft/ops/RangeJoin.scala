@@ -37,21 +37,27 @@ object RangeJoin {
       end: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val p = points.withColumn("__bin", floorDiv(point, binWidth))
+    val bin = "__graft_range_bin"
+    require(!(points.columns ++ intervals.columns).contains(bin),
+      s"input already has a '$bin' column — rename it before the join")
+    val p = points.withColumn(bin, floorDiv(point, binWidth))
     val i = intervals
-      .withColumn("__bin",
+      .withColumn(bin,
         explode(sequence(floorDiv(start, binWidth), floorDiv(end, binWidth))))
-    p.join(i, "__bin")
+    p.join(i, bin)
       .filter(point.between(start, end))
-      .drop("__bin")
+      .drop(bin)
   }
 
   /** Floor division as a Column. `x - pmod(x, w)` is exactly divisible
     * by `w` (and floors correctly for negatives, unlike `div`'s
-    * truncation); the division runs in DECIMAL so the quotient stays
-    * exact over the full long range — a double-division formulation
-    * would silently round past 2^53 (epoch-NANOS axes live there).
+    * truncation); BOTH the subtraction and the division run in DECIMAL
+    * so the result is exact over the full long range — a double
+    * formulation silently rounds past 2^53 (epoch-NANOS axes live
+    * there), and a long subtraction would wrap for x within `w` of
+    * Long.MinValue.
     */
   private def floorDiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+    ((x.cast("decimal(38,0)") - pmod(x, lit(w)).cast("decimal(38,0)")) /
+      lit(w)).cast("long")
 }

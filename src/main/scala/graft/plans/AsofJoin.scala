@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -135,10 +135,14 @@ case class AsofJoinExec(
           rHead = null
           while (rHead == null && rIter.hasNext) {
             val row = rIter.next()
-            val k = rk.eval(row)
-            val t = rt.eval(row)
-            if (k != null && t != null) {
-              rHead = row.copy(); rHeadKey = k; rHeadTs = t
+            if (rk.eval(row) != null && rt.eval(row) != null) {
+              // evaluate key/ts AFTER copying: for buffer-backed types
+              // (UTF8String, Decimal, binary) eval on the iterator's
+              // reused row returns views into memory the next
+              // rIter.next() overwrites
+              rHead = row.copy()
+              rHeadKey = rk.eval(rHead)
+              rHeadTs = rt.eval(rHead)
             }
           }
         }
@@ -223,16 +227,34 @@ object Asof {
       rightTsCol: String,
       forward: Boolean): DataFrame = {
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // self-joins share attribute exprIds between the two children, and
+    // a custom node gets no DeduplicateRelations help from the
+    // analyzer — re-alias the right side so every right attribute is a
+    // fresh exprId (names unchanged) and output resolution can't
+    // silently bind right columns to left values
+    val rPlan0 = right.queryExecution.analyzed
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"$side side has no column '$name' " +
             s"(has: ${plan.output.map(_.name).mkString(", ")})"))
-    ColumnBridge.ofRows(left.sparkSession, AsofJoin(
-      lPlan, rPlan,
-      attr(lPlan, leftKeyCol, "left"), attr(rPlan, rightKeyCol, "right"),
-      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"),
-      forward))
+    val (lk, rk) = (attr(lPlan, leftKeyCol, "left"),
+      attr(rPlan, rightKeyCol, "right"))
+    val (lt, rt) = (attr(lPlan, leftTsCol, "left"),
+      attr(rPlan, rightTsCol, "right"))
+    // the exec orders/partitions with the LEFT types; a mismatched
+    // right type would CCE on executors (or worse, mis-co-partition) —
+    // fail fast at the driver instead
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: $leftKeyCol is ${lk.dataType.catalogString}, " +
+        s"$rightKeyCol is ${rk.dataType.catalogString}")
+    require(lt.dataType == rt.dataType,
+      s"as-of ts types differ: $leftTsCol is ${lt.dataType.catalogString}, " +
+        s"$rightTsCol is ${rt.dataType.catalogString}")
+    ColumnBridge.ofRows(left.sparkSession,
+      AsofJoin(lPlan, rPlan, lk, rk, lt, rt, forward))
   }
 }

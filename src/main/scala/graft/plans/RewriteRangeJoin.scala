@@ -57,9 +57,13 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val WidthKey = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "true").toBoolean
+
+  private def maxBins: Long =
+    conf.getConfString(MaxBinsKey, "4096").toLong
 
   /** log2 of the bin width, width rounded UP to a power of two. */
   private def binShift: Int = {
@@ -144,11 +148,27 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         Project(pointsSide.output :+ binAlias, pointsSide)
 
       val startBin = bin(lo)
+      val endBin = bin(hi)
+      // fan-out guard: an interval spanning millions of bins (binWidth
+      // far smaller than the interval length — e.g. the default width
+      // on an epoch-millis axis with day-long intervals) would explode
+      // the Generate or overflow Sequence's array limit. Fail with an
+      // actionable message instead of an OOM/cryptic error; the user
+      // raises the width (best), raises the cap, or disables the rule.
+      val guardMsg = Literal(
+        s"graft range-join rewrite: an interval spans more than " +
+          s"$maxBins bins at the configured $WidthKey — raise $WidthKey " +
+          s"toward the typical interval length, raise $MaxBinsKey, or " +
+          s"disable $EnabledKey")
+      val guardedStop = If(
+        GreaterThan(Subtract(endBin, startBin), Literal(maxBins, LongType)),
+        Cast(RaiseError(guardMsg), LongType, tz),
+        Greatest(Seq(startBin, endBin)))
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // stays unresolved and the optimizer rejects the rewritten plan
       val seq = Sequence(
         startBin,
-        Greatest(Seq(startBin, bin(hi))),
+        guardedStop,
         Some(Literal(1L, LongType)),
         tz)
       val binAttr = AttributeReference("__graft_bin_i", LongType,

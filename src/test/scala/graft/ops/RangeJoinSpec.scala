@@ -61,6 +61,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("exact at the bottom of the long range (no subtraction wrap)") {
+    val lo = Long.MinValue
+    val pts = spark.range(0, 40)
+      .select((lit(lo) + col("id")).as("p"))
+    val ivs = spark.range(0, 4)
+      .select((lit(lo) + col("id") * 10).as("s"),
+        (lit(lo) + col("id") * 10 + 6).as("e"), col("id").as("iv_id"))
+    val naiveLo = pts.join(ivs,
+      col("p") >= col("s") && col("p") <= col("e"))
+      .select("p", "iv_id")
+    val binned = RangeJoin.pointInInterval(
+      pts, ivs, col("p"), col("s"), col("e"), binWidth = 14L)
+      .select("p", "iv_id")
+    assert(binned.exceptAll(naiveLo).isEmpty &&
+      naiveLo.exceptAll(binned).isEmpty)
+    assert(naiveLo.count() > 0 && binned.count() == naiveLo.count())
+  }
+
+  test("rejects inputs that already carry the helper bin column") {
+    val p2 = points.withColumn("__graft_range_bin", lit(1L))
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        p2, intervals, col("p"), col("s"), col("e"), binWidth = 10L)
+    }
+  }
+
   test("rejects a non-positive binWidth") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(

@@ -118,6 +118,54 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.count() == 2 && got.filter(col("r_id").isNull).count() == 2)
   }
 
+  test("string keys merge correctly (buffer-backed key type)") {
+    import graft.SparkTestSession.spark.implicits._
+    val rnd = new Random(5)
+    val lefts = Seq.tabulate(300)(i =>
+      (i.toLong, s"key-${rnd.nextInt(9)}", rnd.nextInt(500).toLong))
+    val rights = Seq.tabulate(200)(i =>
+      (1000L + i, s"key-${rnd.nextInt(9)}", rnd.nextInt(500).toLong))
+    val out = Asof.joinBackward(
+      lefts.toDF("l_id", "l_key", "l_ts").repartition(3),
+      rights.toDF("r_id", "r_key", "r_ts").repartition(3),
+      "l_key", "r_key", "l_ts", "r_ts")
+      .select(col("l_id"), coalesce(col("r_ts"), lit(-1L)).as("m_ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = lefts.map { case (id, k, t) =>
+      val cands = rights.filter(r => r._2 == k && r._3 <= t)
+      id -> (if (cands.isEmpty) -1L else cands.map(_._3).max)
+    }.toMap
+    assert(out == expected)
+  }
+
+  test("self-join without renames keeps the two sides distinct") {
+    import graft.SparkTestSession.spark.implicits._
+    val base = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 5L))
+      .toDF("id", "k", "ts")
+    // right = strictly-earlier rows of the SAME frame (shared exprIds)
+    val out = Asof.joinBackward(base, base.filter(col("ts") < 20L),
+      "k", "k", "ts", "ts")
+    // output has 6 columns (left id/k/ts + re-aliased right id/k/ts)
+    assert(out.columns.length == 6)
+    val rows = out.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))
+    }.toMap
+    // row 1 (k=1,ts=10) matches itself via the filtered right side;
+    // row 2 (k=1,ts=20) matches row 1 (ts=10 <= 20, row 2 filtered out);
+    // row 3 (k=2,ts=5) matches itself
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), rows.toString)
+  }
+
+  test("mismatched key types fail fast at the driver") {
+    import graft.SparkTestSession.spark.implicits._
+    val l = Seq((1, 1L)).toDF("k", "ts")   // int key
+    val r = Seq((1L, 1L)).toDF("k2", "ts2") // long key
+    val e = intercept[IllegalArgumentException] {
+      Asof.joinBackward(l, r, "k", "k2", "ts", "ts2")
+    }
+    assert(e.getMessage.contains("as-of key types differ"), e.getMessage)
+  }
+
   test("unknown column name fails fast with the side named") {
     val l = df(Seq((1L, 1L, 1L)), ("a", "b", "c"))
     val e = intercept[IllegalArgumentException] {

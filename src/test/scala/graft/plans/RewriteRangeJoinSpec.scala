@@ -85,6 +85,30 @@ class RewriteRangeJoinSpec extends SparkSpec {
     assert(withRule(on = true)(df.count()) == 0L)
   }
 
+  test("wide intervals hit the fan-out guard with an actionable error") {
+    // spans of ~9e5 bins at the default width 32
+    val wide = spark.range(0, 5)
+      .select((col("id") * 100).as("s"),
+        (col("id") * 100 + 30000000L).as("e"))
+    val df = points.join(wide,
+      col("p") >= col("s") && col("p") <= col("e"))
+    val e = intercept[Exception] { withRule(on = true)(df.collect()) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("graft range-join rewrite")),
+      e.toString)
+
+    // same query succeeds once the width suits the interval length
+    val prev = spark.conf.getOption(RewriteRangeJoin.WidthKey)
+    spark.conf.set(RewriteRangeJoin.WidthKey, "33554432") // 2^25
+    try assert(withRule(on = true)(df.count()) ==
+      withRule(on = false)(df.count()))
+    finally prev match {
+      case Some(v) => spark.conf.set(RewriteRangeJoin.WidthKey, v)
+      case None    => spark.conf.unset(RewriteRangeJoin.WidthKey)
+    }
+  }
+
   test("non-integral axis (double) is not rewritten") {
     val dpoints = points.select(col("p").cast("double").as("p"), col("tag"))
     val dintervals = intervals.select(col("s").cast("double").as("s"),
