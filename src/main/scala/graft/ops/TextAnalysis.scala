@@ -187,8 +187,15 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(split(TextDedup.normText(col("text")), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    // The df/n_docs branches recompute tf's scan+explode subtree unless
+    // their exchanges canonicalize EQUAL to the probe branch's — column
+    // pruning would drop the unused `tf` count from those branches and
+    // break the match, so each references `tf` through an always-true
+    // filter. With the match intact, AQE reuses ONE shuffle stage for
+    // all three branches and the corpus is scanned and tokenized once.
+    val tfAll = tf.where(col("tf") >= 1)
+    val df = tfAll.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tfAll.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(broadcast(df), "term")
