@@ -37,6 +37,22 @@ object SparkEntry {
       .parquet(s"$dir/events.parquet")
   }
 
+  /** Synthetic change set over the 4-column customer snapshot: delete
+    * wins over update so every key carries exactly one op.
+    */
+  private def upsertChanges(base: DataFrame): DataFrame = {
+    val upd = base
+      .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      .withColumn("op", lit("U"))
+    val del = base.filter(col("c_custkey") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = base.filter(col("c_custkey") % 11 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(200000L))
+      .withColumn("op", lit("I"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
     // rejects at schema inference; none of our queries need it, so read
@@ -952,6 +968,27 @@ object SparkEntry {
         }: _*)
     }),
 
+    // MERGE-style change application: one anti-join + union pass turns
+    // (snapshot, change set) into the next snapshot. The synthetic
+    // change set updates %5 keys, deletes %7 keys, inserts shifted %11
+    // keys — each key at most one op (delete wins over update).
+    "upsert_apply" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      Merge.applyChanges(base, upsertChanges(base), "c_custkey")
+    }),
+
+    // Snapshot diff: FULL OUTER join + payload comparison classifies
+    // every key as I/U/D; unchanged keys emit nothing. Diffing the
+    // upsert result against its base must recover exactly the change
+    // set's ops — which is what the oracle independently derives.
+    "snapshot_diff" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      Merge.diff(base, Merge.applyChanges(base, upsertChanges(base),
+        "c_custkey"), "c_custkey")
+    }),
+
     // Per-group discrete percentiles: the selected values are ACTUAL
     // data values (no interpolation), so doubles pass through exact
     // and both engines pick the identical element.
@@ -1638,6 +1675,53 @@ object SparkEntry {
           "AS not_specified, " +
           "count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low " +
           "FROM orders GROUP BY o_orderstatus"),
+
+      "upsert_apply" ->
+        (s"""WITH base AS (SELECT c_custkey, c_name, c_acctbal,
+           |    c_mktsegment FROM customer),
+           |changes AS (
+           |  SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+           |    c_mktsegment, 'U' AS op FROM base
+           |  WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+           |  UNION ALL SELECT c_custkey, c_name, c_acctbal,
+           |    c_mktsegment, 'D' FROM base WHERE c_custkey % 7 = 0
+           |  UNION ALL SELECT c_custkey + 200000, c_name, c_acctbal,
+           |    c_mktsegment, 'I' FROM base WHERE c_custkey % 11 = 0)
+           |SELECT b.* FROM base b WHERE NOT EXISTS
+           |  (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)
+           |UNION ALL
+           |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+           |FROM changes WHERE op <> 'D'"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // after-snapshot replayed, then classified against the base by a
+      // FULL OUTER join — the op set must equal the change set's
+      "snapshot_diff" ->
+        (s"""WITH base AS (SELECT c_custkey, c_name, c_acctbal,
+           |    c_mktsegment FROM customer),
+           |changes AS (
+           |  SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+           |    c_mktsegment, 'U' AS op FROM base
+           |  WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+           |  UNION ALL SELECT c_custkey, c_name, c_acctbal,
+           |    c_mktsegment, 'D' FROM base WHERE c_custkey % 7 = 0
+           |  UNION ALL SELECT c_custkey + 200000, c_name, c_acctbal,
+           |    c_mktsegment, 'I' FROM base WHERE c_custkey % 11 = 0),
+           |after AS (
+           |  SELECT b.* FROM base b WHERE NOT EXISTS
+           |    (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)
+           |  UNION ALL
+           |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+           |  FROM changes WHERE op <> 'D')
+           |SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+           |  CASE WHEN b.c_custkey IS NULL THEN 'I'
+           |       WHEN a.c_custkey IS NULL THEN 'D' ELSE 'U' END AS op
+           |FROM base b FULL OUTER JOIN after a
+           |  ON b.c_custkey = a.c_custkey
+           |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+           |  OR b.c_name <> a.c_name OR b.c_acctbal <> a.c_acctbal
+           |  OR b.c_mktsegment <> a.c_mktsegment"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       "group_quantiles" ->
         ("SELECT event_type, quantile_disc(value, 0.5) AS p50, " +
