@@ -40,7 +40,8 @@ object CsvSink {
     val outCols = ordered.columns
     // Cast everything to string: the reference serializes all fields as
     // text (`extractors.py:294-295` stringifies the flag ints).
-    val asText = ordered.select(outCols.map(c => col(c).cast("string").as(c)): _*)
+    val asText = ordered.select(
+      outCols.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
 
     // Staging dir lives UNDER the destination so the final Files.move
     // is a same-filestore rename — moving a non-empty directory across

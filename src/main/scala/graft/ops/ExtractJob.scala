@@ -67,8 +67,8 @@ object ExtractJob {
             s"header arity mismatch for $entityName: " +
               s"$headers vs ${dataCols.toSeq}")
         val renamed = df.select(
-          dataCols.zip(headers).map { case (c, h) => col(c).as(h) } :+
-            col("seq"): _*)
+          (dataCols.zip(headers).map { case (c, h) => col(c).as(h) } :+
+            col("seq")).toIndexedSeq: _*)
         val path = CsvSink.write(renamed, destination, outputName,
           cfg.filenameSuffix, singleFile)
         // cache is hot after the write; this count never hits the source

@@ -56,7 +56,7 @@ object HeavyHitters {
       minCount: Long,
       support: Double): DataFrame = {
     val candidates: Seq[Any] = df.stat.freqItems(Array(key), support)
-      .head.getSeq[Any](0)
+      .head().getSeq[Any](0)
     // NULL keys never enter the sketch (and isin never matches NULL,
     // three-valued logic), but GROUP BY treats NULL as a group — keep
     // the NULL rows in the recount so the HAVING contract holds exactly

@@ -45,6 +45,38 @@ object CleanseProps extends Properties("graft.cleanse") {
     }
 }
 
+object ZOrderProps extends Properties("graft.zorder") {
+
+  /** Inverse of [[ZOrderNative.spread]]: gather even bit positions. */
+  private def unspread(z: Long): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 32) { v |= ((z >>> (2 * i)) & 1L) << i; i += 1 }
+    v
+  }
+
+  private val u32 = Gen.choose(0L, 0xFFFFFFFFL)
+
+  property("interleave round-trips both coordinates") =
+    forAll(u32, u32) { (x, y) =>
+      val z = ZOrderNative.interleave(x, y)
+      unspread(z) == x && unspread(z >>> 1) == y
+    }
+
+  property("interleave is monotone in x for fixed y (unsigned order)") =
+    forAll(u32, u32, u32) { (a, b, y) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      lo == hi || java.lang.Long.compareUnsigned(
+        ZOrderNative.interleave(lo, y), ZOrderNative.interleave(hi, y)) < 0
+    }
+
+  property("bits beyond the low 32 are masked off") =
+    forAll(Gen.long, Gen.long) { (x, y) =>
+      ZOrderNative.interleave(x, y) ==
+        ZOrderNative.interleave(x & 0xFFFFFFFFL, y & 0xFFFFFFFFL)
+    }
+}
+
 object CoordinateProps extends Properties("graft.coordinates") {
 
   private val dmsGen: Gen[String] = for {
