@@ -968,6 +968,14 @@ object SparkEntry {
         }: _*)
     }),
 
+    // Weighted systematic sample: ~20 docs per language, probability
+    // proportional to n_chars, deterministic (threshold crossings on
+    // the cumulative-weight axis — integer-exact in both engines).
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.systematicByWeight(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("lang"), col("n_chars"), col("doc_id"), k = 20)),
+
     // MERGE-style change application: one anti-join + union pass turns
     // (snapshot, change set) into the next snapshot. The synthetic
     // change set updates %5 keys, deletes %7 keys, inserts shifted %11
@@ -1675,6 +1683,17 @@ object SparkEntry {
           "AS not_specified, " +
           "count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low " +
           "FROM orders GROUP BY o_orderstatus"),
+
+      // DuckDB sums BIGINT into HUGEINT; `//` floors it exactly — same
+      // values Spark's double floor produces below 2^53
+      "sample_weighted" ->
+        ("WITH t AS (SELECT doc_id, lang, n_chars, " +
+          "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) AS cum, " +
+          "sum(n_chars) OVER (PARTITION BY lang) AS tot " +
+          "FROM documents WHERE n_chars > 0) " +
+          "SELECT doc_id, lang, n_chars FROM t " +
+          "WHERE (cum * 20) // tot > ((cum - n_chars) * 20) // tot"),
 
       "upsert_apply" ->
         (s"""WITH base AS (SELECT c_custkey, c_name, c_acctbal,

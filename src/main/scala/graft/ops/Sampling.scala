@@ -89,4 +89,41 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Weighted systematic sample: ≈`k` rows per group, selection
+    * probability proportional to an integer weight, fully
+    * deterministic. A row is kept iff its weight interval
+    * `[cum - w, cum)` on the group's cumulative-weight axis crosses one
+    * of the k evenly spaced thresholds — the classic systematic
+    * (fixed-step) design, which unlike independent Bernoulli draws
+    * yields a sample size within ±1 of k per group.
+    *
+    * All arithmetic is integral (`cum * k` then floor-divide by the
+    * group total), so the selection replays EXACTLY in SQL on any
+    * engine; correct while `max(cum) * k < 2^53` (the floor-divide
+    * rides double math — at larger scale, sub-group first).
+    *
+    * Scale shape: one window over `(group, order)` — parallel across
+    * groups, same shape as sessionization; heavy single groups are the
+    * caller's cue to refine `group`.
+    */
+  def systematicByWeight(
+      df: DataFrame,
+      group: Column,
+      weight: Column,
+      order: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val cumW = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(group)
+    df.filter(weight > 0)
+      .withColumn("__cum", sum(weight).over(cumW))
+      .withColumn("__tot", sum(weight).over(totW))
+      .filter(
+        floor((col("__cum") * k) / col("__tot")) >
+          floor(((col("__cum") - weight) * k) / col("__tot")))
+      .drop("__cum", "__tot")
+  }
 }

@@ -53,6 +53,31 @@ class CurationOpsSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("systematicByWeight: ~k per group, weight-proportional, deterministic") {
+    // group A: uniform weights; group B: one heavy row among light ones
+    val rows = (0 until 400).map(i => (i.toLong, "A", 10L)) ++
+      (1000 until 1100).map(i =>
+        (i.toLong, "B", if (i == 1050) 5000L else 5L))
+    val df = rows.toDF("id", "grp", "w")
+    val picked = Sampling.systematicByWeight(
+      df, col("grp"), col("w"), col("id"), k = 20)
+    val byGrp = picked.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    // systematic design: within ±1 of k per group
+    assert(byGrp.values.forall(c => c >= 19 && c <= 21), byGrp.toString)
+    // the heavy row (90% of B's weight) must be selected
+    assert(picked.filter(col("id") === 1050L).count() == 1)
+    // zero/negative weights are never selected
+    val withZeros = df.union(Seq((5000L, "A", 0L)).toDF("id", "grp", "w"))
+    assert(Sampling.systematicByWeight(withZeros, col("grp"), col("w"),
+      col("id"), k = 20).filter(col("id") === 5000L).count() == 0)
+    // partitioning-invariant (deterministic selection set)
+    val ids1 = picked.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.systematicByWeight(df.repartition(7), col("grp"),
+      col("w"), col("id"), k = 20).select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = (0 until 3000).map { i =>
       (i.toLong, s"text body $i", if (i % 3 == 0) "en" else "zh")
