@@ -968,9 +968,10 @@ object SparkEntry {
         }: _*)
     }),
 
-    // Weighted systematic sample: ~20 docs per language, probability
-    // proportional to n_chars, deterministic (threshold crossings on
-    // the cumulative-weight axis — integer-exact in both engines).
+    // Weighted systematic sample: exactly 20 docs per language,
+    // probability proportional to n_chars, deterministic. Two-tier PPS
+    // (certainty rows + fixed-step residual) so heavy rows can't
+    // collapse the sample; integer-exact in both engines.
     "sample_weighted" -> ((s, dir) =>
       Sampling.systematicByWeight(
         T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -1684,16 +1685,35 @@ object SparkEntry {
           "count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low " +
           "FROM orders GROUP BY o_orderstatus"),
 
-      // DuckDB sums BIGINT into HUGEINT; `//` floors it exactly — same
-      // values Spark's double floor produces below 2^53
+      // Two-tier PPS replay (see Sampling.systematicByWeight): the
+      // certainty prefix on the weight-desc axis, then fixed-step
+      // selection over the residual weights. DuckDB sums BIGINT into
+      // HUGEINT; `//` floors it exactly — same values Spark's long DIV
+      // produces below 2^63.
       "sample_weighted" ->
-        ("WITH t AS (SELECT doc_id, lang, n_chars, " +
-          "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
-          "ROWS UNBOUNDED PRECEDING) AS cum, " +
-          "sum(n_chars) OVER (PARTITION BY lang) AS tot " +
-          "FROM documents WHERE n_chars > 0) " +
-          "SELECT doc_id, lang, n_chars FROM t " +
-          "WHERE (cum * 20) // tot > ((cum - n_chars) * 20) // tot"),
+        (s"""WITH base AS (SELECT doc_id, lang, n_chars FROM documents
+           |  WHERE n_chars > 0),
+           |r AS (SELECT *,
+           |  row_number() OVER (PARTITION BY lang
+           |    ORDER BY n_chars DESC, doc_id) AS rk,
+           |  sum(n_chars) OVER (PARTITION BY lang
+           |    ORDER BY n_chars DESC, doc_id
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sfx
+           |  FROM base),
+           |f AS (SELECT *, CASE WHEN n_chars * (20 - rk + 1) >= sfx
+           |  THEN 1 ELSE 0 END AS cert FROM r),
+           |s AS (SELECT *,
+           |  sum(CASE WHEN cert = 0 THEN n_chars ELSE 0 END)
+           |    OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |  sum(CASE WHEN cert = 0 THEN n_chars ELSE 0 END)
+           |    OVER (PARTITION BY lang) AS tot,
+           |  sum(cert) OVER (PARTITION BY lang) AS c FROM f)
+           |SELECT doc_id, lang, n_chars FROM s
+           |WHERE cert = 1 OR (tot > 0 AND
+           |  (cum * (20 - c)) // tot >
+           |  ((cum - n_chars) * (20 - c)) // tot)"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       "upsert_apply" ->
         (s"""WITH base AS (SELECT c_custkey, c_name, c_acctbal,

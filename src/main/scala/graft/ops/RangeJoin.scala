@@ -28,6 +28,14 @@ object RangeJoin {
     * epoch seconds — any monotone integer axis). Inner-join semantics:
     * points matching no interval (and intervals holding no points)
     * don't appear. Intervals must satisfy `start <= end`.
+    *
+    * `binWidth` is rounded UP to the next power of two so binning is a
+    * single arithmetic `shiftright` — the same binning
+    * [[graft.plans.RewriteRangeJoin]] plants, and the reason both paths
+    * plan the identical equi-join shape (see RangeJoinSpec's parity
+    * pin). The residual BETWEEN keeps results exact regardless of the
+    * width actually used; rounding up only makes bins wider (never
+    * more interval fan-out).
     */
   def pointInInterval(
       points: DataFrame,
@@ -40,24 +48,30 @@ object RangeJoin {
     val bin = "__graft_range_bin"
     require(!(points.columns ++ intervals.columns).contains(bin),
       s"input already has a '$bin' column — rename it before the join")
-    val p = points.withColumn(bin, floorDiv(point, binWidth))
+    val shift = binShift(binWidth)
+    val p = points.withColumn(bin, floorDiv(point, shift))
     val i = intervals
       .withColumn(bin,
-        explode(sequence(floorDiv(start, binWidth), floorDiv(end, binWidth))))
+        explode(sequence(floorDiv(start, shift), floorDiv(end, shift))))
     p.join(i, bin)
       .filter(point.between(start, end))
       .drop(bin)
   }
 
-  /** Floor division as a Column. `x - pmod(x, w)` is exactly divisible
-    * by `w` (and floors correctly for negatives, unlike `div`'s
-    * truncation); BOTH the subtraction and the division run in DECIMAL
-    * so the result is exact over the full long range — a double
-    * formulation silently rounds past 2^53 (epoch-NANOS axes live
-    * there), and a long subtraction would wrap for x within `w` of
-    * Long.MinValue.
+  /** log2 of `binWidth` rounded up to the next power of two. Capped at
+    * 62 (a wider bin than 2^62 degenerates to one bin anyway).
     */
-  private def floorDiv(x: Column, w: Long): Column =
-    ((x.cast("decimal(38,0)") - pmod(x, lit(w)).cast("decimal(38,0)")) /
-      lit(w)).cast("long")
+  private def binShift(binWidth: Long): Int =
+    math.min(64 - java.lang.Long.numberOfLeadingZeros(binWidth - 1), 62)
+
+  /** Floor division by 2^shift as a Column: one arithmetic shift.
+    * Exact over the ENTIRE long range — including past 2^53 (where a
+    * double formulation silently rounds; epoch-NANOS axes live there)
+    * and at Long.MinValue (no subtraction to wrap) — and, unlike the
+    * decimal(38,0) formulation this replaces, it costs one ALU op per
+    * row instead of three decimal casts, a pmod and a decimal divide
+    * (which made the explicit path 6x slower than the auto-rewrite).
+    */
+  private def floorDiv(x: Column, shift: Int): Column =
+    shiftright(x.cast("long"), shift)
 }

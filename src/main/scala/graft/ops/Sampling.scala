@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Exact long integral division (SQL `DIV`). Truncating, which
+    * equals floor for the non-negative operands used here — and unlike
+    * `floor(a / b)` it never rides doubles, so it stays exact up to
+    * 2^63 and replays bit-identically as `//` in the DuckDB oracle.
+    */
+  private def fdiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(IntegralDivide(expression(a), expression(b)))
+  }
+
   /** 16-bit content bucket: first 4 hex chars of md5(key). */
   def hexBucket(key: Column): Column = substring(md5(key), 1, 4)
 
@@ -90,22 +101,43 @@ object Sampling {
       .drop("__rk")
   }
 
-  /** Weighted systematic sample: ≈`k` rows per group, selection
-    * probability proportional to an integer weight, fully
-    * deterministic. A row is kept iff its weight interval
-    * `[cum - w, cum)` on the group's cumulative-weight axis crosses one
-    * of the k evenly spaced thresholds — the classic systematic
-    * (fixed-step) design, which unlike independent Bernoulli draws
-    * yields a sample size within ±1 of k per group.
+  /** Weighted systematic sample: exactly `min(n, k)` rows per group,
+    * selection probability proportional to an integer weight, fully
+    * deterministic. Two-tier PPS design (the standard fix for heavy
+    * weights in systematic sampling):
     *
-    * All arithmetic is integral (`cum * k` then floor-divide by the
-    * group total), so the selection replays EXACTLY in SQL on any
-    * engine; correct while `max(cum) * k < 2^53` (the floor-divide
-    * rides double math — at larger scale, sub-group first).
+    *  1. **Certainty tier.** A row whose weight is at least the
+    *     (iteratively shrinking) stride is always selected. The
+    *     certainty set has a closed form: sort the group by weight
+    *     descending (ties by `order`); the row at rank `r` with suffix
+    *     weight sum `S_r` (its own weight included) is certainty iff
+    *     `w_r * (k - r + 1) >= S_r`. If rank `r` fails the test, so
+    *     does `r+1` (since `w_{r+1} <= w_r` and
+    *     `w_{r+1}*(k-r) <= w_r*(k-r+1) - w_r < S_r - w_r = S_{r+1}`),
+    *     so the set is a prefix — one window pass computes it, no
+    *     driver-side iteration.
+    *  2. **Systematic tier.** The remaining rows undergo classic
+    *     fixed-step selection in `order`: a row is kept iff its weight
+    *     interval `[cum - w, cum)` on the residual cumulative-weight
+    *     axis crosses one of the `k - c` evenly spaced thresholds. By
+    *     construction every residual weight is STRICTLY below the
+    *     residual stride (rank `c+1` failed the certainty test), so
+    *     each row crosses at most one threshold and the tier yields
+    *     exactly `k - c` rows — no stride collapse under skew.
     *
-    * Scale shape: one window over `(group, order)` — parallel across
-    * groups, same shape as sessionization; heavy single groups are the
-    * caller's cue to refine `group`.
+    * A naive single-tier version loses rows under skew: a row spanning
+    * many strides is emitted once but absorbs all the thresholds it
+    * crosses, so a 90%-weight row collapses the sample to ~2 picks.
+    *
+    * All selection arithmetic is integral and runs in long `DIV`
+    * (truncating = floor for the non-negative operands here), so it
+    * replays EXACTLY in SQL (`//` in DuckDB); correct while
+    * `max(cum) * k < 2^63`.
+    *
+    * Scale shape: two windows over the group key (one weight-desc, one
+    * in `order`) — parallel across groups, same shape as
+    * sessionization; heavy single groups are the caller's cue to
+    * refine `group`.
     */
   def systematicByWeight(
       df: DataFrame,
@@ -115,15 +147,28 @@ object Sampling {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
+    val byWeightDesc = Window.partitionBy(group)
+      .orderBy(weight.desc, order)
+    val suffixW = byWeightDesc
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val residualW = weight * (lit(1L) - col("__cert"))
     val cumW = Window.partitionBy(group).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(group)
+    val grpW = Window.partitionBy(group)
     df.filter(weight > 0)
-      .withColumn("__cum", sum(weight).over(cumW))
-      .withColumn("__tot", sum(weight).over(totW))
-      .filter(
-        floor((col("__cum") * k) / col("__tot")) >
-          floor(((col("__cum") - weight) * k) / col("__tot")))
-      .drop("__cum", "__tot")
+      .withColumn("__rk", row_number().over(byWeightDesc))
+      .withColumn("__sfx", sum(weight).over(suffixW))
+      .withColumn("__cert",
+        when(weight * (lit(k) - col("__rk") + 1) >= col("__sfx"), 1L)
+          .otherwise(0L))
+      .withColumn("__c", sum(col("__cert")).over(grpW))
+      .withColumn("__cum", sum(residualW).over(cumW))
+      .withColumn("__tot", sum(residualW).over(grpW))
+      .filter(col("__cert") === 1L ||
+        (col("__tot") > 0 &&
+          fdiv(col("__cum") * (lit(k) - col("__c")), col("__tot")) >
+            fdiv((col("__cum") - weight) * (lit(k) - col("__c")),
+              col("__tot"))))
+      .drop("__rk", "__sfx", "__cert", "__c", "__cum", "__tot")
   }
 }

@@ -113,12 +113,26 @@ object TextAnalysis {
     * the verdict is bit-stable across engines.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val stats = tokenStats(docs)
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val anyStop = LangMarkers.flatMap(_._2)
       .map(m => occurrences(padded, m)).reduce(_ + _)
-    stats
-      .join(docs.select(col("doc_id"), anyStop.as("stop_hits")), "doc_id")
+    // stop_hits rides the same projection as the token stats (they
+    // share the empty-text filter): one scan, one codegen span, zero
+    // shuffles — a join on doc_id here would re-shuffle the whole
+    // corpus to glue together two per-row derivations of one row.
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        wordCount(col("text")).as("word_cnt"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("punct_cnt"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("digit_cnt"),
+        anyStop.as("stop_hits"))
       .withColumn("quality",
         when(col("char_len") < 64, "too_short")
           .when(col("punct_cnt") * 5 > col("char_len"), "punct_noise")
