@@ -574,16 +574,25 @@ object SparkEntry {
       TextDedup.simHashSignatures(T(s, dir, "documents"))),
 
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join,
-    // never all-pairs). The synthetic embeddings hold no true
-    // near-dups, so the threshold is set low (0.3) to exercise the
-    // machinery with a non-empty result; the nearest sim to the
-    // threshold is 4.4e-4 away (measured at sf0.01), far above float
-    // cosine noise, so the float cut is engine-stable. Pair ids only —
-    // no float column reaches the comparator.
-    "cosine_neardup_pairs" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(T(s, dir, "embeddings"),
-        threshold = 0.3, numBits = 8)
-        .select(col("id_a"), col("id_b"))),
+    // never all-pairs) at a REAL near-dup threshold (0.95). The
+    // synthetic embeddings hold no true near-dups, so the input prep
+    // plants them: a deterministic slice (vec_id % 97) is copied with
+    // its first coordinate nudged by +0.25f — single-rounded float
+    // arithmetic, so DuckDB's CAST(...+0.25 AS FLOAT) replays it
+    // bit-exactly. Planted-pair sims measure 0.968..0.975 vs
+    // non-planted below ~0.35, so the 0.95 cut has >0.018 margin on
+    // both sides — far above float cosine noise. Pair ids only — no
+    // float column reaches the comparator.
+    "cosine_neardup_pairs" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.cosineNearDupPairs(base.union(planted),
+        threshold = 0.95, numBits = 8)
+        .select(col("id_a"), col("id_b"))
+    }),
 
     // SimHash near-dup candidates: 16-bit band buckets over the 64-bit
     // signatures (pigeonhole: hamming ≤ 3 ⇒ some band equal).
@@ -1362,7 +1371,9 @@ object SparkEntry {
 
       // Same plane-literal replay as ann_lsh_buckets, 8-bit planes
       // (the same seed draws the 12-bit set's prefix, but rendered
-      // independently from the same constants).
+      // independently from the same constants). The planted-near-dup
+      // prep is replayed verbatim: +0.25 on the first coordinate,
+      // CAST back to FLOAT so both engines single-round identically.
       "cosine_neardup_pairs" -> {
         def bucketSql(vecCol: String): String =
           graft.ops.Similarity.hyperplanes(numBits = 8, dims = 64)
@@ -1372,12 +1383,16 @@ object SparkEntry {
               s"(CASE WHEN list_dot_product($vecCol, $lst) >= 0 " +
                 s"THEN ${1 << j} ELSE 0 END)"
             }.mkString("(", " + ", ")")
-        s"WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} " +
-          "AS bucket FROM embeddings) " +
+        "WITH inp AS (SELECT vec_id, embedding FROM embeddings " +
+          "UNION ALL SELECT vec_id + 1000000, " +
+          "list_concat([CAST(embedding[1] + 0.25 AS FLOAT)], " +
+          "embedding[2:]) FROM embeddings WHERE vec_id % 97 = 0), " +
+          s"b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} " +
+          "AS bucket FROM inp) " +
           "SELECT l.vec_id AS id_a, r.vec_id AS id_b " +
           "FROM b l JOIN b r USING (bucket) " +
           "WHERE l.vec_id < r.vec_id " +
-          "AND list_cosine_similarity(l.embedding, r.embedding) >= 0.3"
+          "AND list_cosine_similarity(l.embedding, r.embedding) >= 0.95"
       },
 
       // Ranks only (no float sim column): verified locally that the
@@ -1470,16 +1485,19 @@ object SparkEntry {
           "CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
           "CASE WHEN doc_id % 11 = 0 THEN ' call +62' || " +
           "CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END)"
-        val countCols = Redaction.Patterns.map { case (cat, pat, _) =>
-          s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$cat"
+        // counts replay the Spark side: token occurrences in the
+        // redacted output via exact length arithmetic, not regex
+        val countCols = Redaction.Patterns.map { case (cat, _, tok) =>
+          s"CAST((len(redacted) - len(replace(redacted, '$tok', ''))) " +
+            s"// ${tok.length} AS BIGINT) AS n_$cat"
         }
         val redacted = Redaction.Patterns.foldLeft("t") {
           case (acc, (_, pat, tok)) =>
             s"regexp_replace($acc, '$pat', '$tok', 'g')"
         }
-        s"WITH p AS (SELECT doc_id, $inj AS t FROM documents) " +
-          s"SELECT doc_id, ${countCols.mkString(", ")}, " +
-          s"$redacted AS redacted FROM p"
+        s"WITH p AS (SELECT doc_id, $inj AS t FROM documents), " +
+          s"r AS (SELECT doc_id, $redacted AS redacted FROM p) " +
+          s"SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"
       },
 
       // Min reachable doc_id per node via a recursive CTE over the

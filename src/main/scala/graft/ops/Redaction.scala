@@ -39,14 +39,24 @@ object Redaction {
 
   /** Per-category match counts (BIGINT) + the redacted text, one row
     * per input row: `doc_id, n_url, n_email, n_ip, n_phone, redacted`.
+    *
+    * Counts are derived from the redacted OUTPUT — occurrences of each
+    * replacement token via the exact length-difference trick — rather
+    * than four extra `regexp_count` scans over the input. That halves
+    * the regex passes per row from 8 to 4; because the categories are
+    * pairwise disjoint (see [[Patterns]]) the token count equals the
+    * match count whenever the raw text doesn't already contain a
+    * literal token string (`"<URL>"` etc.) — the documented contract.
     */
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val counts = Patterns.map { case (cat, pat, _) =>
-      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$cat")
+    val counts = Patterns.map { case (cat, _, tok) =>
+      ((length(col("redacted")) -
+        length(replace(col("redacted"), lit(tok), lit("")))) /
+        lit(tok.length)).cast("long").as(s"n_$cat")
     }
-    docs.select(
-      (col(idCol) +: counts) :+ redact(col(textCol)).as("redacted"): _*)
+    docs.select(col(idCol), redact(col(textCol)).as("redacted"))
+      .select((col(idCol) +: counts) :+ col("redacted"): _*)
   }
 
   /** Deterministic synthetic-PII injector for the test tables (the

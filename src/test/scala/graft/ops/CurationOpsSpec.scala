@@ -78,6 +78,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("systematicByWeight matches the reference model on fuzzed groups") {
+    // SamplingProps pins the MODEL's contract generatively; this pins
+    // Spark == model on skew-heavy pseudo-random inputs (fixed seed).
+    val rnd = new scala.util.Random(20260812L)
+    val rows = for {
+      g <- 0 until 6
+      n = 30 + rnd.nextInt(80)
+      i <- 0 until n
+    } yield (g * 10000L + i, s"g$g",
+      if (rnd.nextInt(10) == 0) 1L + rnd.nextInt(1000000)
+      else 1L + rnd.nextInt(500))
+    val df = rows.toDF("id", "grp", "w")
+    val k = 15
+    val got = Sampling.systematicByWeight(
+      df, col("grp"), col("w"), col("id"), k)
+      .select("id").as[Long].collect().toSet
+    val want = rows.groupBy(_._2).values.flatMap { grp =>
+      SystematicModel.select(grp.map(r => (r._1, r._3)).toSeq, k)
+    }.toSet
+    assert(got == want)
+    assert(got.size == 6 * k)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = (0 until 3000).map { i =>
       (i.toLong, s"text body $i", if (i % 3 == 0) "en" else "zh")

@@ -77,6 +77,29 @@ class RewriteRangeJoinSpec extends SparkSpec {
     assert(!plan.contains("__graft_bin"), plan)
   }
 
+  test("explicit pointInInterval and the auto-rewrite plan the same shape") {
+    // Both paths must bin with an arithmetic shift and plan ONE
+    // broadcast equi-join on the bin key — this pin is what keeps the
+    // explicit API from drifting back to per-row decimal bin math (6x
+    // slower) while the rule stays fast, or vice versa.
+    val explicitPlan = graft.ops.RangeJoin.pointInInterval(
+      points, intervals, col("p"), col("s"), col("e"), binWidth = 14L)
+      .queryExecution.executedPlan.toString
+    val autoPlan = withRule(on = true)(
+      points.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e"))
+        .queryExecution.executedPlan.toString)
+    for ((label, plan) <- Seq("explicit" -> explicitPlan,
+        "auto" -> autoPlan)) {
+      assert(plan.contains("BroadcastHashJoin"), s"$label:\n$plan")
+      assert(plan.toLowerCase.contains("shiftright"), s"$label:\n$plan")
+      assert(!plan.contains("decimal(38,0)"), s"$label:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("SortMergeJoin"), s"$label:\n$plan")
+    }
+  }
+
   test("inverted intervals match nothing and do not crash") {
     val inverted = spark.range(0, 20)
       .select((col("id") * 10 + 9).as("s"), (col("id") * 10).as("e"))
