@@ -393,12 +393,12 @@ object SparkEntry {
           .as("sum_k"),
           count(lit(1)).as("cnt"))),
 
-    // Sketch aggregates (HLL++ cardinalities): sublinear state, sketch
-    // bytes on the shuffle instead of rows. Estimates are
-    // engine-specific — rows-only check; error bounds pinned by
-    // SketchesSpec against exact answers.
+    // HLL++ distinct sketch with an in-band error audit: the output
+    // carries the exact distinct count and a within-5rsd flag instead
+    // of the (engine-specific) sketch estimate, so the DuckDB oracle
+    // genuinely verifies the sketch held its bound.
     "sketch_approx_distinct" -> ((s, dir) =>
-      Sketches.approxDistinct(
+      Sketches.approxDistinctChecked(
         T(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
 
     // W1: document-order discipline (ordered projection + bound).
@@ -745,11 +745,20 @@ object SparkEntry {
     // screen): single-shot fixed-level deflate size per document.
     // Rows-only: DuckDB has no zlib surface; determinism and the
     // repetitive-compresses-better ordering are spec-pinned.
+    // deflate length is engine-specific (no zlib in the oracle), so
+    // the row stays rows-only — but it now carries its own sanity
+    // bound: deflate can add at most a few bytes of framing (raw+64 is
+    // generous) and this corpus compresses at most ~2.5x (bound set at
+    // 50x), so `within_bounds` going false flags a broken codec path
+    // in a way the driver's dump makes visible.
     "compression_signal" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("raw_len"),
         graft.functions.CurationExprs.deflateSize(col("text"))
-          .as("deflate_len"))),
+          .as("deflate_len"))
+        .withColumn("within_bounds",
+          col("deflate_len") <= col("raw_len") + 64 &&
+            col("deflate_len") * 50 >= col("raw_len"))),
 
     // Near-dup clustering: integer-exact n-gram Jaccard edges over a
     // deterministic pair set (adjacent doc_ids, +1/+2), then
@@ -1265,6 +1274,13 @@ object SparkEntry {
       "dedup_exact_keep" ->
         (s"SELECT doc_id, md5($NormTextSql) AS text_hash FROM documents " +
           s"QUALIFY row_number() OVER (PARTITION BY md5($NormTextSql) ORDER BY doc_id) = 1"),
+
+      // the sketch estimate never reaches the comparator — the oracle
+      // recomputes the exact side and asserts the audit flag held
+      "sketch_approx_distinct" ->
+        ("SELECT l_returnflag, count(*) AS \"rows\", " +
+          "count(DISTINCT l_partkey) AS exact_distinct, " +
+          "TRUE AS within_5rsd FROM lineitem GROUP BY l_returnflag"),
 
       "text_stats" ->
         (s"SELECT doc_id, $statsCols FROM documents WHERE length(trim(text)) > 0"),

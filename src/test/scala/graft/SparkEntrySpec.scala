@@ -29,7 +29,7 @@ class SparkEntrySpec extends SparkSpec {
     // pin the exact counts so that shows up as a test failure.
     assert(SparkEntry.queries.size == 79,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 72,
+    assert(SparkEntry.oracleSql.size == 73,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
   }
 }
