@@ -706,6 +706,24 @@ object SparkEntry {
       feats.join(nb, "doc_id").select(col("doc_id") +: bins: _*)
     }),
 
+    // REAL image-codec roundtrip (JDK ImageIO): solid PNGs whose
+    // geometry/color derive arithmetically from doc_id are encoded,
+    // decoded, and pixel-summed by actual codec code; the oracle
+    // predicts every recovered value from doc_id alone. Green here
+    // means the decode path is not a stub.
+    "mm_image_roundtrip" -> ((s, dir) =>
+      Multimodal.imageRoundtrip(
+        T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
+        "doc_id", resizeTo = None)),
+
+    // Same, plus a REAL nearest-neighbor rescale + PNG re-encode in the
+    // middle: recovered geometry is the resize target, recovered color
+    // is still the planted one (solid survives interpolation).
+    "mm_image_resize" -> ((s, dir) =>
+      Multimodal.imageRoundtrip(
+        T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
+        "doc_id", resizeTo = Some((5, 3)))),
+
     // Deterministic stratified sampling: content-keyed md5-bucket
     // predicate with per-language keep rates (rebalance the language
     // mix) — pure scan→filter, no shuffle at any scale. Thresholds are
@@ -1356,6 +1374,20 @@ object SparkEntry {
       "mm_sample_frames" ->
         ("SELECT doc_id, unnest(generate_series(0, length(text) * 10, 250)) " +
           "AS frame_ts_ms FROM documents"),
+
+      // the oracle PREDICTS what a correct codec roundtrip recovers —
+      // it never decodes; mismatch = the real ImageIO path broke
+      "mm_image_roundtrip" ->
+        ("SELECT doc_id, CAST(doc_id % 13 + 1 AS INTEGER) AS width, " +
+          "CAST(doc_id % 11 + 1 AS INTEGER) AS height, " +
+          "doc_id * 7 % 256 AS mean_r, doc_id * 13 % 256 AS mean_g, " +
+          "doc_id * 29 % 256 AS mean_b FROM documents WHERE doc_id < 200"),
+
+      "mm_image_resize" ->
+        ("SELECT doc_id, CAST(5 AS INTEGER) AS width, " +
+          "CAST(3 AS INTEGER) AS height, " +
+          "doc_id * 7 % 256 AS mean_r, doc_id * 13 % 256 AS mean_g, " +
+          "doc_id * 29 % 256 AS mean_b FROM documents WHERE doc_id < 200"),
 
       "time_window_agg" ->
         ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) " +

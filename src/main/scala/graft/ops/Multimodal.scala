@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * exercised: schema (binary + struct), partition-parallel batch decode
   * (`mapPartitions`-free — a vectorizable UDF over the payload), byte
   * level ops as pure built-ins, and frame-sampling as `sequence` +
-  * `explode`. The actual codec call (`ImageIO.read`, ffmpeg, …) is not
-  * available in this environment, so [[fakeDecodeFeatures]] computes a
-  * deterministic byte-histogram "embedding" with the exact signature a
-  * real decoder UDF would have (`Array[Byte] => Array[Float]`); swap
-  * the body, keep the plan.
+  * `explode`. For IMAGES the codec path is REAL — JDK `javax.imageio`
+  * (PNG/BMP/JPEG/GIF, headless-safe): see [[ImageDecoderSession]],
+  * [[imageFeatures]] and the oracle-verified [[imageRoundtrip]]. For
+  * codecs the JVM lacks (video/audio: ffmpeg, JNI bindings),
+  * [[fakeDecodeFeatures]] keeps the boundary with a deterministic
+  * byte-histogram "embedding" of the exact signature a real decoder
+  * UDF would have (`Array[Byte] => Array[Float]`); swap the body, keep
+  * the plan.
   *
   * At 100 TB: payloads dominate I/O, so every operator here projects
   * the binary column once, derives small fixed-width outputs, and never
@@ -150,5 +153,150 @@ object Multimodal {
       }
       bins
     }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image codec path (JDK javax.imageio — PNG/BMP/JPEG/GIF).
+  // The stub above remains the boundary for codecs the JVM lacks
+  // (video/audio); for images the decode, pixel math and resize below
+  // are the real thing, headless-safe, no native deps.
+  // ------------------------------------------------------------------
+
+  /** Real decoder handle, one per executor JVM (ImageIO's reader
+    * registry scan is the construction cost a real pipeline amortizes).
+    */
+  final class ImageDecoderSession {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Null iff the bytes are not a JDK-decodable image. */
+    def decode(bytes: Array[Byte]): BufferedImage =
+      if (bytes == null || bytes.isEmpty) null
+      else ImageIO.read(new ByteArrayInputStream(bytes))
+
+    /** (width, height, meanR, meanG, meanB) over the decoded pixels;
+      * means are exact integer floors — oracle-safe for planted solid
+      * colors. Null for undecodable payloads.
+      */
+    def describe(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      Option(decode(bytes)).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, r / n, g / n, b / n)
+      }
+
+    /** Decode → scale (nearest neighbor: solid stays solid, planted
+      * colors survive exactly) → re-encode PNG. Null passthrough for
+      * undecodable payloads.
+      */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      Option(decode(bytes)).map { img =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g2.drawImage(img, 0, 0, w, h, null)
+        g2.dispose()
+        val buf = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", buf)
+        buf.toByteArray
+      }.orNull
+
+    /** Solid-color PNG of the given geometry — the deterministic test
+      * payload generator (planted values are what the oracle predicts).
+      */
+    def encodeSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val buf = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+  }
+
+  @transient private lazy val sharedImageSession = new ImageDecoderSession
+
+  /** Real 16-dim pooled feature: 4x4 grid of mean luminance (0..255,
+    * integer floor per cell — deterministic across JVMs) when the
+    * payload decodes as an image; byte-histogram fallback otherwise,
+    * so mixed corpora never fail mid-scan.
+    */
+  val imageFeatures = udf { bytes: Array[Byte] =>
+    val img = sharedImageSession.decode(bytes)
+    if (img == null) sharedSession.decode(bytes)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](16)
+      val counts = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val luma = (((p >> 16) & 0xFF) * 299 +
+            ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
+          val cell = math.min(y * 4 / h, 3) * 4 + math.min(x * 4 / w, 3)
+          sums(cell) += luma; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(16)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+    }
+  }
+
+  /** Planted-image roundtrip: encode a solid PNG whose geometry and
+    * color derive arithmetically from the id, push it through the REAL
+    * decode (+ optional real resize), and emit the recovered values.
+    * An external SQL oracle predicts every output column from the id
+    * alone — so a green row proves the actual codec path (ImageIO
+    * decode, pixel sums, nearest-neighbor rescale, PNG re-encode)
+    * round-trips bit-exactly, with the oracle never decoding anything.
+    */
+  def imageRoundtrip(ids: DataFrame, idCol: String,
+      resizeTo: Option[(Int, Int)]): DataFrame = {
+    val mk = udf { id: Long =>
+      sharedImageSession.encodeSolidPng(
+        (id % 13 + 1).toInt, (id % 11 + 1).toInt,
+        (id * 7 % 256).toInt, (id * 13 % 256).toInt, (id * 29 % 256).toInt)
+    }
+    val payloads = ids.select(col(idCol), mk(col(idCol)).as("payload"))
+    val described = resizeTo match {
+      case None => payloads
+      case Some((w, h)) =>
+        val rs = udf { bytes: Array[Byte] =>
+          sharedImageSession.resizePng(bytes, w, h)
+        }
+        payloads.withColumn("payload", rs(col("payload")))
+    }
+    val desc = udf { bytes: Array[Byte] =>
+      sharedImageSession.describe(bytes).orNull
+    }
+    described
+      .select(col(idCol), desc(col("payload")).as("d"))
+      .select(col(idCol),
+        col("d._1").as("width"), col("d._2").as("height"),
+        col("d._3").as("mean_r"), col("d._4").as("mean_g"),
+        col("d._5").as("mean_b"))
   }
 }

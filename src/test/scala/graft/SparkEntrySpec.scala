@@ -27,9 +27,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 79,
+    assert(SparkEntry.queries.size == 81,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 73,
+    assert(SparkEntry.oracleSql.size == 75,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
   }
 }

@@ -72,4 +72,60 @@ class MultimodalSpec extends SparkSpec {
     // durationMs = 5 chars * 10 = 50 -> 0,20,40
     assert(frames.toSeq == Seq(0L, 20L, 40L))
   }
+
+  // ---------------------------------------------- real ImageIO path
+
+  test("ImageDecoderSession: PNG encode/decode roundtrip is exact") {
+    val s = new Multimodal.ImageDecoderSession
+    val png = s.encodeSolidPng(7, 5, 200, 100, 50)
+    assert(s.describe(png).contains((7, 5, 200L, 100L, 50L)))
+    // non-image bytes decode to null, describe to None
+    assert(s.decode("not an image".getBytes) == null)
+    assert(s.describe("not an image".getBytes).isEmpty)
+  }
+
+  test("ImageDecoderSession: nearest-neighbor resize keeps solid color") {
+    val s = new Multimodal.ImageDecoderSession
+    val resized = s.resizePng(s.encodeSolidPng(8, 6, 10, 20, 30), 3, 2)
+    assert(s.describe(resized).contains((3, 2, 10L, 20L, 30L)))
+    assert(s.resizePng("junk".getBytes, 3, 2) == null)
+  }
+
+  test("imageFeatures: solid image pools to its luminance; fallback " +
+    "histogram for non-images") {
+    val s = new Multimodal.ImageDecoderSession
+    val png = s.encodeSolidPng(16, 16, 100, 100, 100)
+    val df = Seq((1L, png), (2L, "plain text".getBytes))
+      .toDF("doc_id", "payload")
+    val out = df.select(col("doc_id"),
+        Multimodal.imageFeatures(col("payload")).as("f"))
+      .orderBy("doc_id").collect()
+    // luma of (100,100,100) = 100 in every 4x4 cell
+    assert(out(0).getSeq[Float](1).forall(_ == 100f))
+    // fallback = the byte-histogram stub (L1-normalized, sums to ~1)
+    val hist = out(1).getSeq[Float](1)
+    assert(math.abs(hist.sum - 1f) < 1e-5)
+  }
+
+  test("imageRoundtrip recovers planted geometry and color, with and " +
+    "without the real resize") {
+    val ids = spark.range(0, 50).select(col("id").as("doc_id"))
+    val plain = Multimodal.imageRoundtrip(ids, "doc_id", None)
+      .orderBy("doc_id").collect()
+    plain.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 13 + 1).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 11 + 1).toInt, s"height of $id")
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        (id * 7 % 256, id * 13 % 256, id * 29 % 256), s"color of $id")
+    }
+    val resized = Multimodal.imageRoundtrip(ids, "doc_id", Some((5, 3)))
+      .orderBy("doc_id").collect()
+    resized.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 5 && r.getInt(2) == 3)
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        (id * 7 % 256, id * 13 % 256, id * 29 % 256), s"color of $id")
+    }
+  }
 }
