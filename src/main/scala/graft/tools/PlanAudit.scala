@@ -15,7 +15,7 @@ object PlanAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("s3_page_prune", "agg_groupby", "j1_ri_antijoin",
-        "dedup_exact_groups", "minhash_candidates", "ann_lsh_topk")
+        "dedup_exact_groups", "minhash_planted_recall", "ann_lsh_topk")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

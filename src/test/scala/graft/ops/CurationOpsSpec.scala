@@ -137,6 +137,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4).productIterator.toSeq.slice(1, 5) == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("piiScrub counts are exact when raw text contains literal tokens") {
+    // Adversarial inputs for the count-from-output optimization: raw
+    // text already holding replacement tokens, tokens adjacent to real
+    // PII, and angle brackets hugging a real match. The count must
+    // equal what regexp_count on the RAW text reports in every case.
+    val rows = Seq(
+      (1L, "plain <URL> token, no real url"),
+      (2L, "<URL> then real https://x.org/p"),
+      (3L, "<EMAIL><EMAIL> and a@b.co plus <IP>"),
+      (4L, "<EMAILnot@a.token.com> bracket-hugged email"),
+      (5L, "<PHONE>+6281234567 <PHONE>"),
+      (6L, "token soup <URL><EMAIL><IP><PHONE>"),
+      (7L, "https://a.io/<URL> url then token"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Redaction.piiScrub(df).orderBy("doc_id")
+    val want = df.orderBy("doc_id").select(
+      col("doc_id") +: Redaction.Patterns.map { case (cat, pat, _) =>
+        regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$cat")
+      }: _*)
+    val gw = got.select("doc_id", "n_url", "n_email", "n_ip", "n_phone")
+      .collect().toSeq.zip(want.collect().toSeq)
+    for ((g, w) <- gw) assert(g == w, s"counts diverge: got $g want $w")
+    // and pre-existing tokens pass through the redacted text verbatim
+    val r1 = got.filter(col("doc_id") === 1).head.getAs[String]("redacted")
+    assert(r1 == "plain <URL> token, no real url")
+  }
+
   test("withFakePii injects on the doc_id-keyed subsets") {
     val df = (0L to 20L).map(i => (i, "base")).toDF("doc_id", "text")
     val out = Redaction.piiScrub(Redaction.withFakePii(df))

