@@ -154,6 +154,8 @@ object SparkEntry {
   private val PlantMinTokens = 50
   private val MinHashRecallFloorPct = 90
   private val SimHashRecallFloorPct = 80
+  private val AnnLshRecallFloorPct = 75
+  private val AnnIvfRecallFloorPct = 80
 
   /** Docs that get a planted near-dup copy: a deterministic 1-in-13
     * slice, long enough (≥ 50 tokens) that every copy gets at least
@@ -599,14 +601,29 @@ object SparkEntry {
         T(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism))),
 
-    // Winnowing (MOSS rolling-hash) fingerprints: shared ≥7-token runs
-    // guarantee a shared fingerprint. xxhash64-based — rows-only.
-    // (Embedding-cosine near-dup pairs — Similarity.cosineNearDupPairs
-    // — are exercised by spec instead: the synthetic embeddings contain
-    // no high-cosine pairs, so a registered query would be empty.)
-    "winnowing_fingerprints" -> ((s, dir) =>
-      TextAnalysis.winnowingFingerprints(
-        T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))),
+    // Winnowing (MOSS rolling-hash) fingerprints, checked against
+    // their own guarantee: any shared run of ≥ k + windowSize - 1 = 7
+    // tokens MUST yield a shared selected fingerprint (both documents
+    // contain a full hash window inside the run and both keep that
+    // window's minimum). Planted copies share a ≥ 49-token prefix, so
+    // every planted pair must surface — the floor is 100, a theorem,
+    // not a measurement; a miss means the implementation broke the
+    // winnowing property. Oracled via the in-band flag (the raw
+    // xxhash64 fingerprint rows were rows-only in earlier rounds).
+    "winnowing_planted_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val fps = TextAnalysis.winnowingFingerprints(plantedInput(docs))
+      val cands = fps.filter(col("doc_id") < PlantOffset)
+        .join(fps.filter(col("doc_id") >= PlantOffset)
+            .select((col("doc_id") - PlantOffset).as("doc_id"),
+              col("fingerprint")),
+          Seq("doc_id", "fingerprint"), "left_semi")
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + PlantOffset).as("doc_b"))
+        .distinct()
+      plantedRecall(cands, plantedEligible(docs), 100)
+    }),
 
     // MinHash/LSH near-dup candidate pairs (banded, bucket-joined —
     // never an all-pairs product), run on the corpus WITH planted
@@ -737,6 +754,50 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopK(corpus, queries, centroids, k = 10, nProbe = 2)
         .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
+    // Planted-neighbor recall for the APPROXIMATE ANN paths. The
+    // ann_lsh_topk / ann_ivf_topk oracles replay the same algorithm in
+    // SQL, proving determinism but not retrieval quality; this query
+    // proves quality: plant near-dup vectors (same +0.25f prep as
+    // cosine_neardup_pairs), query with the copies, and flag whether
+    // each approximate path returned the copy's original in its top-k.
+    // The original IS the brute-force top-1 by construction (planted
+    // sim ≈ 0.97 vs < 0.35 for every other vector — the margins
+    // recorded at cosine_neardup_pairs), so asserting "found the
+    // original" is recall@k against the exact baseline without
+    // recomputing it. Only engine-independent values are emitted.
+    // LSH runs MULTI-probe (own bucket + 1-bit flips): single-probe
+    // 4-bit measured 83%/57% recall at sf0.01/sf0.1 — too thin over
+    // any honest floor — multi-probe measures 100%/90.5%; IVF 2-probe
+    // measures 100%/95.2%. Floors 75/80 leave real margin.
+    "ann_planted_recall" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = base.union(planted)
+      val queries = planted.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))
+      val centroids = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("c_vec"))
+      def hits(topk: DataFrame): DataFrame = topk
+        .filter(col("vec_id") === col("q_id") - 1000000L)
+        .select(col("q_id"), lit(1L).as("hit"))
+      val lshHits = hits(Similarity.lshTopKMultiProbe(corpus, queries,
+        k = 10, numBits = 4))
+      val ivfHits = hits(Similarity.ivfTopK(corpus, queries, centroids,
+        k = 10, nProbe = 2))
+      def recallFlag(h: DataFrame, floorPct: Int, name: String) =
+        queries.select("q_id").join(h, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("planted_total"),
+            (sum(coalesce(col("hit"), lit(0L))) * 100 >=
+              count(lit(1)) * floorPct).as(name))
+      recallFlag(lshHits, AnnLshRecallFloorPct, "lsh_recall_ok")
+        .crossJoin(broadcast(recallFlag(ivfHits, AnnIvfRecallFloorPct,
+          "ivf_recall_ok").select("ivf_recall_ok")))
     }),
 
     // Event-time window aggregation: tumbling 1-hour windows over the
@@ -1419,6 +1480,20 @@ object SparkEntry {
           s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
 
       "simhash_planted_recall" ->
+        (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          s"FROM documents WHERE doc_id % $PlantMod = 0 " +
+          s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
+
+      // ANN retrieval-quality gate: both approximate paths must have
+      // found the planted original above their floors for the flags
+      // to hash-match the oracle's TRUEs
+      "ann_planted_recall" ->
+        ("SELECT count(*) AS planted_total, TRUE AS lsh_recall_ok, " +
+          "TRUE AS ivf_recall_ok FROM embeddings WHERE vec_id % 97 = 0"),
+
+      // winnowing guarantee gate: recall floor is 100 BY THEOREM
+      // (shared ≥7-token run ⇒ shared fingerprint; plants share ≥49)
+      "winnowing_planted_overlap" ->
         (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
           s"FROM documents WHERE doc_id % $PlantMod = 0 " +
           s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),

@@ -66,21 +66,21 @@ object Components {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("lbl")).as("nbr_lbl"))
+      // the round's input label rides along as `prev`, so convergence
+      // detection below is a filter over the already-materialized
+      // round output — not a third join per round
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       // self-join: explicit subquery aliases keep the two sides'
       // attributes unambiguous (both derive from the same plan)
       val jumped = stepped.as("a")
         .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
-        .select(col("a.node").as("node"),
+        .select(col("a.node").as("node"), col("a.prev").as("prev"),
           coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev"))
-        .count()
-      labels = jumped
+      changed = jumped.filter(col("lbl") =!= col("prev")).count()
+      labels = jumped.select("node", "lbl")
       iter += 1
     }
     require(changed == 0, s"components did not converge in $maxIter rounds")

@@ -211,4 +211,41 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
   }
+
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS the
+    * `numBits` buckets at hamming distance 1 (one sign bit flipped) —
+    * the standard recall lever for sign-LSH: a true neighbor is missed
+    * only when ≥ 2 planes disagree, so recall improves from p^b-shaped
+    * to (1 - Σ≥2-flip) at (numBits+1)× the candidate work, still as a
+    * pure bucket equi-join (the query side explodes its probe list;
+    * corpus vectors keep their single bucket, so no pair dedup is
+    * needed). The corpus side — the 100 TB side — is untouched: same
+    * one-pass bucket assignment, same join shape, no extra shuffle.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      numBits: Int = 8,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numBits, dims, seed)
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val probeList = concat(
+      array(col("bucket0")),
+      transform(sequence(lit(0), lit(numBits - 1)),
+        j => col("bucket0").bitwiseXOR(call_function("shiftleft", lit(1), j))))
+    val q = queries
+      .withColumn("bucket0", lshBucket(col("q_vec"), planes))
+      .select(col("q_id"), col("q_vec"), explode(probeList).as("bucket"))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
+  }
 }

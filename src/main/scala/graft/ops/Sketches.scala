@@ -74,11 +74,24 @@ object Sketches {
       sampleMod: Int = 4,
       bound: Double = 0.25): DataFrame = {
     val v = col(countCol)
-    val sampled = when(pmod(xxhash64(v), lit(sampleMod.toLong)) === 0L, v)
-    df.groupBy(col(groupCol))
+    // Two separate aggregations instead of one groupBy mixing
+    // count_distinct with the sketch: the mixed form plans an Expand
+    // (every input row duplicated per aggregate group) that costs more
+    // than a second pruned columnar scan. The sketch side is the
+    // production shape (scan → partial HLL → tiny shuffle); the audit
+    // side shrinks by ~1/sampleMod BEFORE its distinct shuffle; the
+    // per-group join is a broadcast of a few rows.
+    val sk = df.groupBy(col(groupCol))
       .agg(approx_count_distinct(v, rsd).as("approx_distinct"),
-        count_distinct(sampled).as("sampled_distinct"),
         count(lit(1)).as("rows"))
+    val sampled = df
+      .filter(pmod(xxhash64(v), lit(sampleMod.toLong)) === 0L)
+      .select(col(groupCol), v).distinct()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("sampled_distinct"))
+    sk.join(broadcast(sampled), Seq(groupCol), "left")
+      .withColumn("sampled_distinct",
+        coalesce(col("sampled_distinct"), lit(0L)))
       .select(col(groupCol), col("rows"),
         (abs(col("approx_distinct") - col("sampled_distinct") * sampleMod) <=
           lit(bound) * col("sampled_distinct") * sampleMod).as("approx_ok"))

@@ -27,6 +27,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_cosine_topk", // brute-force baseline: corpus × broadcast(queries)
     "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
     "cosine_neardup_pairs",
+    "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "quantile_filter",  // × broadcast(single-row percentile cutoff)
     "tfidf_top_terms")  // × broadcast(single-row corpus doc count)
 

@@ -41,6 +41,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact.values.forall(_.size == 10))
   }
 
+  test("multi-probe LSH recall dominates single-probe at the same bits") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val exact = topkMap(Similarity.bruteForceTopK(corpus, queries, k = 10))
+    val single = topkMap(Similarity.lshTopK(corpus, queries, k = 10,
+      numBits = 4))
+    val multi = topkMap(Similarity.lshTopKMultiProbe(corpus, queries,
+      k = 10, numBits = 4))
+    val rs = recallOf(single, exact)
+    val rm = recallOf(multi, exact)
+    // probing the 1-bit-flip buckets only ADDS candidates, and a true
+    // top-k member can never be pushed out of the top-k by them (any
+    // candidate outranking it is itself a true top-k member with a
+    // better rank), so multi-probe recall dominates pointwise
+    assert(rm >= rs, s"multi=$rm < single=$rs")
+    assert(rm > 0.3, s"multi-probe recall too low: $rm")
+  }
+
   test("IVF top-k recall with full probe count equals brute force") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = corpus.filter(col("vec_id") < 4)
