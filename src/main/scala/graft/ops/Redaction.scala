@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   * regex engine (Spark) and RE2 (DuckDB, and the regex engine most
   * native scan layers embed) then agree character-for-character, which
   * is what lets the whole operator run under the exact DuckDB oracle.
-  * The four categories are pairwise disjoint by construction (URLs
-  * can't contain `@` with this class, phones require a leading `+`,
-  * IPs have no `+`), so redaction order cannot change the result —
-  * it is still applied in one fixed order for determinism.
+  *
+  * Semantics: replacement is SEQUENTIAL in [[Patterns]] order, and the
+  * per-category counts describe what the chain actually replaced. On
+  * typical text the categories don't overlap (URLs can't contain `@`
+  * with this class, phones require a leading `+`, IPs have no `+`) and
+  * order is irrelevant; on adversarial soup an earlier category can
+  * consume characters a later one would have matched (an email local
+  * part may swallow `+628...` digits) — the counts then faithfully
+  * follow the chain, not four independent scans of the raw text
+  * (fuzz-pinned against a stagewise regexp_count reference).
   *
   * Scale shape: pure per-row `regexp_replace`/`regexp_count` chains —
   * whole-stage-codegen'd, no shuffle, no UDF; the 100 TB plan is

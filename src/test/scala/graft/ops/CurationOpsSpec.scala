@@ -164,6 +164,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(r1 == "plain <URL> token, no real url")
   }
 
+  test("piiScrub counts == regexp_count reference on fuzzed token soup") {
+    // Generative version of the adversarial test above (same pattern as
+    // the sampler fuzz-parity): seeded random documents assembled from
+    // replacement tokens, real PII, token fragments, angle brackets and
+    // noise — the full collision space for the count-from-output trick.
+    val rnd = new scala.util.Random(4242L)
+    val pieces = Seq(
+      "<URL>", "<EMAIL>", "<IP>", "<PHONE>",           // literal tokens
+      "https://ex.org/a", "a.b@c.de", "1.2.3.4", "+628123456",  // real PII
+      "<URL", "URL>", "<EMAILx@y.zz>", "<", ">",       // fragments/hugs
+      "plain", "words", " ", "")
+    val docs = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(pieces(rnd.nextInt(pieces.size))).mkString(""))
+    }.toDF("doc_id", "text")
+    val got = Redaction.piiScrub(docs)
+      .select("doc_id", "n_url", "n_email", "n_ip", "n_phone")
+    // Reference semantic: the number of replacements each stage of the
+    // SEQUENTIAL chain performs (regexp_count on the partially-redacted
+    // text entering that stage) — on adversarial soup an earlier
+    // category can legitimately consume a later category's characters
+    // (an email match can swallow "+628123456"), so counting each
+    // pattern independently on the raw text is NOT the contract.
+    val staged = Redaction.Patterns.foldLeft(docs) {
+      case (df, (cat, pat, tok)) =>
+        df.withColumn(s"n_$cat",
+          regexp_count(col("text"), lit(pat)).cast("long"))
+          .withColumn("text", regexp_replace(col("text"), pat, tok))
+    }
+    val want = staged.select(
+      col("doc_id") +: Redaction.Patterns.map { case (cat, _, _) =>
+        col(s"n_$cat")
+      }: _*)
+    val mismatches = got.as("g").join(want.as("w"), "doc_id")
+      .filter(col("g.n_url") =!= col("w.n_url") ||
+        col("g.n_email") =!= col("w.n_email") ||
+        col("g.n_ip") =!= col("w.n_ip") ||
+        col("g.n_phone") =!= col("w.n_phone"))
+      .join(docs, "doc_id")
+    assert(mismatches.isEmpty,
+      s"count divergence:\n${mismatches.collect().mkString("\n")}")
+  }
+
   test("withFakePii injects on the doc_id-keyed subsets") {
     val df = (0L to 20L).map(i => (i, "base")).toDF("doc_id", "text")
     val out = Redaction.piiScrub(Redaction.withFakePii(df))
