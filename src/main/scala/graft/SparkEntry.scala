@@ -756,6 +756,18 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rk"))
     }),
 
+    // Int8-quantized brute-force top-k: the 4× memory/bandwidth lever
+    // for billion-scale ANN, scored on EXACT integer dot products —
+    // which is why, unlike the float paths, rank AND score are both
+    // oracled (the fixed power-of-two scale makes the codes
+    // bit-identical across engines; see Quantization.int8Codes).
+    "ann_quantized_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Quantization.quantizedTopK(corpus, queries, k = 10)
+    }),
+
     // Planted-neighbor recall for the APPROXIMATE ANN paths. The
     // ann_lsh_topk / ann_ivf_topk oracles replay the same algorithm in
     // SQL, proving determinism but not retrieval quality; this query
@@ -1490,6 +1502,25 @@ object SparkEntry {
       "ann_planted_recall" ->
         ("SELECT count(*) AS planted_total, TRUE AS lsh_recall_ok, " +
           "TRUE AS ivf_recall_ok FROM embeddings WHERE vec_id % 97 = 0"),
+
+      // full replay of the int8 quantizer and integer dot product:
+      // floor(CAST AS DOUBLE * 64) is exact in both engines (2^6
+      // scales the exponent only), integer sums are exact, so score
+      // and rank both reach the comparator — no float anywhere
+      "ann_quantized_topk" ->
+        ("WITH c AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(greatest(least(floor(CAST(x AS DOUBLE) * 64), 127), " +
+          "-128) AS INTEGER)) AS qvec FROM embeddings), " +
+          "q AS (SELECT vec_id AS q_id, qvec AS q_codes FROM c " +
+          "WHERE vec_id < 10), " +
+          "s AS (SELECT q.q_id, c.vec_id, " +
+          "list_sum(list_transform(range(1, 65), " +
+          "i -> CAST(c.qvec[i] AS BIGINT) * q.q_codes[i])) AS qdot " +
+          "FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id) " +
+          "SELECT q_id, vec_id, CAST(qdot AS BIGINT) AS qdot, " +
+          "CAST(row_number() OVER (PARTITION BY q_id " +
+          "ORDER BY qdot DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM s QUALIFY rk <= 10"),
 
       // winnowing guarantee gate: recall floor is 100 BY THEOREM
       // (shared ≥7-token run ⇒ shared fingerprint; plants share ≥49)

@@ -25,6 +25,7 @@ class PlanInvariantsSpec extends SparkSpec {
   /** Queries whose broadcast nested-loop join is the designed plan. */
   private val bnljByDesign = Set(
     "ann_cosine_topk", // brute-force baseline: corpus × broadcast(queries)
+    "ann_quantized_topk", // same brute-force shape on int8 codes
     "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
