@@ -908,6 +908,18 @@ object SparkEntry {
         col("lang"), col("text"), SampleRates, defaultRate = 0.0625)
         .select(col("doc_id"), col("lang"))),
 
+    // Capped stratum share: no language may exceed ~150 expected rows
+    // — the rebalancer with DATA-DEPENDENT rates (min(1, cap/n) per
+    // stratum). The keep test is integer arithmetic over a 16-bit
+    // content bucket, so the data-derived thresholds replay bit-exactly
+    // in the oracle; counts ride a broadcast join, never a full-corpus
+    // window on the (skewed) stratum key.
+    "sample_capped_share" -> ((s, dir) =>
+      Sampling.capStratumShare(
+        T(s, dir, "documents").select("doc_id", "lang", "text"),
+        col("lang"), col("text"), cap = 150L)
+        .select(col("doc_id"), col("lang"))),
+
     // Per-key cap: at most 20 docs per language, ranked by content
     // hash (run-stable, order-bias-free); WindowGroupLimit prunes to
     // k rows per key map-side before the one shuffle.
@@ -1737,6 +1749,15 @@ object SparkEntry {
           "SELECT q_id, vec_id, CAST(row_number() OVER (" +
           "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
           "FROM cand QUALIFY rk <= 10"),
+
+      // the same integer keep-test, with the bucket parsed via
+      // DuckDB's '0x...' cast (= Spark's conv(hex,16,10))
+      "sample_capped_share" ->
+        ("WITH c AS (SELECT lang AS s, count(*) AS n FROM documents " +
+          "GROUP BY lang) " +
+          "SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.s " +
+          "WHERE CAST(('0x' || substring(md5(d.text), 1, 4)) AS BIGINT) " +
+          "* c.n < 150 * 65536"),
 
       // Threshold hex literals generated from the same SampleRates
       // constants as the Spark predicate; fixed-width lowercase hex

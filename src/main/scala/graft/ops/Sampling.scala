@@ -75,6 +75,43 @@ object Sampling {
     df.filter(hexBucket(key) < threshold)
   }
 
+  /** 16-bit content bucket as an INTEGER (same md5 prefix as
+    * [[hexBucket]], parsed base-16) — for keep-tests whose threshold
+    * is data-dependent and therefore must be computed in integer
+    * arithmetic rather than rendered as a lexical constant.
+    */
+  def intBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 4), 16, 10).cast("long")
+
+  /** Cap each stratum's EXPECTED share at `cap` rows — the corpus
+    * rebalancer ("no language/source may dominate") with data-DEPENDENT
+    * rates: a stratum of size n thins by min(1, cap/n), keyed on
+    * content. The keep test is pure integer arithmetic —
+    * `bucket16 * n < cap * 65536` — so it is deterministic, replayable
+    * bit-exactly in external SQL (no float rate ever materializes),
+    * and strata with n ≤ cap provably keep every row (bucket16 <
+    * 65536 ≤ cap/n · 65536).
+    *
+    * Scale shape: per-stratum counts come from a map-side-combined
+    * groupBy whose output is |strata| rows, broadcast back onto a
+    * second scan — NOT a window over the strata (a window would
+    * shuffle the full corpus on the stratum key and serialize the
+    * dominant language through one reducer, the exact skew this
+    * operator exists to fix).
+    */
+  def capStratumShare(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      cap: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val counts = df.groupBy(strata.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    df.join(broadcast(counts), strata === col("__s"))
+      .filter(intBucket(key) * col("__n") < lit(cap) * 65536L)
+      .drop("__s", "__n")
+  }
+
   /** Deterministic per-key cap — "at most `k` documents per domain/
     * language/source", the anti-spam guard every crawl corpus applies.
     * Rows are ranked inside each key by content hash (an unbiased,

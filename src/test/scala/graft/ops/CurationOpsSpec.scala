@@ -113,6 +113,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(byLang.getOrElse("zh", 0L) == 0L, "zh dropped fully")
   }
 
+  test("capStratumShare: small strata survive whole, big strata thin to ~cap") {
+    val df = ((0 until 4000).map(i => (i.toLong, s"doc body $i", "en")) ++
+      (4000 until 4050).map(i => (i.toLong, s"doc body $i", "rare")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Sampling.capStratumShare(df, col("lang"), col("text"), cap = 200L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // n <= cap keeps EVERY row — provable: bucket16 < 65536 <= cap/n*65536
+    assert(kept("rare") == 50L, s"rare stratum must survive whole: $kept")
+    // the dominant stratum thins to cap in expectation (binomial sd
+    // ~ sqrt(200) => a generous but non-vacuous band)
+    assert(kept("en") > 130L && kept("en") < 270L,
+      s"en stratum should be ~200: $kept")
+    // determinism: a second evaluation yields the identical set
+    val again = Sampling.capStratumShare(df, col("lang"), col("text"), cap = 200L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   // ----------------------------------------------------------- Redaction
 
   test("redact replaces each PII category with its token") {
