@@ -32,12 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Non-deprecated full-form ExpressionInfo (the 5-arg convenience
+    * constructor is deprecated since 3.0); optional doc fields empty.
+    */
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage,
+      "", "", "", "", "", "", "")
+
   private def binary(
       name: String,
       usage: String,
       build: (Expression, Expression) => Expression): (String, ExpressionInfo, Seq[Expression] => Expression) =
     (name,
-      new ExpressionInfo("graft", null, name, usage, ""),
+      info(name, usage),
       (args: Seq[Expression]) => {
         require(args.length == 2, s"$name takes exactly two arguments")
         build(args(0), args(1))
@@ -48,7 +55,7 @@ object GraftExtensions {
       usage: String,
       build: Expression => Expression): (String, ExpressionInfo, Seq[Expression] => Expression) =
     (name,
-      new ExpressionInfo("graft", null, name, usage, ""),
+      info(name, usage),
       (args: Seq[Expression]) => {
         require(args.length == 1, s"$name takes exactly one argument")
         build(args.head)
@@ -85,23 +92,23 @@ object GraftExtensions {
         "_FUNC_(x, y) - 64-bit Morton (Z-order) code of two bigints.",
         graft.functions.ZOrderExpr),
       ("graft_shingles",
-        new ExpressionInfo("graft", null, "graft_shingles",
-          "_FUNC_(text, n) - Distinct word n-grams (n a literal int).", ""),
+        info("graft_shingles",
+          "_FUNC_(text, n) - Distinct word n-grams (n a literal int)."),
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_shingles takes (text, n)")
           graft.functions.ShinglesExpr(args(0), litInt(args(1), "n"))
         }),
       ("graft_minhash",
-        new ExpressionInfo("graft", null, "graft_minhash",
-          "_FUNC_(shingles, k) - k-seed MinHash signature (k a literal int).", ""),
+        info("graft_minhash",
+          "_FUNC_(shingles, k) - k-seed MinHash signature (k a literal int)."),
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_minhash takes (shingles, k)")
           graft.functions.MinHashSignatureExpr(args(0), litInt(args(1), "k"))
         }),
       ("graft_misra_gries",
-        new ExpressionInfo("graft", null, "graft_misra_gries",
+        info("graft_misra_gries",
           "_FUNC_(str, k) - Misra-Gries frequent-items sketch aggregate " +
-            "(k a literal int); map of candidate -> lower-bound count.", ""),
+            "(k a literal int); map of candidate -> lower-bound count."),
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_misra_gries takes (col, k)")
           // a bare AggregateFunction from a builder is wrapped into an
