@@ -157,6 +157,58 @@ object SparkEntry {
   private val AnnLshRecallFloorPct = 75
   private val AnnIvfRecallFloorPct = 80
 
+  /** Recursive-CTE replay of [[neardupLabeled]] (shingles →
+    * integer-exact Jaccard edges → min-label reachability), shared by
+    * the neardup_components and neardup_dedup_keep oracles.
+    */
+  private lazy val NeardupReachCte: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(0, greatest(len(toks) - 3, 0) + 1),
+       |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+       |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+       |        FROM documents)),
+       |edges0 AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+       |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+       |edges AS (SELECT src, dst FROM edges0
+       |          UNION SELECT dst, src FROM edges0),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  /** Shared near-dup clustering pipeline (candidates → integer-exact
+    * Jaccard edges → distributed connected components), labeled
+    * (node, component). Candidate pairs are the deterministic adjacent
+    * doc_id set so the whole thing is oracle-able via a recursive CTE;
+    * the repartition exists because the single-file fixture would
+    * otherwise compute every shingle array serially (cf. the
+    * minhash_planted_recall note).
+    */
+  private def neardupLabeled(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val ids = docs.select(col("doc_id"))
+    val cand = ids
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .union(ids
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 2).as("doc_b")))
+    val pairs = cand.join(ids.select(col("doc_id").as("doc_b")), "doc_b")
+      .select("doc_a", "doc_b")
+    val edges = TextDedup.jaccardCounts(pairs, docs)
+      .filter(col("inter_cnt") * 100 >= col("union_cnt"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Components.connectedComponents(edges,
+      ids.select(col("doc_id").as("node")))
+  }
+
   /** Docs that get a planted near-dup copy: a deterministic 1-in-13
     * slice, long enough (≥ 50 tokens) that every copy gets at least
     * one real mutation while Jaccard stays high. The predicate is
@@ -970,25 +1022,20 @@ object SparkEntry {
     // distributed connected components (min-label propagation with
     // pointer jumping; O(log diameter) rounds). component = min
     // reachable doc_id; oracled by a DuckDB recursive CTE.
-    "neardup_components" -> ((s, dir) => {
-      // repartition: single-file fixture would otherwise compute every
-      // shingle array serially (cf. minhash_candidates note)
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      val ids = docs.select(col("doc_id"))
-      val cand = ids
-        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
-        .union(ids
-          .select(col("doc_id").as("doc_a"), (col("doc_id") + 2).as("doc_b")))
-      val pairs = cand.join(ids.select(col("doc_id").as("doc_b")), "doc_b")
-        .select("doc_a", "doc_b")
-      val edges = TextDedup.jaccardCounts(pairs, docs)
-        .filter(col("inter_cnt") * 100 >= col("union_cnt"))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      Components.connectedComponents(edges,
-          ids.select(col("doc_id").as("node")))
-        .select(col("node").as("doc_id"), col("component"))
-    }),
+    "neardup_components" -> ((s, dir) =>
+      neardupLabeled(s, dir)
+        .select(col("node").as("doc_id"), col("component"))),
+
+    // The end-user shape of near-dup clustering: DEDUP the corpus —
+    // keep exactly one canonical (minimum-id) document per cluster,
+    // singletons included. Same candidate/edge/label pipeline as
+    // neardup_components; survivors are the nodes that are their own
+    // component label. At 100 TB this is the pass that actually
+    // shrinks the corpus: label, then one scan-shaped filter.
+    "neardup_dedup_keep" -> ((s, dir) =>
+      neardupLabeled(s, dir)
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))),
 
     // Incremental (cross-snapshot) dedup: which docs of the "new crawl"
     // half are genuinely new vs the corpus half — left-anti join on the
@@ -1808,28 +1855,14 @@ object SparkEntry {
       // same integer-exact Jaccard edge set (UNION dedups the frontier
       // so the recursion terminates).
       "neardup_components" ->
-        (s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id,
-           |    list_distinct(list_transform(
-           |      range(0, greatest(len(toks) - 3, 0) + 1),
-           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
-           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
-           |        FROM documents)),
-           |edges0 AS (
-           |  SELECT a.doc_id AS src, b.doc_id AS dst
-           |  FROM sh a JOIN sh b
-           |    ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
-           |  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
-           |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-           |edges AS (SELECT src, dst FROM edges0
-           |          UNION SELECT dst, src FROM edges0),
-           |reach(node, lbl) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
-           |SELECT node AS doc_id, min(lbl) AS component
-           |FROM reach GROUP BY node"""
-          .stripMargin.replaceAll("\\s+", " ").trim),
+        (NeardupReachCte + " SELECT node AS doc_id, min(lbl) AS component" +
+          " FROM reach GROUP BY node"),
+
+      // survivors of the end-to-end near-dup dedup: a node is kept iff
+      // it IS its cluster's minimum reachable id
+      "neardup_dedup_keep" ->
+        (NeardupReachCte + " SELECT node AS doc_id FROM reach" +
+          " GROUP BY node HAVING node = min(lbl)"),
 
       "dedup_incremental" -> {
         // qualify the column refs: inside the NOT EXISTS a bare `text`

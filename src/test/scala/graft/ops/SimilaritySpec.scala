@@ -112,6 +112,29 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(0L) != cells(2L))
   }
 
+  test("planted near-dup vectors keep a safe sign-LSH projection margin") {
+    // The cosine_neardup_pairs oracle relies on every planted vector
+    // bucketing identically in Spark and DuckDB; that only holds while
+    // plane projections stay far from zero (a projection inside float
+    // accumulation noise, ~1e-5, could sign-flip between engines).
+    // Measured margin at sf0.001/sf0.01 is 6.4e-2 / 5.5e-2 — this pin
+    // makes a future regression (new embeddings, changed plant) loud
+    // instead of silently desyncing the oracle.
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val planes = Similarity.hyperplanes(numBits = 8, dims = 64)
+    val minAbsProj = planted.select(
+      least(planes.map(p =>
+        abs(Similarity.dot(col("embedding"), typedLit(p)))): _*).as("m"))
+      .agg(min(col("m"))).as[Double].head()
+    assert(minAbsProj > 0.01,
+      s"planted LSH margin collapsed to $minAbsProj (noise floor ~1e-5)")
+  }
+
   test("cosineNearDupPairs finds planted duplicates, skips distinct vectors") {
     val corpus = emb(
       0L -> Seq.tabulate(64)(_.toFloat),
