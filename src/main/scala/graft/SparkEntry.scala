@@ -789,6 +789,19 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rk"))
     }),
 
+    // Multi-probe variant under the full oracle: the query probes its
+    // own bucket plus every 1-bit flip (the recall lever measured in
+    // ann_planted_recall), and DuckDB replays the probe expansion with
+    // xor() over the same plane literals. Rank-only output, same
+    // float-margin argument as ann_lsh_topk.
+    "ann_lsh_multiprobe_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopKMultiProbe(corpus, queries, k = 10, numBits = 4)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
     // Per-vector LSH bucket assignment (deterministic hyperplanes).
     "ann_lsh_buckets" -> ((s, dir) =>
       Similarity.withBuckets(T(s, dir, "embeddings"), numBits = 12)
@@ -1763,6 +1776,37 @@ object SparkEntry {
           s"q AS (SELECT vec_id AS q_id, embedding AS q_vec, " +
           s"${bucketSql("embedding")} AS bucket FROM embeddings " +
           "WHERE vec_id < 10), " +
+          "cand AS (SELECT q.q_id, b.vec_id, " +
+          "list_cosine_similarity(q.q_vec, b.embedding) AS sim " +
+          "FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id) " +
+          "SELECT q_id, vec_id, CAST(row_number() OVER (" +
+          "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM cand QUALIFY rk <= 10"
+      },
+
+      // multi-probe replay: same plane literals, the probe list is the
+      // query bucket xor each single bit (xor() in DuckDB = Spark's
+      // bitwiseXOR); corpus vectors keep one bucket so the expansion
+      // introduces no duplicate pairs. Rank-only for the same
+      // corpus-wide ~2e-5 sim-gap reason as ann_cosine_topk (any
+      // candidate subset inherits the full-corpus gap floor).
+      "ann_lsh_multiprobe_topk" -> {
+        def bucketSql(vecCol: String): String =
+          graft.ops.Similarity.hyperplanes(numBits = 4, dims = 64)
+            .zipWithIndex.map { case (p, j) =>
+              val lst = p.map(v => if (v > 0) "1.0" else "-1.0")
+                .mkString("[", ", ", "]")
+              s"(CASE WHEN list_dot_product($vecCol, $lst) >= 0 " +
+                s"THEN ${1 << j} ELSE 0 END)"
+            }.mkString("(", " + ", ")")
+        s"WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} " +
+          "AS bucket FROM embeddings), " +
+          s"q0 AS (SELECT vec_id AS q_id, embedding AS q_vec, " +
+          s"${bucketSql("embedding")} AS bucket0 FROM embeddings " +
+          "WHERE vec_id < 10), " +
+          "q AS (SELECT q_id, q_vec, unnest([bucket0, xor(bucket0, 1), " +
+          "xor(bucket0, 2), xor(bucket0, 4), xor(bucket0, 8)]) AS bucket " +
+          "FROM q0), " +
           "cand AS (SELECT q.q_id, b.vec_id, " +
           "list_cosine_similarity(q.q_vec, b.embedding) AS sim " +
           "FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id) " +

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.ops.TextDedup
 
 /** Streaming exact deduplication of a document feed — the "don't ingest
@@ -48,4 +51,52 @@ object StreamDedup {
       .withColumn("text_hash", md5(TextDedup.normText(col("text"))))
       .join(corpusHashes.select(col("text_hash")).distinct(),
         Seq("text_hash"), "left_anti")
+
+  /** Stream-static NEAR-dup gate: drop stream docs that share any
+    * MinHash band bucket with the already-ingested corpus — the
+    * in-stream version of LSH dedup (the Bloom-over-band-signatures
+    * design the big crawl pipelines run at ingest).
+    *
+    * Shape: the corpus's band hashes aggregate ONCE into a Bloom
+    * filter (same `BloomFilterAggregate` machinery as
+    * [[graft.ops.BloomPrune]]), attached to the plan as a scalar
+    * subquery; each stream doc then evaluates `numBands` codegen'd
+    * `might_contain` probes over its own (per-row, fused-native) band
+    * array — a STATELESS scan-shaped gate: no streaming state, no
+    * join, no shuffle, which is what lets it sit in front of an
+    * unbounded feed at any rate.
+    *
+    * Semantics: sharing a band ⇒ candidate near-dup ⇒ dropped.
+    * Bloom false positives (rate set by `expectedItems`) can drop a
+    * non-dup — the usual, deliberate trade for a dedup GATE (a lost
+    * true near-dup costs training quality; a rare lost clean doc
+    * costs nothing at corpus scale). No false negatives: a doc
+    * sharing a band with the corpus is always dropped.
+    */
+  def nearDedupAgainstCorpus(
+      docs: DataFrame,
+      corpus: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    def bandsOf(text: Column): Column =
+      graft.functions.MinHashExprs.minHashBands(
+        TextDedup.shingles(text, shingleSize), numHashes, rowsPerBand)
+    val corpusHashes = corpus.select(explode(bandsOf(col("text"))).as("h"))
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(col("h")))), expectedItems)
+    val bloomDf = corpusHashes.agg(
+      ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+    val bloom = ScalarSubquery(bloomDf.queryExecution.analyzed)
+    val hit = (1 to numBands).map { i =>
+      ColumnBridge.column(BloomFilterMightContain(bloom,
+        new XxHash64(Seq(ColumnBridge.expression(
+          element_at(col("__bands"), i))))))
+    }.reduce(_ || _)
+    docs.withColumn("__bands", bandsOf(col("text")))
+      .filter(!hit)
+      .drop("__bands")
+  }
 }

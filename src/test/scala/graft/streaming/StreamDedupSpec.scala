@@ -65,4 +65,32 @@ class StreamDedupSpec extends SparkSpec {
       assert(kept == Set(11L), s"corpus dup must be dropped, got $kept")
     } finally q.stop()
   }
+
+  test("stream-static Bloom gate drops NEAR-dups of corpus docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    // near-dup: one token of sixty changed — shares almost all
+    // 3-shingles with base, so some of the 8 MinHash bands collide
+    val near = (0 until 60).map(i => if (i == 30) "MUT" else s"tok$i")
+      .mkString(" ")
+    val unrelated = (0 until 60).map(i => s"other$i").mkString(" ")
+    val corpus = Seq(1L -> base).toDF("doc_id", "text")
+    val input = MemoryStream[Doc]
+    val out = StreamDedup.nearDedupAgainstCorpus(input.toDF(), corpus)
+    val q = out.writeStream
+      .format("memory").queryName("sd_near")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdn-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 20L, near),      // near-dup of corpus doc 1 -> drop
+        Doc(ts(2), 21L, base),      // exact dup -> drop (all bands match)
+        Doc(ts(3), 22L, unrelated)) // no shared shingles -> keep
+      q.processAllAvailable()
+      val kept = spark.table("sd_near")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(22L), s"near-dups must be dropped, got $kept")
+    } finally q.stop()
+  }
 }
