@@ -122,6 +122,21 @@ object SparkEntry {
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+  /** DuckDB rendition of [[Redaction.withFakePii]]'s injector —
+    * shared by the pii_redact and curation_e2e oracles.
+    */
+  private val PiiInjSql: String =
+    "(text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/' || " +
+      "CAST(doc_id AS VARCHAR) ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+      "CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' call +62' || " +
+      "CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END)"
+
   // --------------------------------------------------------------- inputs
   // Synthetic "messy" columns derived deterministically from the test
   // tables, so the cleanse/filter operators have something to clean.
@@ -1302,6 +1317,42 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           ZOrder.zorder(col("event_id"), col("user_id")).as("zval"))),
 
+    // The whole curation pipeline as ONE declarative plan — what a
+    // user actually runs over a crawl: inject (test-only) → quality
+    // gate → language gate → deterministic 50% sample → exact dedup
+    // keep-first → PII redaction with exact counts. Every stage is a
+    // column-level predicate/projection except the dedup window, so
+    // the physical plan is scan → filter → one shuffle → project:
+    // filters run BEFORE the only exchange (Catalyst pushes them into
+    // the scan side), the sample thins the shuffle by half, and the
+    // composition is verified end-to-end by a single CTE-chained
+    // DuckDB oracle.
+    "curation_e2e" -> ((s, dir) => {
+      val docs = Redaction.withFakePii(
+        T(s, dir, "documents").select("doc_id", "lang", "text"))
+      // The three gates are computed as ONE projected flag rather than
+      // a Filter predicate: a Project gets codegen subexpression
+      // elimination (the 20 marker scans are shared between the
+      // quality and language gates), a Filter predicate does not —
+      // measured 2.6 s vs 1.2 s at sf0.1 for the identical logic. The
+      // nondeterministic `__nd` column is the pushdown barrier
+      // (PushDownPredicates won't cross a nondeterministic project),
+      // and it must ALSO appear in the filter or ColumnPruning
+      // removes it and the barrier with it; `__nd >= 0` is always
+      // true for monotonically_increasing_id.
+      val kept = docs
+        .withColumn("__keep",
+          TextAnalysis.qualityVerdict(col("text")) === "good" &&
+            TextAnalysis.langGuess(col("text"))
+              .isin("en", "de", "fr", "es") &&
+            Sampling.hexBucket(col("text")) <
+              lit(Sampling.thresholdHex(0.5)))
+        .withColumn("__nd", monotonically_increasing_id())
+        .filter(col("__keep") && col("__nd") >= 0)
+        .drop("__keep", "__nd")
+      Redaction.piiScrub(TextDedup.exactDedupKeepFirst(kept))
+    }),
+
     // Aggregate-based argmax (max_by on a struct ordering key): each
     // customer's highest-value order in ONE hash aggregate — no
     // per-group sort, no window shuffle; ties broken by orderkey so
@@ -1865,17 +1916,47 @@ object SparkEntry {
       // Counts via regexp_extract_all (DuckDB's regexp_count analog);
       // the injector and the redaction chain are both rendered from
       // Redaction.Patterns / the same CASE arithmetic as withFakePii.
+      // the full curation chain replayed as chained CTEs: inject →
+      // quality/language/sample predicates (all integer-or-lexical
+      // exact) → keep-first dedup window → redaction chain → exact
+      // token-count subtraction. One oracle checks the composition.
+      "curation_e2e" -> {
+        def occ2(src: String, tok: String) =
+          s"(len($src) - len(replace($src, '$tok', ''))) // ${tok.length}"
+        val countCols = Redaction.Patterns.map { case (cat, _, tok) =>
+          s"CAST(${occ2("redacted", tok)} - ${occ2("t", tok)} " +
+            s"AS BIGINT) AS n_$cat"
+        }
+        val redacted = Redaction.Patterns.foldLeft("text") {
+          case (acc, (_, pat, tok)) =>
+            s"regexp_replace($acc, '$pat', '$tok', 'g')"
+        }
+        val guess = s"CASE WHEN $great = 0 THEN 'und' " +
+          s"WHEN en_hits = $great THEN 'en' " +
+          s"WHEN de_hits = $great THEN 'de' " +
+          s"WHEN fr_hits = $great THEN 'fr' " +
+          s"WHEN es_hits = $great THEN 'es' ELSE 'zh' END"
+        s"WITH p AS (SELECT doc_id, $PiiInjSql AS text FROM documents), " +
+          s"h AS (SELECT doc_id, text, ${hitCols.mkString(", ")}, " +
+          "length(text) AS char_len, " +
+          "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt, " +
+          "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit_cnt " +
+          "FROM p), " +
+          "g AS (SELECT doc_id, text FROM h " +
+          "WHERE char_len >= 64 AND punct_cnt * 5 <= char_len " +
+          "AND digit_cnt * 5 <= char_len " +
+          s"AND ${hitsSql(allMarkers)} > 0 " +
+          s"AND ($guess) IN ('en', 'de', 'fr', 'es') " +
+          s"AND substring(md5(text), 1, 4) < '${Sampling.thresholdHex(0.5)}' " +
+          s"QUALIFY row_number() OVER (PARTITION BY md5($NormTextSql) " +
+          "ORDER BY doc_id) = 1), " +
+          "r AS (SELECT doc_id, text AS t, " +
+          s"$redacted AS redacted FROM g) " +
+          s"SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"
+      },
+
       "pii_redact" -> {
-        val inj = "(text || " +
-          "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || " +
-          "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
-          "CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/' || " +
-          "CAST(doc_id AS VARCHAR) ELSE '' END || " +
-          "CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || " +
-          "CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
-          "CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
-          "CASE WHEN doc_id % 11 = 0 THEN ' call +62' || " +
-          "CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END)"
+        val inj = PiiInjSql
         // counts replay the Spark side: token occurrences in the
         // redacted output MINUS occurrences already in the raw text,
         // via exact length arithmetic, not regex (see piiScrub's

@@ -79,6 +79,41 @@ object TextAnalysis {
   private def markerHits(text: Column, markers: Seq[String]): Column =
     markers.map(m => occurrences(text, m)).reduce(_ + _)
 
+  /** Column-level language guess over a raw text column: stopword-
+    * marker voting with the same argmax/tie-break as [[langId]]
+    * (strict '>' — earlier language in [[LangMarkers]] wins ties;
+    * zero hits → "und"). Pure expression — composable into
+    * multi-stage curation predicates without a join.
+    */
+  def langGuess(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    // Single-long argmax: score_i = hits_i * 8 + (n - i). A nested
+    // when-fold here would re-reference each earlier hits expression
+    // in both branches of every later step — the expression tree
+    // doubles per language and the marker scans run ~2^n times per
+    // row (measured: it turned the curation pipeline from ~1 s to
+    // ~7 s at sf0.1). Packing count and priority into one long keeps
+    // every marker-hit subtree evaluated once inside a single
+    // array_max, and the winner decodes with cheap integer ops.
+    // Priority (n - i) makes the EARLIER language win ties, matching
+    // [[langId]]'s strict '>' fold; hits == 0 ⇔ score <= n ⇒ "und".
+    val n = LangMarkers.size
+    require(n < 8, "priority packing uses 3 bits")
+    val scores = LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+      markerHits(padded, ms) * 8L + lit((n - i).toLong)
+    }
+    val best = array_max(array(scores: _*))
+    // decode via a literal array lookup (priority 1..n indexes the
+    // reversed language list) — `best` is referenced exactly TWICE
+    // (zero-check + decode), not once per language: this expression
+    // typically lands in a Filter, whose codegen does no
+    // subexpression elimination, so every extra reference re-runs
+    // all the marker scans.
+    when(best <= n, "und").otherwise(
+      element_at(typedLit(LangMarkers.map(_._1).reverse),
+        pmod(best, lit(8L)).cast("int")))
+  }
+
   /** Language identification by stopword-marker voting: per language,
     * count marker-word hits in the (space-padded, lowercased) text; the
     * argmax wins, ties/zero-hits → "und" (undetermined). Returns
@@ -104,6 +139,27 @@ object TextAnalysis {
     withHits.withColumn("lang_guess", best._2)
       .select("doc_id", "lang", "lang_guess",
         "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits")
+  }
+
+  /** Column-level quality verdict over a raw text column — the same
+    * when-chain as [[qualityScore]] (too_short / punct_noise /
+    * digit_noise / no_stopwords / good), as a pure composable
+    * expression. Integer-exact counts, bit-stable across engines.
+    */
+  def qualityVerdict(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stopHits = LangMarkers.flatMap(_._2)
+      .map(m => occurrences(padded, m)).reduce(_ + _)
+    val charLen = length(text).cast("long")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")
+    val digit = (length(text) -
+      length(regexp_replace(text, "[0-9]", ""))).cast("long")
+    when(charLen < 64, "too_short")
+      .when(punct * 5 > charLen, "punct_noise")
+      .when(digit * 5 > charLen, "digit_noise")
+      .when(stopHits === 0, "no_stopwords")
+      .otherwise("good")
   }
 
   /** Quality scoring with integer-exact components and a categorical

@@ -27,9 +27,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 87,
+    assert(SparkEntry.queries.size == 88,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 84,
+    assert(SparkEntry.oracleSql.size == 85,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
   }
 }

@@ -163,6 +163,26 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1) == "too_short")
   }
 
+  test("column-level langGuess/qualityVerdict match the frame operators") {
+    // the curation_e2e composite relies on the column-level forms being
+    // exactly the operators' semantics — pin the parity on real docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val viaOp = TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("lang_guess"))
+    val viaCol = docs.select(col("doc_id"),
+      TextAnalysis.langGuess(col("text")).as("g"))
+    assert(viaOp.join(viaCol, "doc_id")
+      .filter(col("lang_guess") =!= col("g")).isEmpty)
+    val qOp = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val qCol = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextAnalysis.qualityVerdict(col("text")).as("v"))
+    assert(qOp.join(qCol, "doc_id")
+      .filter(col("quality") =!= col("v")).isEmpty)
+  }
+
   test("ragged grids pad with empty string; padded cells never rescue a row") {
     // VERDICT r2 item 5: pandas astype(str) turns NaN padding into the
     // string "nan", which the reference would accept as a name
