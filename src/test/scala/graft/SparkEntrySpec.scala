@@ -24,6 +24,20 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("curation_e2e keeps its one-shuffle shape with projected gates") {
+    val plan = SparkEntry.queries("curation_e2e")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // exactly one Exchange (the dedup window shuffle) — the quality/
+    // language/sample gates are per-row and must not add any
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one Exchange:\n$plan")
+    // the gates must stay a projected flag (codegen subexpr
+    // elimination), not get pushed back into a Filter predicate: the
+    // barrier column survives only if the plan still references it
+    assert(plan.contains("monotonically_increasing_id"),
+      s"pushdown barrier disappeared — gates likely re-inlined:\n$plan")
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
