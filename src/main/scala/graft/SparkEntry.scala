@@ -1000,6 +1000,17 @@ object SparkEntry {
         col("lang"), col("text"), cap = 150L)
         .select(col("doc_id"), col("lang"))),
 
+    // Temperature-balanced sample (α = 1/2): per-language keep-rate
+    // min(1, 8/√n) — the multilingual flatten that lets small
+    // languages through whole while the head grows only as √n. The
+    // per-stratum threshold (k²·2^32 div n) is integer arithmetic on
+    // the broadcast counts side, replayed bit-exactly by the oracle.
+    "sample_sqrt_share" -> ((s, dir) =>
+      Sampling.sqrtShareSample(
+        T(s, dir, "documents").select("doc_id", "lang", "text"),
+        col("lang"), col("text"), k = 8L)
+        .select(col("doc_id"), col("lang"))),
+
     // Per-key cap: at most 20 docs per language, ranked by content
     // hash (run-stable, order-bias-free); WindowGroupLimit prunes to
     // k rows per key map-side before the one shuffle.
@@ -1900,6 +1911,16 @@ object SparkEntry {
           "SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.s " +
           "WHERE CAST(('0x' || substring(md5(d.text), 1, 4)) AS BIGINT) " +
           "* c.n < 150 * 65536"),
+
+      // α=1/2 temperature replay: squared bucket vs (k²·2^32) // n,
+      // all BIGINT-exact in both engines (k = 8)
+      "sample_sqrt_share" ->
+        (s"WITH c AS (SELECT lang AS s, " +
+          s"${8L * 8L * 4294967296L} // count(*) AS t FROM documents " +
+          "GROUP BY lang) " +
+          "SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.s " +
+          "WHERE CAST(('0x' || substring(md5(d.text), 1, 4)) AS BIGINT) " +
+          "* CAST(('0x' || substring(md5(d.text), 1, 4)) AS BIGINT) < c.t"),
 
       // Threshold hex literals generated from the same SampleRates
       // constants as the Spark predicate; fixed-width lowercase hex

@@ -112,6 +112,38 @@ object Sampling {
       .drop("__s", "__n")
   }
 
+  /** Temperature-balanced sample at α = 1/2 — the multilingual-LM
+    * rebalance (sampling probability ∝ share^α): each stratum keeps
+    * rate min(1, k/√n), so a 100× bigger language contributes only
+    * 10× the rows instead of 100× — softer than [[capStratumShare]]'s
+    * hard cap, which is exactly the difference between "cap spam
+    * domains" and "flatten the language distribution without starving
+    * the head".
+    *
+    * All integer arithmetic: `bucket16/65536 < k/√n  ⇔  bucket16² <
+    * (k²·2^32) div n`, with the per-stratum threshold computed once on
+    * the tiny counts side (long-exact for k ≤ 46340 — k²·2^32 must
+    * stay below 2^63) and the probe side comparing a squared 16-bit
+    * bucket (< 2^32, never overflows). A stratum with n ≤ k² keeps
+    * every row: its threshold reaches 2^32 > max bucket². Same
+    * broadcast-counts scale shape as [[capStratumShare]] — never a
+    * corpus-wide window on the skewed stratum key.
+    */
+  def sqrtShareSample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      k: Long): DataFrame = {
+    require(k > 0 && k <= 46340,
+      s"k out of (0, 46340] (k^2 * 2^32 must fit in a long): $k")
+    val counts = df.groupBy(strata.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__t", fdiv(lit(k * k * 4294967296L), col("__n")))
+    df.join(broadcast(counts), strata === col("__s"))
+      .filter(intBucket(key) * intBucket(key) < col("__t"))
+      .drop("__s", "__n", "__t")
+  }
+
   /** Deterministic per-key cap — "at most `k` documents per domain/
     * language/source", the anti-spam guard every crawl corpus applies.
     * Rows are ranked inside each key by content hash (an unbiased,

@@ -131,6 +131,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("sqrtShareSample: small strata whole, big strata grow as sqrt(n)") {
+    val df = ((0 until 6400).map(i => (i.toLong, s"doc body $i", "en")) ++
+      (6400 until 6500).map(i => (i.toLong, s"doc body $i", "rare")) ++
+      (6500 until 6900).map(i => (i.toLong, s"doc body $i", "mid")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Sampling.sqrtShareSample(df, col("lang"), col("text"), k = 8L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // n <= k^2 = 64... rare has n=100 > 64, expect ~8*sqrt(100)=80
+    assert(kept("rare") > 60L && kept("rare") < 100L, s"rare ~80: $kept")
+    // en: 8*sqrt(6400) = 640 expected (binomial sd ~25)
+    assert(kept("en") > 540L && kept("en") < 740L, s"en ~640: $kept")
+    // mid: 8*sqrt(400) = 160 expected
+    assert(kept("mid") > 110L && kept("mid") < 210L, s"mid ~160: $kept")
+    // the FLATTENING property: en is 64x rare by rows but only ~8x
+    // after sampling
+    assert(kept("en") < kept("rare") * 12,
+      s"sqrt flattening failed: $kept")
+  }
+
   // ----------------------------------------------------------- Redaction
 
   test("redact replaces each PII category with its token") {
