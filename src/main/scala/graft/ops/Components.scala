@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: min-label propagation with pointer jumping.
   * Each round does
-  *   1. neighbor-min — every node takes the min label in its closed
-  *      neighborhood (one shuffle join on node id + a partial-aggregated
-  *      `min`, so a hot node's fan-in is combined map-side, never
+  *   1. closed-neighborhood min — every node takes the min label over
+  *      itself and its neighbors in ONE join + partial-aggregated `min`
+  *      (self-loops added up front make the closed form a single
+  *      aggregate; a hot node's fan-in is combined map-side, never
   *      collected on one reducer);
   *   2. pointer jump — every node re-reads the label OF its label
   *      (`lbl ← lbl(lbl)`), halving the depth of every label tree.
@@ -23,9 +24,14 @@ import org.apache.spark.sql.functions._
   * (large-star/small-star) algorithm, in DataFrame form.
   *
   * Scale notes:
-  *  - The driver loop holds only the iteration counter and a `count()`
-  *    of changed labels per round — no label data ever leaves the
-  *    executors.
+  *  - The edge frame — the big, static join side — is hash-partitioned
+  *    on the join key once, before the loop; the checkpoint preserves
+  *    that partitioning, so per-round shuffles move only the label
+  *    frame (|V_active| rows), never the edges.
+  *  - The driver loop holds only the iteration counter and one decimal
+  *    label-sum per round (an exact convergence witness: labels are
+  *    per-node non-increasing, so sum equality ⇒ fixpoint) — no label
+  *    data ever leaves the executors.
   *  - `localCheckpoint` truncates lineage each round; without it the
   *    plan doubles per iteration and Catalyst analysis itself becomes
   *    the bottleneck. On a multi-node cluster prefer
@@ -49,7 +55,6 @@ object Components {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
     // Iterate ONLY over edge-incident nodes: singleton nodes (the vast
     // majority after an LSH candidate stage — most documents have no
     // near-dup) never enter a propagation round; they are unioned back
@@ -57,33 +62,53 @@ object Components {
     // O(|corpus|).
     val active = sym.select(col("src").as("node")).distinct()
       .localCheckpoint()
+    // Self-loops turn the neighbor-min into a min over the CLOSED
+    // neighborhood, so one join + partial-agg per round replaces the
+    // round-6/7 shape's join + agg + second left-join. Pre-partitioning
+    // on `src` (the per-round join key) is captured by the checkpoint's
+    // LogicalRDD outputPartitioning, so the edge side — the big, static
+    // side — is shuffled ONCE here and never again inside the loop;
+    // each round only exchanges the (small, changing) label frame.
+    val symSelf = sym
+      .union(active.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
     var labels = active.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence = label-sum fixpoint, and it is EXACT, not a hash
+    // heuristic: both steps are per-node non-increasing (closed-
+    // neighborhood min includes self; the jump replaces lbl with
+    // lbl(lbl) ≤ lbl since every label satisfies lbl(m) ≤ m), so the
+    // decimal sum strictly decreases until the fixpoint and sum
+    // equality implies every node is unchanged. This folds convergence
+    // detection into a near-free aggregate over the round's already-
+    // checkpointed output instead of carrying a `prev` column through
+    // an extra join.
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
+    while (!converged && iter < maxIter) {
+      val stepped = symSelf
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
-      // the round's input label rides along as `prev`, so convergence
-      // detection below is a filter over the already-materialized
-      // round output — not a third join per round
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-      // self-join: explicit subquery aliases keep the two sides'
-      // attributes unambiguous (both derive from the same plan)
+        .agg(min(col("lbl")).as("lbl"))
+      // pointer jump, lbl ← lbl(lbl): self-join with explicit subquery
+      // aliases (both sides derive from the same plan); the aggregate's
+      // exchange is shared between the two sides via ReusedExchange
       val jumped = stepped.as("a")
         .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
-        .select(col("a.node").as("node"), col("a.prev").as("prev"),
+        .select(col("a.node").as("node"),
           coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
         .localCheckpoint()
-      changed = jumped.filter(col("lbl") =!= col("prev")).count()
-      labels = jumped.select("node", "lbl")
+      val sumRow = jumped.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      val lblSum = Option(sumRow.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      converged = prevSum.exists(_.compareTo(lblSum) == 0)
+      prevSum = Some(lblSum)
+      labels = jumped
       iter += 1
     }
-    require(changed == 0, s"components did not converge in $maxIter rounds")
+    require(converged, s"components did not converge in $maxIter rounds")
     val singletons = nodes.select(col("node"))
       .join(active, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
