@@ -52,16 +52,29 @@ object Bench {
           None
         }
       }
-      // a failed query must be visible in the JSON the driver consumes,
-      // not only on stderr: -1 sentinel, excluded from the total
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      (name, times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    // Per-query spread, not just the median: when a driver-side median
+    // diverges from a local one, {med,min,max} distinguishes
+    // environment contention (min agrees, max blew out) from a real
+    // regression (all three moved). A query that failed SOME reps is
+    // flaky — its median is still reported from the successful reps,
+    // but it is listed in "flaky" so partial failures are visible in
+    // the JSON, not only on stderr; only an all-reps failure gets the
+    // -1 sentinel and the "failed" list.
+    val qs = results.map { case (k, ts) =>
+      val (med, mn, mx) =
+        if (ts.isEmpty) (-1.0, -1.0, -1.0)
+        else (ts(ts.size / 2), ts.head, ts.last)
+      s"\"$k\":{\"med\":$med,\"min\":$mn,\"max\":$mx}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val flaky = results
+      .collect { case (k, ts) if ts.nonEmpty && ts.size < reps => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts(ts.size / 2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
