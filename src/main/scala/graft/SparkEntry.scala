@@ -160,10 +160,26 @@ object SparkEntry {
   // Mirrors the cosine_neardup_pairs planting introduced in round 6.
   // Mutation strength is tuned so BOTH detectors should fire: ~2% of
   // tokens (1-2 per 50-100-token doc) keeps shingle Jaccard ≳ 0.88
-  // (MinHash: measured recall 100% at sf0.01 AND sf0.1) and perturbs
-  // only a few SimHash bit-sums (measured 100% / 94.8%). The floors
-  // sit well under the measured values so data regeneration or a
-  // hash-seed change shows up as a real failure, not flake.
+  // and perturbs only a few SimHash bit-sums.
+  //
+  // FLOOR PROVENANCE (measured round 7 on the current driver parquet;
+  // the floors are assertions about THIS data + these hash
+  // seeds, not theorems — if the driver ever regenerates testdata with
+  // a new seed, re-measure BEFORE trusting a red gate as a code bug):
+  //   MinHashRecallFloorPct = 90  measured 100%   (sf0.01 and sf0.1)
+  //   SimHashRecallFloorPct = 80  measured 100% / 94.8% (sf0.01 / sf0.1)
+  //   AnnLshRecallFloorPct  = 75  measured 100% / 90.5% (multi-probe)
+  //   AnnIvfRecallFloorPct  = 80  measured 100% / 95.2%
+  //   (winnowing_planted_overlap has NO floor constant: its planted
+  //   ≥49-token shared runs make 100% recall a theorem of the
+  //   winnowing window guarantee, independent of data.)
+  // Re-measure procedure: temporarily expose the per-pair hit column
+  // (string-replace `plantedRecall` to also emit sum(hit)), run
+  // `graft.tools.ShowQuery <sfDir> minhash_planted_recall ...` at
+  // sf0.01 AND sf0.1, revert, and keep ≥10pct margin under the worst
+  // measurement. Mutation knobs are load-bearing: every-50th-token
+  // with PlantMinTokens=50 — every-25th drops SimHash recall to ~73%
+  // at sf0.1, under its floor.
   private val PlantOffset = 1000000L
   private val PlantMod = 13
   private val PlantMinTokens = 50
@@ -716,14 +732,14 @@ object SparkEntry {
         plantedEligible(docs), MinHashRecallFloorPct)
     }),
 
-    // Exact n-gram Jaccard verification over the LSH candidates only.
-    "ngram_jaccard" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      TextDedup.jaccardVerify(
-        TextDedup.minHashCandidates(docs, numHashes = 32, rowsPerBand = 2),
-        docs)
-    }),
+    // (An `ngram_jaccard` rows-only query — jaccardVerify over the raw
+    // LSH candidates — was registered through round 7 and retired in
+    // round 8: its verification math is fully oracled below in
+    // ngram_jaccard_pairs and its candidate-recall claim is fully
+    // oracled in minhash_planted_recall, so it only inflated the
+    // rows-only set. TextDedup.jaccardVerify stays spec-covered in
+    // TextOpsSpec, and its integer-exact core (jaccardCounts) runs
+    // inside the oracled neardup_* pipelines.)
 
     // Exact n-gram Jaccard COUNTS over a deterministic pair set
     // (adjacent doc_ids) — the integer-exact verification math under a
@@ -740,7 +756,11 @@ object SparkEntry {
     }),
 
     // SimHash signatures (64-bit sketch via explode + partial-agg
-    // bit-sums; no SQL oracle).
+    // bit-sums). Rows-only by nature: the signature bits are xxhash64-
+    // derived, and DuckDB's hash() is a different function, so no SQL
+    // oracle can reproduce them. The operator's QUALITY claim is
+    // oracled separately (simhash_planted_recall), and bit-exact
+    // behavior is pinned by an independent BigInt model in TextOpsSpec.
     "simhash_signatures" -> ((s, dir) =>
       TextDedup.simHashSignatures(T(s, dir, "documents"))),
 
@@ -780,7 +800,11 @@ object SparkEntry {
     // sf0.1 — SimHash is honestly the coarser detector, hence the
     // lower floor.
     "simhash_planted_recall" -> ((s, dir) => {
+      // same single-file-fixture hazard as minhash_planted_recall: the
+      // explode + 64-bit-sum signature fold is the CPU-heavy stage and
+      // must not run on the fixture's one input partition
       val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       plantedRecall(
         TextDedup.simHashCandidates(plantedInput(docs)),
         plantedEligible(docs), SimHashRecallFloorPct)

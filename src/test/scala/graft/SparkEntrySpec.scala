@@ -38,12 +38,37 @@ class SparkEntrySpec extends SparkSpec {
       s"pushdown barrier disappeared — gates likely re-inlined:\n$plan")
   }
 
+  test("pipeline e2e plans keep their pinned shuffle budget and no SMJ") {
+    // The two extractor pipelines are among the most expensive bench
+    // rows; PLANS.md audits their shape, but only a pin makes a shape
+    // regression (a lost broadcast decaying into a SortMergeJoin, or
+    // dispatch/window-dedup growing an extra shuffle) fail a test
+    // instead of reading as bench noise. Counts are shuffle Exchanges
+    // only — BroadcastExchange (small dims) and ReusedExchange are
+    // deliberate and excluded.
+    val shuffles = raw"(?<!Broadcast|Reused)Exchange".r
+    for ((name, pinned) <- Seq(
+        "pipeline_area_e2e" -> 3, "pipeline_island_e2e" -> 5)) {
+      val plan = SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$name grew an SMJ:\n$plan")
+      val n = shuffles.findAllIn(plan).size
+      assert(n == pinned,
+        s"$name: $n shuffle Exchanges, pinned $pinned:\n$plan")
+    }
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 89,
+    assert(SparkEntry.queries.size == 88,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
     assert(SparkEntry.oracleSql.size == 86,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
+    // the rows-only set (query without oracle) is pinned to EXACTLY
+    // these two — each is non-SQL-expressible by nature (zlib deflate /
+    // raw 64-bit SimHash signatures); anything new must bring an oracle
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("compression_signal", "simhash_signatures"))
   }
 }
