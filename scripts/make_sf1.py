@@ -48,6 +48,16 @@ def main(src: str, dst: str) -> None:
             pq.write_table(t, f"{dst}/{table}.parquet")
             print(f"{table}: copied {t.num_rows} rows")
             continue
+        # The offsets are sized to CURRENT table key ranges; if the
+        # source tables are ever regenerated larger, replica id ranges
+        # would silently overlap and corrupt the smoke's dedup/join
+        # behavior — fail loudly instead.
+        for name, off in offsets.items():
+            mm = pc.min_max(t.column(name))
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            assert 0 <= mn and mx < off, (
+                f"{table}.{name}: id range [{mn}, {mx}] not within "
+                f"[0, {off}); replicas would overlap — raise the offset")
         parts = []
         for i in range(REPLICAS):
             cols = []

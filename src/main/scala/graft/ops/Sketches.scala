@@ -93,7 +93,14 @@ object Sketches {
       .withColumn("sampled_distinct",
         coalesce(col("sampled_distinct"), lit(0L)))
       .select(col(groupCol), col("rows"),
-        (abs(col("approx_distinct") - col("sampled_distinct") * sampleMod) <=
+        // an empty sample carries no signal, not evidence of a broken
+        // sketch: a group with D distinct values has its whole sample
+        // miss with probability ((m-1)/m)^D — near-certain for small D
+        // — and the bound check against 0 would then fail whenever the
+        // sketch estimate is nonzero. Short-circuit to true; the audit
+        // contract only bites once the sample is non-empty.
+        (col("sampled_distinct") === 0 ||
+          abs(col("approx_distinct") - col("sampled_distinct") * sampleMod) <=
           lit(bound) * col("sampled_distinct") * sampleMod).as("approx_ok"))
   }
 

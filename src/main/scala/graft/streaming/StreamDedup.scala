@@ -84,7 +84,17 @@ object StreamDedup {
     def bandsOf(text: Column): Column =
       graft.functions.MinHashExprs.minHashBands(
         TextDedup.shingles(text, shingleSize), numHashes, rowsPerBand)
-    val corpusHashes = corpus.select(explode(bandsOf(col("text"))).as("h"))
+    // The Bloom key mixes the BAND INDEX into the band hash —
+    // xxhash64(band_idx, band_hash) — matching minHashCandidates'
+    // (band_idx, band_hash) bucket key exactly: a stream doc's band i
+    // only matches a corpus doc's band i, never band j. Inserting the
+    // bare band hash would add a cross-band false-positive term beyond
+    // the Bloom's own rate (tiny — it needs an xxhash64 collision
+    // across different seed sets — but a silent deviation from the
+    // batch semantics).
+    val corpusHashes = corpus
+      .select(posexplode(bandsOf(col("text"))).as(Seq("band_idx", "bh")))
+      .select(xxhash64(col("band_idx"), col("bh")).as("h"))
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(col("h")))), expectedItems)
     val bloomDf = corpusHashes.agg(
@@ -93,7 +103,7 @@ object StreamDedup {
     val hit = (1 to numBands).map { i =>
       ColumnBridge.column(BloomFilterMightContain(bloom,
         new XxHash64(Seq(ColumnBridge.expression(
-          element_at(col("__bands"), i))))))
+          xxhash64(lit(i - 1), element_at(col("__bands"), i)))))))
     }.reduce(_ || _)
     docs.withColumn("__bands", bandsOf(col("text")))
       .filter(!hit)
