@@ -162,7 +162,10 @@ object SparkEntry {
   // tokens (1-2 per 50-100-token doc) keeps shingle Jaccard ≳ 0.88
   // and perturbs only a few SimHash bit-sums.
   //
-  // FLOOR PROVENANCE (measured round 7 on the current driver parquet;
+  // FLOOR PROVENANCE (re-measured 2026-08-13 / round 8 on the current
+  // driver parquet — sf0.01: MinHash 16/16, SimHash 16/16, LSH 6/6,
+  // winnowing 16/16; sf0.1: MinHash 213/213, SimHash 202/213, LSH
+  // 19/21, winnowing 213/213 — identical to the round-7 measurements;
   // the floors are assertions about THIS data + these hash
   // seeds, not theorems — if the driver ever regenerates testdata with
   // a new seed, re-measure BEFORE trusting a red gate as a code bug):
