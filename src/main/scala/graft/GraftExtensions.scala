@@ -98,6 +98,9 @@ object GraftExtensions {
           require(args.length == 2, "graft_shingles takes (text, n)")
           graft.functions.ShinglesExpr(args(0), litInt(args(1), "n"))
         }),
+      unary("graft_simhash",
+        "_FUNC_(tokens) - 64-bit SimHash signature of a token array.",
+        graft.functions.SimHashExpr),
       ("graft_minhash",
         info("graft_minhash",
           "_FUNC_(shingles, k) - k-seed MinHash signature (k a literal int)."),

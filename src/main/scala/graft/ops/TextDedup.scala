@@ -283,17 +283,35 @@ object TextDedup {
   }
 
   /** 64-bit SimHash per document: hash every token, sum ±1 per bit
-    * position over the token set, take the sign bit-vector.
+    * position over the token multiset, take the sign bit-vector.
     *
-    * Shaped Spark-first as explode → 64 conditional SUMs → reassemble:
-    * every stage is whole-stage-codegen'd, the shuffle carries 64 longs
-    * per document (map-side partial aggregation compresses the token
-    * fan-out before it moves), and token hashing happens exactly once
-    * per token. (A pure higher-order-function formulation re-evaluates
-    * the token-hash array inside every per-bit lambda — measured ~100ms
-    * PER ROW — because Catalyst does not CSE across lambda iterations.)
+    * Runs on the native [[graft.functions.SimHashExpr]] fold — one
+    * codegen'd static call per document, scan-shaped (no explode, no
+    * aggregate, no shuffle). The `isNotNull` filter preserves the
+    * reference formulation's explode semantics exactly: a null text
+    * (null token array) produces no signature row there, and is
+    * dropped here. Bit-for-bit parity with
+    * [[simHashSignaturesExplode]] is spec-pinned on real corpus data.
     */
-  def simHashSignatures(docs: DataFrame): DataFrame = {
+  def simHashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashExprs
+        .simHash(split(normText(col("text")), " ")).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** Reference formulation of [[simHashSignatures]], kept as the
+    * parity baseline: explode → `xxhash64` → 64 conditional SUMs →
+    * sign reassembly. Every stage is whole-stage-codegen'd and the
+    * shuffle carries 64 longs per document (map-side partial
+    * aggregation compresses the token fan-out before it moves) — but
+    * the explode and the per-token 64-branch aggregate update make it
+    * ~2× the cost of the native fold on a signature pass. (A pure
+    * higher-order-function formulation is far worse still — it
+    * re-evaluates the token-hash array inside every per-bit lambda,
+    * measured ~100ms PER ROW, because Catalyst does not CSE across
+    * lambda iterations.)
+    */
+  def simHashSignaturesExplode(docs: DataFrame): DataFrame = {
     val tokenHashes = docs
       .select(col("doc_id"),
         explode(split(normText(col("text")), " ")).as("tok"))

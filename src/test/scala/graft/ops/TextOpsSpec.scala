@@ -88,6 +88,27 @@ class TextOpsSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("native simhash matches the explode+sum reference bit-for-bit") {
+    // Edge inputs the fold must agree on: duplicate tokens (multiset
+    // semantics), single empty-string token (split("") => [""]),
+    // unicode, a long doc, and ±1 tie-at-zero bit sums (2 tokens).
+    val edge = docs(
+      1L -> "dup dup dup tokens count each occurrence",
+      2L -> "",
+      3L -> "désa  été ☃ mixed\tunicode",
+      4L -> "two tokens",
+      5L -> Seq.tabulate(500)(i => s"w${i % 37}").mkString(" "))
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    for (d <- Seq(edge, corpus)) {
+      val native = TextDedup.simHashSignatures(d)
+      val ref = TextDedup.simHashSignaturesExplode(d)
+      assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+        "native simhash diverged from the explode reference")
+    }
+  }
+
   test("simHashCandidates pairs docs agreeing on a 16-bit band") {
     // Band equality is only guaranteed for small hamming distance
     // (pigeonhole: ≤3 flipped bits ⇒ one of 4 bands untouched); use a
