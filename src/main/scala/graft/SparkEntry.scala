@@ -680,6 +680,29 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
 
+    // Greedy token-budget pack: quality verdicts map to rank 4..0
+    // (good best), docs keep in (rank DESC, doc_id) order while the
+    // running word_cnt total fits the budget. The budget is sized so
+    // the cut lands INSIDE a bucket at both gate SFs — exercising the
+    // full-keep fast path, the boundary window, and the drop path.
+    "token_budget_pack" -> ((s, dir) => {
+      val ranked = TextAnalysis.qualityScore(T(s, dir, "documents"))
+        .withColumn("__r",
+          when(col("quality") === "good", 4L)
+            .when(col("quality") === "no_stopwords", 3L)
+            .when(col("quality") === "digit_noise", 2L)
+            .when(col("quality") === "punct_noise", 1L)
+            .otherwise(0L))
+      Sampling.tokenBudgetPack(ranked, col("__r"), col("word_cnt"),
+        budget = 20000L)
+    }),
+
+    // Integer-exact unigram surprisal (inverse-corpus-frequency bit
+    // lengths) — the unigram-LM quality-filter analog, oracled
+    // bit-for-bit because no float log ever materializes.
+    "unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(T(s, dir, "documents"))),
+
     // Gopher-style duplicate-n-gram repetition filter (integer-exact;
     // repartition: single-file fixture, cf. minhash_candidates note).
     "repetition_stats" -> ((s, dir) =>
@@ -1713,6 +1736,35 @@ object SparkEntry {
 
       "doc_fingerprint" ->
         (s"SELECT doc_id, md5($NormTextSql) AS fingerprint FROM documents"),
+
+      // the oracle replays the pack as ONE global running sum — the
+      // equivalence of the bucketed offsets + boundary-window plan to
+      // the global greedy prefix is exactly what is being checked
+      "token_budget_pack" ->
+        (s"WITH s AS (SELECT doc_id, $statsCols, " +
+          s"${hitsSql(allMarkers)} AS stop_hits " +
+          "FROM documents WHERE length(trim(text)) > 0), " +
+          "r AS (SELECT doc_id, CASE WHEN char_len < 64 THEN 0 " +
+          "WHEN punct_cnt * 5 > char_len THEN 1 " +
+          "WHEN digit_cnt * 5 > char_len THEN 2 " +
+          "WHEN stop_hits = 0 THEN 3 ELSE 4 END AS qrank, " +
+          "word_cnt AS n_tok FROM s), " +
+          "c AS (SELECT *, CAST(sum(n_tok) OVER " +
+          "(ORDER BY qrank DESC, doc_id) AS BIGINT) AS cum FROM r) " +
+          "SELECT doc_id, CAST(qrank AS BIGINT) AS qrank, n_tok " +
+          "FROM c WHERE cum <= 20000"),
+
+      "unigram_surprisal" ->
+        (s"WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM " +
+          s"(SELECT doc_id, unnest(string_split($NormTextSql, ' ')) AS tok " +
+          "FROM documents) GROUP BY doc_id, tok), " +
+          "c AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt " +
+          "FROM tf GROUP BY tok), " +
+          "t AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf) " +
+          "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, " +
+          "CAST(sum(tf * length(bin(n_total // cnt))) AS BIGINT) " +
+          "AS surprisal_bits " +
+          "FROM tf JOIN c USING (tok) CROSS JOIN t GROUP BY doc_id"),
 
       // Bigram list built like ngram_jaccard_pairs' but NOT dedup'd —
       // the duplicate fraction is the signal.

@@ -247,4 +247,70 @@ object Sampling {
               col("__tot"))))
       .drop("__rk", "__sfx", "__cert", "__c", "__cum", "__tot")
   }
+
+  /** Greedy token-budget corpus pack: keep documents in
+    * (`rank` DESC, doc_id ASC) order while the running token total
+    * stays within `budget` — "take the best docs until the training
+    * budget is spent", the final cut every curated pretraining mix
+    * makes. Selection is exactly the global greedy prefix (a doc is
+    * kept iff its global cumulative token count ≤ `budget`), all in
+    * integer arithmetic.
+    *
+    * Scale shape: the global running sum is NOT computed with a
+    * corpus-wide unpartitioned window (single reducer — a
+    * scale-killer). Instead:
+    *
+    *  1. per-rank-bucket token totals (map-side-combined groupBy,
+    *     |buckets| rows) get prefix offsets on the tiny aggregate and
+    *     broadcast back;
+    *  2. buckets that fit entirely (`offset + bucket_toks ≤ budget`)
+    *     keep every row with NO window at all;
+    *  3. only the single BOUNDARY bucket — the one the budget line
+    *     crosses — pays a per-bucket ordered running sum.
+    *
+    * So the sequential scan is confined to one stratum. (At extreme
+    * scale, range-partition the boundary bucket by doc_id and apply
+    * the same offsets trick recursively; the operator's contract is
+    * unchanged.) A doc with rank in a bucket past the budget line is
+    * dropped without being counted, scanned, or shuffled anywhere.
+    */
+  def tokenBudgetPack(
+      df: DataFrame,
+      rank: Column,
+      toks: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    // The rank/token projection may be expensive (quality scoring),
+    // and three plan branches consume it (bucket totals, full-keep,
+    // boundary). The explicit repartition inserts ONE exchange whose
+    // identical subtree all branches reuse (ReusedExchange), so the
+    // upstream projection is evaluated once — and hash(qrank) is
+    // precisely the partitioning the boundary window requires, so the
+    // window adds no shuffle of its own. Caveat: downstream of this
+    // exchange parallelism is |distinct ranks|; the rows are three
+    // slim longs and every consumer is a trivial filter, so that is
+    // cheap — but with a huge corpus and very few rank buckets,
+    // pre-aggregate or salt before packing.
+    val base = df.select(col("doc_id"), rank.cast("long").as("qrank"),
+      toks.cast("long").as("n_tok"))
+      .repartition(col("qrank"))
+    val totals = base.groupBy("qrank").agg(sum("n_tok").as("__bt"))
+    // tiny frame (|distinct ranks| rows): the unpartitioned window is
+    // over the aggregate output, never the corpus
+    val wOff = Window.orderBy(col("qrank").desc)
+    val offsets = totals.select(col("qrank"), col("__bt"),
+      (sum(col("__bt")).over(wOff) - col("__bt")).as("__off"))
+    val joined = base.join(broadcast(offsets), "qrank")
+    val fullKeep = joined
+      .filter(col("__off") + col("__bt") <= budget)
+      .select("doc_id", "qrank", "n_tok")
+    val wIn = Window.partitionBy("qrank").orderBy("doc_id")
+    val boundary = joined
+      .filter(col("__off") <= budget && col("__off") + col("__bt") > budget)
+      .withColumn("__cum", col("__off") + sum(col("n_tok")).over(wIn))
+      .filter(col("__cum") <= budget)
+      .select("doc_id", "qrank", "n_tok")
+    fullKeep.unionByName(boundary)
+  }
 }

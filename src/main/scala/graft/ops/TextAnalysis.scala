@@ -276,6 +276,43 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "rk")
   }
 
+  /** Per-document unigram surprisal — an integer-exact corpus-
+    * statistics quality signal: each token occurrence contributes the
+    * bit length of `n_total div cnt` (⌊log₂⌋+1 of its inverse corpus
+    * frequency — a Shannon-information proxy), and a document's score
+    * is the sum over its occurrences. Rare-vocabulary-rich documents
+    * score high; boilerplate and stopword soup score low. The same
+    * role a unigram-LM log-prob filter plays in pretraining curation,
+    * but in exact integer arithmetic (`bin()` + `length()` + integer
+    * division exist identically in external SQL), so the oracle can
+    * replay it bit-for-bit — no float log ever materializes.
+    *
+    * Scale shape: one tokenize into per-(doc, term) counts; the
+    * corpus term table and the scalar total derive from that
+    * aggregate (same always-true-filter exchange-reuse trick as
+    * [[tfidfTopTerms]] — one scan, one explode); term counts come
+    * back as a broadcast (vocabulary ≪ corpus; for a vocabulary too
+    * big to broadcast, drop the hint and AQE's skew-join handles the
+    * stopword keys), and the final per-doc sum is an ordinary
+    * map-side-combined aggregate.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(TextDedup.normText(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tfAll = tf.where(col("tf") >= 1)
+    val counts = tfAll.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+    val total = tfAll.agg(sum(col("tf")).as("n_total"))
+    tf.join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        length(bin(expr("n_total div cnt"))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("bits")).as("surprisal_bits"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -30,7 +30,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "quantile_filter",  // × broadcast(single-row percentile cutoff)
-    "tfidf_top_terms")  // × broadcast(single-row corpus doc count)
+    "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
+    "unigram_surprisal") // × broadcast(single-row corpus token total)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -152,6 +152,32 @@ class CurationOpsSpec extends SparkSpec {
 
   // ----------------------------------------------------------- Redaction
 
+  test("tokenBudgetPack equals the global greedy prefix") {
+    // budget 50 crosses inside rank 1: rank 2 (30 toks) keeps whole
+    // via the no-window fast path, rank 1 is the boundary bucket
+    // (doc 10 fits at cum 45, doc 11 overflows at 55 and 12 stays
+    // past the line), rank 0 is dropped without a scan.
+    val df = Seq(
+      (1L, 2L, 10L), (2L, 2L, 10L), (3L, 2L, 10L),
+      (10L, 1L, 15L), (11L, 1L, 10L), (12L, 1L, 15L),
+      (20L, 0L, 5L)).toDF("doc_id", "r", "n")
+    val got = Sampling.tokenBudgetPack(df, col("r"), col("n"), 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 10L))
+    // fuzzed instance vs an independent sequential model of the
+    // global (rank DESC, doc_id) running-sum prefix
+    val fuzz = (0L until 200L).map(i => (i, (i * 7) % 5, (i * 13) % 23 + 1))
+    val budget = 600L
+    var cum = 0L
+    val expect = fuzz.sortBy { case (id, r, _) => (-r, id) }
+      .filter { case (_, _, n) => cum += n; cum <= budget }
+      .map(_._1).toSet
+    val gotF = Sampling.tokenBudgetPack(
+      fuzz.toDF("doc_id", "r", "n"), col("r"), col("n"), budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotF == expect)
+  }
+
   test("redact replaces each PII category with its token") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org today"),

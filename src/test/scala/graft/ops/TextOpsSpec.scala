@@ -132,6 +132,16 @@ class TextOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- text analysis
 
+  test("unigramSurprisal sums inverse-frequency bit lengths exactly") {
+    // corpus counts: a=3, b=2, c=1, N=6 occurrences.
+    // per-occurrence bits = length(bin(N div cnt)):
+    //   a -> bin(2)="10" (2), b -> bin(3)="11" (2), c -> bin(6)="110" (3)
+    val d = docs(1L -> "a a a b", 2L -> "b c")
+    val got = TextAnalysis.unigramSurprisal(d)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 4L, 3 * 2 + 2L), (2L, 2L, 2 + 3L)))
+  }
+
   test("repetitionStats flags >20% duplicate bigrams") {
     val d = docs(
       1L -> "spam spam spam spam spam spam",  // 5 bigrams, 1 distinct
