@@ -18,14 +18,23 @@ object ReuseAudit {
     graft.GraftExtensions.register(spark)
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // collect(), NOT a noop write: a write action executes a CLONED
+      // plan, leaving df.queryExecution's adaptive plan unexecuted
+      // (isFinalPlan=false) — its reuse counts would be meaningless
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       // the adaptive dump prints "initial" and "final" sections; take
-      // the final (first) section only
+      // the final (first) section only. Materialized stage subtrees
+      // are collapsed in the dump, so count BOTH static ReusedExchange
+      // nodes and repeated AQE stage ids (reuse under AQE shows as the
+      // same QueryStage referenced more than once).
       val fin = plan.split("\\+\\- == Initial Plan ==").head
       val scans = "FileScan|Scan parquet".r.findAllIn(fin).size
-      val reused = "ReusedExchange".r.findAllIn(fin).size
-      println(f"AUDIT $n%-28s scans=$scans reused=$reused")
+      val stages = "(ShuffleQueryStage|BroadcastQueryStage) \\d+".r
+        .findAllIn(fin).toSeq
+      val reused = "ReusedExchange".r.findAllIn(fin).size +
+        (stages.size - stages.distinct.size)
+      println(f"AUDIT $n%-28s scans=$scans stages=${stages.size}%d reused=$reused")
     }
     spark.stop()
   }
