@@ -53,11 +53,18 @@ class NativeExpressionsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT graft_shingles('a b c d', 3) AS sh, " +
         "size(graft_minhash(graft_shingles('a b c d', 3), 8)) AS k, " +
-        "graft_intersect_count(array('a','b'), array('b','c')) AS ic")
+        "graft_intersect_count(array('a','b'), array('b','c')) AS ic, " +
+        // SQL form must agree with the Column-API fold exactly
+        "graft_simhash(split('a a a b', ' ')) AS sim")
       .head
     assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(r.getInt(1) == 8)
     assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) ==
+      graft.functions.SimHashNative.signature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Seq("a", "a", "a", "b").map(
+            org.apache.spark.unsafe.types.UTF8String.fromString))))
     // non-literal n must be rejected, not silently misplanned
     intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', length('xy'))").collect()
@@ -73,6 +80,7 @@ class NativeExpressionsSpec extends SparkSpec {
       "SELECT graft_cosine(array(1, 2), array(3, 4))",
       "SELECT graft_intersect_count(array(1, 2), array(2))",
       "SELECT graft_minhash(array(1, 2), 8)",
+      "SELECT graft_simhash(array(1, 2))",
       "SELECT graft_shingles(42, 3)",
       "SELECT graft_normalize_words(7)")
     bad.foreach { q =>
