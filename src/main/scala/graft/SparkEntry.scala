@@ -703,6 +703,20 @@ object SparkEntry {
     "unigram_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"))),
 
+    // Content-keyed train/eval split: every row labeled, none dropped;
+    // membership is a function of the document's own bytes (the
+    // property that keeps eval contamination-free across re-shards and
+    // dedup passes). Scan-shaped; threshold rendered from the shared
+    // constant into the oracle.
+    "train_eval_split" -> ((s, dir) =>
+      Sampling.hashSplit(T(s, dir, "documents"), col("text"),
+        evalRate = 0.05).select(col("doc_id"), col("split"))),
+
+    // Per-language "dataset card" rollup — all exact integers, one
+    // map-side-combined aggregate.
+    "corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(T(s, dir, "documents"))),
+
     // Gopher-style duplicate-n-gram repetition filter (integer-exact;
     // repartition: single-file fixture, cf. minhash_candidates note).
     "repetition_stats" -> ((s, dir) =>
@@ -1753,6 +1767,27 @@ object SparkEntry {
           "(ORDER BY qrank DESC, doc_id) AS BIGINT) AS cum FROM r) " +
           "SELECT doc_id, CAST(qrank AS BIGINT) AS qrank, n_tok " +
           "FROM c WHERE cum <= 20000"),
+
+      "train_eval_split" ->
+        ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 4) < " +
+          s"'${Sampling.thresholdHex(0.05)}' THEN 'eval' ELSE 'train' " +
+          "END AS split FROM documents"),
+
+      "corpus_report" ->
+        (s"WITH h AS (SELECT doc_id, text, ${hitCols.mkString(", ")} " +
+          "FROM documents), " +
+          s"l AS (SELECT CASE WHEN $great = 0 THEN 'und' " +
+          s"WHEN en_hits = $great THEN 'en' WHEN de_hits = $great THEN 'de' " +
+          s"WHEN fr_hits = $great THEN 'fr' WHEN es_hits = $great THEN 'es' " +
+          "ELSE 'zh' END AS lang_guess, " +
+          "CAST(length(text) AS BIGINT) AS char_len, " +
+          "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) " +
+          "AS word_cnt FROM h) " +
+          "SELECT lang_guess, count(*) AS n_docs, " +
+          "CAST(sum(word_cnt) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(char_len) AS BIGINT) AS total_chars, " +
+          "min(char_len) AS min_chars, max(char_len) AS max_chars " +
+          "FROM l GROUP BY lang_guess"),
 
       "unigram_surprisal" ->
         (s"WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM " +

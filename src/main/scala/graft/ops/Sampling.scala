@@ -58,6 +58,22 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(hexBucket(key) < lit(thresholdHex(rate)))
 
+  /** Deterministic train/eval split — every row labeled, nothing
+    * dropped: `eval` iff the content bucket falls under `evalRate`'s
+    * threshold, `train` otherwise. The same content-keyed hash as
+    * [[deterministicSample]], which is the property that matters:
+    * membership is a function of the row's own bytes, so re-shards,
+    * re-ingests, dedup passes, and cluster-size changes can never move
+    * a document across the split — the invariant that keeps eval
+    * contamination-free over the corpus's life. Scan-shaped (pure
+    * per-row projection, no shuffle, no state); the two sides are
+    * exhaustive and disjoint by construction.
+    */
+  def hashSplit(df: DataFrame, key: Column, evalRate: Double): DataFrame =
+    df.withColumn("split",
+      when(hexBucket(key) < lit(thresholdHex(evalRate)), "eval")
+        .otherwise("train"))
+
   /** Stratified sample: per-stratum keep-rates (e.g. downsample an
     * over-represented language), `defaultRate` for unlisted strata.
     * One CASE-shaped predicate — still scan-only, still deterministic.

@@ -276,6 +276,26 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "rk")
   }
 
+  /** Per-language corpus composition report — the "dataset card"
+    * rollup a corpus release ships: documents, token and character
+    * totals, and exact length extremes per guessed language. The lang
+    * guess and the token stats ride one per-row projection (single
+    * scan, one map-side-combined aggregate, |languages| output rows),
+    * and every value is an exact integer, so the whole report is
+    * oracle-replayable.
+    */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs
+      .select(langGuess(col("text")).as("lang_guess"),
+        length(col("text")).cast("long").as("char_len"),
+        wordCount(col("text")).as("word_cnt"))
+      .groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("word_cnt")).as("total_tokens"),
+        sum(col("char_len")).as("total_chars"),
+        min(col("char_len")).as("min_chars"),
+        max(col("char_len")).as("max_chars"))
+
   /** Per-document unigram surprisal — an integer-exact corpus-
     * statistics quality signal: each token occurrence contributes the
     * bit length of `n_total div cnt` (⌊log₂⌋+1 of its inverse corpus

@@ -152,6 +152,24 @@ class CurationOpsSpec extends SparkSpec {
 
   // ----------------------------------------------------------- Redaction
 
+  test("hashSplit: exhaustive, disjoint, and consistent with the sampler") {
+    val df = (0 until 1000).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+    val split = Sampling.hashSplit(df, col("text"), 0.1)
+    val byLabel = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == 1000, "every row must be labeled")
+    // binomial(1000, 0.1): sd ≈ 9.5; allow ~5 sd
+    assert(math.abs(byLabel("eval") - 100) < 50, s"got $byLabel")
+    // the eval side IS the deterministic sample at the same rate —
+    // one hash family, so sample and split can never disagree
+    val evalIds = split.filter(col("split") === "eval")
+      .select("doc_id").as[Long].collect().toSet
+    val sampled = Sampling.deterministicSample(df, col("text"), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(evalIds == sampled)
+  }
+
   test("tokenBudgetPack equals the global greedy prefix") {
     // budget 50 crosses inside rank 1: rank 2 (30 toks) keeps whole
     // via the no-window fast path, rank 1 is the boundary bucket

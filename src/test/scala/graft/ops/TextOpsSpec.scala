@@ -132,6 +132,22 @@ class TextOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- text analysis
 
+  test("corpusReport aggregates the per-doc langId rows exactly") {
+    val d = docs(
+      1L -> "the cat and the dog with hat",
+      2L -> "der hund und die katze mit hut",
+      3L -> "zz qq ww")
+    val got = TextAnalysis.corpusReport(d)
+      .orderBy("lang_guess")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    val en = "the cat and the dog with hat"
+    val de = "der hund und die katze mit hut"
+    assert(got == List(
+      ("de", 1L, 7L, de.length.toLong, de.length.toLong, de.length.toLong),
+      ("en", 1L, 7L, en.length.toLong, en.length.toLong, en.length.toLong),
+      ("und", 1L, 3L, 8L, 8L, 8L)))
+  }
+
   test("unigramSurprisal sums inverse-frequency bit lengths exactly") {
     // corpus counts: a=3, b=2, c=1, N=6 occurrences.
     // per-occurrence bits = length(bin(N div cnt)):
