@@ -717,6 +717,14 @@ object SparkEntry {
     "corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // N-gram novelty vs a reference slice (doc_id % 20) — per-doc
+    // known/total distinct-gram counts, integer-exact.
+    "ngram_novelty" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      TextDedup.ngramNovelty(docs, docs.filter(col("doc_id") % 20 === 0))
+    }),
+
     // Gopher-style duplicate-n-gram repetition filter (integer-exact;
     // repartition: single-file fixture, cf. minhash_candidates note).
     "repetition_stats" -> ((s, dir) =>
@@ -1788,6 +1796,20 @@ object SparkEntry {
           "CAST(sum(char_len) AS BIGINT) AS total_chars, " +
           "min(char_len) AS min_chars, max(char_len) AS max_chars " +
           "FROM l GROUP BY lang_guess"),
+
+      // same distinct-3-gram fragment the neardup reach CTE proves
+      // equivalent to the native shingles node
+      "ngram_novelty" ->
+        (s"WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+          "range(0, greatest(len(toks) - 3, 0) + 1), " +
+          "i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram " +
+          s"FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks " +
+          "FROM documents)), " +
+          "r AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0) " +
+          "SELECT g.doc_id, count(*) AS grams_total, " +
+          "CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS grams_known " +
+          "FROM g LEFT JOIN r ON g.gram = r.gram GROUP BY g.doc_id"),
 
       "unigram_surprisal" ->
         (s"WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM " +

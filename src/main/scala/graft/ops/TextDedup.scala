@@ -121,6 +121,37 @@ object TextDedup {
     array_distinct(grams)
   }
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * memorization-risk measure: how much of each document's distinct
+    * n-gram set already appears ANYWHERE in `ref`. Complements
+    * [[contaminationHits]] (which emits per-(train, eval) pair
+    * overlaps): novelty scores each document against the UNION of the
+    * reference's n-grams, the number a "what fraction of this doc is
+    * recycled text" gate thresholds on. Output
+    * (doc_id, grams_total, grams_known), both exact integers —
+    * `1 - grams_known/grams_total` is the novelty share.
+    *
+    * Scale shape: the reference's distinct gram set builds with
+    * map-side-combined distinct and broadcasts (eval/reference sets
+    * are small by design — for a corpus-sized reference, swap the
+    * broadcast for a shuffled left join or a Bloom pre-filter, cf.
+    * [[graft.ops.BloomPrune]]); the document side is one explode +
+    * one per-doc aggregate, no corpus-wide shuffle beyond the
+    * doc_id agg.
+    */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, n: Int = 3): DataFrame = {
+    val refGrams = ref
+      .select(explode(shingles(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
+      .join(broadcast(refGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("grams_total"),
+        sum(coalesce(col("__hit"), lit(0L))).as("grams_known"))
+  }
+
   /** Per-shingle hash vector: `xxhash64(seed_i, shingle)` for each of
     * the `numHashes` seeds.
     */

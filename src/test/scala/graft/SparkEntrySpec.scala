@@ -61,9 +61,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 92,
+    assert(SparkEntry.queries.size == 93,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 90,
+    assert(SparkEntry.oracleSql.size == 91,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set (query without oracle) is pinned to EXACTLY
     // these two — each is non-SQL-expressible by nature (zlib deflate /

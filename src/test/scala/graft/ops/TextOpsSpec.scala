@@ -122,6 +122,17 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("ngramNovelty counts known vs total distinct grams per doc") {
+    val ref = docs(100L -> "a b c d e")  // grams: abc, bcd, cde
+    val d = docs(
+      1L -> "a b c d x",   // abc, bcd, cdx -> 2 of 3 known
+      2L -> "p q r s t",   // none known
+      3L -> "a b c")       // single gram abc -> known
+    val got = TextDedup.ngramNovelty(d, ref)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 3L, 2L), (2L, 3L, 0L), (3L, 1L, 1L)))
+  }
+
   test("jaccardCounts: integer intersection/union sizes") {
     val d = docs(1L -> "a b c d", 2L -> "a b c e")
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
