@@ -60,6 +60,33 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** Σ over `markers` of non-overlapping occurrence counts in
+    * `" " + lower(text) + " "` — the language-id / stopword scoring
+    * kernel. Parity with the composed chain — per marker,
+    * `(length(padded) - length(replace(padded, m, ''))) / length(m)` —
+    * holds exactly: `replace` removes non-overlapping matches scanning
+    * left to right, which is the same set this greedy `indexOf` loop
+    * advancing by the marker's width counts, and the composed form's
+    * double division is exact because the char delta is always a
+    * multiple of the marker length. `UTF8String.toLowerCase` is the
+    * very function Spark's `lower()` applies, so case folding cannot
+    * diverge. One lowercase + one String conversion per row replaces
+    * |markers| full-string `replace` allocations (~20 for the combined
+    * stopword set).
+    */
+  def markerHits(text: UTF8String, markers: Array[String]): Long = {
+    val s = " " + text.toLowerCase.toString + " "
+    var total = 0L
+    var i = 0
+    while (i < markers.length) {
+      val m = markers(i)
+      var from = s.indexOf(m)
+      while (from >= 0) { total += 1; from = s.indexOf(m, from + m.length) }
+      i += 1
+    }
+    total
+  }
+
   /** `size(array_intersect(a, b))` as one pass: the number of distinct
     * elements of `a` (nulls counted once, matching array_intersect)
     * that also occur in `b`.
@@ -134,6 +161,32 @@ case class IntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `string` raw text → `bigint` total marker hits (word-bounded via
+  * the space padding baked into the markers and the added borders).
+  */
+case class MarkerHitsExpr(child: Expression, markers: Seq[String])
+    extends UnaryExpression with GraftTypeChecks {
+  require(markers.nonEmpty && markers.forall(_.nonEmpty),
+    "markers must be non-empty strings")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes((child.dataType, "a string argument", isString))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_marker_hits"
+  @transient private lazy val markerArr: Array[String] = markers.toArray
+  override def nullSafeEval(input: Any): Any =
+    TextNative.markerHits(input.asInstanceOf[UTF8String], markerArr)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhMarkers", markerArr,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.markerHits($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object TextExprs {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -142,4 +195,6 @@ object TextExprs {
     col(ShinglesExpr(expr(normText), n))
   def intersectCount(a: Column, b: Column): Column =
     col(IntersectCountExpr(expr(a), expr(b)))
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    col(MarkerHitsExpr(expr(text), markers))
 }

@@ -76,8 +76,20 @@ object TextAnalysis {
     "es" -> Seq(" el ", " y ", " los ", " con "),
     "zh" -> Seq(" 的 ", " 和 ", " 是 ", " 在 "))
 
-  private def markerHits(text: Column, markers: Seq[String]): Column =
-    markers.map(m => occurrences(text, m)).reduce(_ + _)
+  /** Composed-built-in marker-hit sum over an already padded+lowered
+    * column — the semantic reference for the native
+    * [[graft.functions.MarkerHitsExpr]] (bit-parity spec-pinned).
+    */
+  private[ops] def markerHitsComposed(
+      padded: Column, markers: Seq[String]): Column =
+    markers.map(m => occurrences(padded, m)).reduce(_ + _)
+
+  /** Native one-pass marker-hit sum over RAW text (padding and
+    * lowercasing happen inside the node): one lowercase per row
+    * replaces one full-string `replace` allocation per marker.
+    */
+  private[ops] def markerHits(text: Column, markers: Seq[String]): Column =
+    graft.functions.TextExprs.markerHits(text, markers)
 
   /** Column-level language guess over a raw text column: stopword-
     * marker voting with the same argmax/tie-break as [[langId]]
@@ -86,7 +98,6 @@ object TextAnalysis {
     * multi-stage curation predicates without a join.
     */
   def langGuess(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
     // Single-long argmax: score_i = hits_i * 8 + (n - i). A nested
     // when-fold here would re-reference each earlier hits expression
     // in both branches of every later step — the expression tree
@@ -100,7 +111,7 @@ object TextAnalysis {
     val n = LangMarkers.size
     require(n < 8, "priority packing uses 3 bits")
     val scores = LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
-      markerHits(padded, ms) * 8L + lit((n - i).toLong)
+      markerHits(text, ms) * 8L + lit((n - i).toLong)
     }
     val best = array_max(array(scores: _*))
     // decode via a literal array lookup (priority 1..n indexes the
@@ -121,9 +132,8 @@ object TextAnalysis {
     * ground-truth `lang` column is inspectable.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val hitCols = LangMarkers.map { case (lang, ms) =>
-      lang -> markerHits(padded, ms)
+      lang -> markerHits(col("text"), ms)
     }
     val withHits = docs.select(
       Seq(col("doc_id"), col("lang")) ++
@@ -147,9 +157,7 @@ object TextAnalysis {
     * expression. Integer-exact counts, bit-stable across engines.
     */
   def qualityVerdict(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val stopHits = LangMarkers.flatMap(_._2)
-      .map(m => occurrences(padded, m)).reduce(_ + _)
+    val stopHits = markerHits(text, LangMarkers.flatMap(_._2))
     val charLen = length(text).cast("long")
     val punct = (length(text) -
       length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")
@@ -169,9 +177,7 @@ object TextAnalysis {
     * the verdict is bit-stable across engines.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val anyStop = LangMarkers.flatMap(_._2)
-      .map(m => occurrences(padded, m)).reduce(_ + _)
+    val anyStop = markerHits(col("text"), LangMarkers.flatMap(_._2))
     // stop_hits rides the same projection as the token stats (they
     // share the empty-text filter): one scan, one codegen span, zero
     // shuffles — a join on doc_id here would re-shuffle the whole

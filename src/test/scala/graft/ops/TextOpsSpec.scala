@@ -143,6 +143,34 @@ class TextOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- text analysis
 
+  test("native markerHits matches the composed length-replace chain") {
+    // adversarial shapes: adjacent markers sharing the boundary space
+    // ("the the" — replace counts NON-overlapping matches), markers at
+    // the padded borders, uppercase needing the exact lower() fold,
+    // CJK markers, empties, and marker-free text
+    val texts = Seq(
+      "the the the and of with",
+      "THE AND OF WITH",
+      "der und die mit le et les avec el y los con",
+      "的 和 是 在 mixed 的 content",
+      "", "   ", "no markers here at all", "the", " the ",
+      "xthex andx ofy", "the and the and the and")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (ms <- TextAnalysis.LangMarkers.map(_._2) :+
+        TextAnalysis.LangMarkers.flatMap(_._2)) {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val rows = df.select(
+        TextAnalysis.markerHits(col("text"), ms).as("native"),
+        TextAnalysis.markerHitsComposed(padded, ms).as("composed"),
+        col("text"))
+        .as[(Long, Long, String)].collect()
+      rows.foreach { case (n, c, t) =>
+        assert(n == c, s"markers=$ms text='$t': native=$n composed=$c")
+      }
+    }
+  }
+
   test("corpusReport aggregates the per-doc langId rows exactly") {
     val d = docs(
       1L -> "the cat and the dog with hat",
