@@ -98,6 +98,17 @@ object GraftExtensions {
           require(args.length == 2, "graft_shingles takes (text, n)")
           graft.functions.ShinglesExpr(args(0), litInt(args(1), "n"))
         }),
+      ("graft_hashed_shingles",
+        info("graft_hashed_shingles",
+          "_FUNC_(text, n) - Sorted distinct xxhash64 of word n-grams " +
+            "(n a literal int)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_hashed_shingles takes (text, n)")
+          graft.functions.HashedShinglesExpr(args(0), litInt(args(1), "n"))
+        }),
+      binary("graft_sorted_intersect_count",
+        "_FUNC_(a, b) - Intersection size of two sorted bigint arrays.",
+        graft.functions.SortedIntersectCountExpr),
       unary("graft_simhash",
         "_FUNC_(tokens) - 64-bit SimHash signature of a token array.",
         graft.functions.SimHashExpr),

@@ -230,13 +230,21 @@ object SparkEntry {
     val docs = T(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
     val ids = docs.select(col("doc_id"))
-    val cand = ids
+    // No existence-validation join for doc_b: jaccardCountsHashed joins
+    // the pairs INNER against the shingle frame on both doc_a and
+    // doc_b, so a candidate pointing past the max id simply produces no
+    // row — the explicit pre-join against ids was a third join doing
+    // work the verification joins already do.
+    val pairs = ids
       .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       .union(ids
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 2).as("doc_b")))
-    val pairs = cand.join(ids.select(col("doc_id").as("doc_b")), "doc_b")
-      .select("doc_a", "doc_b")
-    val edges = TextDedup.jaccardCounts(pairs, docs)
+    // Hashed-shingle flavor: the shingle sets cross the two
+    // verification joins as sorted array<bigint> (8 bytes/gram), not
+    // array<string>; counts are string-exact modulo 64-bit gram
+    // collisions (spec-pinned equal on this corpus), so the DuckDB
+    // string replay stays a valid oracle.
+    val edges = TextDedup.jaccardCountsHashed(pairs, docs)
       .filter(col("inter_cnt") * 100 >= col("union_cnt"))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     Components.connectedComponents(edges,

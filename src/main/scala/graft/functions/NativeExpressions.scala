@@ -32,6 +32,10 @@ trait GraftTypeChecks { self: Expression =>
     case ArrayType(StringType, _) => true
     case _ => false
   }
+  protected val isLongArray: DataType => Boolean = {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
   protected val isString: DataType => Boolean = _ == StringType
 }
 

@@ -3,9 +3,10 @@ package graft.functions
 import java.util.{LinkedHashSet => JLinkedHashSet}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,6 +88,70 @@ object TextNative {
     total
   }
 
+  /** Sorted distinct `xxhash64` values (seed 42 — the same
+    * `XXH64.hashUnsafeBytes` call Spark's built-in `xxhash64()` applies
+    * to a string) of the word n-grams of a normalized text. The
+    * fixed-width long form exists for SHUFFLE-HEAVY consumers
+    * (candidate-pair Jaccard verification): a shingle set that crosses
+    * an exchange as `array<string>` moves every gram's bytes; as a
+    * sorted `array<long>` it moves 8 bytes per gram and intersects by
+    * linear merge with zero per-element hashing or allocation on the
+    * probe side. Distinctness is applied on the HASHES (sort + adjacent
+    * dedup) — equal to string-distinctness unless two distinct grams
+    * collide in 64 bits, which also bounds the semantic caveat: a
+    * collision can only ever MERGE two grams (intersection overcount of
+    * 1 against ~2^-64·|A|·|B| odds), never drop one.
+    */
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.split(SPACE, -1)
+    val t = tokens.length
+    val last = math.max(t - n, 0)
+    val arr = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) {
+      val width = math.min(n, t - i)
+      val gram =
+        if (width == 1) tokens(i)
+        else {
+          val parts = new Array[UTF8String](width)
+          System.arraycopy(tokens, i, parts, 0, width)
+          UTF8String.concatWs(SPACE, parts: _*)
+        }
+      arr(i) = XXH64.hashUnsafeBytes(
+        gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 1
+    while (r <= last) {
+      if (arr(r) != arr(w)) { w += 1; arr(w) = arr(r) }
+      r += 1
+    }
+    val out =
+      if (w + 1 == arr.length) arr else java.util.Arrays.copyOf(arr, w + 1)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Intersection size of two SORTED distinct long arrays — one linear
+    * merge, no hash set, no boxing. Pairs with [[hashedShingles]].
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** `size(array_intersect(a, b))` as one pass: the number of distinct
     * elements of `a` (nulls counted once, matching array_intersect)
     * that also occur in `b`.
@@ -161,6 +226,54 @@ case class IntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `string` (pre-normalized) → sorted `array<bigint>` of distinct
+  * 64-bit shingle hashes — the shuffle-narrow form of [[ShinglesExpr]].
+  */
+case class HashedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with GraftTypeChecks {
+  require(n >= 1, "shingle width must be positive")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes((child.dataType, "a string argument", isString))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.hashedShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.hashedShingles($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** `(array<bigint>, array<bigint>)` both SORTED distinct → `bigint`
+  * intersection size by linear merge. Inputs must come from
+  * [[HashedShinglesExpr]] (or any sorted-distinct producer) — unsorted
+  * input silently undercounts, so the builders in [[TextExprs]] are the
+  * supported construction path.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with GraftTypeChecks {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes(
+      (left.dataType, "two array<bigint> arguments", isLongArray),
+      (right.dataType, "two array<bigint> arguments", isLongArray))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextNative.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextNative.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `string` raw text → `bigint` total marker hits (word-bounded via
   * the space padding baked into the markers and the added borders).
   */
@@ -193,8 +306,12 @@ object TextExprs {
 
   def shingles(normText: Column, n: Int): Column =
     col(ShinglesExpr(expr(normText), n))
+  def hashedShingles(normText: Column, n: Int): Column =
+    col(HashedShinglesExpr(expr(normText), n))
   def intersectCount(a: Column, b: Column): Column =
     col(IntersectCountExpr(expr(a), expr(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCountExpr(expr(a), expr(b)))
   def markerHits(text: Column, markers: Seq[String]): Column =
     col(MarkerHitsExpr(expr(text), markers))
 }

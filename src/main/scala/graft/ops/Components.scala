@@ -54,27 +54,44 @@ object Components {
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    // Iterate ONLY over edge-incident nodes: singleton nodes (the vast
-    // majority after an LSH candidate stage — most documents have no
-    // near-dup) never enter a propagation round; they are unioned back
-    // as their own component at the end. Iteration cost is O(|E|), not
-    // O(|corpus|).
-    val active = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    // Materialize the candidate-edge pipeline EXACTLY ONCE, and lazily.
+    // Every downstream frame (active set, self-loops, the per-round
+    // join side) derives from this checkpoint, never from the upstream
+    // plan — an EAGER checkpoint per derived frame would re-run the
+    // whole edge pipeline (LSH candidate generation and Jaccard
+    // verification included) once per checkpoint, tripling the most
+    // expensive stage of the query; at 100 TB the re-runs would
+    // dominate the job outright. Lazy (`eager = false`) additionally
+    // lets the first real action drive the setup materializations as
+    // stages of one adaptive execution, persisting each checkpointed
+    // frame as it streams past, instead of paying one scheduler
+    // round-trip per frame.
+    // Duplicate edges are tolerated rather than `distinct()`-ed away:
+    // min-label propagation is idempotent under edge multiplicity (a
+    // dup only re-asserts the same min), candidate stages already emit
+    // distinct pairs, and dropping the distinct removes a full
+    // edge-width shuffle; dedup upstream if a custom candidate stage
+    // can emit heavy duplication (fan-out, not correctness).
+    val symCk = sym.localCheckpoint(false)
     // Self-loops turn the neighbor-min into a min over the CLOSED
     // neighborhood, so one join + partial-agg per round replaces the
-    // round-6/7 shape's join + agg + second left-join. Pre-partitioning
-    // on `src` (the per-round join key) is captured by the checkpoint's
-    // LogicalRDD outputPartitioning, so the edge side — the big, static
-    // side — is shuffled ONCE here and never again inside the loop;
-    // each round only exchanges the (small, changing) label frame.
-    val symSelf = sym
-      .union(active.select(col("node").as("src"), col("node").as("dst")))
+    // round-6/7 shape's join + agg + second left-join. The loops are
+    // emitted per EDGE OCCURRENCE (`src → src` off the checkpoint),
+    // not per distinct node: a distinct-node frame would cost its own
+    // shuffle + materialization, while the duplicates only re-assert
+    // the same min inside an aggregate that partial-combines map-side
+    // (degrees are bounded by the candidate stage's maxBucket guard).
+    // Pre-partitioning on `src` (the per-round join key) is captured by
+    // the checkpoint's LogicalRDD outputPartitioning, so the edge
+    // side — the big, static side — is shuffled ONCE here and never
+    // again inside the loop; each round only exchanges the (small,
+    // changing) label frame. This shuffle moves only (long, long) rows
+    // off the checkpoint — the shingle/Jaccard work is already
+    // materialized above.
+    val symSelf = symCk
+      .union(symCk.select(col("src"), col("src").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint()
-    var labels = active.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Convergence = label-sum fixpoint, and it is EXACT, not a hash
     // heuristic: both steps are per-node non-increasing (closed-
     // neighborhood min includes self; the jump replaces lbl with
@@ -87,19 +104,35 @@ object Components {
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var iter = 0
+    var labels: DataFrame = null
     while (!converged && iter < maxIter) {
-      val stepped = symSelf
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("lbl")).as("lbl"))
+      // Round 0 exploits that the seed labeling is the identity
+      // (lbl(src) = src): the "join labels on src" step collapses to a
+      // direct aggregate over the edge frame, saving both the join and
+      // the materialization of an explicit active-node seed. Every
+      // edge-incident node appears as a dst thanks to the self-loops,
+      // so the aggregate's key set IS the active set.
+      val stepped =
+        if (labels == null)
+          symSelf.groupBy(col("dst").as("node"))
+            .agg(min(col("src")).as("lbl"))
+        else
+          symSelf
+            .join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(min(col("lbl")).as("lbl"))
       // pointer jump, lbl ← lbl(lbl): self-join with explicit subquery
       // aliases (both sides derive from the same plan); the aggregate's
-      // exchange is shared between the two sides via ReusedExchange
+      // exchange is shared between the two sides via ReusedExchange.
+      // Lazy checkpoint + the convergence aggregate as the materializing
+      // action: ONE Spark job per round (the sum computes the round's
+      // plan and persists `jumped`'s partitions as it goes), where an
+      // eager checkpoint followed by a separate `agg` was two.
       val jumped = stepped.as("a")
         .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val sumRow = jumped.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
       val lblSum = Option(sumRow.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
@@ -109,8 +142,13 @@ object Components {
       iter += 1
     }
     require(converged, s"components did not converge in $maxIter rounds")
+    // Nodes absent from every edge never enter a propagation round (the
+    // loop iterates over edge-incident nodes only — O(|E|) per round,
+    // not O(|corpus|)); they come back as their own component here. The
+    // final label frame's node set IS the active set, so the anti-join
+    // needs no separate distinct-node materialization.
     val singletons = nodes.select(col("node"))
-      .join(active, Seq("node"), "left_anti")
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     labels.withColumnRenamed("lbl", "component").unionByName(singletons)
   }

@@ -313,6 +313,38 @@ object TextDedup {
           .as("union_cnt"))
   }
 
+  /** [[jaccardCounts]] with the shingle sets pre-hashed to SORTED
+    * `array<bigint>` before they reach any exchange — the form the
+    * near-dup clustering pipeline feeds on. Two effects, both about
+    * the joins (the plan shape is identical): the shuffle payload per
+    * document drops from every gram's string bytes to 8 bytes per
+    * gram, and the per-pair intersection becomes a linear merge of two
+    * sorted long arrays (no hash set, no UTF8String equality). Counts
+    * equal [[jaccardCounts]]'s exactly unless two distinct grams
+    * collide in 64 bits (≈2^-64·|A|·|B| per pair — a collision merges
+    * two grams, overcounting the intersection by at most 1); the
+    * equivalence on real corpus data is spec-pinned. Keep the string
+    * flavor where the counts feed an external exact replay; use this
+    * one where they feed a threshold.
+    */
+  def jaccardCountsHashed(
+      pairs: DataFrame,
+      docs: DataFrame,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextExprs
+        .hashedShingles(normText(col("text")), shingleSize).as("sh"))
+    val inter = graft.functions.TextExprs
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("long").as("inter_cnt"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("long")
+          .as("union_cnt"))
+  }
+
   /** 64-bit SimHash per document: hash every token, sum ±1 per bit
     * position over the token multiset, take the sign bit-vector.
     *

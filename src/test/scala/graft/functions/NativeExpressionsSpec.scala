@@ -69,6 +69,16 @@ class NativeExpressionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', length('xy'))").collect()
     }
+    // hashed flavor: SQL form must agree with the composed xxhash64
+    // formulation, and the merge count with the hash-set one
+    val h = spark.sql(
+      "SELECT graft_hashed_shingles('a b c d', 3) AS hs, " +
+        "array_sort(transform(graft_shingles('a b c d', 3), " +
+        "  s -> xxhash64(s))) AS composed, " +
+        "graft_sorted_intersect_count(array(1L, 3L), array(1L, 2L, 3L)) AS ic")
+      .head
+    assert(h.getSeq[Long](0) == h.getSeq[Long](1))
+    assert(h.getLong(2) == 2L)
   }
 
   test("wrong-typed arguments fail analysis instead of reading garbage") {
@@ -82,6 +92,8 @@ class NativeExpressionsSpec extends SparkSpec {
       "SELECT graft_minhash(array(1, 2), 8)",
       "SELECT graft_simhash(array(1, 2))",
       "SELECT graft_shingles(42, 3)",
+      "SELECT graft_hashed_shingles(42, 3)",
+      "SELECT graft_sorted_intersect_count(array('a'), array('a'))",
       "SELECT graft_normalize_words(7)")
     bad.foreach { q =>
       val e = intercept[Exception](spark.sql(q).collect())

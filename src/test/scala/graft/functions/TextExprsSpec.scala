@@ -57,6 +57,61 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("hashedShingles == sorted distinct xxhash64 of the string shingles") {
+    for (n <- Seq(1, 2, 3, 8)) {
+      val rows = docs.select(
+        TextExprs.hashedShingles(col("text"), n).as("native"),
+        array_sort(transform(
+          graft.functions.TextExprs.shingles(col("text"), n),
+          s => xxhash64(s))).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("hashedShingles parity holds on real corpus text") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = corpus.select(
+      TextExprs.hashedShingles(TextDedup.normText(col("text")), 3).as("native"),
+      array_sort(transform(
+        TextDedup.shingles(col("text"), 3), s => xxhash64(s))).as("composed"))
+      .filter(not(col("native") === col("composed")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("sortedIntersectCount == size(array_intersect) on sorted arrays") {
+    val cases = Seq(
+      ("array(1L, 3L, 5L)", "array(2L, 3L, 5L, 9L)", 2L),
+      ("array(1L, 2L, 3L)", "array(4L, 5L)", 0L),
+      ("array(1L, 2L)", "array(1L, 2L)", 2L),
+      ("cast(array() as array<bigint>)", "array(1L)", 0L),
+      ("array(-5L, 0L, 7L)", "array(-5L, 7L)", 2L))
+    cases.foreach { case (a, b, want) =>
+      val r = spark.range(1)
+        .selectExpr(s"$a as a", s"$b as b")
+        .select(TextExprs.sortedIntersectCount(col("a"), col("b")))
+        .head
+      assert(r.getLong(0) == want, s"a=$a b=$b")
+    }
+  }
+
+  test("jaccardCountsHashed == jaccardCounts on real corpus pairs") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = corpus.select(col("doc_id"))
+    val pairs = ids
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .union(ids.select(
+        col("doc_id").as("doc_a"), (col("doc_id") + 2).as("doc_b")))
+    val str = TextDedup.jaccardCounts(pairs, corpus)
+    val hashed = TextDedup.jaccardCountsHashed(pairs, corpus)
+    assert(str.exceptAll(hashed).isEmpty && hashed.exceptAll(str).isEmpty)
+  }
+
   test("jaccardCounts values survive the native swap") {
     val pairs = spark.range(1)
       .selectExpr("cast(0 as long) as doc_a", "cast(4 as long) as doc_b")
