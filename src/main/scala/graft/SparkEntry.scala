@@ -1119,22 +1119,30 @@ object SparkEntry {
 
     // Compression-ratio redundancy signal (Gopher-style boilerplate
     // screen): single-shot fixed-level deflate size per document.
-    // Rows-only: DuckDB has no zlib surface; determinism and the
-    // repetitive-compresses-better ordering are spec-pinned.
-    // deflate length is engine-specific (no zlib in the oracle), so
-    // the row stays rows-only — but it now carries its own sanity
-    // bound: deflate can add at most a few bytes of framing (raw+64 is
-    // generous) and this corpus compresses at most ~2.5x (bound set at
-    // 50x), so `within_bounds` going false flags a broken codec path
-    // in a way the driver's dump makes visible.
-    "compression_signal" -> ((s, dir) =>
+    // DuckDB has no zlib surface, so the deflate length itself can't
+    // be replayed — instead the query emits an IN-BAND SELF-AUDIT the
+    // oracle can assert: `audit_ok` folds (a) the framing bound
+    // (deflate adds at most a few bytes — raw+64 is generous), (b) the
+    // corpus ratio bound (this corpus compresses at most ~2.5x; bound
+    // set at 50x), and (c) deterministic-repeat equality — the codec
+    // run twice on two expression trees the optimizer cannot collapse
+    // (`substring(text, 1, length(text))` has no fold-to-`text` rule)
+    // must agree byte-for-byte. The oracle expects TRUE everywhere, so
+    // a broken codec path fails the hash compare instead of hiding in
+    // a rows-only row. The ordering property (repetitive text
+    // compresses better) stays spec-pinned.
+    "compression_signal" -> ((s, dir) => {
+      val once = graft.functions.CurationExprs.deflateSize(col("text"))
+      val again = graft.functions.CurationExprs.deflateSize(
+        col("text").substr(lit(1), length(col("text"))))
       T(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("raw_len"),
-        graft.functions.CurationExprs.deflateSize(col("text"))
-          .as("deflate_len"))
-        .withColumn("within_bounds",
-          col("deflate_len") <= col("raw_len") + 64 &&
-            col("deflate_len") * 50 >= col("raw_len"))),
+        once.as("deflate_len"), again.as("deflate_len2"))
+        .select(col("doc_id"), col("raw_len"),
+          (col("deflate_len") <= col("raw_len") + 64 &&
+            col("deflate_len") * 50 >= col("raw_len") &&
+            col("deflate_len") === col("deflate_len2")).as("audit_ok"))
+    }),
 
     // Near-dup clustering: integer-exact n-gram Jaccard edges over a
     // deterministic pair set (adjacent doc_ids, +1/+2), then
@@ -1155,6 +1163,28 @@ object SparkEntry {
       neardupLabeled(s, dir)
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))),
+
+    // C4-style cross-document line dedup: drop every line occurring
+    // more than once corpus-wide, keep the documents. The corpus here
+    // is single-line word streams, so the query first reconstructs a
+    // deterministic multi-line form (12-token lines) in BOTH engines —
+    // the operator itself is generic over '\n'-separated text. The
+    // duplicated documents planted in the fixture make their lines
+    // corpus-frequent, so the drops are real (≈14% of docs lose lines
+    // at sf0.01).
+    "line_dedup" -> ((s, dir) => {
+      // One codegen'd regex pass: every 12-token run that is followed
+      // by another token gets its trailing space turned into '\n' —
+      // exactly the "chunks of 12, last chunk shorter" split the
+      // oracle replays with list slicing (a transform/sequence/slice
+      // HOF chain computes the same thing ~2x slower: interpreted
+      // lambdas, and the probe side of the frequent-line join
+      // re-executes the reconstruction).
+      val recon = regexp_replace(TextDedup.normText(col("text")),
+        "((?:\\S+ ){11}\\S+) ", "$1\n")
+      TextDedup.lineDedup(
+        T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
+    }),
 
     // Incremental (cross-snapshot) dedup: which docs of the "new crawl"
     // half are genuinely new vs the corpus half — left-anti join on the
@@ -1572,6 +1602,13 @@ object SparkEntry {
           "AS norm_text, " +
           s"CAST(nfc_normalize(text || '$DecomposedSuffix') <> " +
           s"(text || '$DecomposedSuffix') AS INTEGER) AS changed " +
+          "FROM documents"),
+
+      // zlib isn't SQL-replayable, so the oracle asserts the query's
+      // in-band self-audit instead: every audit_ok must come back TRUE
+      // (framing bound, ratio bound, deterministic-repeat equality)
+      "compression_signal" ->
+        ("SELECT doc_id, length(text) AS raw_len, TRUE AS audit_ok " +
           "FROM documents"),
 
       "count_distinct_agg" ->
@@ -2153,6 +2190,29 @@ object SparkEntry {
       "neardup_dedup_keep" ->
         (NeardupReachCte + " SELECT node AS doc_id FROM reach" +
           " GROUP BY node HAVING node = min(lbl)"),
+
+      // same 12-token line reconstruction, raw-string occurrence
+      // counts (vs Spark's xxhash64 keys — the green row is also the
+      // collision audit), FILTERed aggregate keeps all-dropped docs
+      "line_dedup" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |lines AS (
+            |  SELECT doc_id, unnest(la) AS line,
+            |    generate_subscripts(la, 1) AS pos FROM ls),
+            |cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+            |SELECT l.doc_id, count(*) AS n_lines,
+            |  count(*) FILTER (WHERE c.c <= 1) AS kept_lines,
+            |  coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+            |    FILTER (WHERE c.c <= 1), '') AS dedup_text
+            |FROM lines l JOIN cnt c ON l.line = c.line
+            |GROUP BY l.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       "dedup_incremental" -> {
         // qualify the column refs: inside the NOT EXISTS a bare `text`

@@ -345,6 +345,58 @@ object TextDedup {
           .as("union_cnt"))
   }
 
+  /** C4-style cross-document line deduplication — the curation
+    * operator that removes BOILERPLATE (a navigation bar, a cookie
+    * banner, a license footer repeated across millions of pages) while
+    * keeping the documents that carry it: every document is split into
+    * lines, any line occurring more than `maxOcc` times in the WHOLE
+    * corpus is dropped, and each document is reassembled from its
+    * surviving lines in original order. Occurrence counting is over
+    * line instances (the C4 rule), so a document repeating its own
+    * line also trips the threshold.
+    *
+    * Output: (doc_id, n_lines, kept_lines, dedup_text) — one row per
+    * input document, `dedup_text` empty when every line was dropped.
+    *
+    * Scale shape: the corpus-wide count groups by the line's 64-bit
+    * hash, not the line text, so the counting shuffle moves 8 bytes
+    * per line; only the FREQUENT hashes (count > maxOcc — the
+    * boilerplate set, small by nature) come back, broadcast, to flag
+    * lines, so the line text itself crosses exactly one exchange: the
+    * per-document reassembly. For a pathological corpus whose frequent
+    * set outgrows a broadcast, drop the hint and AQE plans a shuffled
+    * join. A 64-bit collision can only ever over-drop (an innocent
+    * line sharing a frequent line's hash) at ~2^-64 per distinct-line
+    * pair; the DuckDB oracle counts raw line strings, so the green
+    * CORRECTNESS row doubles as a collision audit.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      maxOcc: Long = 1,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val frequent = lines.groupBy("h")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+      .select(col("h"), lit(true).as("frequent"))
+    lines
+      .join(broadcast(frequent), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("frequent").isNull, 1L).otherwise(0L)).as("kept_lines"),
+        // collect_list skips the nulls the `when` leaves for frequent
+        // lines; struct sort restores document order before the join
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("frequent").isNull, struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("dedup_text"))
+  }
+
   /** 64-bit SimHash per document: hash every token, sum ±1 per bit
     * position over the token multiset, take the sign bit-vector.
     *

@@ -34,6 +34,26 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 9L))
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps document order") {
+    val d = docs(
+      1L -> "unique one\nBOILER\nunique two",
+      2L -> "BOILER\nother text",
+      3L -> "BOILER\nBOILER", // all lines dropped -> empty doc survives
+      4L -> "self\nself\nkeep me") // own repetition trips the threshold
+    val r = TextDedup.lineDedup(d).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_lines")).toSeq == Seq(3L, 2L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("kept_lines")).toSeq == Seq(2L, 1L, 0L, 1L))
+    assert(r.map(_.getAs[String]("dedup_text")).toSeq ==
+      Seq("unique one\nunique two", "other text", "", "keep me"))
+  }
+
+  test("lineDedup maxOcc raises the occurrence threshold") {
+    val d = docs(1L -> "a\nb", 2L -> "a\nc", 3L -> "a\nd")
+    val keep2 = TextDedup.lineDedup(d, maxOcc = 3).orderBy("doc_id")
+      .select("dedup_text").as[String].collect()
+    assert(keep2.toSeq == Seq("a\nb", "a\nc", "a\nd"))
+  }
+
   // ------------------------------------------------------------- minhash
 
   test("shingles: distinct word n-grams; short text falls back whole") {
