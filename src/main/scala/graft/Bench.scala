@@ -74,7 +74,23 @@ object Bench {
       .collect { case (k, ts) if ts.nonEmpty && ts.size < reps => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts(ts.size / 2) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    // "schema" lets any consumer of the old flat-number format fail
+    // loudly instead of silently misreading {med,min,max} objects.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v3","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    // Truncation-proof summary, printed LAST: the round driver keeps
+    // only the tail (~2000 chars) of this program's output, which in
+    // round 8 cut the full line's head — losing the total and every
+    // query alphabetically before the cut, including the most
+    // expensive ones the round was graded on. This compact line is a
+    // few hundred bytes, so the tail always contains the total, the
+    // ten slowest queries (median-descending), and the failure lists,
+    // no matter how the full line is clipped.
+    val slowest = results
+      .collect { case (k, ts) if ts.nonEmpty => (k, ts(ts.size / 2)) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, m) => s""""$k":${math.round(m * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v3-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

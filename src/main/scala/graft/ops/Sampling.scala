@@ -270,7 +270,10 @@ object Sampling {
     * budget is spent", the final cut every curated pretraining mix
     * makes. Selection is exactly the global greedy prefix (a doc is
     * kept iff its global cumulative token count ≤ `budget`), all in
-    * integer arithmetic.
+    * integer arithmetic. `doc_id` is the intra-rank tie-breaker and
+    * must be unique — duplicate ids would leave the order among
+    * equals, and therefore the boundary cut, undefined (in any
+    * engine's replay, not just this one).
     *
     * Scale shape: the global running sum is NOT computed with a
     * corpus-wide unpartitioned window (single reducer — a
@@ -321,7 +324,15 @@ object Sampling {
     val fullKeep = joined
       .filter(col("__off") + col("__bt") <= budget)
       .select("doc_id", "qrank", "n_tok")
+    // Explicit ROWS frame: the default frame for an ordered window is
+    // RANGE, under which rows TIED on doc_id would share one cumulative
+    // sum and the boundary cut would go all-or-none at the tie instead
+    // of replaying the greedy prefix. With ROWS the prefix is exact;
+    // doc_id is the pack's tie-breaking key, so it must be unique
+    // (duplicate ids would make the order among equals — and thus the
+    // cut — nondeterministic, here and in any external replay).
     val wIn = Window.partitionBy("qrank").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = joined
       .filter(col("__off") <= budget && col("__off") + col("__bt") > budget)
       .withColumn("__cum", col("__off") + sum(col("n_tok")).over(wIn))

@@ -18,10 +18,13 @@ object ReuseAudit {
     graft.GraftExtensions.register(spark)
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      // collect(), NOT a noop write: a write action executes a CLONED
-      // plan, leaving df.queryExecution's adaptive plan unexecuted
-      // (isFinalPlan=false) — its reuse counts would be meaningless
-      df.collect()
+      // Execute df's OWN QueryExecution (a write action executes a
+      // CLONED plan, leaving this one unexecuted with isFinalPlan =
+      // false and meaningless reuse counts) — but through the RDD, not
+      // collect(): a per-partition no-op drives the adaptive plan to
+      // its final form without materializing wide text columns on the
+      // driver, which at larger SFs would OOM the audit.
+      df.queryExecution.toRdd.foreachPartition(_ => ())
       val plan = df.queryExecution.executedPlan.toString
       // the adaptive dump prints "initial" and "final" sections; take
       // the final (first) section only. Materialized stage subtrees
