@@ -58,6 +58,35 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("tfidf/surprisal single-scan exchange reuse holds in the final plan") {
+    // Both queries branch three ways off one tokenize aggregate and
+    // depend on the always-true-filter trick keeping those branches
+    // canonically EQUAL, so AQE reuses one shuffle stage and the
+    // corpus is scanned and tokenized once. Column pruning regressions
+    // silently break the match — the query stays correct but scans and
+    // tokenizes the corpus three times, which read as bench noise
+    // until pinned here. (Round-9 provenance: the r8→r7 driver drift
+    // on tfidf_top_terms was investigated with ReuseAudit and an A/B
+    // against the r7 commit on one machine — the reuse was intact and
+    // the medians statistically equal; this pin keeps it that way.)
+    for (name <- Seq("tfidf_top_terms", "unigram_surprisal")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      // drive THIS QueryExecution to its final adaptive plan (a write
+      // would execute a clone, leaving isFinalPlan=false here)
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      val fin = df.queryExecution.executedPlan.toString
+        .split("\\+\\- == Initial Plan ==").head
+      val scans = "FileScan|Scan parquet".r.findAllIn(fin).size
+      assert(scans == 1, s"$name scans the corpus $scans times:\n$fin")
+      val stages = "(ShuffleQueryStage|BroadcastQueryStage) \\d+".r
+        .findAllIn(fin).toSeq
+      val reused = "ReusedExchange".r.findAllIn(fin).size +
+        (stages.size - stages.distinct.size)
+      assert(reused >= 2,
+        s"$name lost its exchange reuse (reused=$reused):\n$fin")
+    }
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.

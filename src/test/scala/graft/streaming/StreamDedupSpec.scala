@@ -66,6 +66,58 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream Bloom keys derive from the batch band-bucket key") {
+    // The ingest gate and the batch LSH bucketing must agree on what a
+    // "bucket" is, or batch-vs-stream dedup silently diverge: the gate
+    // inserts/probes xxhash64(band_idx, band_hash) while
+    // minHashCandidates joins on (band_idx, band_hash). Pin that the
+    // key multiset the stream side derives (per-row fused band array,
+    // element_at probe expression — the exact expressions
+    // nearDedupAgainstCorpus builds) equals xxhash64 over the batch
+    // band frame, so neither side can drift to a different band count,
+    // seed set, or index base without failing here.
+    val docs = Seq(
+      1L -> (0 until 40).map(i => s"w$i").mkString(" "),
+      2L -> "short text",
+      3L -> (0 until 40).map(i => s"v$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val batchKeys = graft.ops.TextDedup.minHashBands(docs)
+      .select(xxhash64(col("band_idx"), col("band_hash")).as("h"))
+      .as[Long].collect().sorted.toSeq
+    val bands = graft.functions.MinHashExprs.minHashBands(
+      graft.ops.TextDedup.shingles(col("text"), 3), 32, 4)
+    val probeKeys = docs.withColumn("__bands", bands)
+      .select(explode(transform(sequence(lit(1), lit(8)),
+        i => xxhash64(i - 1, element_at(col("__bands"), i)))).as("h"))
+      .as[Long].collect().sorted.toSeq
+    assert(batchKeys == probeKeys)
+  }
+
+  test("Bloom gate never misses a batch candidate pair (no false negatives)") {
+    // Every stream doc the BATCH pipeline would pair with a corpus doc
+    // must be dropped by the gate (the gate may over-drop — Bloom false
+    // positives — but a false NEGATIVE would let a near-dup through at
+    // ingest that the batch dedup then has to catch later).
+    val corpusDocs = (0L until 5L).map { d =>
+      d -> (0 until 50).map(i => s"c${d}t$i").mkString(" ")
+    }
+    val streamDocs = Seq(
+      100L -> corpusDocs(1)._2.replace("c1t25", "MUT"), // near-dup of 1
+      101L -> corpusDocs(3)._2,                         // exact dup of 3
+      102L -> (0 until 50).map(i => s"fresh$i").mkString(" "))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val stream = streamDocs.toDF("doc_id", "text")
+    val cands = graft.ops.TextDedup
+      .minHashCandidates(corpus.unionByName(stream), maxBucket = 10000)
+      .filter(col("doc_a") < 100L && col("doc_b") >= 100L)
+      .select("doc_b").as[Long].collect().toSet
+    assert(cands.nonEmpty, "fixture must produce cross candidates")
+    val kept = StreamDedup.nearDedupAgainstCorpus(stream, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert((kept & cands).isEmpty,
+      s"batch candidates ${cands & kept} survived the stream gate")
+  }
+
   test("stream-static Bloom gate drops NEAR-dups of corpus docs") {
     implicit val sqlCtx = spark.sqlContext
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
