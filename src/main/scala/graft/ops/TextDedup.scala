@@ -88,10 +88,13 @@ object TextDedup {
       train: DataFrame,
       evalDocs: DataFrame,
       n: Int = 8): DataFrame = {
+    // grams meet as 8-byte hashes ([[shinglesHashed]]): the broadcast
+    // build side and every probe shrink to longs; the per-pair counts
+    // are string-exact modulo 64-bit collisions (oracle-audited)
     val trainGrams = train.select(col("doc_id"),
-      explode(shingles(col("text"), n)).as("gram"))
+      explode(shinglesHashed(col("text"), n)).as("gram"))
     val evalGrams = evalDocs.select(col("doc_id").as("eval_id"),
-      explode(shingles(col("text"), n)).as("gram"))
+      explode(shinglesHashed(col("text"), n)).as("gram"))
     trainGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id", "eval_id")
@@ -107,6 +110,17 @@ object TextDedup {
     */
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.TextExprs.shingles(normText(text), n)
+
+  /** [[shingles]] as sorted distinct 64-bit hashes — the join/shuffle
+    * currency for gram-matching operators: an equality on the 8-byte
+    * hash replaces an equality on the gram string (smaller broadcast
+    * tables, cheaper probes), exact modulo 64-bit collisions, which
+    * can only MERGE two grams. Every consumer's oracle replays the
+    * STRING semantics, so each green CORRECTNESS row doubles as a
+    * collision audit.
+    */
+  def shinglesHashed(text: Column, n: Int = 3): Column =
+    graft.functions.TextExprs.hashedShingles(normText(text), n)
 
   /** The composed built-in formulation of [[shingles]] — the semantic
     * reference for the native node. Every HOF in the chain runs its
@@ -140,12 +154,18 @@ object TextDedup {
     * doc_id agg.
     */
   def ngramNovelty(docs: DataFrame, ref: DataFrame, n: Int = 3): DataFrame = {
+    // the reference union and the probe stream both carry 8-byte gram
+    // hashes ([[shinglesHashed]]) — the broadcast set is ~an order of
+    // magnitude smaller than gram strings and each membership probe is
+    // a long equality; counts are string-exact modulo collisions,
+    // which the string-replay oracle audits
     val refGrams = ref
-      .select(explode(shingles(col("text"), n)).as("gram"))
+      .select(explode(shinglesHashed(col("text"), n)).as("gram"))
       .distinct()
       .withColumn("__hit", lit(1L))
     docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"),
+        explode(shinglesHashed(col("text"), n)).as("gram"))
       .join(broadcast(refGrams), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("grams_total"),
