@@ -263,15 +263,21 @@ object SparkEntry {
   /** Corpus ∪ mutated copies (doc_id + PlantOffset, every 50th token
     * replaced by a sentinel token). The mutation operates on the
     * normalized token stream, so the copy is its own normal form.
+    *
+    * The every-50th replacement is ONE codegen'd regex pass: each
+    * non-overlapping "(49 tokens + space) + token" group keeps its
+    * prefix and swaps its 50th token — identical output to the
+    * split→transform(pmod)→concat_ws HOF chain (spec-pinned in
+    * SparkEntrySpec), which evaluates its lambda interpreted per
+    * token and was the dominant per-row cost of the planted corpus.
     */
   private def plantedInput(docs: DataFrame): DataFrame = {
-    val toks = split(TextDedup.normText(col("text")), " ")
-    val mutated = transform(toks, (t, i) =>
-      when(pmod(i, lit(50)) === 49, lit("zzplantzz")).otherwise(t))
+    val mutated = regexp_replace(TextDedup.normText(col("text")),
+      "((?:\\S+ ){49})\\S+", "$1zzplantzz")
     docs.select(col("doc_id"), col("text"))
       .union(plantedEligible(docs).select(
         (col("doc_id") + PlantOffset).as("doc_id"),
-        concat_ws(" ", mutated).as("text")))
+        mutated.as("text")))
   }
 
   /** In-band recall summary over the planted pairs: how many eligible

@@ -87,6 +87,26 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("planted-mutation regex == token-indexed HOF mutation") {
+    // plantedInput swaps every 50th normalized token for the sentinel
+    // with one regex pass; the semantic reference is the per-token
+    // lambda (pmod(i, 50) == 49). Pin them equal on real corpus text
+    // so the recall fixtures can never drift from the definition the
+    // floors were measured against.
+    import org.apache.spark.sql.functions._
+    val norm = graft.ops.TextDedup.normText(col("text"))
+    val viaRegex = regexp_replace(norm, "((?:\\S+ ){49})\\S+", "$1zzplantzz")
+    val toks = split(norm, " ")
+    val viaHof = concat_ws(" ", transform(toks, (t, i) =>
+      when(pmod(i, lit(50)) === 49, lit("zzplantzz")).otherwise(t)))
+    val bad = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(viaRegex.as("a"), viaHof.as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.

@@ -47,6 +47,33 @@ class TextOpsSpec extends SparkSpec {
       Seq("unique one\nunique two", "other text", "", "keep me"))
   }
 
+  test("lineDedup matches an in-memory reference model on a random corpus") {
+    // seeded random corpus over a SMALL line alphabet, so corpus-wide
+    // occurrence counts land on both sides of every threshold; the
+    // model is computed directly from the definition (no hashing, no
+    // Spark), so this also re-audits the xxhash64 counting key
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector.tabulate(30)(i => s"line body $i")
+    val corpus = (0L until 200L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(6))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString("\n")
+    }
+    for (maxOcc <- Seq(1L, 7L, 40L)) {
+      val counts = corpus.flatMap(_._2.split("\n", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val model = corpus.map { case (id, text) =>
+        val ls = text.split("\n", -1).toSeq
+        val kept = ls.filter(l => counts(l) <= maxOcc)
+        (id, ls.size.toLong, kept.size.toLong, kept.mkString("\n"))
+      }.toSet
+      val got = TextDedup.lineDedup(corpus.toDF("doc_id", "text"), maxOcc)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == model, s"maxOcc=$maxOcc")
+    }
+  }
+
   test("lineDedup maxOcc raises the occurrence threshold") {
     val d = docs(1L -> "a\nb", 2L -> "a\nc", 3L -> "a\nd")
     val keep2 = TextDedup.lineDedup(d, maxOcc = 3).orderBy("doc_id")
