@@ -225,8 +225,10 @@ object SparkEntry {
     * otherwise compute every shingle array serially (cf. the
     * minhash_planted_recall note).
     */
-  private def neardupLabeled(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The candidate-edge half of the near-dup pipeline: (edges, ids). */
+  private def neardupEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = T(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
     val ids = docs.select(col("doc_id"))
@@ -247,6 +249,12 @@ object SparkEntry {
     val edges = TextDedup.jaccardCountsHashed(pairs, docs)
       .filter(col("inter_cnt") * 100 >= col("union_cnt"))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    (edges, ids)
+  }
+
+  private def neardupLabeled(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (edges, ids) = neardupEdges(s, dir)
     Components.connectedComponents(edges,
       ids.select(col("doc_id").as("node")))
   }
@@ -1169,6 +1177,17 @@ object SparkEntry {
       neardupLabeled(s, dir)
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))),
+
+    // Cluster-size summary over the same labeling — the histogram a
+    // curation run inspects BEFORE committing a dedup (how many
+    // clusters, how big, which doc is canonical): one map-side-combined
+    // aggregate over the EDGE-INCIDENT labels only. Singletons can't
+    // pass the size > 1 filter (every edge endpoint is in a cluster of
+    // ≥ 2), so the corpus-wide singleton anti-join is skipped outright;
+    // the oracle's HAVING count(*) > 1 replay proves the equivalence.
+    "neardup_cluster_sizes" -> ((s, dir) =>
+      Components.componentSizes(
+        Components.edgeComponents(neardupEdges(s, dir)._1))),
 
     // C4-style cross-document line dedup: drop every line occurring
     // more than once corpus-wide, keep the documents. The corpus here
@@ -2196,6 +2215,15 @@ object SparkEntry {
       "neardup_dedup_keep" ->
         (NeardupReachCte + " SELECT node AS doc_id FROM reach" +
           " GROUP BY node HAVING node = min(lbl)"),
+
+      // non-singleton cluster histogram over the same labeling; the
+      // canonical member is the component id by construction (min
+      // reachable), asserted via min(node) rather than assumed
+      "neardup_cluster_sizes" ->
+        (NeardupReachCte + ", comp AS (SELECT node, min(lbl) AS component" +
+          " FROM reach GROUP BY node)" +
+          " SELECT component, count(*) AS size, min(node) AS canonical" +
+          " FROM comp GROUP BY component HAVING count(*) > 1"),
 
       // same 12-token line reconstruction, raw-string occurrence
       // counts (vs Spark's xxhash64 keys — the green row is also the

@@ -52,6 +52,28 @@ object Components {
       edges: DataFrame,
       nodes: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    val labels = edgeComponents(edges, maxIter)
+    // Nodes absent from every edge never enter a propagation round (the
+    // loop iterates over edge-incident nodes only — O(|E|) per round,
+    // not O(|corpus|)); they come back as their own component here. The
+    // final label frame's node set IS the active set, so the anti-join
+    // needs no separate distinct-node materialization.
+    val singletons = nodes.select(col("node"))
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    labels.unionByName(singletons)
+  }
+
+  /** [[connectedComponents]] restricted to EDGE-INCIDENT nodes — no
+    * singleton back-fill against a node universe. Every edge puts both
+    * endpoints in a component of size ≥ 2, so consumers that only care
+    * about non-singleton clusters (e.g. [[componentSizes]], whose
+    * `size > 1` filter discards singletons anyway) get the identical
+    * answer without the corpus-wide anti-join.
+    */
+  def edgeComponents(
+      edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // Materialize the candidate-edge pipeline EXACTLY ONCE, and lazily.
@@ -142,15 +164,7 @@ object Components {
       iter += 1
     }
     require(converged, s"components did not converge in $maxIter rounds")
-    // Nodes absent from every edge never enter a propagation round (the
-    // loop iterates over edge-incident nodes only — O(|E|) per round,
-    // not O(|corpus|)); they come back as their own component here. The
-    // final label frame's node set IS the active set, so the anti-join
-    // needs no separate distinct-node materialization.
-    val singletons = nodes.select(col("node"))
-      .join(labels.select(col("node")), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("component"))
-    labels.withColumnRenamed("lbl", "component").unionByName(singletons)
+    labels.withColumnRenamed("lbl", "component")
   }
 
   /** Cluster summary: one row per non-singleton component with its size
