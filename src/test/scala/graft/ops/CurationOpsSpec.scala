@@ -378,6 +378,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 1L), (3L, 100L, 1L)))
   }
 
+  test("edgeComponents == connectedComponents minus the singletons") {
+    // the contract componentSizes-style consumers rely on: every edge
+    // endpoint is in a cluster of size >= 2, so dropping the node
+    // universe loses exactly the singleton back-fill rows
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L)
+    val full = Components.connectedComponents(
+      edges.toDF("src", "dst"), nodes.toDF("node"))
+      .as[(Long, Long)].collect().toSet
+    val edgeOnly = Components.edgeComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    assert(edgeOnly == full - ((99L, 99L)))
+  }
+
   test("componentSizes summarizes non-singleton clusters") {
     val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("node", "component")
