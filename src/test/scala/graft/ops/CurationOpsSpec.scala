@@ -314,6 +314,11 @@ class CurationOpsSpec extends SparkSpec {
       11L -> 10L, 99L -> 99L))
   }
 
+  test("components: empty edge set yields all singletons") {
+    val got = cc(Seq.empty, Seq(1L, 5L, 9L))
+    assert(got == Map(1L -> 1L, 5L -> 5L, 9L -> 9L))
+  }
+
   test("components: a long chain converges via pointer jumping") {
     // path 0-1-2-...-63: diameter 63 >> maxIter 20 — plain propagation
     // would NOT converge; pointer jumping must (O(log n) rounds).
