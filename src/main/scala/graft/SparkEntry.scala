@@ -1322,6 +1322,18 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 480), n = 3)
     }),
 
+    // The decontamination ACTION: training docs that survive the
+    // screen (share no 3-gram with any benchmark doc) — the corpus
+    // that actually ships to training. Anti-join on the distinct
+    // contaminated ids.
+    "decontaminate_keep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextDedup.decontaminateDrop(
+        docs.filter(col("doc_id") < 480),
+        docs.filter(col("doc_id") >= 480), n = 3)
+        .select(col("doc_id"))
+    }),
+
     // Bloom-pruned join (the runtime-filter pattern as a first-class
     // operator): fact rows that can't match the filtered dim die at
     // the scan, BEFORE the join shuffle; the exact join over survivors
@@ -2361,6 +2373,21 @@ object SparkEntry {
            |FROM sh t JOIN sh e
            |  ON t.doc_id < 480 AND e.doc_id >= 480
            | AND len(list_intersect(t.sh, e.sh)) > 0"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the surviving corpus: NOT EXISTS over the same gram CTE
+      "decontaminate_keep" ->
+        (s"""WITH sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents))
+           |SELECT t.doc_id FROM sh t
+           |WHERE t.doc_id < 480 AND NOT EXISTS (
+           |  SELECT 1 FROM sh e WHERE e.doc_id >= 480
+           |    AND len(list_intersect(t.sh, e.sh)) > 0)"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // The bloom pass is a pure shuffle-thinner (no false negatives +

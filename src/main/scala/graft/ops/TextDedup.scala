@@ -135,6 +135,23 @@ object TextDedup {
     array_distinct(grams)
   }
 
+  /** The ACTION half of eval-set decontamination: the training rows
+    * that share NO word `n`-gram with any benchmark document — what
+    * actually ships to training after [[contaminationHits]] has been
+    * inspected. One distinct projection of the hit pairs followed by a
+    * left-anti join on doc_id; the gram matching inherits
+    * [[contaminationHits]]'s broadcast shape (and its hashed-gram
+    * keys — the string-replay oracle audits collisions).
+    */
+  def decontaminateDrop(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val contaminated = contaminationHits(train, evalDocs, n)
+      .select(col("doc_id")).distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-document n-gram novelty against a reference corpus — the
     * memorization-risk measure: how much of each document's distinct
     * n-gram set already appears ANYWHERE in `ref`. Complements

@@ -110,9 +110,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 95,
+    assert(SparkEntry.queries.size == 96,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 94,
+    assert(SparkEntry.oracleSql.size == 95,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set (query without oracle) is pinned to EXACTLY
     // this one — non-SQL-expressible by nature (raw 64-bit SimHash

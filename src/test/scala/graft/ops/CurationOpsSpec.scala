@@ -397,6 +397,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(edgeOnly == full - ((99L, 99L)))
   }
 
+  test("decontaminateDrop keeps exactly the docs with no shared gram") {
+    val train = Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "completely different words here",
+      3L -> "another quick brown fox text").toDF("doc_id", "text")
+    val evalSet = Seq(100L -> "quick brown fox").toDF("doc_id", "text")
+    val kept = TextDedup.decontaminateDrop(train, evalSet, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("componentSizes summarizes non-singleton clusters") {
     val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("node", "component")
