@@ -90,7 +90,10 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, m) => s""""$k":${math.round(m * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v3-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    // Distinct metric name so a metric-keyed parser can never
+    // double-count the total or mistake the slowest-10 map for the
+    // full per-query set (ADVICE r9).
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","schema":"graft-bench-v3-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -107,7 +107,9 @@ object GraftExtensions {
           graft.functions.HashedShinglesExpr(args(0), litInt(args(1), "n"))
         }),
       binary("graft_sorted_intersect_count",
-        "_FUNC_(a, b) - Intersection size of two sorted bigint arrays.",
+        "_FUNC_(a, b) - Intersection size of two bigint arrays that MUST " +
+          "be sorted ascending and distinct (e.g. graft_hashed_shingles " +
+          "output); unsorted or duplicated input silently undercounts.",
         graft.functions.SortedIntersectCountExpr),
       unary("graft_simhash",
         "_FUNC_(tokens) - 64-bit SimHash signature of a token array.",

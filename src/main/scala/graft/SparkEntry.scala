@@ -1139,16 +1139,18 @@ object SparkEntry {
     // (deflate adds at most a few bytes — raw+64 is generous), (b) the
     // corpus ratio bound (this corpus compresses at most ~2.5x; bound
     // set at 50x), and (c) deterministic-repeat equality — the codec
-    // run twice on two expression trees the optimizer cannot collapse
-    // (`substring(text, 1, length(text))` has no fold-to-`text` rule)
-    // must agree byte-for-byte. The oracle expects TRUE everywhere, so
-    // a broken codec path fails the hash compare instead of hiding in
-    // a rows-only row. The ordering property (repetitive text
+    // run twice, the second run through the graft-owned
+    // `OpaqueIdentityExpr` barrier no Catalyst rule (current or
+    // future) can fold or CSE away, so the double evaluation is
+    // structurally guaranteed, not dependent on Spark lacking a
+    // particular simplification. The oracle expects TRUE everywhere,
+    // so a broken codec path fails the hash compare instead of hiding
+    // in a rows-only row. The ordering property (repetitive text
     // compresses better) stays spec-pinned.
     "compression_signal" -> ((s, dir) => {
       val once = graft.functions.CurationExprs.deflateSize(col("text"))
       val again = graft.functions.CurationExprs.deflateSize(
-        col("text").substr(lit(1), length(col("text"))))
+        graft.functions.CurationExprs.opaqueIdentity(col("text")))
       T(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("raw_len"),
         once.as("deflate_len"), again.as("deflate_len2"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Corpus-curation native expressions Spark has no built-in for.
@@ -78,10 +78,37 @@ case class DeflateSizeExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** String identity that is structurally opaque to the optimizer: no
+  * Catalyst simplification rule matches a graft-owned class, and its
+  * canonicalized form differs from its child's, so a subtree wrapped
+  * in this node can never be folded or subexpression-eliminated into
+  * its unwrapped twin — not by any current rule, and not by one a
+  * future Spark adds for built-ins (rules dispatch on Spark's own
+  * expression classes). The `compression_signal` deterministic-repeat
+  * audit builds its second codec run through this barrier so "the
+  * codec ran twice" is enforced by construction, not by the absence of
+  * a `substring(s, 1, length(s))` fold rule (ADVICE r9).
+  */
+case class OpaqueIdentityExpr(child: Expression)
+    extends UnaryExpression with GraftTypeChecks {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireTypes((child.dataType, "a string argument", isString))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_opaque_identity"
+  override def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $c;")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object CurationExprs {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
   def nfcNormalize(c: Column): Column = col(NfcNormalizeExpr(expr(c)))
   def deflateSize(c: Column): Column = col(DeflateSizeExpr(expr(c)))
+  def opaqueIdentity(c: Column): Column = col(OpaqueIdentityExpr(expr(c)))
 }

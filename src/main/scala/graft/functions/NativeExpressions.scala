@@ -36,6 +36,13 @@ trait GraftTypeChecks { self: Expression =>
     case ArrayType(org.apache.spark.sql.types.LongType, _) => true
     case _ => false
   }
+  // Strict variant for kernels that read elements with getLong and
+  // would decode a null slot as an undefined 0 instead of failing.
+  protected val isNonNullLongArray: DataType => Boolean = {
+    case ArrayType(org.apache.spark.sql.types.LongType, containsNull) =>
+      !containsNull
+    case _ => false
+  }
   protected val isString: DataType => Boolean = _ == StringType
 }
 

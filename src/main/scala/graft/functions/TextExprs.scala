@@ -258,8 +258,14 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     requireTypes(
-      (left.dataType, "two array<bigint> arguments", isLongArray),
-      (right.dataType, "two array<bigint> arguments", isLongArray))
+      (left.dataType,
+        "two array<bigint> arguments with non-nullable elements " +
+          "(a null element would silently read as 0)",
+        isNonNullLongArray),
+      (right.dataType,
+        "two array<bigint> arguments with non-nullable elements " +
+          "(a null element would silently read as 0)",
+        isNonNullLongArray))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
   override def nullSafeEval(a: Any, b: Any): Any =

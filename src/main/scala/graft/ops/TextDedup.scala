@@ -394,6 +394,9 @@ object TextDedup {
     *
     * Output: (doc_id, n_lines, kept_lines, dedup_text) — one row per
     * input document, `dedup_text` empty when every line was dropped.
+    * A NULL `textCol` is treated as the empty string (the document is
+    * kept, one empty line), so every input doc_id appears exactly once
+    * in the output regardless of text nullability.
     *
     * Scale shape: the corpus-wide count groups by the line's 64-bit
     * hash, not the line text, so the counting shuffle moves 8 bytes
@@ -411,8 +414,12 @@ object TextDedup {
       docs: DataFrame,
       maxOcc: Long = 1,
       textCol: String = "text"): DataFrame = {
+    // NULL text must not make the document vanish (split of NULL
+    // explodes to zero rows): treat it as empty text, so a NULL-text
+    // document gets the same one-empty-line row an ''-text one does.
     val lines = docs.select(col("doc_id"),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
     val frequent = lines.groupBy("h")
       .agg(count(lit(1)).as("occ"))

@@ -33,6 +33,33 @@ class CurationExprsSpec extends SparkSpec {
     assert(r.getLong(1) > 0L)
   }
 
+  test("opaqueIdentity: identity semantics, and the audit's double deflate survives optimization") {
+    // identity, including null passthrough
+    val rows = Seq("abc", null: String).toDF("s")
+      .select(CurationExprs.opaqueIdentity(col("s")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows.toSeq == Seq(Some("abc"), None))
+    // plan pin (ADVICE r9): the compression_signal repeat audit relies
+    // on its two deflate runs staying two distinct evaluations. With
+    // the graft-owned barrier that must hold STRUCTURALLY: after full
+    // optimization the plan still carries two DeflateSizeExpr nodes,
+    // one wrapped in OpaqueIdentityExpr, and the two are not
+    // semantically equal (so codegen subexpression elimination cannot
+    // unify them either).
+    // range (not a local Seq) so ConvertToLocalRelation cannot
+    // pre-evaluate the projection out of the plan
+    val audit = spark.range(1).selectExpr("cast(id as string) as s").select(
+      (CurationExprs.deflateSize(col("s")) ===
+        CurationExprs.deflateSize(CurationExprs.opaqueIdentity(col("s"))))
+        .as("eq"))
+    val deflates = audit.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case d: DeflateSizeExpr => d })
+    assert(deflates.size == 2, audit.queryExecution.optimizedPlan.toString)
+    assert(deflates.count(_.child.isInstanceOf[OpaqueIdentityExpr]) == 1)
+    assert(!deflates(0).semanticEquals(deflates(1)))
+    assert(audit.head.getBoolean(0))
+  }
+
   test("deflateSize: deterministic, repetitive text compresses far better") {
     val repetitive = "spam " * 400
     val prose = (1 to 400).map(i => s"w${i * 7919 % 997}").mkString(" ")

@@ -88,7 +88,10 @@ class TextExprsSpec extends SparkSpec {
       ("array(1L, 3L, 5L)", "array(2L, 3L, 5L, 9L)", 2L),
       ("array(1L, 2L, 3L)", "array(4L, 5L)", 0L),
       ("array(1L, 2L)", "array(1L, 2L)", 2L),
-      ("cast(array() as array<bigint>)", "array(1L)", 0L),
+      // array_remove keeps containsNull=false; a `cast(array() as
+      // array<bigint>)` would parse as containsNull=true and be
+      // rejected by the strict type check below
+      ("array_remove(array(1L), 1L)", "array(1L)", 0L),
       ("array(-5L, 0L, 7L)", "array(-5L, 7L)", 2L))
     cases.foreach { case (a, b, want) =>
       val r = spark.range(1)
@@ -97,6 +100,19 @@ class TextExprsSpec extends SparkSpec {
         .head
       assert(r.getLong(0) == want, s"a=$a b=$b")
     }
+  }
+
+  test("sortedIntersectCount rejects nullable-element arrays at analysis (ADVICE r9)") {
+    // the linear-merge kernel reads elements with getLong, which would
+    // decode a null slot as an undefined 0 — so analysis must fail,
+    // not eval
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1)
+        .selectExpr("array(1L, cast(null as bigint)) as a", "array(1L) as b")
+        .select(TextExprs.sortedIntersectCount(col("a"), col("b")))
+        .head
+    }
+    assert(err.getMessage.contains("non-nullable"))
   }
 
   test("jaccardCountsHashed == jaccardCounts on real corpus pairs") {

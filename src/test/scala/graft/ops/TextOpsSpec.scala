@@ -74,6 +74,18 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup keeps NULL-text documents as empty docs (ADVICE r9)") {
+    val d = Seq((1L, "shared\nkept"), (2L, null: String), (3L, "shared"))
+      .toDF("doc_id", "text")
+    val r = TextDedup.lineDedup(d).orderBy("doc_id").collect()
+    // every input doc_id survives; NULL behaves exactly like ""
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val nullRow = r(1)
+    assert(nullRow.getAs[Long]("n_lines") == 1L)
+    assert(nullRow.getAs[Long]("kept_lines") == 1L)
+    assert(nullRow.getAs[String]("dedup_text") == "")
+  }
+
   test("lineDedup maxOcc raises the occurrence threshold") {
     val d = docs(1L -> "a\nb", 2L -> "a\nc", 3L -> "a\nd")
     val keep2 = TextDedup.lineDedup(d, maxOcc = 3).orderBy("doc_id")
