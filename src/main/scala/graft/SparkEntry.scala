@@ -825,14 +825,35 @@ object SparkEntry {
       TextDedup.jaccardCounts(pairs, docs)
     }),
 
-    // SimHash signatures (64-bit sketch via explode + partial-agg
-    // bit-sums). Rows-only by nature: the signature bits are xxhash64-
-    // derived, and DuckDB's hash() is a different function, so no SQL
-    // oracle can reproduce them. The operator's QUALITY claim is
-    // oracled separately (simhash_planted_recall), and bit-exact
-    // behavior is pinned by an independent BigInt model in TextOpsSpec.
-    "simhash_signatures" -> ((s, dir) =>
-      TextDedup.simHashSignatures(T(s, dir, "documents"))),
+    // SimHash signature pass with an IN-BAND SELF-AUDIT (the
+    // compression_signal pattern): the raw 64-bit signatures are
+    // xxhash64-derived and DuckDB's hash() is a different function, so
+    // the bits themselves can't be replayed — instead the query
+    // computes the signature THREE ways and emits `audit_ok`, which
+    // the oracle asserts TRUE everywhere: (a) non-null on non-null
+    // text, (b) deterministic-repeat — the second run goes through the
+    // OpaqueIdentityExpr barrier, so the optimizer provably cannot
+    // collapse the two evaluations, and (c) token-order invariance —
+    // SimHash sums ±1 contributions over the token MULTISET, so the
+    // signature of the word-reversed text must match bit-for-bit; a
+    // broken hash seed, fold order, or sign reassembly fails this.
+    // The operator's QUALITY claim is oracled separately
+    // (simhash_planted_recall), and bit-exact behavior is pinned by an
+    // independent BigInt model in TextOpsSpec.
+    "simhash_signatures" -> ((s, dir) => {
+      val toks = split(TextDedup.normText(col("text")), " ")
+      val sig = graft.functions.SimHashExprs.simHash(toks)
+      val sigRepeat = graft.functions.SimHashExprs.simHash(
+        split(TextDedup.normText(
+          graft.functions.CurationExprs.opaqueIdentity(col("text"))), " "))
+      val sigReversed = graft.functions.SimHashExprs.simHash(reverse(toks))
+      T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          (sig.isNotNull && sig === sigRepeat && sig === sigReversed)
+            .as("audit_ok"))
+    }),
 
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join,
     // never all-pairs) at a REAL near-dup threshold (0.95). The
@@ -1785,6 +1806,16 @@ object SparkEntry {
         (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
           s"FROM documents WHERE doc_id % $PlantMod = 0 " +
           s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
+
+      // xxhash64 signature bits aren't SQL-replayable, so the oracle
+      // asserts the query's in-band self-audit: every audit_ok TRUE
+      // (deterministic-repeat through the opaque barrier + token-order
+      // invariance of the multiset sum), plus the replayable token
+      // count per kept document
+      "simhash_signatures" ->
+        (s"SELECT doc_id, CAST(len(string_split($NormTextSql, ' ')) " +
+          "AS BIGINT) AS n_tokens, TRUE AS audit_ok " +
+          "FROM documents WHERE text IS NOT NULL"),
 
       // ANN retrieval-quality gate: both approximate paths must have
       // found the planted original above their floors for the flags

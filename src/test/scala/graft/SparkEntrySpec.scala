@@ -112,15 +112,15 @@ class SparkEntrySpec extends SparkSpec {
     // pin the exact counts so that shows up as a test failure.
     assert(SparkEntry.queries.size == 96,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 95,
+    assert(SparkEntry.oracleSql.size == 96,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
-    // the rows-only set (query without oracle) is pinned to EXACTLY
-    // this one — non-SQL-expressible by nature (raw 64-bit SimHash
-    // signatures); anything new must bring an oracle.
-    // (compression_signal left this set in round 9: its zlib lengths
-    // still aren't replayable, but the query now emits an in-band
-    // self-audit flag the oracle asserts.)
+    // the rows-only set is pinned EMPTY since round 10: every query
+    // carries an oracle — the two whose raw values aren't
+    // SQL-replayable (compression_signal's zlib lengths, r9;
+    // simhash_signatures' xxhash64 bits, r10) emit in-band self-audit
+    // flags the oracle asserts TRUE instead. Anything new must bring
+    // an oracle or a self-audit.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("simhash_signatures"))
+      Set.empty[String])
   }
 }
