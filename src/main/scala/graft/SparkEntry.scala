@@ -137,6 +137,40 @@ object SparkEntry {
       "CASE WHEN doc_id % 11 = 0 THEN ' call +62' || " +
       "CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END)"
 
+  /** DuckDB replay of the substring_dedup stats — shared by the keep
+    * form. Same planted excerpt union as [[substringDedupInput]], then
+    * raw-string 50-token span sets (list slicing clamps at the array
+    * end exactly like the native gram builder's width = min(n, t - i),
+    * whole-text fallback included), ownership by min doc_id, per-doc
+    * rollup.
+    */
+  private val SubstringDedupSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, $NormTextSql AS norm FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    array_to_string((string_split($NormTextSql, ' '))[3:62], ' ')
+       |  FROM documents
+       |  WHERE doc_id % 41 = 0
+       |    AND len(string_split($NormTextSql, ' ')) >= 62),
+       |sp AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(t) - 50, 0) + 1),
+       |    i -> array_to_string(t[i+1:i+50], ' ')))) AS span
+       |  FROM (SELECT doc_id, string_split(coalesce(norm, ''), ' ') AS t
+       |        FROM all_docs)),
+       |own AS (SELECT span, min(doc_id) AS first_doc, count(*) AS n_docs
+       |        FROM sp GROUP BY span)
+       |SELECT sp.doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN own.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS shared_spans,
+       |  CAST(sum(CASE WHEN own.n_docs > 1 AND own.first_doc < sp.doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       |  CAST(max(CASE WHEN own.n_docs > 1 AND own.first_doc < sp.doc_id
+       |    THEN 1 ELSE 0 END) AS INTEGER) AS is_dup
+       |FROM sp JOIN own USING (span)
+       |GROUP BY sp.doc_id""".stripMargin.replaceAll("\\s+", " ").trim
+
   // --------------------------------------------------------------- inputs
   // Synthetic "messy" columns derived deterministically from the test
   // tables, so the cleanse/filter operators have something to clean.
@@ -250,6 +284,24 @@ object SparkEntry {
       .filter(col("inter_cnt") * 100 >= col("union_cnt"))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     (edges, ids)
+  }
+
+  /** Input for the substring_dedup queries: documents plus planted
+    * mid-document excerpt docs — tokens 3..62 of the normalized text
+    * of every doc_id % 41 == 0 document with at least 62 tokens, under
+    * doc_id + 10,000,000. Pure token slicing on the normalized form,
+    * so DuckDB's `t[3:62]` + `array_to_string` replays the excerpt
+    * text byte-exactly.
+    */
+  private def substringDedupInput(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val toks = split(TextDedup.normText(col("text")), " ")
+    val excerpts = docs
+      .where(col("doc_id") % 41 === 0 && size(toks) >= 62)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(toks, 3, 60), " ").as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(excerpts)
   }
 
   private def neardupLabeled(
@@ -1233,6 +1285,28 @@ object SparkEntry {
       TextDedup.lineDedup(
         T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
     }),
+
+    // Exact-substring cross-document dedup at 50-token granularity —
+    // catches verbatim repeats that do NOT align on line boundaries
+    // (what line_dedup structurally cannot see). The corpus has no
+    // natural sub-document 50-token repeats, so the input prep plants
+    // them SQL-replayably: every doc_id % 41 == 0 document with >= 62
+    // tokens contributes a composite "excerpt doc" (tokens 3..62 of
+    // its normalized text, a mid-document 60-token splice) under
+    // doc_id + 10,000,000. Each excerpt shares exactly its 11
+    // overlapping 50-grams with the earlier original, so the expected
+    // output is fully determined: excerpts get is_dup = 1 with
+    // dup_spans = 11, originals stay is_dup = 0 with shared_spans =
+    // 11, and the fixture's planted whole-document duplicates (< 50
+    // tokens -> whole-text fallback gram) are flagged too. Spark
+    // counts 8-byte span hashes; the oracle recounts raw span strings
+    // — the green row is also the collision audit.
+    "substring_dedup" -> ((s, dir) =>
+      TextDedup.substringDedup(substringDedupInput(s, dir))),
+
+    // the keep-first action form: the corpus that survives
+    "substring_dedup_keep" -> ((s, dir) =>
+      TextDedup.substringDedupKeep(substringDedupInput(s, dir))),
 
     // Incremental (cross-snapshot) dedup: which docs of the "new crawl"
     // half are genuinely new vs the corpus half — left-anti join on the
@@ -2292,6 +2366,16 @@ object SparkEntry {
             |FROM lines l JOIN cnt c ON l.line = c.line
             |GROUP BY l.doc_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // raw-string replay of the 50-token span sets (list slicing
+      // clamps at the end exactly like the native gram builder's
+      // width = min(n, t - i), including the whole-text fallback for
+      // short docs), over the same planted excerpt union
+      "substring_dedup" -> SubstringDedupSql,
+
+      "substring_dedup_keep" ->
+        (s"WITH stats AS ($SubstringDedupSql) " +
+          "SELECT doc_id FROM stats WHERE is_dup = 0"),
 
       "dedup_incremental" -> {
         // qualify the column refs: inside the NOT EXISTS a bare `text`

@@ -441,6 +441,83 @@ object TextDedup {
           "\n").as("dedup_text"))
   }
 
+  /** Exact-substring cross-document deduplication at TOKEN-SPAN
+    * granularity — the standard curation rule ("a ~50-token span
+    * repeated verbatim across documents marks the later document as
+    * duplicated", per the suffix-array dedup literature) without the
+    * suffix array: a span repeat of length >= `spanTokens` implies an
+    * equal `spanTokens`-token window at every alignment inside it, so
+    * testing ALL overlapping `spanTokens`-grams finds exactly the
+    * documents a suffix-array scan at that threshold would. Unlike
+    * [[lineDedup]] this catches repeats that do not align on newlines
+    * (mid-paragraph quotations, templated sentences, spliced
+    * excerpts).
+    *
+    * Per document, its SPAN SET is the distinct `spanTokens`-token
+    * grams of the normalized text (documents shorter than a span fall
+    * back to one whole-text gram — the native
+    * [[graft.functions.HashedShinglesExpr]] rule — so short exact
+    * duplicates are still caught); within-document self-repetition is
+    * deliberately NOT duplication (the set is per-doc distinct —
+    * cross-document is what dedup removes). A span is SHARED when >= 2
+    * documents contain it; its OWNER is the minimum doc_id containing
+    * it (the keep-first rule every dedup operator here uses).
+    *
+    * Output, one row per input document:
+    * (doc_id, n_spans, shared_spans, dup_spans, is_dup) —
+    * `dup_spans` counts this document's spans owned by an EARLIER
+    * document, `is_dup` = 1 when any such span exists (the document a
+    * keep-first pass would drop). NULL text is treated as empty text
+    * (the document is kept in the output).
+    *
+    * Scale shape — the [[lineDedup]] template, never all-pairs, never
+    * a driver-side structure: spans travel as 8-byte xxhash64 longs
+    * (already distinct per doc from the native expression, so the
+    * ownership `groupBy` gets map-side combine on fixed-width keys);
+    * only the SHARED span set (count > 1 — rare by nature, boilerplate
+    * and true dups) comes back, broadcast, to flag member documents.
+    * For a pathological corpus whose shared set outgrows a broadcast,
+    * drop the hint and AQE plans a shuffled join. A 64-bit collision
+    * can only MERGE two spans (over-flag at ~2^-64 odds per distinct
+    * pair); the DuckDB oracle replays raw span strings, so the green
+    * CORRECTNESS row doubles as the collision audit.
+    */
+  def substringDedup(
+      docs: DataFrame,
+      spanTokens: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+      explode(graft.functions.TextExprs.hashedShingles(
+        normText(coalesce(col(textCol), lit(""))), spanTokens)).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("h"), col("first_doc"))
+    spans
+      .join(broadcast(shared), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("first_doc").isNotNull, 1L).otherwise(0L))
+          .as("shared_spans"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("dup_spans"),
+        max(when(col("first_doc") < col("doc_id"), 1).otherwise(0))
+          .as("is_dup"))
+  }
+
+  /** Keep-first action form of [[substringDedup]]: the surviving
+    * corpus — documents sharing NO `spanTokens`-token span with an
+    * earlier document. One row per kept doc_id.
+    */
+  def substringDedupKeep(
+      docs: DataFrame,
+      spanTokens: Int = 50,
+      textCol: String = "text"): DataFrame =
+    substringDedup(docs, spanTokens, textCol)
+      .where(col("is_dup") === 0)
+      .select(col("doc_id"))
+
   /** 64-bit SimHash per document: hash every token, sum ±1 per bit
     * position over the token multiset, take the sign bit-vector.
     *

@@ -93,6 +93,101 @@ class TextOpsSpec extends SparkSpec {
     assert(keep2.toSeq == Seq("a\nb", "a\nc", "a\nd"))
   }
 
+  // --------------------------------------------------- substring dedup
+
+  test("substringDedup flags sub-line cross-doc spans, keep-first") {
+    // span width 4 so the fixture stays readable. doc 1 is the owner;
+    // doc 2 splices doc 1's tokens 2..6 mid-document (5 tokens -> two
+    // 4-gram spans, NOT newline-aligned by construction); doc 3 is
+    // unrelated; doc 4 repeats ITS OWN span twice (self-repetition is
+    // not cross-doc duplication); doc 5 is a short (< span) exact dup
+    // of doc 6-short reversed... rather: doc 5 and doc 0 are short
+    // exact dups via the whole-text fallback gram.
+    val d = docs(
+      0L -> "tiny doc",
+      1L -> "a b c d e f g h",
+      2L -> "x y b c d e f z w q",
+      3L -> "p q r s t u v",
+      4L -> "m n o p m n o p m n o p",
+      5L -> "Tiny  DOC")
+    val r = TextDedup.substringDedup(d, spanTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getInt(4)))
+    // doc 0: 1 fallback span ("tiny doc"), shared with doc 5, owner
+    assert(r(0) == ((0L, 1L, 1L, 0L, 0)))
+    // doc 1: 5 spans, owns "b c d e" and "c d e f" shared with doc 2
+    assert(r(1) == ((1L, 5L, 2L, 0L, 0)))
+    // doc 2: 7 spans, 2 of them owned by earlier doc 1 -> dup
+    assert(r(2) == ((2L, 7L, 2L, 2L, 1)))
+    // doc 3: nothing shared
+    assert(r(3) == ((3L, 4L, 0L, 0L, 0)))
+    // doc 4: 9 window positions but period-4 self-repetition -> only 4
+    // DISTINCT spans (per-doc distinct), none cross-doc -> not flagged
+    assert(r(4) == ((4L, 4L, 0L, 0L, 0)))
+    // doc 5: short exact dup of doc 0 via whole-text fallback -> dup
+    assert(r(5) == ((5L, 1L, 1L, 1L, 1)))
+    // keep-first action form drops exactly the flagged docs
+    val kept = TextDedup.substringDedupKeep(d, spanTokens = 4)
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 3L, 4L))
+  }
+
+  test("substringDedup matches an in-memory model on a random corpus with planted splices") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val span = 5
+    val base = (0L until 120L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // splice a random window of an earlier doc into every 7th doc
+    val corpus = base.map { case (id, text) =>
+      if (id % 7 == 3 && id > 0) {
+        val (_, src) = base((id / 2).toInt)
+        val toks = src.split(" ")
+        val w = math.min(toks.length, span + 2)
+        id -> (text + " " + toks.take(w).mkString(" ") + " tailtok")
+      } else id -> text
+    }
+    // model straight from the definition, on raw strings
+    def spansOf(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      (0 to math.max(toks.length - span, 0))
+        .map(i => toks.slice(i, i + span).mkString(" ")).toSet
+    }
+    val spanSets = corpus.map { case (id, t) => id -> spansOf(t) }
+    val owner = spanSets.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(v => v.map(_._2).min).toMap
+    val docsWith = spanSets.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(v => v.map(_._2).distinct.size).toMap
+    val model = spanSets.map { case (id, ss) =>
+      val shared = ss.count(s => docsWith(s) > 1)
+      val dup = ss.count(s => docsWith(s) > 1 && owner(s) < id)
+      (id, ss.size.toLong, shared.toLong, dup.toLong,
+        if (dup > 0) 1 else 0)
+    }.toSet
+    val got = TextDedup
+      .substringDedup(corpus.toDF("doc_id", "text"), spanTokens = span)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    assert(got == model)
+  }
+
+  test("substringDedup keeps NULL-text docs and treats them as empty") {
+    val d = Seq((1L, "some longer text here"), (2L, null: String),
+      (3L, null: String)).toDF("doc_id", "text")
+    val r = TextDedup.substringDedup(d, spanTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the two NULL docs normalize to the same empty fallback span:
+    // doc 2 owns it, doc 3 is its dup
+    assert(r(1).getAs[Int]("is_dup") == 0)
+    assert(r(2).getAs[Int]("is_dup") == 1)
+  }
+
   // ------------------------------------------------------------- minhash
 
   test("shingles: distinct word n-grams; short text falls back whole") {
