@@ -328,6 +328,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L), "whole chain is one component")
   }
 
+  test("components: maxIter exhaustion reports unconverged count and last sums") {
+    // maxIter=1 can never satisfy the sum-fixpoint test (it needs two
+    // sums to compare), so this deterministically exercises the
+    // failure path. Path 1-2-3-4 after one round+jump labels nodes
+    // 2,3,4 away from their identity seed -> 3 changed nodes.
+    val e = intercept[IllegalStateException] {
+      Components.edgeComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+        maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge in 1 round(s)"))
+    assert(e.getMessage.contains("3 edge-incident node(s)"))
+    assert(e.getMessage.contains("last two label sums"))
+  }
+
   test("components matches a reference union-find on a random-ish graph") {
     // deterministic pseudo-random edges (no RNG seed plumbing needed)
     val nodes = (0L until 200L).toSeq

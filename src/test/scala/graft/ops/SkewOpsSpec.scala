@@ -79,16 +79,35 @@ class SkewOpsSpec extends SparkSpec {
     val b = HeavyHitters.exactHeavyHittersMGAuto(df, "k", minCount = 50L)
       .as[(Long, Long)].collect().toMap
     assert(a == naive && b == naive && naive.nonEmpty)
-    // unsatisfiable bounds must throw, never silently drop hitters:
-    // freqItems floors support at 1e-4, so minCount/N below that is out
+    // beyond the freqItems support floor (minCount/N < 1e-4) the
+    // router must fall over to the fully distributed Misra-Gries path
+    // instead of throwing — same exact GROUP BY HAVING result
     val big = spark.range(200000).select((col("id") % 100000).as("k"))
-    intercept[IllegalArgumentException] {
-      HeavyHitters.exactHeavyHittersAuto(big, "k", minCount = 2L)
-    }
+    val viaRouter = HeavyHitters.exactHeavyHittersAuto(big, "k",
+      minCount = 2L).as[(Long, Long)].collect().toMap
+    val bigNaive = big.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2L).as[(Long, Long)].collect().toMap
+    assert(viaRouter == bigNaive && bigNaive.size == 100000)
+    // MGAuto with an explicit memory cap still refuses an unsound k
     intercept[IllegalArgumentException] {
       HeavyHitters.exactHeavyHittersMGAuto(big, "k", minCount = 2L,
         maxK = 1024)
     }
+  }
+
+  test("Auto router picks MG above the candidate-bound threshold") {
+    // N/minCount = 2950/25 = 119 candidates: freqItems territory below
+    // a 200 threshold, MG territory above — both must agree with the
+    // naive GROUP BY HAVING
+    val df = spark.range(1, 3000)
+      .select((lit(3000) / col("id")).cast("long").as("k"))
+    val naive = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 25L).as[(Long, Long)].collect().toMap
+    val viaFreq = HeavyHitters.exactHeavyHittersAuto(df, "k",
+      minCount = 25L, mgThreshold = 200).as[(Long, Long)].collect().toMap
+    val viaMg = HeavyHitters.exactHeavyHittersAuto(df, "k",
+      minCount = 25L, mgThreshold = 16).as[(Long, Long)].collect().toMap
+    assert(viaFreq == naive && viaMg == naive && naive.nonEmpty)
   }
 
   test("exactHeavyHitters returns the contract schema when nothing qualifies") {

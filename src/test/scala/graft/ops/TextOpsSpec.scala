@@ -190,6 +190,52 @@ class TextOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- minhash
 
+  test("maxBucket guard: a planted boilerplate megabucket is dropped, planted recall survives") {
+    // SCALE.md shows every bucket gets ~10x hotter at sf1 — this pins
+    // the guard's two contractual halves on real corpus data: the hot
+    // bucket is DROPPED (not shrunk, not exploded into the join), and
+    // dropping it costs NOTHING on recall among non-boilerplate pairs.
+    val base = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the bench query's planted near-dup recipe (id % 13, >= 50
+    // tokens, every 50th token swapped for a sentinel)
+    val eligible = base.filter(col("doc_id") % 13 === 0 &&
+      size(split(TextDedup.normText(col("text")), " ")) >= 50)
+    val planted = eligible.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      regexp_replace(TextDedup.normText(col("text")),
+        "((?:\\S+ ){49})\\S+", "$1zzplantzz").as("text"))
+    // the megabucket: 200 IDENTICAL boilerplate docs (disjoint vocab)
+    // -> identical signatures -> one bucket of 200 > maxBucket per band
+    val boiler = (1 to 60).map(i => s"boilertok${i % 12}").mkString(" ")
+    val boilerDocs = spark.range(200).select(
+      (col("id") + 500000L).as("doc_id"), lit(boiler).as("text"))
+    val corpus = base.unionByName(planted).unionByName(boilerDocs)
+
+    val cands = TextDedup.minHashCandidates(corpus) // maxBucket = 64
+    // liveness: WITHOUT the guard the megabucket floods the join
+    val unguarded = TextDedup
+      .minHashCandidates(corpus, maxBucket = Int.MaxValue)
+      .filter(col("doc_a") >= 500000L && col("doc_b") >= 500000L)
+      .count()
+    assert(unguarded > 10000L,
+      s"megabucket should flood the unguarded join, got $unguarded")
+    // (a) guarded: zero boilerplate-boilerplate candidates
+    assert(cands.filter(
+      col("doc_a") >= 500000L && col("doc_b") >= 500000L).count() == 0L)
+    // (b) planted recall among non-boilerplate pairs still >= the 90%
+    // floor the bench query enforces
+    val plantedIds = eligible.select(col("doc_id")).as[Long].collect().toSet
+    assert(plantedIds.nonEmpty)
+    val found = cands
+      .filter(col("doc_b") === col("doc_a") + 100000L)
+      .select(col("doc_a")).as[Long].collect().toSet
+      .intersect(plantedIds)
+    assert(found.size * 100 >= plantedIds.size * 90,
+      s"recall ${found.size}/${plantedIds.size} under the 90% floor")
+  }
+
   test("shingles: distinct word n-grams; short text falls back whole") {
     val sh = docs(1L -> "a b c d", 2L -> "xy")
       .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
