@@ -652,10 +652,9 @@ object SparkEntry {
     // broadcast join, variant projection, cleanse chain (native
     // expressions), length classification, parent prefixes, ordered
     // province dedup. The oracle replays the data-row semantics in SQL.
-    // (No repartition here, unlike the island e2e below: the customer
-    // stream is 10× smaller and the cleanse work per row lighter, so
-    // the extra shuffle costs more than the parallelism buys —
-    // measured both ways at sf0.1.)
+    // (extractAllShared's one exchange feeds the meta aggregate, the
+    // extract pass, and the province-dedup split — the synthesized
+    // stream is computed once instead of once per branch.)
     "pipeline_area_e2e" -> ((s, dir) => {
       val k = col("c_custkey")
       val code = when(pmod(k, lit(4)) === 0,
@@ -681,7 +680,7 @@ object SparkEntry {
           Some(acc.fold(row)(_.unionByName(row)))
       }.get
       val cells = header.unionByName(data)
-      val (areaRows, _) = Dispatch.extractAll(cells)
+      val (areaRows, _) = Dispatch.extractAllShared(cells)
       areaRows.select(col("entity"), col("code"),
         coalesce(col("parent_code"), lit("")).as("parent"), col("name"))
     }),
@@ -708,11 +707,10 @@ object SparkEntry {
       val status = when(pmod(k, lit(2)) === 0, lit("BP")).otherwise(lit("TBP"))
       val info = when(pmod(k, lit(3)) === 0, lit("PPKT")).otherwise(lit(""))
       val name = concat(lit("Pulau "), k.cast("string"))
-      // repartition: the single-file fixture scan would otherwise run
-      // the coordinate/cleanse-heavy projection on ONE core (cf. the
-      // minhash_candidates note) — measured 2× at sf0.1
+      // extractAllShared's repartition also spreads the single-file
+      // fixture scan across cores (the old data-level repartition,
+      // measured 2× at sf0.1), so no separate exchange here
       val data = T(s, dir, "orders")
-        .repartition(s.sparkContext.defaultParallelism)
         .select(
         lit(0L).as("table_id"), lit(1).as("page"),
         (k + 1).cast("int").as("row_idx"), (k + 1).as("seq"),
@@ -722,7 +720,8 @@ object SparkEntry {
         lit(0).as("row_idx"), lit(0L).as("seq"),
         typedLit(Seq("No", "Kode Pulau", "Nama Pulau", "Koordinat",
           "BP/TBP", "Keterangan")).as("cells"))
-      val (_, islandRows) = Dispatch.extractAll(header.unionByName(data))
+      val (_, islandRows) =
+        Dispatch.extractAllShared(header.unionByName(data))
       islandRows.select(col("code"), col("regency_code"), col("coordinate"),
         col("is_populated"), col("is_outermost_small"), col("name"))
     }),

@@ -46,6 +46,43 @@ object Dispatch {
     * area-matched table is removed from the island meta by a tiny
     * meta-vs-meta broadcast anti-join.
     */
+  /** [[extractAll]] over a SHARED one-exchange materialization of the
+    * cell stream. Each family needs the stream at least twice (the
+    * per-table meta aggregate and the extract pass; the area side a
+    * third time for the province-dedup split), and when `cells` is a
+    * COMPUTED frame — a synthesized fixture, a join product, anything
+    * without scan-level pushdown — every branch re-runs the whole
+    * upstream pipeline. Here the stream goes through one
+    * repartition exchange that AQE's ReuseExchange serves to every
+    * branch, so the upstream runs exactly once.
+    *
+    * Keep plain [[extractAll]] for pushdown-capable sources (the
+    * CellTsv DSv2 path): there the meta pass prunes to `row_idx == 0`
+    * AT THE SCAN — far cheaper than forcing the full stream through an
+    * exchange. (The multi-sink [[ExtractJob]] needs neither: it
+    * `cache()`s both extracted frames explicitly.)
+    *
+    * Barrier mechanics (the same canonical-equality discipline as the
+    * tfidf/surprisal exchange reuse in
+    * [[graft.ops.TextAnalysis.tfidfTopTerms]]): branch subtrees only
+    * reuse an exchange if they stay canonically EQUAL, so the filter
+    * above the repartition is ONE indivisible nondeterministic
+    * always-true conjunct ([[graft.functions.OpaqueTrueExpr]]) that
+    * both stops branch-specific predicates from being pushed across
+    * the exchange AND references every cell column, so per-branch
+    * column pruning (e.g. the province-dedup branch needing `seq`
+    * where the meta aggregate does not) cannot make the exchange
+    * subtrees diverge. The filter is a runtime no-op.
+    */
+  def extractAllShared(cells: DataFrame): (DataFrame, DataFrame) = {
+    val shared = cells
+      .repartition(cells.sparkSession.sparkContext.defaultParallelism)
+      .where(graft.functions.CurationExprs.opaqueTrue(
+        col("table_id"), col("page"), col("row_idx"), col("seq"),
+        col("cells")))
+    extractAll(shared)
+  }
+
   def extractAll(cells: DataFrame): (DataFrame, DataFrame) = {
     val areaRouted = AreaPipeline.tableMeta(cells)
       .filter(col("is_area"))
