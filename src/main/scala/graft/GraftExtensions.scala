@@ -109,7 +109,9 @@ object GraftExtensions {
       binary("graft_sorted_intersect_count",
         "_FUNC_(a, b) - Intersection size of two bigint arrays that MUST " +
           "be sorted ascending and distinct (e.g. graft_hashed_shingles " +
-          "output); unsorted or duplicated input silently undercounts.",
+          "output); unsorted or duplicated input silently undercounts. " +
+          "Null ELEMENTS fail at eval — array_compact(col) first if the " +
+          "stored arrays may hold null slots.",
         graft.functions.SortedIntersectCountExpr),
       unary("graft_simhash",
         "_FUNC_(tokens) - 64-bit SimHash signature of a token array.",

@@ -143,6 +143,16 @@ object TextNative {
     var j = 0
     var c = 0L
     while (i < na && j < nb) {
+      // null slots have no defined sort position and would decode as
+      // an undefined 0 via getLong — refuse them with a recipe rather
+      // than miscounting (nullable element TYPES pass analysis because
+      // parquet reads carry containsNull=true even when data has none)
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "graft_sorted_intersect_count: null array element; drop nulls " +
+            "first (e.g. array_compact(col)) or rebuild the arrays with " +
+            "graft_hashed_shingles, whose output is sorted, distinct " +
+            "and null-free")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
@@ -255,17 +265,17 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression with GraftTypeChecks {
+  // Nullable-ELEMENT array types are accepted: arrays read back from
+  // parquet/JSON carry containsNull=true even when no null ever
+  // occurs, and rejecting the TYPE made the function unusable on
+  // stored shingle arrays (ADVICE r10). An ACTUAL null slot still
+  // fails — loudly, at eval, with a conversion recipe — instead of
+  // silently decoding as 0.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     requireTypes(
-      (left.dataType,
-        "two array<bigint> arguments with non-nullable elements " +
-          "(a null element would silently read as 0)",
-        isNonNullLongArray),
-      (right.dataType,
-        "two array<bigint> arguments with non-nullable elements " +
-          "(a null element would silently read as 0)",
-        isNonNullLongArray))
+      (left.dataType, "two array<bigint> arguments", isLongArray),
+      (right.dataType, "two array<bigint> arguments", isLongArray))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -74,6 +74,11 @@ object Components {
   def edgeComponents(
       edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // maxIter <= 0 would skip the loop entirely and reach the
+    // exhaustion diagnostics with no labeling at all (ADVICE r10)
+    require(maxIter >= 1,
+      s"maxIter must be >= 1 (got $maxIter); pointer jumping needs at " +
+        "least one round to produce a labeling")
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // Materialize the candidate-edge pipeline EXACTLY ONCE, and lazily.

@@ -41,20 +41,30 @@ object HeavyHitters {
     *    it is strictly a small-case convenience — at corpus scale the
     *    MG path is the one to reason about, which is why it is the
     *    router's default above the threshold.
+    *
+    * `maxK` caps the MG sketch's memory exactly as in
+    * [[exactHeavyHittersMGAuto]]: each of the k entries lives in every
+    * partial aggregation buffer, so a bound the no-miss guarantee
+    * would push past `maxK` throws a clear sizing error instead of
+    * silently dropping true heavy hitters.
     */
   def exactHeavyHittersAuto(
       df: DataFrame,
       key: String,
       minCount: Long,
-      mgThreshold: Int = 1024): DataFrame = {
+      mgThreshold: Int = 1024,
+      maxK: Int = 1 << 22): DataFrame = {
     val n = math.max(df.count(), 1L)
     val exact = minCount.toDouble / n
     val support = math.max(exact / 2.0, 1e-4)
     val candidateBound = n / minCount + 1
-    if (candidateBound > mgThreshold || support > exact)
-      exactHeavyHittersMG(df, key, minCount,
-        k = candidateBound.min(Int.MaxValue.toLong).toInt)
-    else
+    if (candidateBound > mgThreshold || support > exact) {
+      require(candidateBound <= maxK,
+        s"Misra-Gries sketch would need k=$candidateBound > maxK=$maxK " +
+          s"entries for the no-miss bound (N=$n, minCount=$minCount); " +
+          "raise maxK if the memory cost is acceptable")
+      exactHeavyHittersMG(df, key, minCount, k = candidateBound.toInt)
+    } else
       exactHeavyHitters(df, key, minCount, support)
   }
 

@@ -33,19 +33,36 @@ object Sketches {
     * reproduce the sketch. The exact count is the audit's cost, not the
     * operator's: production use is [[approxDistinct]]; this runs where
     * correctness is being graded.
+    *
+    * Shape: the sketch and the exact count run as SEPARATE
+    * aggregations joined per-group by broadcast, not one mixed
+    * groupBy — a groupBy mixing `count_distinct` with other
+    * aggregates plans an Expand that duplicates every input row per
+    * aggregate group, which costs more than a second column-pruned
+    * scan (same reasoning as [[approxDistinctSampled]]).
     */
   def approxDistinctChecked(
       df: DataFrame,
       groupCol: String,
       countCol: String,
-      rsd: Double = 0.02): DataFrame =
-    df.groupBy(col(groupCol))
+      rsd: Double = 0.02): DataFrame = {
+    val sk = df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(countCol), rsd).as("approx_distinct"),
-        count_distinct(col(countCol)).as("exact_distinct"),
         count(lit(1)).as("rows"))
+    // count_distinct ignores NULL values, so drop them before the
+    // distinct shuffle; a group whose values are all NULL then has no
+    // exact-side row — coalesce to 0, matching count(DISTINCT ...)
+    val ex = df.filter(col(countCol).isNotNull)
+      .select(col(groupCol), col(countCol)).distinct()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("exact_distinct"))
+    sk.join(broadcast(ex), Seq(groupCol), "left")
+      .withColumn("exact_distinct",
+        coalesce(col("exact_distinct"), lit(0L)))
       .select(col(groupCol), col("rows"), col("exact_distinct"),
         (abs(col("approx_distinct") - col("exact_distinct")) <=
           lit(5 * rsd) * col("exact_distinct")).as("within_5rsd"))
+  }
 
   /** [[approxDistinct]] with a CHEAP in-band sanity audit — the
     * benchable production shape, unlike [[approxDistinctChecked]]

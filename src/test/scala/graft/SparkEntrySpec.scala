@@ -49,7 +49,8 @@ class SparkEntrySpec extends SparkSpec {
     // NOTE these are STATIC-plan counts: extractAllShared's one
     // repartition prints once per consuming branch here (area 3×,
     // island 2×) and collapses to a single exchange + ReusedExchange
-    // at runtime — the "e2e pipelines scan once" spec below pins that.
+    // at runtime — the "e2e pipelines scan once and reuse" spec below
+    // pins that.
     val shuffles = raw"(?<!Broadcast|Reused)Exchange".r
     for ((name, pinned) <- Seq(
         "pipeline_area_e2e" -> 7, "pipeline_island_e2e" -> 5)) {
@@ -88,6 +89,31 @@ class SparkEntrySpec extends SparkSpec {
         (stages.size - stages.distinct.size)
       assert(reused >= 2,
         s"$name lost its exchange reuse (reused=$reused):\n$fin")
+    }
+  }
+
+  test("e2e pipelines scan once and reuse the shared exchange at runtime") {
+    // The island pipeline dropped its explicit repartition on the
+    // strength of AQE collapsing extractAllShared's per-branch
+    // repartition prints into one exchange + ReusedExchange — if that
+    // reuse silently breaks, the synthesizing pipeline re-runs per
+    // branch and only bench noise would show it (ADVICE r10). Floors
+    // measured with graft.tools.ReuseAudit at sf0.001: area reused=3,
+    // island reused=1, scans=1 both.
+    for ((name, minReused) <- Seq(
+        "pipeline_area_e2e" -> 3, "pipeline_island_e2e" -> 1)) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      val fin = df.queryExecution.executedPlan.toString
+        .split("\\+\\- == Initial Plan ==").head
+      val scans = "FileScan|Scan parquet".r.findAllIn(fin).size
+      assert(scans == 1, s"$name scans its source $scans times:\n$fin")
+      val stages = "(ShuffleQueryStage|BroadcastQueryStage) \\d+".r
+        .findAllIn(fin).toSeq
+      val reused = "ReusedExchange".r.findAllIn(fin).size +
+        (stages.size - stages.distinct.size)
+      assert(reused >= minReused,
+        s"$name lost exchange reuse (reused=$reused < $minReused):\n$fin")
     }
   }
 

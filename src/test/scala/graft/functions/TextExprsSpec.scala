@@ -88,10 +88,10 @@ class TextExprsSpec extends SparkSpec {
       ("array(1L, 3L, 5L)", "array(2L, 3L, 5L, 9L)", 2L),
       ("array(1L, 2L, 3L)", "array(4L, 5L)", 0L),
       ("array(1L, 2L)", "array(1L, 2L)", 2L),
-      // array_remove keeps containsNull=false; a `cast(array() as
-      // array<bigint>)` would parse as containsNull=true and be
-      // rejected by the strict type check below
       ("array_remove(array(1L), 1L)", "array(1L)", 0L),
+      // containsNull=true TYPE (what parquet reads produce) is fine as
+      // long as no actual null slot is hit
+      ("cast(array(1L, 3L) as array<bigint>)", "array(3L)", 1L),
       ("array(-5L, 0L, 7L)", "array(-5L, 7L)", 2L))
     cases.foreach { case (a, b, want) =>
       val r = spark.range(1)
@@ -102,17 +102,22 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
-  test("sortedIntersectCount rejects nullable-element arrays at analysis (ADVICE r9)") {
+  test("sortedIntersectCount rejects actual null elements at eval (ADVICE r10)") {
     // the linear-merge kernel reads elements with getLong, which would
-    // decode a null slot as an undefined 0 — so analysis must fail,
-    // not eval
-    val err = intercept[org.apache.spark.sql.AnalysisException] {
+    // decode a null slot as an undefined 0 — an actual null must fail
+    // loudly with a conversion recipe. The nullable element TYPE alone
+    // must NOT fail: parquet/JSON array reads carry containsNull=true
+    // even when the data has no nulls (covered in the sorted-arrays
+    // test above).
+    val err = intercept[Exception] {
       spark.range(1)
-        .selectExpr("array(1L, cast(null as bigint)) as a", "array(1L) as b")
+        .selectExpr("array(cast(null as bigint), 1L) as a", "array(1L) as b")
         .select(TextExprs.sortedIntersectCount(col("a"), col("b")))
         .head
     }
-    assert(err.getMessage.contains("non-nullable"))
+    val msg = Option(err.getCause).fold(err.getMessage)(c =>
+      err.getMessage + " | " + c.getMessage)
+    assert(msg.contains("array_compact"))
   }
 
   test("jaccardCountsHashed == jaccardCounts on real corpus pairs") {

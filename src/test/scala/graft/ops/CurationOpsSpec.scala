@@ -343,6 +343,14 @@ class CurationOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("last two label sums"))
   }
 
+  test("components: maxIter <= 0 is rejected up front, not an NPE") {
+    val err = intercept[IllegalArgumentException] {
+      Components.edgeComponents(
+        Seq((1L, 2L)).toDF("src", "dst"), maxIter = 0)
+    }
+    assert(err.getMessage.contains("maxIter must be >= 1"))
+  }
+
   test("components matches a reference union-find on a random-ish graph") {
     // deterministic pseudo-random edges (no RNG seed plumbing needed)
     val nodes = (0L until 200L).toSeq

@@ -93,6 +93,14 @@ class SkewOpsSpec extends SparkSpec {
       HeavyHitters.exactHeavyHittersMGAuto(big, "k", minCount = 2L,
         maxK = 1024)
     }
+    // the router enforces the SAME cap on its MG branch — a bound the
+    // no-miss guarantee would push past maxK throws instead of
+    // silently clamping (ADVICE r10)
+    val routerErr = intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHittersAuto(big, "k", minCount = 2L,
+        maxK = 1024)
+    }
+    assert(routerErr.getMessage.contains("maxK"))
   }
 
   test("Auto router picks MG above the candidate-bound threshold") {
