@@ -749,6 +749,10 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(T(s, dir, "documents"))),
 
+    // Gopher/MassiveText composite quality rules, integer-exact.
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFilter(T(s, dir, "documents"))),
+
     // Document fingerprint (normalized md5).
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
@@ -1282,6 +1286,17 @@ object SparkEntry {
       val recon = regexp_replace(TextDedup.normText(col("text")),
         "((?:\\S+ ){11}\\S+) ", "$1\n")
       TextDedup.lineDedup(
+        T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
+    }),
+
+    // C4-faithful keep-first line dedup over the same synthesized
+    // 12-token lines: a duplicated line survives only at its global
+    // first occurrence (min doc_id, then position) instead of being
+    // dropped everywhere.
+    "line_dedup_keep_first" -> ((s, dir) => {
+      val recon = regexp_replace(TextDedup.normText(col("text")),
+        "((?:\\S+ ){11}\\S+) ", "$1\n")
+      TextDedup.lineDedupKeepFirst(
         T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
     }),
 
@@ -1944,6 +1959,36 @@ object SparkEntry {
           "WHEN digit_cnt * 5 > char_len THEN 'digit_noise' " +
           "WHEN stop_hits = 0 THEN 'no_stopwords' ELSE 'good' END AS quality FROM s"),
 
+      // Gopher rules replayed with the same cross-multiplied integer
+      // arithmetic (no float ratios cross the engine boundary)
+      "gopher_quality" -> {
+        val stopPresent = TextAnalysis.GopherStopWords
+          .map(w => s"CASE WHEN strpos($PaddedLower, ' $w ') > 0 " +
+            "THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        "WITH s AS (SELECT doc_id, " +
+          "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS word_cnt, " +
+          "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonws_chars, " +
+          "CAST((length(text) - length(replace(text, '#', ''))) + " +
+          "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_cnt, " +
+          "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, " +
+          "CAST(len(list_filter(string_split(text, chr(10)), l -> " +
+          "starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines, " +
+          "CAST(len(list_filter(string_split(text, chr(10)), l -> " +
+          "ends_with(l, '...'))) AS BIGINT) AS ellipsis_lines, " +
+          "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> " +
+          "regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words, " +
+          s"CAST($stopPresent AS BIGINT) AS stop_present " +
+          "FROM documents WHERE length(trim(text)) > 0) " +
+          "SELECT *, (word_cnt BETWEEN 50 AND 100000 " +
+          "AND nonws_chars >= word_cnt * 3 AND nonws_chars <= word_cnt * 10 " +
+          "AND symbol_cnt * 10 <= word_cnt " +
+          "AND bullet_lines * 10 <= n_lines * 9 " +
+          "AND ellipsis_lines * 10 <= n_lines * 3 " +
+          "AND alpha_words * 10 >= word_cnt * 8 " +
+          "AND stop_present >= 2) AS keep FROM s"
+      },
+
       "doc_fingerprint" ->
         (s"SELECT doc_id, md5($NormTextSql) AS fingerprint FROM documents"),
 
@@ -2363,6 +2408,34 @@ object SparkEntry {
             |  coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
             |    FILTER (WHERE c.c <= 1), '') AS dedup_text
             |FROM lines l JOIN cnt c ON l.line = c.line
+            |GROUP BY l.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // keep-first replay on raw line strings: the owner arg-min uses
+      // the same scalar doc_id-then-position key (1-based positions
+      // here vs 0-based in Spark — monotone per document, so both
+      // sides elect the identical occurrence)
+      "line_dedup_keep_first" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |lines AS (
+            |  SELECT doc_id, unnest(la) AS line,
+            |    generate_subscripts(la, 1) AS pos FROM ls),
+            |own AS (SELECT line, count(*) AS c,
+            |  min(doc_id * 4294967296 + pos) AS owner
+            |  FROM lines GROUP BY line)
+            |SELECT l.doc_id, count(*) AS n_lines,
+            |  count(*) FILTER (WHERE o.c = 1 OR
+            |    l.doc_id * 4294967296 + l.pos = o.owner) AS kept_lines,
+            |  coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+            |    FILTER (WHERE o.c = 1 OR
+            |      l.doc_id * 4294967296 + l.pos = o.owner), '') AS dedup_text
+            |FROM lines l JOIN own o ON l.line = o.line
             |GROUP BY l.doc_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 

@@ -441,6 +441,50 @@ object TextDedup {
           "\n").as("dedup_text"))
   }
 
+  /** [[lineDedup]]'s keep-first variant — the C4-faithful rule: a
+    * line occurring more than once corpus-wide KEEPS its global first
+    * occurrence (minimum doc_id, then minimum position within it) and
+    * is removed everywhere else, where [[lineDedup]] removes every
+    * occurrence of a frequent line. Unique lines always survive.
+    *
+    * Scale shape, same as [[lineDedup]]: the occurrence count AND the
+    * arg-min owner ride one groupBy over the 64-bit line hash (8-byte
+    * shuffle keys), and only the DUPLICATED subset — boilerplate,
+    * small by nature — broadcasts back to pick survivors, so the line
+    * text crosses exactly one exchange: the per-document reassembly.
+    * The owner is the scalar `doc_id << 32 | pos` (positions above
+    * 2^32 lines per document are out of contract), making the arg-min
+    * a plain `min` both here and in the SQL oracle. Collisions can
+    * only over-drop at ~2^-64 per distinct-line pair; the raw-string
+    * oracle is the collision audit.
+    */
+  def lineDedupKeepFirst(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+      .withColumn("k", shiftleft(col("doc_id"), 32) + col("pos"))
+    val dupOwners = lines.groupBy("h")
+      .agg(count(lit(1)).as("occ"), min(col("k")).as("owner"))
+      .filter(col("occ") > 1L)
+      .select("h", "owner")
+    lines
+      .join(broadcast(dupOwners), Seq("h"), "left")
+      .withColumn("kept", col("owner").isNull || col("k") === col("owner"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("dedup_text"))
+  }
+
   /** Exact-substring cross-document deduplication at TOKEN-SPAN
     * granularity — the standard curation rule ("a ~50-token span
     * repeated verbatim across documents marks the later document as

@@ -47,6 +47,52 @@ class TextOpsSpec extends SparkSpec {
       Seq("unique one\nunique two", "other text", "", "keep me"))
   }
 
+  test("lineDedupKeepFirst keeps the global first occurrence only") {
+    val d = docs(
+      1L -> "unique one\nBOILER\nunique two",
+      2L -> "BOILER\nother text",
+      3L -> "BOILER\nBOILER",
+      4L -> "self\nself\nkeep me") // within-doc repeat: first pos wins
+    val r = TextDedup.lineDedupKeepFirst(d).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_lines")).toSeq == Seq(3L, 2L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("kept_lines")).toSeq == Seq(3L, 1L, 0L, 2L))
+    assert(r.map(_.getAs[String]("dedup_text")).toSeq ==
+      Seq("unique one\nBOILER\nunique two", "other text", "",
+        "self\nkeep me"))
+  }
+
+  test("lineDedupKeepFirst matches a reference model on a random corpus") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector.tabulate(30)(i => s"line body $i")
+    val corpus = (0L until 200L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(6))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString("\n")
+    }
+    val occ = corpus.flatMap(_._2.split("\n", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val owner = corpus.flatMap { case (id, text) =>
+      text.split("\n", -1).zipWithIndex.map { case (l, p) => (l, (id, p)) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val model = corpus.map { case (id, text) =>
+      val ls = text.split("\n", -1).toSeq
+      val kept = ls.zipWithIndex.collect {
+        case (l, p) if occ(l) == 1L || owner(l) == ((id, p)) => l
+      }
+      (id, ls.size.toLong, kept.size.toLong, kept.mkString("\n"))
+    }.toSet
+    val got = TextDedup.lineDedupKeepFirst(corpus.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == model)
+    // every duplicated line survives somewhere: exactly once corpus-wide
+    val keptAll = got.toSeq.flatMap(t =>
+      if (t._4.isEmpty) Nil else t._4.split("\n", -1).toSeq)
+    assert(keptAll.distinct.size == occ.size,
+      "each distinct line survives exactly once across the corpus")
+    assert(keptAll.size == keptAll.distinct.size)
+  }
+
   test("lineDedup matches an in-memory reference model on a random corpus") {
     // seeded random corpus over a SMALL line alphabet, so corpus-wide
     // occurrence counts land on both sides of every threshold; the
@@ -484,6 +530,34 @@ class TextOpsSpec extends SparkSpec {
     val out = AreaPipeline.extract(cells).select("code").as[String]
       .collect().toSet
     assert(out == Set("11")) // "12" has no non-empty name candidate
+  }
+
+  test("gopherQualityFilter: each rule flips keep at its exact boundary") {
+    // A base doc that passes every rule: 50 words averaging 4 chars,
+    // all alphabetic, two stop words present.
+    val passing = (Seq("the", "with") ++ Seq.fill(48)("word")).mkString(" ")
+    val d = docs(
+      1L -> passing,
+      2L -> (Seq("the", "with") ++ Seq.fill(47)("word")).mkString(" "),
+      3L -> passing.replace("the", "aaa"),
+      4L -> (passing + " " + Seq.fill(6)("#").mkString(" ")),
+      5L -> Seq.fill(10)(s"- bullet $passing").mkString("\n"),
+      6L -> (1 to 10).map(i =>
+        if (i <= 4) s"line $passing..." else s"line $passing")
+        .mkString("\n"),
+      7L -> (Seq("the", "with") ++ Seq.fill(18)("word") ++
+        Seq.fill(30)("123")).mkString(" "),
+      8L -> (Seq("the", "with") ++ Seq.fill(48)("ab")).mkString(" "))
+    val out = TextAnalysis.gopherQualityFilter(d)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "base doc passes all rules")
+    assert(!out(2L), "49 words fails the word-count floor")
+    assert(!out(3L), "only one stop word present")
+    assert(!out(4L), "symbol-to-word ratio over 0.1")
+    assert(!out(5L), "over 90% bullet lines")
+    assert(!out(6L), "over 30% ellipsis-ending lines")
+    assert(!out(7L), "under 80% alphabetic words")
+    assert(!out(8L), "mean word length under 3")
   }
 
   test("fingerprint is normalization-invariant") {
