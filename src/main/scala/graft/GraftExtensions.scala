@@ -113,6 +113,12 @@ object GraftExtensions {
           "Null ELEMENTS fail at eval — array_compact(col) first if the " +
           "stored arrays may hold null slots.",
         graft.functions.SortedIntersectCountExpr),
+      binary("graft_int_dot",
+        "_FUNC_(a, b) - Exact integer dot product of two equal-length " +
+          "array<int> vectors (e.g. int8-quantized embedding codes). " +
+          "Null ELEMENTS fail at eval — array_compact(col) first if the " +
+          "stored arrays may hold null slots.",
+        graft.functions.IntDotExpr),
       unary("graft_simhash",
         "_FUNC_(tokens) - 64-bit SimHash signature of a token array.",
         graft.functions.SimHashExpr),

@@ -1018,6 +1018,23 @@ object SparkEntry {
       Quantization.quantizedTopK(corpus, queries, k = 10)
     }),
 
+    // SemDeDup-style semantic dedup: within pre-assigned embedding
+    // clusters (`label`), int8-quantized integer-cosine pairs above
+    // 0.97 connect into components; keep min vec_id per component.
+    // The corpus has no natural 0.97-cosine pairs, so the input prep
+    // plants them SQL-replayably: every vec_id % 17 == 0 vector
+    // re-enters verbatim under vec_id + 10,000,000 (same label —
+    // identical vectors cluster together by construction), giving
+    // exactly one two-vector component per planted pair.
+    "semdedup" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val planted = base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      SemDedup.semDedup(base.unionByName(planted))
+    }),
+
     // Planted-neighbor recall for the APPROXIMATE ANN paths. The
     // ann_lsh_topk / ann_ivf_topk oracles replay the same algorithm in
     // SQL, proving determinism but not retrieval quality; this query
@@ -1930,6 +1947,42 @@ object SparkEntry {
           "CAST(row_number() OVER (PARTITION BY q_id " +
           "ORDER BY qdot DESC, vec_id) AS INTEGER) AS rk " +
           "FROM s QUALIFY rk <= 10"),
+
+      // SemDeDup replay: identical quantization, the cross-multiplied
+      // integer cosine-squared test (qdot > 0 guard keeps the squaring
+      // monotone), and a recursive reach CTE for the components —
+      // every value integer, so the labeling hashes exactly
+      "semdedup" ->
+        ("""WITH RECURSIVE base AS (
+           |  SELECT vec_id, embedding, label FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000000, embedding, label FROM embeddings
+           |  WHERE vec_id % 17 = 0),
+           |n AS (SELECT vec_id, label,
+           |  list_transform(embedding, v -> CAST(greatest(least(
+           |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT)) AS qvec
+           |  FROM base),
+           |m AS (SELECT vec_id, label, qvec,
+           |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT)
+           |    AS norm2 FROM n),
+           |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+           |  CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT) AS qdot,
+           |  a.norm2 AS na, b.norm2 AS nb
+           |  FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id),
+           |edges0 AS (SELECT src, dst FROM p
+           |  WHERE qdot > 0 AND 10000 * qdot * qdot >= 9409 * na * nb),
+           |edges AS (SELECT src, dst FROM edges0
+           |  UNION SELECT dst, src FROM edges0),
+           |reach(node, lbl) AS (
+           |  SELECT vec_id, vec_id FROM base
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+           |SELECT b.vec_id, b.label, r.component,
+           |  CAST(b.vec_id <> r.component AS INTEGER) AS is_dup
+           |FROM (SELECT node, min(lbl) AS component FROM reach
+           |      GROUP BY node) r
+           |JOIN base b ON b.vec_id = r.node"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // winnowing guarantee gate: recall floor is 100 BY THEOREM
       // (shared ≥7-token run ⇒ shared fingerprint; plants share ≥49)

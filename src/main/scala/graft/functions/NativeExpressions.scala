@@ -43,6 +43,10 @@ trait GraftTypeChecks { self: Expression =>
       !containsNull
     case _ => false
   }
+  protected val isIntArray: DataType => Boolean = {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+    case _ => false
+  }
   protected val isString: DataType => Boolean = _ == StringType
 }
 

@@ -39,9 +39,16 @@ object Quantization {
         lit(-128L)).cast("int"))
 
   /** Exact integer dot product of two code arrays (BIGINT — 64 dims ×
-    * 127² is far inside long range).
+    * 127² is far inside long range). Native codegen'd kernel; the
+    * composed higher-order form below is the semantic reference
+    * (bit-parity spec-pinned) — HOFs are CodegenFallback, which is
+    * too slow for the all-pairs loops this feeds.
     */
   def intDot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.intDot(a, b)
+
+  /** Composed-built-in reference for [[intDot]] (spec use only). */
+  private[graft] def intDotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, v) => acc + v)
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+  * the embedding space, compare pairs only WITHIN a cluster, connect
+  * pairs above a cosine threshold, and keep one representative per
+  * connected group.
+  *
+  * Two deliberate re-expressions keep the operator engine-exact:
+  *
+  *  - The cluster assignment is an input column (`label`), not an
+  *    in-operator k-means: at 100 TB the assignment is a separate,
+  *    cheaper pass (or comes from the upstream embedding model), and
+  *    taking it as input makes this stage a pure deterministic
+  *    function of its input — replayable by the SQL oracle.
+  *  - Similarity is computed on int8-quantized codes
+  *    ([[Quantization.int8Codes]] — bit-identical in any engine) and
+  *    the cosine threshold is cross-multiplied into EXACT integer
+  *    arithmetic: `cos(a,b) >= t/100` becomes `qdot > 0 AND
+  *    10000*qdot^2 >= t^2 * norm2(a) * norm2(b)` (both sides
+  *    squared; the `qdot > 0` guard keeps the squaring monotone).
+  *    Magnitudes: 64 dims × 127² bounds norm2 by ~1.03e6, so every
+  *    product stays far inside long range.
+  *
+  * Scale shape: quantization is a per-row projection on the scan; the
+  * pair stage is an equi-join on `label`, so the quadratic term is
+  * bounded per cluster — exactly the lever SemDeDup's k controls
+  * (size clusters so |cluster| ~ N/k keeps pairs per cluster flat as
+  * N grows; a runaway cluster is the same pathology, with the same
+  * remedy, as the MinHash maxBucket guard). Edges then feed the
+  * engine's O(log d) pointer-jumping components
+  * ([[Components.edgeComponents]]), and the final labeling is one
+  * broadcast-sized left join back onto the vectors — near-duplicate
+  * groups are rare by nature, so the edge-incident label frame is
+  * tiny next to the corpus.
+  */
+object SemDedup {
+
+  /** Label every vector with its semantic-duplicate component:
+    * (vec_id, label, component, is_dup) where `component` is the
+    * minimum vec_id reachable through pairs with quantized cosine >=
+    * `cosPct`/100 inside one cluster, and `is_dup` = 1 exactly for
+    * the vectors a keep-one-per-group pass would drop.
+    */
+  def semDedup(
+      vectors: DataFrame,
+      cosPct: Int = 97,
+      logScale: Int = 6): DataFrame = {
+    require(cosPct > 0 && cosPct <= 100, s"cosPct in (0,100], got $cosPct")
+    val q = vectors.select(col("vec_id"), col("label"),
+      Quantization.int8Codes(col("embedding"), logScale).as("qvec"))
+      .withColumn("norm2", Quantization.intDot(col("qvec"), col("qvec")))
+    val a = q.select(col("label"), col("vec_id").as("src"),
+      col("qvec").as("qa"), col("norm2").as("na"))
+    val b = q.select(col("label"), col("vec_id").as("dst"),
+      col("qvec").as("qb"), col("norm2").as("nb"))
+    val t2 = cosPct.toLong * cosPct
+    val qdot = Quantization.intDot(col("qa"), col("qb"))
+    val edges = a.join(b, Seq("label"))
+      .filter(col("src") < col("dst"))
+      .withColumn("qdot", qdot)
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * 10000L >=
+          lit(t2) * col("na") * col("nb"))
+      .select(col("src"), col("dst"))
+    q.select(col("vec_id"), col("label"))
+      .join(Components.edgeComponents(edges)
+        .withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("is_dup",
+        (col("vec_id") =!= col("component")).cast("int"))
+  }
+}

@@ -33,6 +33,35 @@ class QuantizationSpec extends SparkSpec {
     assert(dot == 1024L)
   }
 
+  test("native intDot == composed HOF reference on real embeddings") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(Quantization.int8Codes(col("embedding")).as("q"))
+    val bad = corpus
+      .select(Quantization.intDot(col("q"), col("q")).as("native"),
+        Quantization.intDotComposed(col("q"), col("q")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("intDot rejects length mismatch and null elements loudly") {
+    val mismatch = intercept[Exception] {
+      Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+        .select(graft.functions.VectorExprs.intDot(col("a"), col("b")))
+        .head()
+    }
+    def deepMsg(t: Throwable): String =
+      Option(t.getCause).fold(t.getMessage)(c => t.getMessage + " | " + deepMsg(c))
+    assert(deepMsg(mismatch).contains("length mismatch"))
+    val nul = intercept[Exception] {
+      spark.range(1)
+        .selectExpr("array(1, cast(null as int)) as a", "array(1, 2) as b")
+        .select(graft.functions.VectorExprs.intDot(col("a"), col("b")))
+        .head()
+    }
+    assert(deepMsg(nul).contains("array_compact"))
+  }
+
   test("quantized top-k recall vs float cosine baseline is high") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = corpus.filter(col("vec_id") < 10)

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SemDeDup semantics: within-cluster quantized-cosine edges,
+  * transitive grouping, cross-cluster blindness, keep-min-id.
+  */
+class SemDedupSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  test("semDedup groups transitively within a cluster, not across") {
+    // label 0: v1 == v2 exactly; v5 ~ v1 (cos .99) and v6 ~ v5
+    // (cos .98) but v6 !~ v1 directly (cos .95) — transitivity must
+    // still put {1,2,5,6} in one component. v3 orthogonal. label 1:
+    // v4 identical to v1 but in another cluster — never compared.
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val rows = Seq(
+      (1L, e1, 0),
+      (2L, e1, 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (4L, e1, 1),
+      (5L, Seq(0.99f, 0.14f, 0.0f, 0.0f), 0),
+      (6L, Seq(0.95f, 0.31f, 0.0f, 0.0f), 0))
+    val out = SemDedup.semDedup(rows.toDF("vec_id", "embedding", "label"))
+      .select("vec_id", "component", "is_dup")
+      .as[(Long, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((1L, 0)))
+    assert(out(2L) == ((1L, 1)))
+    assert(out(3L) == ((3L, 0)), "orthogonal vector is its own component")
+    assert(out(4L) == ((4L, 0)), "identical vector in another cluster untouched")
+    assert(out(5L) == ((1L, 1)), "direct 0.99-cosine neighbor joins")
+    assert(out(6L) == ((1L, 1)), "transitive member joins through v5")
+  }
+
+  test("label backfill joins by broadcast in the final adaptive plan") {
+    // Statically the components-label side is a checkpointed LogicalRDD
+    // with unknown stats, so the backfill plans as SMJ; at runtime AQE
+    // must see the tiny edge-incident label frame and convert to a
+    // broadcast join. Pin that so the corpus never gets sort-shuffled
+    // just to glue labels on (on a pathological all-duplicate corpus
+    // AQE would keep the shuffle join — that degradation is the
+    // correct behavior, but it must not be the NORMAL plan).
+    val df = graft.SparkEntry.queries("semdedup")(
+      spark, "/root/testdata/sf0.001")
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    val fin = df.queryExecution.executedPlan.toString
+      .split("\\+\\- == Initial Plan ==").head
+    assert(!fin.contains("SortMergeJoin"),
+      s"semdedup backfill stayed a sort-merge join:\n$fin")
+    assert(fin.contains("BroadcastHashJoin"),
+      s"expected a broadcast backfill join:\n$fin")
+  }
+
+  test("cosPct bounds are enforced") {
+    val df = Seq((1L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] { SemDedup.semDedup(df, cosPct = 0) }
+    intercept[IllegalArgumentException] { SemDedup.semDedup(df, cosPct = 101) }
+  }
+}
