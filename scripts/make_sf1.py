@@ -29,7 +29,13 @@ REPLICAS = 10
 # table -> {column: per-replica offset}
 OFFSETS = {
     "documents": {"doc_id": 10_000},
-    "embeddings": {"vec_id": 10_000},
+    # label offsets too: semdedup's within-cluster all-pairs stage is
+    # quadratic in CLUSTER size by design, and the k that assigns
+    # labels grows with N precisely so cluster size stays flat — a
+    # replica keeping its own label space models that (10x data, 10x
+    # clusters, unchanged cluster size), where shared labels would
+    # model the misconfiguration (10x cluster size -> 100x pairs).
+    "embeddings": {"vec_id": 10_000, "label": 100},
     "events": {"event_id": 10_000_000, "user_id": 100_000},
     "orders": {"o_orderkey": 10_000_000},
     "lineitem": {"l_orderkey": 10_000_000},
