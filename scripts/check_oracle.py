@@ -80,6 +80,13 @@ def main(out_dir: str, sf_dir: str) -> int:
                 print(f"  {name}.{c}[{i}]: spark={a[c][i]!r} duck={b[c][i]!r}")
         else:
             results[name] = f"OK rows={len(a)}"
+    # An oracle key with NO dump dir means the query THREW inside
+    # graft.Verify (it catches per-query and keeps going) — that must
+    # fail this gate loudly, not shrink the denominator silently.
+    missing = sorted(set(oracle) - set(results))
+    for name in missing:
+        results[name] = "MISSING_DUMP (query failed in Verify — " \
+            "see its stderr)"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     ro = sum(1 for v in results.values() if v.startswith("rows_only"))
     for k, v in results.items():

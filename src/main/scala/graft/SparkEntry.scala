@@ -753,6 +753,29 @@ object SparkEntry {
     "gopher_quality" -> ((s, dir) =>
       TextAnalysis.gopherQualityFilter(T(s, dir, "documents"))),
 
+    // C4 line-level cleaning. The corpus is single-line word salad
+    // with no punctuation, so the input prep synthesizes the line
+    // structure SQL-replayably: 12-token lines (as in line_dedup),
+    // terminal '.' on every line where (doc_id + pos) % 3 == 0, and a
+    // planted "javascript click here now." line (terminal punct, >= 3
+    // words — dropped by the javascript rule alone) on doc_id % 13.
+    "c4_line_filter" -> ((s, dir) => {
+      val toks = split(TextDedup.normText(col("text")), " ")
+      val la = transform(
+        sequence(lit(0),
+          greatest(floor((size(toks) - 1) / 12).cast("int"), lit(0))),
+        i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
+      val punct = transform(la, (l, i) =>
+        when(pmod(col("doc_id") + i, lit(3)) === 0, concat(l, lit(".")))
+          .otherwise(l))
+      val withJs = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(array_join(punct, "\n"),
+          lit("\njavascript click here now.")))
+        .otherwise(array_join(punct, "\n"))
+      TextAnalysis.c4LineFilter(
+        T(s, dir, "documents").select(col("doc_id"), withJs.as("text")))
+    }),
+
     // Document fingerprint (normalized md5).
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
@@ -2041,6 +2064,38 @@ object SparkEntry {
           "AND alpha_words * 10 >= word_cnt * 8 " +
           "AND stop_present >= 2) AS keep FROM s"
       },
+
+      // C4 line rules replayed over the same synthesized lines.
+      // Positions: DuckDB's range/generate_subscripts are 1-based vs
+      // Spark's 0-based transform index, so the punctuation condition
+      // uses (doc_id + i - 1) here.
+      "c4_line_filter" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |lp AS (SELECT doc_id, list_transform(range(1, len(la)+1),
+            |  i -> CASE WHEN (doc_id + i - 1) % 3 = 0 THEN la[i] || '.'
+            |       ELSE la[i] END) AS la FROM ls),
+            |lj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+            |  THEN list_append(la, 'javascript click here now.')
+            |  ELSE la END AS la FROM lp),
+            |lines AS (SELECT doc_id, unnest(la) AS line,
+            |  generate_subscripts(la, 1) AS pos FROM lj),
+            |k AS (SELECT doc_id, line, pos,
+            |  (regexp_matches(line, '[.!?"]$$') AND
+            |   len(string_split_regex(trim(line), '\\s+')) >= 3 AND
+            |   NOT contains(lower(line), 'javascript')) AS kept
+            |  FROM lines)
+            |SELECT doc_id, count(*) AS n_lines,
+            |  count(*) FILTER (kept) AS kept_lines,
+            |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+            |    FILTER (kept), '') AS clean_text
+            |FROM k GROUP BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       "doc_fingerprint" ->
         (s"SELECT doc_id, md5($NormTextSql) AS fingerprint FROM documents"),

@@ -47,15 +47,32 @@ object SemDedup {
   def semDedup(
       vectors: DataFrame,
       cosPct: Int = 97,
-      logScale: Int = 6): DataFrame = {
+      logScale: Int = 6,
+      maxClusterSize: Long = 1L << 17): DataFrame = {
     require(cosPct > 0 && cosPct <= 100, s"cosPct in (0,100], got $cosPct")
+    require(maxClusterSize >= 2,
+      s"maxClusterSize must be >= 2, got $maxClusterSize")
     val q = vectors.select(col("vec_id"), col("label"),
       Quantization.int8Codes(col("embedding"), logScale).as("qvec"))
       .withColumn("norm2", Quantization.intDot(col("qvec"), col("qvec")))
-    val a = q.select(col("label"), col("vec_id").as("src"),
-      col("qvec").as("qa"), col("norm2").as("na"))
-    val b = q.select(col("label"), col("vec_id").as("dst"),
-      col("qvec").as("qb"), col("norm2").as("nb"))
+    // Mega-cluster guard, same contract as the MinHash maxBucket
+    // guard: a cluster whose size breaks the |cluster| ~ N/k sizing
+    // assumption would make the pair stage quadratic in IT alone
+    // (maxClusterSize² candidate pairs is the worst case this
+    // operator will ever plan), so oversized clusters are EXCLUDED
+    // from pairing — their members come back as singletons (recall
+    // loss on that cluster only, never false positives). The eligible
+    // set is one tiny (≤ k rows) broadcast against both pair sides.
+    val eligible = q.groupBy(col("label"))
+      .agg(count(lit(1)).as("__csize"))
+      .filter(col("__csize") <= maxClusterSize)
+      .select(col("label"))
+    val a = q.join(broadcast(eligible), Seq("label"))
+      .select(col("label"), col("vec_id").as("src"),
+        col("qvec").as("qa"), col("norm2").as("na"))
+    val b = q.join(broadcast(eligible), Seq("label"))
+      .select(col("label"), col("vec_id").as("dst"),
+        col("qvec").as("qb"), col("norm2").as("nb"))
     val t2 = cosPct.toLong * cosPct
     val qdot = Quantization.intDot(col("qa"), col("qb"))
     val edges = a.join(b, Seq("label"))

@@ -266,6 +266,41 @@ object TextAnalysis {
           col("stop_present") >= 2L)
   }
 
+  /** C4's line-level cleaning rules (Raffel et al. 2020, §2.2): keep
+    * only lines that end in a terminal punctuation mark (. ! ? "),
+    * have at least `minWords` words, and do not mention "javascript"
+    * (case-insensitive). Documents are kept and reassembled in
+    * original line order — (doc_id, n_lines, kept_lines, clean_text).
+    *
+    * Same shape as [[TextDedup.lineDedup]]'s reassembly but with NO
+    * corpus-wide stage at all: the verdict is per-line local, so the
+    * only exchange is the per-document groupBy — embarrassingly
+    * parallel at any scale.
+    */
+  def c4LineFilter(
+      docs: DataFrame,
+      minWords: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
+    val kept = col("line").rlike("[.!?\"]$") &&
+      size(split(trim(col("line")), "\\s+")) >= minWords &&
+      !lower(col("line")).contains("javascript")
+    lines.withColumn("kept", kept)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("clean_text"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized, lowercased
     * text — the canonical key for exact dedup after trivial formatting
     * drift. One row in, one row out; the hash is computed streamside

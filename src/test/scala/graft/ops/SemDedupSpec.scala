@@ -53,6 +53,26 @@ class SemDedupSpec extends SparkSpec {
       s"expected a broadcast backfill join:\n$fin")
   }
 
+  test("maxClusterSize guard: mega-cluster skipped, small clusters still dedup") {
+    val e1 = Seq(1.0f, 0.0f)
+    val e2 = Seq(0.0f, 1.0f)
+    val rows = Seq(
+      // label 0: 4 identical vectors — a "mega" cluster under cap 3
+      (1L, e1, 0), (2L, e1, 0), (3L, e1, 0), (4L, e1, 0),
+      // label 1: 2 identical vectors — under the cap, must still dedup
+      (5L, e2, 1), (6L, e2, 1))
+    val out = SemDedup.semDedup(rows.toDF("vec_id", "embedding", "label"),
+      maxClusterSize = 3L)
+      .select("vec_id", "component", "is_dup")
+      .as[(Long, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // mega-cluster members come back as singletons (no false positives,
+    // recall loss confined to the oversized cluster)
+    for (id <- 1L to 4L) assert(out(id) == ((id, 0)), s"vec $id")
+    assert(out(5L) == ((5L, 0)))
+    assert(out(6L) == ((5L, 1)), "small cluster still deduplicates")
+  }
+
   test("cosPct bounds are enforced") {
     val df = Seq((1L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")
     intercept[IllegalArgumentException] { SemDedup.semDedup(df, cosPct = 0) }

@@ -532,6 +532,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Set("11")) // "12" has no non-empty name candidate
   }
 
+  test("c4LineFilter applies the three line rules and reassembles in order") {
+    val d = docs(
+      1L -> "Good sentence here.\nno punct line\nShort.\nAnother fine keeper!\nuses JavaScript heavily.\nQuoted line stays \"",
+      2L -> "only\nbad\nlines")
+    val r = TextAnalysis.c4LineFilter(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_lines") == 6L)
+    // "Short." has < 3 words; the javascript mention dies regardless
+    // of punctuation; the quote-terminated line passes
+    assert(r(0).getAs[Long]("kept_lines") == 3L)
+    assert(r(0).getAs[String]("clean_text") ==
+      "Good sentence here.\nAnother fine keeper!\nQuoted line stays \"")
+    assert(r(1).getAs[Long]("kept_lines") == 0L)
+    assert(r(1).getAs[String]("clean_text") == "")
+  }
+
   test("gopherQualityFilter: each rule flips keep at its exact boundary") {
     // A base doc that passes every rule: 50 words averaging 4 chars,
     // all alphabetic, two stop words present.
