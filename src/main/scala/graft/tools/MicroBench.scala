@@ -33,8 +33,11 @@ object MicroBench {
 
     // ---- cosine: CosineSimExpr vs zip_with/aggregate HOFs
     val dims = 64
+    // outer cast matters: float / float-literal promotes to DOUBLE in
+    // Spark SQL, and CosineSimExpr is strict about array<float>
     val vec = (salt: Int) => transform(sequence(lit(0), lit(dims - 1)),
-      j => (pmod(col("id") * 31 + j * salt, lit(997)).cast("float") / 997f))
+      j => (pmod(col("id") * 31 + j * salt, lit(997)).cast("float") / 997f)
+        .cast("float"))
     val vecs = spark.range(rows)
       .select(col("id"), vec(7).as("a"), vec(13).as("b"))
       .cache()
@@ -44,6 +47,20 @@ object MicroBench {
     val natCos = time(vecs, "cosine native",
       Similarity.cosine(col("a"), col("b")), rows)
     println(f"cosine speedup ${hofCos / natCos}%.1fx\n")
+
+    // ---- integer dot (semdedup's pair kernel): IntDotExpr vs the
+    // zip_with/aggregate reference, on int8-quantized codes
+    val qvecs = vecs.select(col("id"),
+      graft.ops.Quantization.int8Codes(col("a")).as("qa"),
+      graft.ops.Quantization.int8Codes(col("b")).as("qb"))
+      .cache()
+    qvecs.count()
+    val hofDot = time(qvecs, "intdot hof",
+      graft.ops.Quantization.intDotComposed(col("qa"), col("qb")), rows)
+    val natDot = time(qvecs, "intdot native",
+      graft.ops.Quantization.intDot(col("qa"), col("qb")), rows)
+    println(f"intdot speedup ${hofDot / natDot}%.1fx\n")
+    qvecs.unpersist()
     vecs.unpersist()
 
     // ---- shingles + minhash bands: native loops vs HOF chains, on

@@ -145,4 +145,33 @@ class StreamDedupSpec extends SparkSpec {
       assert(kept == Set(22L), s"near-dups must be dropped, got $kept")
     } finally q.stop()
   }
+
+  test("gopher quality gate runs unchanged on a stream (stateless per-row)") {
+    // gopherQualityFilter is a pure projection + filter — no
+    // aggregation, no state — so the SAME operator body is legal in a
+    // streaming query with no watermark or output-mode ceremony. Pin
+    // that batch/stream parity here (the batch side of this fixture is
+    // covered by TextOpsSpec's boundary test).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = graft.ops.TextAnalysis.gopherQualityFilter(
+      input.toDF().select(col("doc_id"), col("text")))
+    val q = out.writeStream
+      .format("memory").queryName("sd_gopher")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdg-").toString)
+      .start()
+    try {
+      val passing =
+        (Seq("the", "with") ++ Seq.fill(48)("word")).mkString(" ")
+      input.addData(
+        Doc(ts(1), 30L, passing),           // passes every rule
+        Doc(ts(2), 31L, "too short"),       // fails the word-count floor
+        Doc(ts(3), 32L, passing.replace("the", "aaa"))) // one stop word
+      q.processAllAvailable()
+      val verdicts = spark.table("sd_gopher")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      assert(verdicts == Map(30L -> true, 31L -> false, 32L -> false))
+    } finally q.stop()
+  }
 }
