@@ -251,6 +251,38 @@ object SparkEntry {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
+  /** Shared DuckDB CTE for the semdedup oracles: planted-duplicate
+    * union, int8 quantization, within-cluster integer-cosine edges,
+    * and the recursive reach set — consumers append their final
+    * SELECT over `reach` + `base`.
+    */
+  private lazy val SemdedupReachCte: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding, label FROM embeddings
+      |  WHERE vec_id % 17 = 0),
+      |n AS (SELECT vec_id, label,
+      |  list_transform(embedding, v -> CAST(greatest(least(
+      |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT)) AS qvec
+      |  FROM base),
+      |m AS (SELECT vec_id, label, qvec,
+      |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT)
+      |    AS norm2 FROM n),
+      |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT) AS qdot,
+      |  a.norm2 AS na, b.norm2 AS nb
+      |  FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |edges0 AS (SELECT src, dst FROM p
+      |  WHERE qdot > 0 AND 10000 * qdot * qdot >= 9409 * na * nb),
+      |edges AS (SELECT src, dst FROM edges0
+      |  UNION SELECT dst, src FROM edges0),
+      |reach(node, lbl) AS (
+      |  SELECT vec_id, vec_id FROM base
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
   /** Shared near-dup clustering pipeline (candidates → integer-exact
     * Jaccard edges → distributed connected components), labeled
     * (node, component). Candidate pairs are the deterministic adjacent
@@ -1056,6 +1088,20 @@ object SparkEntry {
         .select((col("vec_id") + 10000000L).as("vec_id"),
           col("embedding"), col("label"))
       SemDedup.semDedup(base.unionByName(planted))
+    }),
+
+    // The end-user shape: semantic dedup APPLIED — survivors only
+    // (each component's minimum vec_id), the pass that shrinks the
+    // corpus. Same labeling pipeline; one filter on top.
+    "semdedup_keep" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val planted = base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      SemDedup.semDedup(base.unionByName(planted))
+        .filter(col("is_dup") === 0)
+        .select(col("vec_id"), col("label"))
     }),
 
     // Planted-neighbor recall for the APPROXIMATE ANN paths. The
@@ -1976,36 +2022,20 @@ object SparkEntry {
       // monotone), and a recursive reach CTE for the components —
       // every value integer, so the labeling hashes exactly
       "semdedup" ->
-        ("""WITH RECURSIVE base AS (
-           |  SELECT vec_id, embedding, label FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 10000000, embedding, label FROM embeddings
-           |  WHERE vec_id % 17 = 0),
-           |n AS (SELECT vec_id, label,
-           |  list_transform(embedding, v -> CAST(greatest(least(
-           |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT)) AS qvec
-           |  FROM base),
-           |m AS (SELECT vec_id, label, qvec,
-           |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT)
-           |    AS norm2 FROM n),
-           |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-           |  CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT) AS qdot,
-           |  a.norm2 AS na, b.norm2 AS nb
-           |  FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id),
-           |edges0 AS (SELECT src, dst FROM p
-           |  WHERE qdot > 0 AND 10000 * qdot * qdot >= 9409 * na * nb),
-           |edges AS (SELECT src, dst FROM edges0
-           |  UNION SELECT dst, src FROM edges0),
-           |reach(node, lbl) AS (
-           |  SELECT vec_id, vec_id FROM base
-           |  UNION
-           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
-           |SELECT b.vec_id, b.label, r.component,
-           |  CAST(b.vec_id <> r.component AS INTEGER) AS is_dup
-           |FROM (SELECT node, min(lbl) AS component FROM reach
-           |      GROUP BY node) r
-           |JOIN base b ON b.vec_id = r.node"""
-          .stripMargin.replaceAll("\\s+", " ").trim),
+        (SemdedupReachCte +
+          " SELECT b.vec_id, b.label, r.component," +
+          " CAST(b.vec_id <> r.component AS INTEGER) AS is_dup" +
+          " FROM (SELECT node, min(lbl) AS component FROM reach" +
+          " GROUP BY node) r JOIN base b ON b.vec_id = r.node"),
+
+      // survivors of the applied semantic dedup: a vector is kept iff
+      // it IS its component's minimum id
+      "semdedup_keep" ->
+        (SemdedupReachCte +
+          " SELECT b.vec_id, b.label" +
+          " FROM (SELECT node, min(lbl) AS component FROM reach" +
+          " GROUP BY node) r JOIN base b ON b.vec_id = r.node" +
+          " WHERE b.vec_id = r.component"),
 
       // winnowing guarantee gate: recall floor is 100 BY THEOREM
       // (shared ≥7-token run ⇒ shared fingerprint; plants share ≥49)
