@@ -42,7 +42,10 @@ object SemDedup {
     * (vec_id, label, component, is_dup) where `component` is the
     * minimum vec_id reachable through pairs with quantized cosine >=
     * `cosPct`/100 inside one cluster, and `is_dup` = 1 exactly for
-    * the vectors a keep-one-per-group pass would drop.
+    * the vectors a keep-one-per-group pass would drop. A NULL
+    * `label` never equi-joins, so unclustered vectors skip pairing
+    * and come back as their own singleton component — the safe
+    * default for assignment gaps.
     */
   def semDedup(
       vectors: DataFrame,

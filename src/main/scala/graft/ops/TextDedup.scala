@@ -452,11 +452,12 @@ object TextDedup {
     * shuffle keys), and only the DUPLICATED subset — boilerplate,
     * small by nature — broadcasts back to pick survivors, so the line
     * text crosses exactly one exchange: the per-document reassembly.
-    * The owner is the scalar `doc_id << 32 | pos` (positions above
-    * 2^32 lines per document are out of contract), making the arg-min
-    * a plain `min` both here and in the SQL oracle. Collisions can
-    * only over-drop at ~2^-64 per distinct-line pair; the raw-string
-    * oracle is the collision audit.
+    * The owner is the scalar `doc_id << 32 | pos` — contract:
+    * `0 <= doc_id < 2^31` and under 2^32 lines per document, so the
+    * packed key stays positive and order-preserving — making the
+    * arg-min a plain `min` both here and in the SQL oracle.
+    * Collisions can only over-drop at ~2^-64 per distinct-line pair;
+    * the raw-string oracle is the collision audit.
     */
   def lineDedupKeepFirst(
       docs: DataFrame,

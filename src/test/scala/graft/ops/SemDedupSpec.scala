@@ -22,7 +22,14 @@ class SemDedupSpec extends SparkSpec {
       (4L, e1, 1),
       (5L, Seq(0.99f, 0.14f, 0.0f, 0.0f), 0),
       (6L, Seq(0.95f, 0.31f, 0.0f, 0.0f), 0))
-    val out = SemDedup.semDedup(rows.toDF("vec_id", "embedding", "label"))
+    // v7: identical to v1 but with a NULL label — unclustered vectors
+    // never pair (NULL never equi-joins) and stay singletons
+    val input = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label",
+        when(col("vec_id") === 7L, lit(null)).otherwise(col("label")))
+      .unionByName(Seq((7L, e1, 0)).toDF("vec_id", "embedding", "label")
+        .withColumn("label", lit(null).cast("int")))
+    val out = SemDedup.semDedup(input)
       .select("vec_id", "component", "is_dup")
       .as[(Long, Long, Int)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
@@ -32,6 +39,7 @@ class SemDedupSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0)), "identical vector in another cluster untouched")
     assert(out(5L) == ((1L, 1)), "direct 0.99-cosine neighbor joins")
     assert(out(6L) == ((1L, 1)), "transitive member joins through v5")
+    assert(out(7L) == ((7L, 0)), "NULL-label vector stays a singleton")
   }
 
   test("label backfill joins by broadcast in the final adaptive plan") {
