@@ -1386,6 +1386,42 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
     }),
 
+    // WITHIN-document line dedup (intra-page boilerplate). The word
+    // salad never repeats a 12-token line inside one document, so the
+    // prep plants the repeat SQL-replayably: doc_id % 7 == 0 documents
+    // get their own first line appended again at the end.
+    "line_dedup_within_doc" -> ((s, dir) => {
+      val recon = regexp_replace(TextDedup.normText(col("text")),
+        "((?:\\S+ ){11}\\S+) ", "$1\n")
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(recon, lit("\n"), element_at(split(recon, "\n", -1), 1)))
+        .otherwise(recon)
+      TextDedup.lineDedupWithinDoc(
+        T(s, dir, "documents").select(col("doc_id"), planted.as("text")))
+    }),
+
+    // C4 page-level retention over the same punctuated synthesis as
+    // c4_line_filter, with the lorem-ipsum (doc_id % 19) and brace
+    // (doc_id % 23) pathologies planted SQL-replayably.
+    "c4_page_filter" -> ((s, dir) => {
+      val toks = split(TextDedup.normText(col("text")), " ")
+      val la = transform(
+        sequence(lit(0),
+          greatest(floor((size(toks) - 1) / 12).cast("int"), lit(0))),
+        i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
+      val punct = array_join(transform(la, (l, i) =>
+        when(pmod(col("doc_id") + i, lit(3)) === 0, concat(l, lit(".")))
+          .otherwise(l)), "\n")
+      val withLorem = when(pmod(col("doc_id"), lit(19)) === 0,
+        concat(punct, lit("\nlorem ipsum dolor sit amet.")))
+        .otherwise(punct)
+      val withBrace = when(pmod(col("doc_id"), lit(23)) === 0,
+        concat(withLorem, lit("\ncode { sample }")))
+        .otherwise(withLorem)
+      TextAnalysis.c4PageFilter(
+        T(s, dir, "documents").select(col("doc_id"), withBrace.as("text")))
+    }),
+
     // Exact-substring cross-document dedup at 50-token granularity —
     // catches verbatim repeats that do NOT align on line boundaries
     // (what line_dedup structurally cannot see). The corpus has no
@@ -2547,6 +2583,62 @@ object SparkEntry {
             |    FILTER (WHERE c.c <= 1), '') AS dedup_text
             |FROM lines l JOIN cnt c ON l.line = c.line
             |GROUP BY l.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // within-doc replay via min-position window: DuckDB's
+      // list_distinct REORDERS, so first-occurrence order (which
+      // Spark's array_distinct preserves) is reconstructed explicitly
+      "line_dedup_within_doc" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |pl AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+            |  THEN list_append(la, la[1]) ELSE la END AS la FROM ls),
+            |lines AS (SELECT doc_id, unnest(la) AS line,
+            |  generate_subscripts(la, 1) AS pos FROM pl),
+            |f AS (SELECT doc_id, line, pos,
+            |  min(pos) OVER (PARTITION BY doc_id, line) AS fpos
+            |  FROM lines)
+            |SELECT doc_id, count(*) AS n_lines,
+            |  count(*) FILTER (pos = fpos) AS kept_lines,
+            |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+            |    FILTER (pos = fpos), '') AS dedup_text
+            |FROM f GROUP BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // page-level replay over the same punctuated synthesis
+      "c4_page_filter" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |lp AS (SELECT doc_id, array_to_string(
+            |  list_transform(range(1, len(la)+1),
+            |    i -> CASE WHEN (doc_id + i - 1) % 3 = 0 THEN la[i] || '.'
+            |         ELSE la[i] END), chr(10)) AS text FROM ls),
+            |pg AS (SELECT doc_id,
+            |  text ||
+            |  CASE WHEN doc_id % 19 = 0
+            |    THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+            |  CASE WHEN doc_id % 23 = 0
+            |    THEN chr(10) || 'code { sample }' ELSE '' END AS text
+            |  FROM lp)
+            |SELECT doc_id,
+            |  CAST((length(text) - length(replace(text, '.', '')))
+            |    AS BIGINT) AS n_sentences,
+            |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+            |  contains(text, '{') AS has_brace,
+            |  (CAST((length(text) - length(replace(text, '.', '')))
+            |    AS BIGINT) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            |   AND NOT contains(text, '{')) AS keep
+            |FROM pg WHERE length(trim(text)) > 0"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // keep-first replay on raw line strings: the owner arg-min uses

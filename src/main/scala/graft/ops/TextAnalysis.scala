@@ -301,6 +301,30 @@ object TextAnalysis {
           "\n").as("clean_text"))
   }
 
+  /** C4's page-level retention rules (Raffel et al. 2020, §2.2):
+    * keep a document only if it has at least `minSentences` sentences
+    * (deterministic proxy: '.' occurrences), no "lorem ipsum"
+    * placeholder text, and no '{' (code). Emits the rule inputs plus
+    * the composite `keep` — pure per-row built-ins, no shuffle.
+    */
+  def c4PageFilter(
+      docs: DataFrame,
+      minSentences: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(minSentences >= 1, s"minSentences must be >= 1, got $minSentences")
+    val text = col(textCol)
+    docs
+      .filter(length(trim(text)) > 0)
+      .select(
+        col("doc_id"),
+        occurrences(text, ".").as("n_sentences"),
+        lower(text).contains("lorem ipsum").as("has_lorem"),
+        text.contains("{").as("has_brace"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized, lowercased
     * text — the canonical key for exact dedup after trivial formatting
     * drift. One row in, one row out; the hash is computed streamside

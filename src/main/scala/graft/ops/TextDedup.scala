@@ -486,6 +486,28 @@ object TextDedup {
           "\n").as("dedup_text"))
   }
 
+  /** WITHIN-document line dedup — the intra-page boilerplate rule
+    * (repeated nav menus, footers, chrome inside ONE document): each
+    * document keeps the first occurrence of every line it contains,
+    * in original order. Unlike [[lineDedup]]/[[lineDedupKeepFirst]]
+    * there is NO corpus-wide stage and therefore NO shuffle at all:
+    * Spark's `array_distinct` preserves first-occurrence order, so
+    * the whole operator is a per-row projection on the scan —
+    * embarrassingly parallel at any scale. (The SQL oracle replays it
+    * with a min-position window because DuckDB's `list_distinct`
+    * REORDERS — the order-preservation here is load-bearing and
+    * spec-pinned.)
+    */
+  def lineDedupWithinDoc(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(array_distinct(lines)).cast("long").as("kept_lines"),
+      array_join(array_distinct(lines), "\n").as("dedup_text"))
+  }
+
   /** Exact-substring cross-document deduplication at TOKEN-SPAN
     * granularity — the standard curation rule ("a ~50-token span
     * repeated verbatim across documents marks the later document as

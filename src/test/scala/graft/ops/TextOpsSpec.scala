@@ -532,6 +532,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Set("11")) // "12" has no non-empty name candidate
   }
 
+  test("lineDedupWithinDoc keeps first occurrences in order, per doc only") {
+    val d = docs(
+      1L -> "nav menu\nbody text\nnav menu\nfooter\nnav menu",
+      2L -> "nav menu\nother") // cross-doc repeat is NOT intra-doc dup
+    val r = TextDedup.lineDedupWithinDoc(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_lines") == 5L)
+    assert(r(0).getAs[Long]("kept_lines") == 3L)
+    // first-occurrence ORDER is the load-bearing property (the SQL
+    // oracle reconstructs it with a min-pos window)
+    assert(r(0).getAs[String]("dedup_text") ==
+      "nav menu\nbody text\nfooter")
+    assert(r(1).getAs[Long]("kept_lines") == 2L)
+    assert(r(1).getAs[String]("dedup_text") == "nav menu\nother")
+  }
+
+  test("c4PageFilter applies the three page rules") {
+    val d = docs(
+      1L -> "One. Two. Three.",            // 3 sentences, clean -> keep
+      2L -> "One. Two.",                   // too few sentences
+      3L -> "One. Two. Three. Lorem Ipsum placeholder", // lorem (any case)
+      4L -> "One. Two. Three. code { x }") // brace
+    val out = TextAnalysis.c4PageFilter(d)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
   test("c4LineFilter applies the three line rules and reassembles in order") {
     val d = docs(
       1L -> "Good sentence here.\nno punct line\nShort.\nAnother fine keeper!\nuses JavaScript heavily.\nQuoted line stays \"",
