@@ -545,6 +545,12 @@ class TextOpsSpec extends SparkSpec {
       "nav menu\nbody text\nfooter")
     assert(r(1).getAs[Long]("kept_lines") == 2L)
     assert(r(1).getAs[String]("dedup_text") == "nav menu\nother")
+    // NULL text behaves like "" (same contract as lineDedup)
+    val n = TextDedup.lineDedupWithinDoc(
+      Seq((9L, null: String)).toDF("doc_id", "text")).collect()(0)
+    assert(n.getAs[Long]("n_lines") == 1L &&
+      n.getAs[Long]("kept_lines") == 1L &&
+      n.getAs[String]("dedup_text") == "")
   }
 
   test("c4PageFilter applies the three page rules") {
