@@ -413,12 +413,17 @@ object TextDedup {
   def lineDedup(
       docs: DataFrame,
       maxOcc: Long = 1,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
     // NULL text must not make the document vanish (split of NULL
     // explodes to zero rows): treat it as empty text, so a NULL-text
     // document gets the same one-empty-line row an ''-text one does.
+    // `sep` is LITERAL on both sides (Pattern.quote for the regex
+    // split, verbatim for the join) — "\n\n" gives the paragraph-
+    // granularity variant of the same operator.
     val lines = docs.select(col("doc_id"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep), -1))
         .as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
     val frequent = lines.groupBy("h")
@@ -438,7 +443,7 @@ object TextDedup {
             array_sort(collect_list(
               when(col("frequent").isNull, struct(col("pos"), col("line"))))),
             x => x("line")),
-          "\n").as("dedup_text"))
+          sep).as("dedup_text"))
   }
 
   /** [[lineDedup]]'s keep-first variant — the C4-faithful rule: a
@@ -461,9 +466,11 @@ object TextDedup {
     */
   def lineDedupKeepFirst(
       docs: DataFrame,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
     val lines = docs.select(col("doc_id"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep), -1))
         .as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
       .withColumn("k", shiftleft(col("doc_id"), 32) + col("pos"))
@@ -483,7 +490,7 @@ object TextDedup {
             array_sort(collect_list(
               when(col("kept"), struct(col("pos"), col("line"))))),
             x => x("line")),
-          "\n").as("dedup_text"))
+          sep).as("dedup_text"))
   }
 
   /** WITHIN-document line dedup — the intra-page boilerplate rule
@@ -500,12 +507,14 @@ object TextDedup {
     */
   def lineDedupWithinDoc(
       docs: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep), -1)
     docs.select(col("doc_id"),
       size(lines).cast("long").as("n_lines"),
       size(array_distinct(lines)).cast("long").as("kept_lines"),
-      array_join(array_distinct(lines), "\n").as("dedup_text"))
+      array_join(array_distinct(lines), sep).as("dedup_text"))
   }
 
   /** Exact-substring cross-document deduplication at TOKEN-SPAN

@@ -61,6 +61,28 @@ class TextOpsSpec extends SparkSpec {
         "self\nkeep me"))
   }
 
+  test("sep parameter gives paragraph-granularity dedup (literal, not regex)") {
+    val d = docs(
+      1L -> "para one\nwith two lines\n\nSHARED PARA\n\nunique tail",
+      2L -> "SHARED PARA\n\nother para")
+    val r = TextDedup.lineDedup(d, sep = "\n\n").orderBy("doc_id").collect()
+    // paragraphs, not lines: doc 1 has 3 paragraphs, the shared one is
+    // corpus-frequent and dropped from both docs
+    assert(r.map(_.getAs[Long]("n_lines")).toSeq == Seq(3L, 2L))
+    assert(r.map(_.getAs[String]("dedup_text")).toSeq ==
+      Seq("para one\nwith two lines\n\nunique tail", "other para"))
+    val kf = TextDedup.lineDedupKeepFirst(d, sep = "\n\n")
+      .orderBy("doc_id").collect()
+    assert(kf.map(_.getAs[String]("dedup_text")).toSeq ==
+      Seq("para one\nwith two lines\n\nSHARED PARA\n\nunique tail",
+        "other para"))
+    // the separator is literal: a regex metacharacter separator must
+    // not be interpreted
+    val m = TextDedup.lineDedup(
+      docs(1L -> "a|b", 2L -> "a|c"), sep = "|").orderBy("doc_id").collect()
+    assert(m.map(_.getAs[String]("dedup_text")).toSeq == Seq("b", "c"))
+  }
+
   test("lineDedupKeepFirst matches a reference model on a random corpus") {
     val rnd = new scala.util.Random(20260813L)
     val alphabet = Vector.tabulate(30)(i => s"line body $i")
