@@ -117,6 +117,19 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("per-row quality operators plan with zero exchanges") {
+    // gopher_quality, c4_page_filter and line_dedup_within_doc are
+    // scan-shaped by design (per-row verdicts, no corpus-wide stage) —
+    // a shuffle appearing in any of them is a regression, not noise.
+    for (name <- Seq("gopher_quality", "c4_page_filter",
+        "line_dedup_within_doc")) {
+      val plan = SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name grew a shuffle:\n$plan")
+    }
+  }
+
   test("planted-mutation regex == token-indexed HOF mutation") {
     // plantedInput swaps every 50th normalized token for the sentinel
     // with one regex pass; the semantic reference is the per-token
