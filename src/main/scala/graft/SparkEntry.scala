@@ -789,8 +789,9 @@ object SparkEntry {
     // with no punctuation, so the input prep synthesizes the line
     // structure SQL-replayably: 12-token lines (as in line_dedup),
     // terminal '.' on every line where (doc_id + pos) % 3 == 0, and a
-    // planted "javascript click here now." line (terminal punct, >= 3
-    // words — dropped by the javascript rule alone) on doc_id % 13.
+    // planted "javascript click right here now." line (terminal
+    // punct, 5 words — dropped by the javascript rule ALONE under the
+    // paper's minWords = 5 default) on doc_id % 13.
     "c4_line_filter" -> ((s, dir) => {
       val toks = split(TextDedup.normText(col("text")), " ")
       val la = transform(
@@ -802,7 +803,7 @@ object SparkEntry {
           .otherwise(l))
       val withJs = when(pmod(col("doc_id"), lit(13)) === 0,
         concat(array_join(punct, "\n"),
-          lit("\njavascript click here now.")))
+          lit("\njavascript click right here now.")))
         .otherwise(array_join(punct, "\n"))
       TextAnalysis.c4LineFilter(
         T(s, dir, "documents").select(col("doc_id"), withJs.as("text")))
@@ -2147,13 +2148,13 @@ object SparkEntry {
             |  i -> CASE WHEN (doc_id + i - 1) % 3 = 0 THEN la[i] || '.'
             |       ELSE la[i] END) AS la FROM ls),
             |lj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
-            |  THEN list_append(la, 'javascript click here now.')
+            |  THEN list_append(la, 'javascript click right here now.')
             |  ELSE la END AS la FROM lp),
             |lines AS (SELECT doc_id, unnest(la) AS line,
             |  generate_subscripts(la, 1) AS pos FROM lj),
             |k AS (SELECT doc_id, line, pos,
             |  (regexp_matches(line, '[.!?"]$$') AND
-            |   len(string_split_regex(trim(line), '\\s+')) >= 3 AND
+            |   len(string_split_regex(trim(line), '\\s+')) >= 5 AND
             |   NOT contains(lower(line), 'javascript')) AS kept
             |  FROM lines)
             |SELECT doc_id, count(*) AS n_lines,

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *    arithmetic: `cos(a,b) >= t/100` becomes `qdot > 0 AND
   *    10000*qdot^2 >= t^2 * norm2(a) * norm2(b)` (both sides
   *    squared; the `qdot > 0` guard keeps the squaring monotone).
-  *    Magnitudes: 64 dims × 127² bounds norm2 by ~1.03e6, so every
-  *    product stays far inside long range.
+  *    Magnitudes: |code| <= 128, so `10000 * qdot^2 <= 10000 * d^2 *
+  *    128^4` stays inside Long exactly when the dimension `d <=
+  *    1853` — enforced per row (a codegen'd `size` check on the scan
+  *    projection, [[MaxDims]] = 1850) so a 4096-dim embedding fails
+  *    loudly instead of silently flipping the comparison.
   *
   * Scale shape: quantization is a per-row projection on the scan; the
   * pair stage is an equi-join on `label`, so the quadratic term is
@@ -37,6 +40,25 @@ import org.apache.spark.sql.functions._
   * tiny next to the corpus.
   */
 object SemDedup {
+
+  /** Largest embedding dimension for which the cross-multiplied edge
+    * test is overflow-exact in Long: codes are in [-128, 127], so
+    * `10000 * qdot^2 <= 10000 * (d * 128^2)^2` must stay below
+    * 2^63-1, which holds up to d = 1853 (1850 kept as margin). The
+    * same bound covers the right-hand side `t2 * na * nb`.
+    */
+  val MaxDims: Int = 1850
+
+  /** Embedding column guarded by the [[MaxDims]] overflow bound: a
+    * per-row `size` check (O(1), codegen'd) that raises instead of
+    * letting an oversized vector silently overflow the integer edge
+    * test. Wrapping the VALUE (not a side-channel assert column)
+    * keeps the guard alive through column pruning.
+    */
+  private def boundedEmbedding(vec: org.apache.spark.sql.Column) =
+    when(size(vec) <= MaxDims, vec).otherwise(raise_error(concat(
+      lit(s"semDedup: embedding dimension exceeds overflow-safe " +
+        s"bound $MaxDims, got "), size(vec).cast("string"))))
 
   /** Label every vector with its semantic-duplicate component:
     * (vec_id, label, component, is_dup) where `component` is the
@@ -56,7 +78,8 @@ object SemDedup {
     require(maxClusterSize >= 2,
       s"maxClusterSize must be >= 2, got $maxClusterSize")
     val q = vectors.select(col("vec_id"), col("label"),
-      Quantization.int8Codes(col("embedding"), logScale).as("qvec"))
+      Quantization.int8Codes(boundedEmbedding(col("embedding")), logScale)
+        .as("qvec"))
       .withColumn("norm2", Quantization.intDot(col("qvec"), col("qvec")))
     // Mega-cluster guard, same contract as the MinHash maxBucket
     // guard: a cluster whose size breaks the |cluster| ~ N/k sizing

@@ -56,7 +56,12 @@ object Sketches {
       .select(col(groupCol), col(countCol)).distinct()
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("exact_distinct"))
-    sk.join(broadcast(ex), Seq(groupCol), "left")
+    // No broadcast hint: both sides are one row per GROUP, whose
+    // cardinality is the caller's — a high-cardinality group column
+    // (group by user_id) would blow a forced broadcast. AQE converts
+    // this to a broadcast join at runtime exactly when the audit side
+    // really is small, without the driver-memory failure mode.
+    sk.join(ex, Seq(groupCol), "left")
       .withColumn("exact_distinct",
         coalesce(col("exact_distinct"), lit(0L)))
       .select(col(groupCol), col("rows"), col("exact_distinct"),
@@ -97,7 +102,9 @@ object Sketches {
     // than a second pruned columnar scan. The sketch side is the
     // production shape (scan → partial HLL → tiny shuffle); the audit
     // side shrinks by ~1/sampleMod BEFORE its distinct shuffle; the
-    // per-group join is a broadcast of a few rows.
+    // per-group join is left to AQE (one row per group — small for
+    // analytic group columns, but a forced broadcast would be the
+    // wrong call for a high-cardinality group key).
     val sk = df.groupBy(col(groupCol))
       .agg(approx_count_distinct(v, rsd).as("approx_distinct"),
         count(lit(1)).as("rows"))
@@ -106,7 +113,7 @@ object Sketches {
       .select(col(groupCol), v).distinct()
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("sampled_distinct"))
-    sk.join(broadcast(sampled), Seq(groupCol), "left")
+    sk.join(sampled, Seq(groupCol), "left")
       .withColumn("sampled_distinct",
         coalesce(col("sampled_distinct"), lit(0L)))
       .select(col(groupCol), col("rows"),

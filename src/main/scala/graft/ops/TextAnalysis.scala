@@ -268,9 +268,10 @@ object TextAnalysis {
 
   /** C4's line-level cleaning rules (Raffel et al. 2020, §2.2): keep
     * only lines that end in a terminal punctuation mark (. ! ? "),
-    * have at least `minWords` words, and do not mention "javascript"
-    * (case-insensitive). Documents are kept and reassembled in
-    * original line order — (doc_id, n_lines, kept_lines, clean_text).
+    * have at least `minWords` words (default 5, the paper's rule),
+    * and do not mention "javascript" (case-insensitive). Documents
+    * are kept and reassembled in original line order —
+    * (doc_id, n_lines, kept_lines, clean_text).
     *
     * Same shape as [[TextDedup.lineDedup]]'s reassembly but with NO
     * corpus-wide stage at all: the verdict is per-line local, so the
@@ -279,7 +280,7 @@ object TextAnalysis {
     */
   def c4LineFilter(
       docs: DataFrame,
-      minWords: Int = 3,
+      minWords: Int = 5,
       textCol: String = "text"): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     val lines = docs.select(col("doc_id"),

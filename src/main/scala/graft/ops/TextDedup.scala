@@ -460,7 +460,11 @@ object TextDedup {
     * The owner is the scalar `doc_id << 32 | pos` — contract:
     * `0 <= doc_id < 2^31` and under 2^32 lines per document, so the
     * packed key stays positive and order-preserving — making the
-    * arg-min a plain `min` both here and in the SQL oracle.
+    * arg-min a plain `min` both here and in the SQL oracle. The
+    * doc_id is cast to LONG before the shift: Spark's `ShiftLeft`
+    * masks the shift count by the operand width, so a 32-bit doc_id
+    * column would make `<< 32` a silent no-op and collide keys
+    * across documents.
     * Collisions can only over-drop at ~2^-64 per distinct-line pair;
     * the raw-string oracle is the collision audit.
     */
@@ -473,7 +477,8 @@ object TextDedup {
         java.util.regex.Pattern.quote(sep), -1))
         .as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
-      .withColumn("k", shiftleft(col("doc_id"), 32) + col("pos"))
+      .withColumn("k",
+        shiftleft(col("doc_id").cast("long"), 32) + col("pos").cast("long"))
     val dupOwners = lines.groupBy("h")
       .agg(count(lit(1)).as("occ"), min(col("k")).as("owner"))
       .filter(col("occ") > 1L)

@@ -86,4 +86,20 @@ class SemDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SemDedup.semDedup(df, cosPct = 0) }
     intercept[IllegalArgumentException] { SemDedup.semDedup(df, cosPct = 101) }
   }
+
+  test("embedding dimension above the overflow-safe bound raises") {
+    // 10000 * qdot^2 overflows Long past ~1853 dims; the per-row guard
+    // must fail loudly instead of flipping the edge comparison.
+    val big = Seq.fill(SemDedup.MaxDims + 1)(0.1f)
+    val df = Seq((1L, big, 0), (2L, big, 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] { SemDedup.semDedup(df).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflow-safe")), s"got: $e")
+    // at the bound itself the operator still runs
+    val ok = Seq((1L, big.take(SemDedup.MaxDims), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(SemDedup.semDedup(ok).count() == 1L)
+  }
 }

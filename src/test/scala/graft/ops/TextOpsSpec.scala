@@ -61,6 +61,20 @@ class TextOpsSpec extends SparkSpec {
         "self\nkeep me"))
   }
 
+  test("lineDedupKeepFirst elects the right owner for a 32-bit doc_id column") {
+    // The owner key packs doc_id << 32 | pos. Spark's ShiftLeft masks
+    // the shift count by the operand width, so an INT doc_id without
+    // the explicit long cast would make << 32 a no-op and the key
+    // doc_id + pos — here doc 1's BOILER at pos 5 (key 6) would LOSE
+    // to doc 2's at pos 0 (key 2), electing the wrong first occurrence.
+    val d = Seq(
+      (1, "a one two.\nb\nc\nd\ne\nBOILER"),
+      (2, "BOILER\nz")).toDF("doc_id", "text")
+    val r = TextDedup.lineDedupKeepFirst(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("dedup_text") == "a one two.\nb\nc\nd\ne\nBOILER")
+    assert(r(1).getAs[String]("dedup_text") == "z")
+  }
+
   test("sep parameter gives paragraph-granularity dedup (literal, not regex)") {
     val d = docs(
       1L -> "para one\nwith two lines\n\nSHARED PARA\n\nunique tail",
@@ -588,15 +602,20 @@ class TextOpsSpec extends SparkSpec {
 
   test("c4LineFilter applies the three line rules and reassembles in order") {
     val d = docs(
-      1L -> "Good sentence here.\nno punct line\nShort.\nAnother fine keeper!\nuses JavaScript heavily.\nQuoted line stays \"",
+      1L -> ("A good sentence stays here.\nno punct line at all here\n" +
+        "Too short.\nAnother perfectly fine keeper stays!\n" +
+        "this line uses JavaScript heavily today.\n" +
+        "The quoted line stays put \""),
       2L -> "only\nbad\nlines")
     val r = TextAnalysis.c4LineFilter(d).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("n_lines") == 6L)
-    // "Short." has < 3 words; the javascript mention dies regardless
-    // of punctuation; the quote-terminated line passes
+    // "Too short." has < 5 words (the paper's floor); the javascript
+    // mention dies regardless of punctuation and word count; the
+    // quote-terminated line passes
     assert(r(0).getAs[Long]("kept_lines") == 3L)
     assert(r(0).getAs[String]("clean_text") ==
-      "Good sentence here.\nAnother fine keeper!\nQuoted line stays \"")
+      "A good sentence stays here.\nAnother perfectly fine keeper stays!\n" +
+        "The quoted line stays put \"")
     assert(r(1).getAs[Long]("kept_lines") == 0L)
     assert(r(1).getAs[String]("clean_text") == "")
   }
