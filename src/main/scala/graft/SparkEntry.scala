@@ -25,16 +25,32 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Events with the TIMESTAMP(NANOS) `ts` column read as epoch-nanos
-    * BIGINT (the nanosAsLong session flag is required to scan that
-    * parquet type at all; cf. time_window_agg's note).
+  /** Events with `ts` normalized to epoch-MICROS BIGINT regardless of
+    * the physical parquet timestamp type. The driver has generated the
+    * table as TIMESTAMP(NANOS) in some rounds (Spark reads it as a
+    * nanos-long under the legacy flag) and TIMESTAMP(MICROS) in others
+    * (Spark reads it as a native TimestampType, micros internally), so
+    * the physical type is detected from the scanned schema instead of
+    * assumed. All event-time operators (windowing, sessionize, as-of)
+    * consume micros; DuckDB reads either physical type at micros via
+    * epoch_us(ts), so the oracle compare is precision-aligned in both
+    * layouts.
     */
-  private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
+    // TIMESTAMP(MICROS) without isAdjustedToUTC reads as TIMESTAMP_NTZ;
+    // DuckDB's epoch_us treats the same naive wall-clock as UTC, so the
+    // NTZ→instant cast must happen under a UTC session zone for the two
+    // engines to agree (Verify already sets it session-wide; this makes
+    // eventsMicros self-sufficient under any caller).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
+    }
+    raw.withColumn("ts", tsUs)
   }
 
   /** Synthetic change set over the 4-column customer snapshot: delete
@@ -54,10 +70,13 @@ object SparkEntry {
   }
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-    // rejects at schema inference; none of our queries need it, so read
-    // events through an explicit ts-free schema (the scan then never
-    // touches that column — same effect as column pruning).
+    // events.ts has carried two physical parquet types across driver
+    // rounds (TIMESTAMP(NANOS) — which plain schema inference rejects —
+    // and TIMESTAMP(MICROS)); none of the queries routed through T need
+    // it, so read events through an explicit ts-free schema (the scan
+    // then never touches that column — same effect as column pruning).
+    // Event-time queries go through eventsMicros, which adapts to the
+    // physical type.
     if (name == "events")
       s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
         "value DOUBLE, props STRING")
@@ -1150,23 +1169,15 @@ object SparkEntry {
     }),
 
     // Event-time window aggregation: tumbling 1-hour windows over the
-    // events stream table (ts stored as TIMESTAMP(NANOS) parquet, read
-    // as nanos-long, bucketed with the window() operator). The bucket
-    // is emitted as EPOCH SECONDS (window.start cast long) — window
-    // alignment and the epoch cast are both timezone-independent, so
-    // the oracle compare holds in any session timezone (a date_format
+    // events stream table (ts normalized to micros by eventsMicros —
+    // physical-type-adaptive), bucketed with the window() operator. The
+    // bucket is emitted as EPOCH SECONDS (window.start cast long) —
+    // window alignment and the epoch cast are both timezone-independent,
+    // so the oracle compare holds in any session timezone (a date_format
     // rendering would depend on spark.sql.session.timeZone).
-    // The nanosAsLong conf is a session-wide read flag (required to
-    // scan TIMESTAMP(NANOS) parquet at all); it is deliberately left
-    // set — other queries read events through an explicit ts-free
-    // schema and never touch the column.
     "time_window_agg" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-      ev.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsMicros(s, dir)
+      ev.withColumn("event_ts", timestamp_micros(col("ts")))
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
@@ -1473,13 +1484,13 @@ object SparkEntry {
 
     // Gap-based sessionization (30-min gap): lag boundary + running-sum
     // numbering over ONE (shuffle, sort) on user_id. Timestamps are
-    // truncated to MICROS on both sides: DuckDB reads TIMESTAMP(NANOS)
-    // parquet at microsecond precision, so nano-resolution arithmetic
-    // can't be oracled (verified collision-free at micros).
+    // micros on both sides (eventsMicros / epoch_us): micros is the
+    // finest precision DuckDB reads from either parquet timestamp
+    // layout, and the sf0.01 stream is collision-free at micros.
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(
-        eventsNanos(s, dir).select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts")),
+        eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+          col("ts")),
         gapNs = EventOps.SessionGapNs / 1000)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
 
@@ -1491,8 +1502,8 @@ object SparkEntry {
     // precision reason as sessionize.
     "asof_prior_purchase" -> ((s, dir) =>
       EventOps.withAsofTs(
-        eventsNanos(s, dir).select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts"), col("event_type")),
+        eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
         col("event_type") === "purchase", "purchase_ts")
         .filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
@@ -1503,8 +1514,8 @@ object SparkEntry {
     // side shuffles on its own key and the join is one forward-only
     // merge per partition. Oracle identical to asof_prior_purchase.
     "asof_join_native" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts"), col("event_type"))
+      val ev = eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), col("event_type"))
       graft.plans.Asof.joinBackward(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase")
@@ -1517,8 +1528,8 @@ object SparkEntry {
     // Forward direction of the native operator: each click's NEXT
     // purchase (smallest purchase ts >= click ts, same user).
     "asof_next_purchase" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts"), col("event_type"))
+      val ev = eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), col("event_type"))
       graft.plans.Asof.joinForward(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase")

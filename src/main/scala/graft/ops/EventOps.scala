@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence operators over a `(event_id, user_id, ts)` stream
-  * table (`ts` = epoch nanos as BIGINT — the raw TIMESTAMP(NANOS)
-  * reading): sessionization and as-of joins, the two classic
-  * "order within key" analyses.
+  * table (`ts` = an epoch instant as BIGINT in any single consistent
+  * unit — the callers feed epoch micros): sessionization and as-of
+  * joins, the two classic "order within key" analyses.
   *
   * Both are single-shuffle shapes: one hash partition on the key, one
   * sort within partitions, then pure window arithmetic — no self-join,
