@@ -275,13 +275,14 @@ object SparkEntry {
     * and the recursive reach set — consumers append their final
     * SELECT over `reach` + `base`.
     */
-  private lazy val SemdedupReachCte: String =
-    """WITH RECURSIVE base AS (
-      |  SELECT vec_id, embedding, label FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 10000000, embedding, label FROM embeddings
-      |  WHERE vec_id % 17 = 0),
-      |n AS (SELECT vec_id, label,
+  /** The within-cluster edge + recursive-reach suffix of the SemDeDup
+    * replay, over an already-defined CTE `base(vec_id, embedding,
+    * label)`. Shared by the pre-labeled semdedup queries (labels from
+    * the embeddings table) and the e2e query (labels from the k-means
+    * replay below).
+    */
+  private lazy val SemdedupReachSuffix: String =
+    """n AS (SELECT vec_id, label,
       |  list_transform(embedding, v -> CAST(greatest(least(
       |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT)) AS qvec
       |  FROM base),
@@ -301,6 +302,58 @@ object SparkEntry {
       |  UNION
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
       .stripMargin.replaceAll("\\s+", " ").trim
+
+  private lazy val SemdedupReachCte: String =
+    ("""WITH RECURSIVE base AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding, label FROM embeddings
+      |  WHERE vec_id % 17 = 0),"""
+      .stripMargin.replaceAll("\\s+", " ").trim) + " " + SemdedupReachSuffix
+
+  /** K-means label replay: the full integer-exact Lloyd iteration of
+    * [[graft.ops.KMeans.fitAssign]] (k = 8, 2 rounds, 64 dims, scale
+    * 2^6) rendered as CTEs over a caller-prepended `base0(vec_id,
+    * embedding)`. Ends with `klabel(vec_id, embedding, label)`. Every
+    * compared value is exact-integer-derived — the only doubles are
+    * the score division and the centroid floor-division, both
+    * correctly rounded IEEE ops on exactly-representable operands, so
+    * both engines compute identical bits (see KMeans scaladoc).
+    */
+  private def kmeansLabelSql(k: Int = 8, dims: Int = 64): String = {
+    // argmax cell per vector: signed-square cosine ordering, ties to
+    // the lower cell, degenerate zero-norm centroids at -infinity
+    def assignCte(name: String, cent: String): String =
+      s"$name AS (SELECT vec_id, cell FROM (" +
+        "SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY CASE WHEN cnorm2 > 0 THEN (CASE WHEN qd >= 0 " +
+        "THEN CAST(qd * qd AS DOUBLE) ELSE CAST(qd * qd AS DOUBLE) * -1 " +
+        "END) / CAST(cnorm2 AS DOUBLE) ELSE CAST('-infinity' AS DOUBLE) " +
+        "END DESC, cell ASC) AS rn FROM (" +
+        "SELECT q.vec_id, c.cell, " +
+        "CAST(list_dot_product(q.qvec, c.cvec) AS BIGINT) AS qd, " +
+        "CAST(list_dot_product(c.cvec, c.cvec) AS BIGINT) AS cnorm2 " +
+        s"FROM q CROSS JOIN $cent c)) WHERE rn = 1)"
+    // Lloyd update: per-cell per-dim floor(sum/count); empty cells
+    // drop out of the GROUP BY exactly as in KMeans.refine
+    def refineCte(sName: String, cName: String, aName: String): String =
+      s"$sName AS (SELECT a.cell, d.i, sum(q.qvec[d.i]) AS sm, " +
+        s"count(*) AS cnt FROM $aName a JOIN q USING (vec_id) " +
+        s"CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) d " +
+        "GROUP BY a.cell, d.i), " +
+        s"$cName AS (SELECT cell, list(CAST(floor(CAST(sm AS DOUBLE) " +
+        s"/ cnt) AS BIGINT) ORDER BY i) AS cvec FROM $sName GROUP BY cell)"
+    "q AS (SELECT vec_id, embedding, list_transform(embedding, " +
+      "v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), 127), " +
+      "-128) AS BIGINT)) AS qvec FROM base0), " +
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qvec AS cvec " +
+      s"FROM q WHERE vec_id < $k), " +
+      assignCte("a1", "c0") + ", " + refineCte("s1", "c1", "a1") + ", " +
+      assignCte("a2", "c1") + ", " + refineCte("s2", "c2", "a2") + ", " +
+      assignCte("af", "c2") + ", " +
+      "klabel AS (SELECT q.vec_id, q.embedding, a.cell AS label " +
+      "FROM q JOIN af a USING (vec_id))"
+  }
 
   /** Shared near-dup clustering pipeline (candidates → integer-exact
     * Jaccard edges → distributed connected components), labeled
@@ -1122,6 +1175,30 @@ object SparkEntry {
       SemDedup.semDedup(base.unionByName(planted))
         .filter(col("is_dup") === 0)
         .select(col("vec_id"), col("label"))
+    }),
+
+    // In-engine cluster assignment: integer-exact spherical k-means
+    // (KMeans.fitAssign — 2 Lloyd rounds from the deterministic
+    // lowest-id seeds). The oracle replays the ENTIRE iteration in
+    // SQL; every score and centroid update is exact-integer-derived,
+    // so the labels hash identically (see KMeans scaladoc).
+    "kmeans_assign" -> ((s, dir) =>
+      KMeans.fitAssign(
+        T(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("label"))),
+
+    // SemDeDup END-TO-END from raw embeddings: the k-means labels
+    // above feed the semantic-dedup pair/components pass — no
+    // pre-assigned cluster column anywhere. Planted +10M duplicates
+    // (identical embeddings → identical codes → identical argmax →
+    // same cluster BY CONSTRUCTION) make the dedup nontrivial.
+    "semdedup_e2e" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"))
+      SemDedup.semDedup(KMeans.fitAssign(base.unionByName(planted)))
     }),
 
     // Planted-neighbor recall for the APPROXIMATE ANN paths. The
@@ -2084,6 +2161,26 @@ object SparkEntry {
           " FROM (SELECT node, min(lbl) AS component FROM reach" +
           " GROUP BY node) r JOIN base b ON b.vec_id = r.node" +
           " WHERE b.vec_id = r.component"),
+
+      // the standalone Lloyd labeling, replayed end-to-end
+      "kmeans_assign" ->
+        ("WITH base0 AS (SELECT vec_id, embedding FROM embeddings), " +
+          kmeansLabelSql() + " SELECT vec_id, label FROM klabel"),
+
+      // k-means labels feeding the semantic-dedup reach — the full
+      // raw-embeddings-to-verdict replay in one statement
+      "semdedup_e2e" ->
+        ("WITH RECURSIVE base0 AS (" +
+          "SELECT vec_id, embedding FROM embeddings UNION ALL " +
+          "SELECT vec_id + 10000000, embedding FROM embeddings " +
+          "WHERE vec_id % 17 = 0), " +
+          kmeansLabelSql() + ", " +
+          "base AS (SELECT vec_id, embedding, label FROM klabel), " +
+          SemdedupReachSuffix +
+          " SELECT b.vec_id, b.label, r.component," +
+          " CAST(b.vec_id <> r.component AS INTEGER) AS is_dup" +
+          " FROM (SELECT node, min(lbl) AS component FROM reach" +
+          " GROUP BY node) r JOIN base b ON b.vec_id = r.node"),
 
       // winnowing guarantee gate: recall floor is 100 BY THEOREM
       // (shared ≥7-token run ⇒ shared fingerprint; plants share ≥49)
