@@ -29,6 +29,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
+    "kmeans_assign",   // corpus × broadcast(one packed 8-centroid row)
+    "semdedup_e2e",    // same k-means assignment feeding the dedup
     "quantile_filter",  // × broadcast(single-row percentile cutoff)
     "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
     "unigram_surprisal") // × broadcast(single-row corpus token total)
