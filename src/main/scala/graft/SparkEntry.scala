@@ -246,29 +246,35 @@ object SparkEntry {
 
   /** Recursive-CTE replay of [[neardupLabeled]] (shingles →
     * integer-exact Jaccard edges → min-label reachability), shared by
-    * the neardup_components and neardup_dedup_keep oracles.
+    * the neardup_components and neardup_dedup_keep oracles. The CTE
+    * names take a `p` prefix so the chain can coexist with other
+    * reach pipelines inside one composed statement (dedup_report).
     */
-  private lazy val NeardupReachCte: String =
-    s"""WITH RECURSIVE sh AS (
+  private def neardupReachBody(p: String = ""): String =
+    s"""${p}sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      range(0, greatest(len(toks) - 3, 0) + 1),
        |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
        |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
        |        FROM documents)),
-       |edges0 AS (
+       |${p}edges0 AS (
        |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM sh a JOIN sh b
+       |  FROM ${p}sh a JOIN ${p}sh b
        |    ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
        |  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
        |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-       |edges AS (SELECT src, dst FROM edges0
-       |          UNION SELECT dst, src FROM edges0),
-       |reach(node, lbl) AS (
+       |${p}edges AS (SELECT src, dst FROM ${p}edges0
+       |          UNION SELECT dst, src FROM ${p}edges0),
+       |${p}reach(node, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
+       |  SELECT e.dst, r.lbl FROM ${p}reach r JOIN ${p}edges e
+       |    ON e.src = r.node)"""
       .stripMargin.replaceAll("\\s+", " ").trim
+
+  private lazy val NeardupReachCte: String =
+    "WITH RECURSIVE " + neardupReachBody()
 
   /** Shared DuckDB CTE for the semdedup oracles: planted-duplicate
     * union, int8 quantization, within-cluster integer-cosine edges,
@@ -281,27 +287,31 @@ object SparkEntry {
     * the embeddings table) and the e2e query (labels from the k-means
     * replay below).
     */
-  private lazy val SemdedupReachSuffix: String =
-    """n AS (SELECT vec_id, label,
+  private def semdedupReachSuffix(p: String = ""): String =
+    s"""${p}n AS (SELECT vec_id, label,
       |  list_transform(embedding, v -> CAST(greatest(least(
       |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT)) AS qvec
-      |  FROM base),
-      |m AS (SELECT vec_id, label, qvec,
+      |  FROM ${p}base),
+      |${p}m AS (SELECT vec_id, label, qvec,
       |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT)
-      |    AS norm2 FROM n),
-      |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    AS norm2 FROM ${p}n),
+      |${p}p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |  CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT) AS qdot,
       |  a.norm2 AS na, b.norm2 AS nb
-      |  FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id),
-      |edges0 AS (SELECT src, dst FROM p
+      |  FROM ${p}m a JOIN ${p}m b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |${p}edges0 AS (SELECT src, dst FROM ${p}p
       |  WHERE qdot > 0 AND 10000 * qdot * qdot >= 9409 * na * nb),
-      |edges AS (SELECT src, dst FROM edges0
-      |  UNION SELECT dst, src FROM edges0),
-      |reach(node, lbl) AS (
-      |  SELECT vec_id, vec_id FROM base
+      |${p}edges AS (SELECT src, dst FROM ${p}edges0
+      |  UNION SELECT dst, src FROM ${p}edges0),
+      |${p}reach(node, lbl) AS (
+      |  SELECT vec_id, vec_id FROM ${p}base
       |  UNION
-      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
+      |  SELECT e.dst, r.lbl FROM ${p}reach r JOIN ${p}edges e
+      |    ON e.src = r.node)"""
       .stripMargin.replaceAll("\\s+", " ").trim
+
+  private lazy val SemdedupReachSuffix: String = semdedupReachSuffix()
 
   private lazy val SemdedupReachCte: String =
     ("""WITH RECURSIVE base AS (
@@ -310,6 +320,84 @@ object SparkEntry {
       |  SELECT vec_id + 10000000, embedding, label FROM embeddings
       |  WHERE vec_id % 17 = 0),"""
       .stripMargin.replaceAll("\\s+", " ").trim) + " " + SemdedupReachSuffix
+
+  /** Shared CTE chain of the dedup-verdict ENSEMBLE report — the table
+    * a 100 TB curation run ends with: per document, one verdict column
+    * per dedup family, all replayed from the same fragments the
+    * individual oracles use. The planted universe is the mod-17
+    * verbatim-copy union (the semdedup planting, applied to TEXT and
+    * EMBEDDINGS alike), so every content-based detector has known true
+    * positives; the adjacent-window near-dup detector structurally
+    * cannot see the non-adjacent +10M copies — the report SHOWS that
+    * disagreement rather than hiding it (that is what an ensemble
+    * report is for). Ends with
+    * `report(doc_id, exact_dup, line_dup, lines_lost, substr_dup,
+    * neardup_dup, sem_dup)`.
+    */
+  private lazy val DedupReportCtes: String =
+    s"""alldocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM documents
+       |  WHERE doc_id % 17 = 0),
+       |eh AS (SELECT doc_id, md5($NormTextSql) AS h FROM alldocs),
+       |eo AS (SELECT h, min(doc_id) AS owner FROM eh GROUP BY h),
+       |ltoks AS (SELECT doc_id,
+       |    string_split(coalesce($NormTextSql, ''), ' ') AS t
+       |  FROM alldocs),
+       |lls AS (SELECT doc_id,
+       |    list_transform(range(0, (len(t)-1)//12 + 1),
+       |      i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+       |  FROM ltoks),
+       |llines AS (SELECT doc_id, unnest(la) AS line,
+       |    generate_subscripts(la, 1) AS pos FROM lls),
+       |lown AS (SELECT line, count(*) AS c,
+       |    min(doc_id * 4294967296 + pos) AS owner
+       |  FROM llines GROUP BY line),
+       |lstat AS (SELECT l.doc_id,
+       |    CAST(count(*) FILTER (WHERE o.c > 1 AND
+       |      l.doc_id * 4294967296 + l.pos <> o.owner) AS BIGINT)
+       |      AS lines_lost
+       |  FROM llines l JOIN lown o ON l.line = o.line
+       |  GROUP BY l.doc_id),
+       |ssp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(t) - 50, 0) + 1),
+       |    i -> array_to_string(t[i+1:i+50], ' ')))) AS span
+       |  FROM ltoks),
+       |sown AS (SELECT span, min(doc_id) AS first_doc,
+       |    count(*) AS n_docs
+       |  FROM ssp GROUP BY span),
+       |sstat AS (SELECT ssp.doc_id,
+       |    CAST(max(CASE WHEN sown.n_docs > 1
+       |      AND sown.first_doc < ssp.doc_id
+       |      THEN 1 ELSE 0 END) AS INTEGER) AS substr_dup
+       |  FROM ssp JOIN sown USING (span) GROUP BY ssp.doc_id),
+       |${neardupReachBody("nd_")},
+       |ndcomp AS (SELECT node, min(lbl) AS component FROM nd_reach
+       |  GROUP BY node),
+       |sd_base AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, embedding, label FROM embeddings
+       |  WHERE vec_id % 17 = 0),
+       |${semdedupReachSuffix("sd_")},
+       |sdcomp AS (SELECT node, min(lbl) AS component FROM sd_reach
+       |  GROUP BY node),
+       |report AS (SELECT eh.doc_id,
+       |    CAST(eh.doc_id <> eo.owner AS INTEGER) AS exact_dup,
+       |    CAST(l.lines_lost > 0 AS INTEGER) AS line_dup,
+       |    l.lines_lost,
+       |    s.substr_dup,
+       |    CAST(coalesce(n.node <> n.component, FALSE) AS INTEGER)
+       |      AS neardup_dup,
+       |    CAST(coalesce(sc.node <> sc.component, FALSE) AS INTEGER)
+       |      AS sem_dup
+       |  FROM eh JOIN eo USING (h)
+       |  JOIN lstat l ON l.doc_id = eh.doc_id
+       |  JOIN sstat s ON s.doc_id = eh.doc_id
+       |  LEFT JOIN ndcomp n ON n.node = eh.doc_id
+       |  LEFT JOIN sdcomp sc ON sc.node = eh.doc_id)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
 
   /** K-means label replay: the full integer-exact Lloyd iteration of
     * [[graft.ops.KMeans.fitAssign]] (k = 8, 2 rounds, 64 dims, scale
@@ -413,6 +501,64 @@ object SparkEntry {
     val (edges, ids) = neardupEdges(s, dir)
     Components.connectedComponents(edges,
       ids.select(col("doc_id").as("node")))
+  }
+
+  /** The dedup-verdict ensemble report (Spark side of
+    * [[DedupReportCtes]]): five verdict pipelines — exact hash,
+    * keep-first line, exact-substring span, adjacent-window Jaccard
+    * components, semantic components — assembled by equi-joins on
+    * doc_id. Scale shape: each verdict is an already-bounded pipeline
+    * (hash groupBy / broadcast owner sets / label equi-joins); the
+    * assembly re-uses one hash partitioning of doc_id across the
+    * joins, so the report costs the five passes plus one co-partitioned
+    * join chain — nothing quadratic is introduced by composing them.
+    */
+  private def dedupReportFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val all = docs.unionByName(
+      docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    // exact: min-owner per 32-byte content hash — one window over the
+    // hash partitioning, no second aggregate-join pass
+    val exact = all
+      .select(col("doc_id"), md5(TextDedup.normText(col("text"))).as("h"))
+      .withColumn("owner",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("owner")).cast("int").as("exact_dup"))
+    val recon = regexp_replace(TextDedup.normText(col("text")),
+      "((?:\\S+ ){11}\\S+) ", "$1\n")
+    val line = TextDedup.lineDedupKeepFirst(
+        all.select(col("doc_id"), recon.as("text")))
+      .select(col("doc_id"),
+        (col("n_lines") - col("kept_lines")).as("lines_lost"))
+    val substr = TextDedup.substringDedup(all)
+      .select(col("doc_id"), col("is_dup").as("substr_dup"))
+    val near = neardupLabeled(s, dir)
+      .select(col("node").as("doc_id"),
+        (col("node") =!= col("component")).cast("int").as("neardup_dup"))
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val sem = SemDedup.semDedup(emb.unionByName(
+        emb.filter(col("vec_id") % 17 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding"), col("label"))))
+      .select(col("vec_id").as("doc_id"), col("is_dup").as("sem_dup"))
+    exact
+      .join(line, Seq("doc_id"))
+      .join(substr, Seq("doc_id"))
+      // the near-dup labeling covers the natural corpus only (its
+      // candidate window is id-adjacency) and the semantic labeling
+      // covers the embedding universe — left joins + coalesce(0) keep
+      // a detector's structural blind spot visible as a 0, not a drop
+      .join(near, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        (col("lines_lost") > 0).cast("int").as("line_dup"),
+        col("lines_lost"), col("substr_dup"),
+        coalesce(col("neardup_dup"), lit(0)).as("neardup_dup"),
+        coalesce(col("sem_dup"), lit(0)).as("sem_dup"))
   }
 
   /** Docs that get a planted near-dup copy: a deterministic 1-in-13
@@ -1532,6 +1678,32 @@ object SparkEntry {
     // the keep-first action form: the corpus that survives
     "substring_dedup_keep" -> ((s, dir) =>
       TextDedup.substringDedupKeep(substringDedupInput(s, dir))),
+
+    // The dedup-verdict ENSEMBLE report: per document, one verdict per
+    // dedup family (exact / line / substring / near-dup / semantic)
+    // plus the cross-detector flag count — the table a curation run
+    // reviews before committing drops. See dedupReportFrame.
+    "dedup_report" -> ((s, dir) =>
+      dedupReportFrame(s, dir)
+        .withColumn("n_flags",
+          (col("exact_dup") + col("line_dup") + col("substr_dup") +
+            col("neardup_dup") + col("sem_dup")).cast("int"))),
+
+    // Corpus-level drop accounting over the same ensemble: per-detector
+    // totals, union reach, and the >= 2-detector consensus set.
+    "dedup_report_summary" -> ((s, dir) => {
+      val nf = col("exact_dup") + col("line_dup") + col("substr_dup") +
+        col("neardup_dup") + col("sem_dup")
+      dedupReportFrame(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("exact_dup")).as("exact_dups"),
+        sum(col("line_dup")).as("line_dups"),
+        sum(col("substr_dup")).as("substr_dups"),
+        sum(col("neardup_dup")).as("neardup_dups"),
+        sum(col("sem_dup")).as("sem_dups"),
+        sum(when(nf > 0, 1L).otherwise(0L)).as("flagged_any"),
+        sum(when(nf >= 2, 1L).otherwise(0L)).as("flagged_consensus"))
+    }),
 
     // Incremental (cross-snapshot) dedup: which docs of the "new crawl"
     // half are genuinely new vs the corpus half — left-anti join on the
@@ -2787,6 +2959,30 @@ object SparkEntry {
       "substring_dedup_keep" ->
         (s"WITH stats AS ($SubstringDedupSql) " +
           "SELECT doc_id FROM stats WHERE is_dup = 0"),
+
+      // the full ensemble replay: every verdict column recomputed from
+      // the same SQL fragments its standalone oracle uses, joined once
+      "dedup_report" ->
+        (s"WITH RECURSIVE $DedupReportCtes " +
+          "SELECT doc_id, exact_dup, line_dup, lines_lost, substr_dup, " +
+          "neardup_dup, sem_dup, " +
+          "CAST(exact_dup + line_dup + substr_dup + neardup_dup + " +
+          "sem_dup AS INTEGER) AS n_flags FROM report"),
+
+      "dedup_report_summary" ->
+        (s"WITH RECURSIVE $DedupReportCtes " +
+          "SELECT count(*) AS n_docs, " +
+          "CAST(sum(exact_dup) AS BIGINT) AS exact_dups, " +
+          "CAST(sum(line_dup) AS BIGINT) AS line_dups, " +
+          "CAST(sum(substr_dup) AS BIGINT) AS substr_dups, " +
+          "CAST(sum(neardup_dup) AS BIGINT) AS neardup_dups, " +
+          "CAST(sum(sem_dup) AS BIGINT) AS sem_dups, " +
+          "CAST(sum(CASE WHEN exact_dup + line_dup + substr_dup + " +
+          "neardup_dup + sem_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS flagged_any, " +
+          "CAST(sum(CASE WHEN exact_dup + line_dup + substr_dup + " +
+          "neardup_dup + sem_dup >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS flagged_consensus FROM report"),
 
       "dedup_incremental" -> {
         // qualify the column refs: inside the NOT EXISTS a bare `text`

@@ -150,12 +150,45 @@ class SparkEntrySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("dedup_report: planted copies hit the content detectors, " +
+      "miss the adjacency detector, and the summary adds up") {
+    import org.apache.spark.sql.functions._
+    val rep = SparkEntry.queries("dedup_report")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      // the mod-17 verbatim copies are ground truth: identical text ⇒
+      // exact/line/substring verdicts fire; identical embedding in the
+      // same cluster ⇒ semantic fires; but the near-dup candidate
+      // window is id-adjacency, so the +10M copies are its structural
+      // blind spot — the report must SHOW that as 0, not drop the row
+      val copies = rep.filter(col("doc_id") >= 10000000L)
+      val n = copies.count()
+      assert(n > 0, "no planted copies in the report")
+      assert(copies.filter(col("exact_dup") === 1 && col("line_dup") === 1 &&
+        col("substr_dup") === 1 && col("sem_dup") === 1 &&
+        col("neardup_dup") === 0).count() == n)
+      // cross-row consistency: flag count column matches its parts
+      assert(rep.filter(col("n_flags") =!= col("exact_dup") +
+        col("line_dup") + col("substr_dup") + col("neardup_dup") +
+        col("sem_dup")).count() == 0)
+      // summary rows are the aggregate of the detail rows
+      val sum = SparkEntry.queries("dedup_report_summary")(
+        spark, "/root/testdata/sf0.001").collect().head
+      assert(sum.getAs[Long]("n_docs") == rep.count())
+      assert(sum.getAs[Long]("exact_dups") ==
+        rep.agg(org.apache.spark.sql.functions.sum("exact_dup"))
+          .collect().head.getLong(0))
+      assert(sum.getAs[Long]("flagged_any") ==
+        rep.filter(col("n_flags") > 0).count())
+    } finally rep.unpersist()
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 107,
+    assert(SparkEntry.queries.size == 109,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 107,
+    assert(SparkEntry.oracleSql.size == 109,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set is pinned EMPTY since round 10: every query
     // carries an oracle — the two whose raw values aren't
