@@ -141,6 +141,15 @@ object SparkEntry {
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+  /** The planted stop-word sentence for curation_e2e_v2's Gopher gate:
+    * 7 of the 8 [[TextAnalysis.GopherStopWords]] in one terminal-
+    * punctuated 14-word line, so it survives the C4 line stage and
+    * counts as a sentence for the page stage. Rendered verbatim into
+    * both the Spark prep and the oracle.
+    */
+  private val StopSentence =
+    "the model and the data of the run have to be set with care."
+
   /** DuckDB rendition of [[Redaction.withFakePii]]'s injector —
     * shared by the pii_redact and curation_e2e oracles.
     */
@@ -2005,6 +2014,49 @@ object SparkEntry {
       Redaction.piiScrub(TextDedup.exactDedupKeepFirst(kept))
     }),
 
+    // The curation pipeline upgraded to the PUBLISHED quality gates:
+    // Gopher composite rules → C4 page retention → C4 line cleaning →
+    // exact dedup keep-first → PII redaction, still ONE declarative
+    // plan with a single shuffle. The corpus is single-line word
+    // salad, so the prep synthesizes the multi-line punctuated form
+    // the gates consume; every planted rule trigger (stop-word
+    // sentence, lorem page, brace page) derives from the TEXT (length
+    // mods), NOT doc_id, so verbatim duplicate documents remain
+    // verbatim duplicates through the prep and the dedup window still
+    // fires on them. Gates are projected flags behind the same
+    // nondeterministic barrier as curation_e2e; the line stage uses
+    // the per-row c4LineClean, so nothing before the dedup shuffles.
+    "curation_e2e_v2" -> ((s, dir) => {
+      val nt = TextDedup.normText(col("text"))
+      val toks = split(nt, " ")
+      val la = transform(
+        transform(
+          sequence(lit(0),
+            greatest(floor((size(toks) - 1) / 12).cast("int"), lit(0))),
+          i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12)))),
+        (l, i) => when(pmod(i, lit(3)) === 0, concat(l, lit(".")))
+          .otherwise(l))
+      val ln = length(nt)
+      val s0 = array_join(la, "\n")
+      val s1 = when(pmod(ln, lit(4)) =!= 0,
+        concat(s0, lit("\n" + StopSentence))).otherwise(s0)
+      val s2 = when(pmod(ln, lit(19)) === 0,
+        concat(s1, lit("\nlorem ipsum dolor sit amet."))).otherwise(s1)
+      val synth = when(pmod(ln, lit(23)) === 0,
+        concat(s2, lit("\ncode { sample }"))).otherwise(s2)
+      val gated = T(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+        .withColumn("__keep",
+          TextAnalysis.gopherKeep(col("text")) &&
+            TextAnalysis.c4PageKeep(col("text")))
+        .withColumn("__nd", monotonically_increasing_id())
+        .filter(col("__keep") && col("__nd") >= 0)
+        .select(col("doc_id"),
+          TextAnalysis.c4LineClean(col("text")).as("text"))
+      Redaction.piiScrub(Redaction.withFakePii(
+        TextDedup.exactDedupKeepFirst(gated)))
+    }),
+
     // Aggregate-based argmax (max_by on a struct ordering key): each
     // customer's highest-value order in ONE hash aggregate — no
     // per-group sort, no window shuffle; ties broken by orderkey so
@@ -2798,6 +2850,90 @@ object SparkEntry {
           "r AS (SELECT doc_id, text AS t, " +
           s"$redacted AS redacted FROM g) " +
           s"SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"
+      },
+
+      // the published-gate curation replay: synthesized punctuated
+      // lines (text-derived planting), the full Gopher + C4 page rule
+      // set as one WHERE, the C4 line clean as list_filter, keep-first
+      // dedup, then the same injection/redaction tail as curation_e2e
+      "curation_e2e_v2" -> {
+        def occ2(src: String, tok: String) =
+          s"(len($src) - len(replace($src, '$tok', ''))) // ${tok.length}"
+        val countCols = Redaction.Patterns.map { case (cat, _, tok) =>
+          s"CAST(${occ2("redacted", tok)} - ${occ2("t", tok)} " +
+            s"AS BIGINT) AS n_$cat"
+        }
+        val redacted = Redaction.Patterns.foldLeft("t") {
+          case (acc, (_, pat, tok)) =>
+            s"regexp_replace($acc, '$pat', '$tok', 'g')"
+        }
+        val stopPresent = TextAnalysis.GopherStopWords
+          .map(w => s"CASE WHEN strpos(' ' || lower(text) || ' ', ' $w ') " +
+            "> 0 THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        val normOfText = NormTextSql
+        s"""WITH prep AS (SELECT doc_id,
+           |    string_split($NormTextSql, ' ') AS t,
+           |    length($NormTextSql) AS ln FROM documents),
+           |sy AS (SELECT doc_id,
+           |  array_to_string(list_transform(range(0, (len(t)-1)//12 + 1),
+           |    i -> array_to_string(t[i*12+1:i*12+12], ' ') ||
+           |      CASE WHEN i % 3 = 0 THEN '.' ELSE '' END), chr(10))
+           |  || CASE WHEN ln % 4 <> 0
+           |       THEN chr(10) || '$StopSentence' ELSE '' END
+           |  || CASE WHEN ln % 19 = 0
+           |       THEN chr(10) || 'lorem ipsum dolor sit amet.'
+           |       ELSE '' END
+           |  || CASE WHEN ln % 23 = 0
+           |       THEN chr(10) || 'code { sample }' ELSE '' END AS text
+           |  FROM prep),
+           |st AS (SELECT doc_id, text,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           |    AS word_cnt,
+           |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+           |    AS nonws_chars,
+           |  CAST((length(text) - length(replace(text, '#', ''))) +
+           |    (length(text) - length(replace(text, '...', ''))) / 3
+           |    AS BIGINT) AS symbol_cnt,
+           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           |  CAST(len(list_filter(string_split(text, chr(10)), l ->
+           |    starts_with(l, '- ') OR starts_with(l, '* ')
+           |    OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines,
+           |  CAST(len(list_filter(string_split(text, chr(10)), l ->
+           |    ends_with(l, '...'))) AS BIGINT) AS ellipsis_lines,
+           |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |    w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           |    AS alpha_words,
+           |  CAST($stopPresent AS BIGINT) AS stop_present,
+           |  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+           |    AS n_sentences
+           |  FROM sy),
+           |g AS (SELECT doc_id, text FROM st
+           |  WHERE length(trim(text)) > 0
+           |  AND word_cnt BETWEEN 50 AND 100000
+           |  AND nonws_chars >= word_cnt * 3
+           |  AND nonws_chars <= word_cnt * 10
+           |  AND symbol_cnt * 10 <= word_cnt
+           |  AND bullet_lines * 10 <= n_lines * 9
+           |  AND ellipsis_lines * 10 <= n_lines * 3
+           |  AND alpha_words * 10 >= word_cnt * 8
+           |  AND stop_present >= 2
+           |  AND n_sentences >= 3
+           |  AND NOT contains(lower(text), 'lorem ipsum')
+           |  AND NOT contains(text, '{')),
+           |c AS (SELECT doc_id, array_to_string(list_filter(
+           |    string_split(text, chr(10)), l ->
+           |      regexp_matches(l, '[.!?"]$$')
+           |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+           |      AND NOT contains(lower(l), 'javascript')), chr(10))
+           |    AS text FROM g),
+           |d AS (SELECT doc_id, text FROM c
+           |  QUALIFY row_number() OVER (PARTITION BY md5($normOfText)
+           |    ORDER BY doc_id) = 1),
+           |p AS (SELECT doc_id, $PiiInjSql AS t FROM d),
+           |r AS (SELECT doc_id, t, $redacted AS redacted FROM p)
+           |SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"""
+          .stripMargin.replaceAll("\\s+", " ").trim
       },
 
       "pii_redact" -> {

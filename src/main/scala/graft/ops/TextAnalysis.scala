@@ -230,6 +230,23 @@ object TextAnalysis {
     * any scale. Emitting the flags (not just survivors) keeps the
     * whole rule table oracle-checkable per document.
     */
+  /** The composite Gopher verdict from its rule inputs — ONE place for
+    * the thresholds, consumed over named stat columns by
+    * [[gopherQualityFilter]] and inline by [[gopherKeep]].
+    */
+  private def gopherRule(wordCnt: Column, nonwsChars: Column,
+      symbolCnt: Column, nLines: Column, bulletLines: Column,
+      ellipsisLines: Column, alphaWords: Column,
+      stopPresent: Column): Column =
+    wordCnt.between(50L, 100000L) &&
+      nonwsChars >= wordCnt * 3 &&
+      nonwsChars <= wordCnt * 10 &&
+      symbolCnt * 10 <= wordCnt &&
+      bulletLines * 10 <= nLines * 9 &&
+      ellipsisLines * 10 <= nLines * 3 &&
+      alphaWords * 10 >= wordCnt * 8 &&
+      stopPresent >= 2L
+
   def gopherQualityFilter(docs: DataFrame): DataFrame = {
     val text = col("text")
     val padded = concat(lit(" "), lower(text), lit(" "))
@@ -256,14 +273,33 @@ object TextAnalysis {
           .cast("long").as("alpha_words"),
         stopPresent.as("stop_present"))
       .withColumn("keep",
-        col("word_cnt").between(50L, 100000L) &&
-          col("nonws_chars") >= col("word_cnt") * 3 &&
-          col("nonws_chars") <= col("word_cnt") * 10 &&
-          col("symbol_cnt") * 10 <= col("word_cnt") &&
-          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
-          col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
-          col("alpha_words") * 10 >= col("word_cnt") * 8 &&
-          col("stop_present") >= 2L)
+        gopherRule(col("word_cnt"), col("nonws_chars"), col("symbol_cnt"),
+          col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
+          col("alpha_words"), col("stop_present")))
+  }
+
+  /** The Gopher verdict as ONE per-row Column over raw text, for
+    * composing into a projected quality gate (curation_e2e_v2) without
+    * materializing the stats frame. Empty/blank text fails the
+    * word-count floor, matching [[gopherQualityFilter]]'s pre-filter.
+    */
+  def gopherKeep(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val words = split(trim(text), "\\s+")
+    val lines = split(text, "\n")
+    val stopPresent = GopherStopWords.map(w =>
+      when(instr(padded, s" $w ") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    gopherRule(
+      wordCount(text),
+      length(regexp_replace(text, "\\s", "")).cast("long"),
+      occurrences(text, "#") + occurrences(text, "..."),
+      size(lines).cast("long"),
+      size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+        .cast("long"),
+      size(filter(lines, l => l.endsWith("..."))).cast("long"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
+      stopPresent)
   }
 
   /** C4's line-level cleaning rules (Raffel et al. 2020, §2.2): keep
@@ -278,6 +314,28 @@ object TextAnalysis {
     * only exchange is the per-document groupBy — embarrassingly
     * parallel at any scale.
     */
+  /** The per-line C4 keep predicate — shared by the exploded
+    * reassembly form ([[c4LineFilter]]) and the per-row projection
+    * form ([[c4LineClean]]).
+    */
+  private def c4LineKeep(line: Column, minWords: Int): Column =
+    line.rlike("[.!?\"]$") &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** C4 line cleaning as a PURE PER-ROW projection: the kept lines
+    * rejoined in original order, no explode and no groupBy — zero
+    * exchanges, so a composed curation pipeline can run the line
+    * stage before its single dedup shuffle. Semantics identical to
+    * [[c4LineFilter]]'s `clean_text` (Spark's `filter` HOF preserves
+    * element order).
+    */
+  def c4LineClean(text: Column, minWords: Int = 5): Column =
+    array_join(
+      filter(split(coalesce(text, lit("")), "\n", -1),
+        l => c4LineKeep(l, minWords)),
+      "\n")
+
   def c4LineFilter(
       docs: DataFrame,
       minWords: Int = 5,
@@ -286,10 +344,7 @@ object TextAnalysis {
     val lines = docs.select(col("doc_id"),
       posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
         .as(Seq("pos", "line")))
-    val kept = col("line").rlike("[.!?\"]$") &&
-      size(split(trim(col("line")), "\\s+")) >= minWords &&
-      !lower(col("line")).contains("javascript")
-    lines.withColumn("kept", kept)
+    lines.withColumn("kept", c4LineKeep(col("line"), minWords))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -325,6 +380,16 @@ object TextAnalysis {
         col("n_sentences") >= minSentences &&
           !col("has_lorem") && !col("has_brace"))
   }
+
+  /** The page-level C4 verdict as ONE per-row Column over raw text
+    * (the [[c4PageFilter]] rules, blank-page pre-filter included) —
+    * for composing into a projected quality gate.
+    */
+  def c4PageKeep(text: Column, minSentences: Int = 3): Column =
+    length(trim(text)) > 0 &&
+      occurrences(text, ".") >= minSentences &&
+      !lower(text).contains("lorem ipsum") &&
+      !text.contains("{")
 
   /** Document fingerprint: md5 over whitespace-normalized, lowercased
     * text — the canonical key for exact dedup after trivial formatting

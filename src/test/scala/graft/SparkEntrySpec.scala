@@ -38,6 +38,17 @@ class SparkEntrySpec extends SparkSpec {
       s"pushdown barrier disappeared — gates likely re-inlined:\n$plan")
   }
 
+  test("curation_e2e_v2 runs every published gate before its single shuffle") {
+    val plan = SparkEntry.queries("curation_e2e_v2")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // one Exchange total — the dedup window; the Gopher/C4-page flags
+    // and the per-row C4 line clean must not add any
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one Exchange:\n$plan")
+    assert(plan.contains("monotonically_increasing_id"),
+      s"pushdown barrier disappeared — gates likely re-inlined:\n$plan")
+  }
+
   test("pipeline e2e plans keep their pinned shuffle budget and no SMJ") {
     // The two extractor pipelines are among the most expensive bench
     // rows; PLANS.md audits their shape, but only a pin makes a shape
@@ -186,9 +197,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 109,
+    assert(SparkEntry.queries.size == 110,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 109,
+    assert(SparkEntry.oracleSql.size == 110,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set is pinned EMPTY since round 10: every query
     // carries an oracle — the two whose raw values aren't
