@@ -174,4 +174,80 @@ class StreamDedupSpec extends SparkSpec {
       assert(verdicts == Map(30L -> true, 31L -> false, 32L -> false))
     } finally q.stop()
   }
+
+  test("C4 page gate runs unchanged on a stream (stateless per-row)") {
+    // c4PageFilter is projection + filter, no state — the same operator
+    // body is legal in a streaming query as-is.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = graft.ops.TextAnalysis.c4PageFilter(
+      input.toDF().select(col("doc_id"), col("text")))
+    val q = out.writeStream
+      .format("memory").queryName("sd_c4page")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdp-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 40L, "one fine line. two more here. three to close."),
+        Doc(ts(2), 41L, "lorem ipsum filler. two. three."), // placeholder
+        Doc(ts(3), 42L, "code { x }. two. three."),         // code brace
+        Doc(ts(4), 43L, "just one."))                       // < 3 sentences
+      q.processAllAvailable()
+      val verdicts = spark.table("sd_c4page")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      assert(verdicts ==
+        Map(40L -> true, 41L -> false, 42L -> false, 43L -> false))
+    } finally q.stop()
+  }
+
+  test("C4 line cleaning runs unchanged on a stream (per-row form)") {
+    // c4LineClean is the zero-exchange projection form of the line
+    // rules (c4LineFilter's clean_text without the explode/groupBy
+    // reassembly), so it streams with no output-mode ceremony —
+    // the form a streaming curation pipeline would use.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = input.toDF().select(col("doc_id"),
+      graft.ops.TextAnalysis.c4LineClean(col("text")).as("clean_text"))
+    val q = out.writeStream
+      .format("memory").queryName("sd_c4line")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdl-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 50L,
+          "a good first line right here.\nshort one\n" +
+            "enable javascript to view this page.\n" +
+            "another keeper line ends well!"))
+      q.processAllAvailable()
+      val cleaned = spark.table("sd_c4line")
+        .select("clean_text").as[String].collect().head
+      assert(cleaned ==
+        "a good first line right here.\nanother keeper line ends well!")
+    } finally q.stop()
+  }
+
+  test("within-doc line dedup runs unchanged on a stream (pure projection)") {
+    // lineDedupWithinDoc has no corpus-wide stage at all, so the same
+    // operator body streams as a stateless projection.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = graft.ops.TextDedup.lineDedupWithinDoc(
+      input.toDF().select(col("doc_id"), col("text")))
+    val q = out.writeStream
+      .format("memory").queryName("sd_withindoc")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdw-").toString)
+      .start()
+    try {
+      input.addData(Doc(ts(1), 60L, "nav\nbody text.\nnav\nfooter"))
+      q.processAllAvailable()
+      val row = spark.table("sd_withindoc")
+        .select("n_lines", "kept_lines", "dedup_text")
+        .as[(Long, Long, String)].collect().head
+      assert(row == ((4L, 3L, "nav\nbody text.\nfooter")))
+    } finally q.stop()
+  }
 }
