@@ -1630,6 +1630,21 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
     }),
 
+    // The PARAGRAPH-granularity form of the same operator: the
+    // generalized `sep` parameter exercised with a MULTI-character
+    // literal separator ("\n\n"), not just typed — the reconstruction
+    // emits blank-line-separated 12-token paragraphs and the operator
+    // must split/reassemble on the quoted two-char boundary. Counts
+    // match line_dedup by construction; dedup_text proves the
+    // separator round-trips.
+    "line_dedup_paragraph" -> ((s, dir) => {
+      val recon = regexp_replace(TextDedup.normText(col("text")),
+        "((?:\\S+ ){11}\\S+) ", "$1\n\n")
+      TextDedup.lineDedup(
+        T(s, dir, "documents").select(col("doc_id"), recon.as("text")),
+        sep = "\n\n")
+    }),
+
     // WITHIN-document line dedup (intra-page boilerplate). The word
     // salad never repeats a 12-token line inside one document, so the
     // prep plants the repeat SQL-replayably: doc_id % 7 == 0 documents
@@ -2997,6 +3012,29 @@ object SparkEntry {
             |SELECT l.doc_id, count(*) AS n_lines,
             |  count(*) FILTER (WHERE c.c <= 1) AS kept_lines,
             |  coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+            |    FILTER (WHERE c.c <= 1), '') AS dedup_text
+            |FROM lines l JOIN cnt c ON l.line = c.line
+            |GROUP BY l.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // same counts as line_dedup; dedup_text rejoined on the
+      // two-character paragraph boundary the operator split on
+      "line_dedup_paragraph" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |lines AS (
+            |  SELECT doc_id, unnest(la) AS line,
+            |    generate_subscripts(la, 1) AS pos FROM ls),
+            |cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+            |SELECT l.doc_id, count(*) AS n_lines,
+            |  count(*) FILTER (WHERE c.c <= 1) AS kept_lines,
+            |  coalesce(string_agg(l.line, chr(10) || chr(10)
+            |    ORDER BY l.pos)
             |    FILTER (WHERE c.c <= 1), '') AS dedup_text
             |FROM lines l JOIN cnt c ON l.line = c.line
             |GROUP BY l.doc_id"""

@@ -113,8 +113,16 @@ object KMeans {
       Quantization.int8Codes(col("embedding"), logScale).as("qvec"))
     val init = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("qvec").as("cvec"))
+    // Materialize the k-row centroid state after every round: a lazy
+    // centroid frame embeds the FULL corpus scan of all prior rounds
+    // in its lineage, and each downstream reference (the next round's
+    // broadcast, the final assignment, every consumer of the labels)
+    // would re-execute that whole chain. The model state is k×(d+1)
+    // ints — checkpointing it per round is the iterative-algorithm
+    // contract (same reasoning as Components' single edge checkpoint),
+    // and turns `iters` rounds into exactly `iters` corpus scans.
     val fitted = (1 to iters).foldLeft(init)((c, _) =>
-      refine(assign(q, c), dims))
+      refine(assign(q, c), dims).localCheckpoint())
     assign(q, fitted)
       .select(col("vec_id"), col("embedding"), col("label"))
   }
