@@ -150,6 +150,105 @@ object SparkEntry {
   private val StopSentence =
     "the model and the data of the run have to be set with care."
 
+  /** The curation_e2e_v2 input synthesis over the raw `text` column:
+    * 12-token lines punctuated every third line, plus the text-derived
+    * planted rule triggers (stop-word sentence unless `len % 4 == 0`,
+    * lorem page at `len % 19 == 0`, brace page at `len % 23 == 0`).
+    * Text-derived so verbatim duplicate documents stay verbatim
+    * duplicates through the prep. Mirrored by [[CurationSynthCtes]].
+    */
+  private def curationSynth: Column = {
+    val nt = TextDedup.normText(col("text"))
+    val toks = split(nt, " ")
+    val la = transform(
+      transform(
+        sequence(lit(0),
+          greatest(floor((size(toks) - 1) / 12).cast("int"), lit(0))),
+        i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12)))),
+      (l, i) => when(pmod(i, lit(3)) === 0, concat(l, lit(".")))
+        .otherwise(l))
+    val ln = length(nt)
+    val s0 = array_join(la, "\n")
+    val s1 = when(pmod(ln, lit(4)) =!= 0,
+      concat(s0, lit("\n" + StopSentence))).otherwise(s0)
+    val s2 = when(pmod(ln, lit(19)) === 0,
+      concat(s1, lit("\nlorem ipsum dolor sit amet."))).otherwise(s1)
+    when(pmod(ln, lit(23)) === 0,
+      concat(s2, lit("\ncode { sample }"))).otherwise(s2)
+  }
+
+  /** prep → sy → st CTE chain of the curation_e2e_v2 oracle: the
+    * synthesized punctuated multi-line text plus every gate rule
+    * input. Shared by curation_e2e_v2 and curation_funnel.
+    */
+  private lazy val CurationSynthCtes: String = {
+    val stopPresent = TextAnalysis.GopherStopWords
+      .map(w => s"CASE WHEN strpos(' ' || lower(text) || ' ', ' $w ') " +
+        "> 0 THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""prep AS (SELECT doc_id,
+       |    string_split($NormTextSql, ' ') AS t,
+       |    length($NormTextSql) AS ln FROM documents),
+       |sy AS (SELECT doc_id,
+       |  array_to_string(list_transform(range(0, (len(t)-1)//12 + 1),
+       |    i -> array_to_string(t[i*12+1:i*12+12], ' ') ||
+       |      CASE WHEN i % 3 = 0 THEN '.' ELSE '' END), chr(10))
+       |  || CASE WHEN ln % 4 <> 0
+       |       THEN chr(10) || '$StopSentence' ELSE '' END
+       |  || CASE WHEN ln % 19 = 0
+       |       THEN chr(10) || 'lorem ipsum dolor sit amet.'
+       |       ELSE '' END
+       |  || CASE WHEN ln % 23 = 0
+       |       THEN chr(10) || 'code { sample }' ELSE '' END AS text
+       |  FROM prep),
+       |st AS (SELECT doc_id, text,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS word_cnt,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |    AS nonws_chars,
+       |  CAST((length(text) - length(replace(text, '#', ''))) +
+       |    (length(text) - length(replace(text, '...', ''))) / 3
+       |    AS BIGINT) AS symbol_cnt,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(string_split(text, chr(10)), l ->
+       |    starts_with(l, '- ') OR starts_with(l, '* ')
+       |    OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines,
+       |  CAST(len(list_filter(string_split(text, chr(10)), l ->
+       |    ends_with(l, '...'))) AS BIGINT) AS ellipsis_lines,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |    AS alpha_words,
+       |  CAST($stopPresent AS BIGINT) AS stop_present,
+       |  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+       |    AS n_sentences
+       |  FROM sy)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+  }
+
+  /** The Gopher composite over st's named columns. */
+  private val GopherCondSql: String =
+    "word_cnt BETWEEN 50 AND 100000 " +
+      "AND nonws_chars >= word_cnt * 3 " +
+      "AND nonws_chars <= word_cnt * 10 " +
+      "AND symbol_cnt * 10 <= word_cnt " +
+      "AND bullet_lines * 10 <= n_lines * 9 " +
+      "AND ellipsis_lines * 10 <= n_lines * 3 " +
+      "AND alpha_words * 10 >= word_cnt * 8 " +
+      "AND stop_present >= 2"
+
+  /** The C4 page composite over st's named columns. */
+  private val PageCondSql: String =
+    "length(trim(text)) > 0 AND n_sentences >= 3 " +
+      "AND NOT contains(lower(text), 'lorem ipsum') " +
+      "AND NOT contains(text, '{')"
+
+  /** The C4 line clean (kept lines rejoined) over a `text` column. */
+  private val C4LineCleanSql: String =
+    "array_to_string(list_filter(string_split(text, chr(10)), l -> " +
+      "regexp_matches(l, '[.!?\"]$') " +
+      "AND len(string_split_regex(trim(l), '\\s+')) >= 5 " +
+      "AND NOT contains(lower(l), 'javascript')), chr(10))"
+
   /** DuckDB rendition of [[Redaction.withFakePii]]'s injector —
     * shared by the pii_redact and curation_e2e oracles.
     */
@@ -1007,6 +1106,21 @@ object SparkEntry {
     // Quality scoring with categorical verdict.
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(T(s, dir, "documents"))),
+
+    // Model-based quality filtering: linear classifier score over the
+    // named integer feature set with the default integer weights —
+    // the trained-classifier gate shape (fastText/DCLM) as a pure
+    // per-row projection.
+    "quality_classifier" -> ((s, dir) =>
+      TextAnalysis.classifierScore(T(s, dir, "documents"))),
+
+    // Training-shard layout: deterministic global shuffle + per-shard
+    // position — the write-side layout of a curation run (16 hash
+    // shards, per-shard rank; see Sampling.shardLayout for the
+    // 100 TB shape).
+    "train_shard_layout" -> ((s, dir) =>
+      Sampling.shardLayout(
+        T(s, dir, "documents"), TextDedup.normText(col("text")))),
 
     // Gopher/MassiveText composite quality rules, integer-exact.
     "gopher_quality" -> ((s, dir) =>
@@ -2042,25 +2156,8 @@ object SparkEntry {
     // nondeterministic barrier as curation_e2e; the line stage uses
     // the per-row c4LineClean, so nothing before the dedup shuffles.
     "curation_e2e_v2" -> ((s, dir) => {
-      val nt = TextDedup.normText(col("text"))
-      val toks = split(nt, " ")
-      val la = transform(
-        transform(
-          sequence(lit(0),
-            greatest(floor((size(toks) - 1) / 12).cast("int"), lit(0))),
-          i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12)))),
-        (l, i) => when(pmod(i, lit(3)) === 0, concat(l, lit(".")))
-          .otherwise(l))
-      val ln = length(nt)
-      val s0 = array_join(la, "\n")
-      val s1 = when(pmod(ln, lit(4)) =!= 0,
-        concat(s0, lit("\n" + StopSentence))).otherwise(s0)
-      val s2 = when(pmod(ln, lit(19)) === 0,
-        concat(s1, lit("\nlorem ipsum dolor sit amet."))).otherwise(s1)
-      val synth = when(pmod(ln, lit(23)) === 0,
-        concat(s2, lit("\ncode { sample }"))).otherwise(s2)
       val gated = T(s, dir, "documents")
-        .select(col("doc_id"), synth.as("text"))
+        .select(col("doc_id"), curationSynth.as("text"))
         .withColumn("__keep",
           TextAnalysis.gopherKeep(col("text")) &&
             TextAnalysis.c4PageKeep(col("text")))
@@ -2070,6 +2167,28 @@ object SparkEntry {
           TextAnalysis.c4LineClean(col("text")).as("text"))
       Redaction.piiScrub(Redaction.withFakePii(
         TextDedup.exactDedupKeepFirst(gated)))
+    }),
+
+    // Per-stage survivor accounting over the same synthesized corpus —
+    // the funnel a run reviews before committing drops: input →
+    // gopher gate → +page gate → +non-empty line clean → post-dedup
+    // distinct documents. ONE corpus scan, one partial-aggregated
+    // fold; the dedup stage is a count(DISTINCT hash) over the gated
+    // subset, never a second pipeline.
+    "curation_funnel" -> ((s, dir) => {
+      val gk = TextAnalysis.gopherKeep(col("text"))
+      val pk = TextAnalysis.c4PageKeep(col("text"))
+      val clean = TextAnalysis.c4LineClean(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), curationSynth.as("text"))
+        .agg(
+          count(lit(1)).as("n_input"),
+          sum(when(gk, 1L).otherwise(0L)).as("n_gopher"),
+          sum(when(gk && pk, 1L).otherwise(0L)).as("n_page"),
+          sum(when(gk && pk && length(clean) > 0, 1L).otherwise(0L))
+            .as("n_line_nonempty"),
+          count_distinct(when(gk && pk,
+            md5(TextDedup.normText(clean)))).as("n_deduped"))
     }),
 
     // Aggregate-based argmax (max_by on a struct ordering key): each
@@ -2448,6 +2567,49 @@ object SparkEntry {
           "WHEN punct_cnt * 5 > char_len THEN 'punct_noise' " +
           "WHEN digit_cnt * 5 > char_len THEN 'digit_noise' " +
           "WHEN stop_hits = 0 THEN 'no_stopwords' ELSE 'good' END AS quality FROM s"),
+
+      // the linear classifier replay, GENERATED from the same feature
+      // fragments and weight constants the Spark side folds — the two
+      // can't drift
+      "quality_classifier" -> {
+        val fragments = Map(
+          "word_cnt" ->
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)",
+          "stop_hits" -> TextAnalysis.GopherStopWords
+            .map(w => occSql(PaddedLower, s" $w ")).mkString("(", " + ", ")"),
+          "punct_cnt" ->
+            ("CAST(length(text) - length(regexp_replace(text, " +
+              "'[.,;:!?]', '', 'g')) AS BIGINT)"),
+          "digit_cnt" ->
+            ("CAST(length(text) - length(regexp_replace(text, " +
+              "'[0-9]', '', 'g')) AS BIGINT)"))
+        val (bias, w) = TextAnalysis.ClassifierWeights
+        val score = (s"CAST($bias AS BIGINT)" +:
+          TextAnalysis.ClassifierFeatures
+            .collect { case (name, _) if w.contains(name) =>
+              s"(${fragments(name)}) * (${w(name)})" })
+          .mkString("(", " + ", ")")
+        s"SELECT doc_id, $score AS score, " +
+          s"CAST($score >= 0 AS INTEGER) AS keep FROM documents"
+      },
+
+      // shard = md5 first-byte value folded mod 16 (ascii arithmetic —
+      // no hex-parse builtin assumed), pos = rank of the hash within
+      // the shard; same tie-break (hash, doc_id) as the Spark window
+      "train_shard_layout" -> {
+        def nib(i: Int) =
+          s"(CASE WHEN ascii(substr(h, $i, 1)) < 58 " +
+            s"THEN ascii(substr(h, $i, 1)) - 48 " +
+            s"ELSE ascii(substr(h, $i, 1)) - 87 END)"
+        s"WITH hs AS (SELECT doc_id, md5($NormTextSql) AS h " +
+          "FROM documents), " +
+          "sh AS (SELECT doc_id, h, " +
+          s"CAST((${nib(1)} * 16 + ${nib(2)}) % 16 AS INTEGER) AS shard " +
+          "FROM hs) " +
+          "SELECT doc_id, shard, " +
+          "CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
+          "AS BIGINT) AS pos FROM sh"
+      },
 
       // Gopher rules replayed with the same cross-multiplied integer
       // arithmetic (no float ratios cross the engine boundary)
@@ -2882,73 +3044,35 @@ object SparkEntry {
           case (acc, (_, pat, tok)) =>
             s"regexp_replace($acc, '$pat', '$tok', 'g')"
         }
-        val stopPresent = TextAnalysis.GopherStopWords
-          .map(w => s"CASE WHEN strpos(' ' || lower(text) || ' ', ' $w ') " +
-            "> 0 THEN 1 ELSE 0 END")
-          .mkString("(", " + ", ")")
-        val normOfText = NormTextSql
-        s"""WITH prep AS (SELECT doc_id,
-           |    string_split($NormTextSql, ' ') AS t,
-           |    length($NormTextSql) AS ln FROM documents),
-           |sy AS (SELECT doc_id,
-           |  array_to_string(list_transform(range(0, (len(t)-1)//12 + 1),
-           |    i -> array_to_string(t[i*12+1:i*12+12], ' ') ||
-           |      CASE WHEN i % 3 = 0 THEN '.' ELSE '' END), chr(10))
-           |  || CASE WHEN ln % 4 <> 0
-           |       THEN chr(10) || '$StopSentence' ELSE '' END
-           |  || CASE WHEN ln % 19 = 0
-           |       THEN chr(10) || 'lorem ipsum dolor sit amet.'
-           |       ELSE '' END
-           |  || CASE WHEN ln % 23 = 0
-           |       THEN chr(10) || 'code { sample }' ELSE '' END AS text
-           |  FROM prep),
-           |st AS (SELECT doc_id, text,
-           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-           |    AS word_cnt,
-           |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
-           |    AS nonws_chars,
-           |  CAST((length(text) - length(replace(text, '#', ''))) +
-           |    (length(text) - length(replace(text, '...', ''))) / 3
-           |    AS BIGINT) AS symbol_cnt,
-           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-           |  CAST(len(list_filter(string_split(text, chr(10)), l ->
-           |    starts_with(l, '- ') OR starts_with(l, '* ')
-           |    OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines,
-           |  CAST(len(list_filter(string_split(text, chr(10)), l ->
-           |    ends_with(l, '...'))) AS BIGINT) AS ellipsis_lines,
-           |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-           |    w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-           |    AS alpha_words,
-           |  CAST($stopPresent AS BIGINT) AS stop_present,
-           |  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
-           |    AS n_sentences
-           |  FROM sy),
-           |g AS (SELECT doc_id, text FROM st
-           |  WHERE length(trim(text)) > 0
-           |  AND word_cnt BETWEEN 50 AND 100000
-           |  AND nonws_chars >= word_cnt * 3
-           |  AND nonws_chars <= word_cnt * 10
-           |  AND symbol_cnt * 10 <= word_cnt
-           |  AND bullet_lines * 10 <= n_lines * 9
-           |  AND ellipsis_lines * 10 <= n_lines * 3
-           |  AND alpha_words * 10 >= word_cnt * 8
-           |  AND stop_present >= 2
-           |  AND n_sentences >= 3
-           |  AND NOT contains(lower(text), 'lorem ipsum')
-           |  AND NOT contains(text, '{')),
-           |c AS (SELECT doc_id, array_to_string(list_filter(
-           |    string_split(text, chr(10)), l ->
-           |      regexp_matches(l, '[.!?"]$$')
-           |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
-           |      AND NOT contains(lower(l), 'javascript')), chr(10))
-           |    AS text FROM g),
-           |d AS (SELECT doc_id, text FROM c
-           |  QUALIFY row_number() OVER (PARTITION BY md5($normOfText)
-           |    ORDER BY doc_id) = 1),
-           |p AS (SELECT doc_id, $PiiInjSql AS t FROM d),
-           |r AS (SELECT doc_id, t, $redacted AS redacted FROM p)
-           |SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"""
-          .stripMargin.replaceAll("\\s+", " ").trim
+        s"WITH $CurationSynthCtes, " +
+          s"g AS (SELECT doc_id, text FROM st " +
+          s"WHERE $GopherCondSql AND $PageCondSql), " +
+          s"c AS (SELECT doc_id, $C4LineCleanSql AS text FROM g), " +
+          "d AS (SELECT doc_id, text FROM c " +
+          s"QUALIFY row_number() OVER (PARTITION BY md5($NormTextSql) " +
+          "ORDER BY doc_id) = 1), " +
+          s"p AS (SELECT doc_id, $PiiInjSql AS t FROM d), " +
+          s"r AS (SELECT doc_id, t, $redacted AS redacted FROM p) " +
+          s"SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"
+      },
+
+      // the per-stage survivor accounting over the same synthesis:
+      // input → gopher → +page → +nonempty line clean → post-dedup
+      // distinct, all from one scan
+      "curation_funnel" -> {
+        val normClean = NormTextSql.replace("text", "clean")
+        s"WITH $CurationSynthCtes, " +
+          s"cl AS (SELECT doc_id, text, $C4LineCleanSql AS clean, " +
+          s"CASE WHEN $GopherCondSql THEN 1 ELSE 0 END AS gok, " +
+          s"CASE WHEN $PageCondSql THEN 1 ELSE 0 END AS pok FROM st) " +
+          "SELECT count(*) AS n_input, " +
+          "CAST(sum(gok) AS BIGINT) AS n_gopher, " +
+          "CAST(sum(CASE WHEN gok = 1 AND pok = 1 THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_page, " +
+          "CAST(sum(CASE WHEN gok = 1 AND pok = 1 AND length(clean) > 0 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_line_nonempty, " +
+          "count(DISTINCT CASE WHEN gok = 1 AND pok = 1 " +
+          s"THEN md5($normClean) END) AS n_deduped FROM cl"
       },
 
       "pii_redact" -> {

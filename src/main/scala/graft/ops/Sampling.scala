@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, content-keyed sampling for corpus curation — the
@@ -339,5 +340,45 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .select("doc_id", "qrank", "n_tok")
     fullKeep.unionByName(boundary)
+  }
+
+  /** Training-shard layout — the WRITE side of a curation run: assign
+    * every document a deterministic shard and a deterministic position
+    * within it, so the emitted corpus is globally shuffled (hash
+    * order, decorrelated from crawl order) yet byte-reproducible
+    * run-to-run. `shard` is the first hex nibble pair of the content
+    * md5 folded to `nShards` (uniform by hash); `pos` is the rank of
+    * the full hash within the shard.
+    *
+    * Scale shape: ONE hash partitioning by `shard` and a per-shard
+    * sort — `nShards` independent sorts, each bounded by corpus/N
+    * (choose N so a shard fits an executor's spill budget), NEVER a
+    * global single-partition window. This is exactly the layout a
+    * `partitionBy(shard) sortWithinPartitions(hash)` parquet write
+    * produces; the query form exposes it for verification.
+    *
+    * `nShards` must be a power of two ≤ 256: the fold is a modulo on
+    * the first two hex digits (256 values), and only a power of two
+    * divides 256 evenly — any other count would skew shard sizes.
+    */
+  def shardLayout(
+      df: DataFrame,
+      key: Column,
+      nShards: Int = 16): DataFrame = {
+    require(nShards >= 1 && 256 % nShards == 0,
+      s"nShards must divide 256, got $nShards")
+    val h = md5(key)
+    // first two hex chars -> 0..255 via ascii arithmetic (replayable
+    // in any engine; no hex-parse builtin needed): value(c) = c - 48
+    // for '0'-'9', c - 87 for 'a'-'f'
+    def nib(c: Column): Column =
+      when(ascii(c) < 58, ascii(c) - 48).otherwise(ascii(c) - 87)
+    val shard =
+      pmod(nib(substring(h, 1, 1)) * 16 + nib(substring(h, 2, 1)),
+        lit(nShards)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    df.select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
   }
 }

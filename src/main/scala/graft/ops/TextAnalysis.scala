@@ -52,6 +52,59 @@ object TextAnalysis {
           length(regexp_replace(col("text"), "[0-9]", "")))
           .cast("long").as("digit_cnt"))
 
+  /** The linear quality-classifier feature set: named integer-exact
+    * per-row extractors. A production pipeline scores documents with a
+    * trained linear model (fastText bag-of-features, the DCLM/FineWeb
+    * quality classifiers); the Spark shape is identical — per-row
+    * feature extraction, a dot product against tiny model weights, a
+    * threshold — so the engine ships that shape with deterministic
+    * features and integer weights (exact in any engine, so the
+    * verdict is oracle-replayable bit-for-bit).
+    */
+  val ClassifierFeatures: Seq[(String, Column => Column)] = Seq(
+    ("word_cnt", t => wordCount(t)),
+    ("stop_hits", t => GopherStopWords.map(w =>
+      occurrences(concat(lit(" "), lower(t), lit(" ")), s" $w "))
+      .reduce(_ + _)),
+    ("punct_cnt", t =>
+      (length(t) - length(regexp_replace(t, "[.,;:!?]", "")))
+        .cast("long")),
+    ("digit_cnt", t =>
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")))
+
+  /** Default model: favor stop-word density (prose signal), penalize
+    * digit/punctuation soup, small positive weight on raw length.
+    * `(bias, perFeatureWeight)` — integers only, see
+    * [[ClassifierFeatures]].
+    */
+  val ClassifierWeights: (Long, Map[String, Long]) =
+    (-40L, Map(
+      "word_cnt" -> 1L,
+      "stop_hits" -> 15L,
+      "punct_cnt" -> -3L,
+      "digit_cnt" -> -5L))
+
+  /** Model-based quality filtering: per document, the linear score
+    * `bias + Σ w_f · feature_f` and `keep = score >= 0`. Pure per-row
+    * projection — the "model" is a handful of integer literals folded
+    * into codegen (the broadcast-a-tiny-model pattern degenerates to
+    * constant folding at this size, which is exactly what you want);
+    * zero exchanges at any corpus size.
+    */
+  def classifierScore(
+      docs: DataFrame,
+      weights: (Long, Map[String, Long]) = ClassifierWeights): DataFrame = {
+    val (bias, w) = weights
+    require(w.keySet.subsetOf(ClassifierFeatures.map(_._1).toSet),
+      s"unknown feature in weights: ${w.keySet}")
+    val score = ClassifierFeatures
+      .filter { case (name, _) => w.contains(name) }
+      .map { case (name, f) => f(col("text")) * lit(w(name)) }
+      .foldLeft(lit(bias).cast("long"))(_ + _)
+    docs.select(col("doc_id"), score.as("score"))
+      .withColumn("keep", (col("score") >= 0L).cast("int"))
+  }
+
   /** Number of non-overlapping occurrences of `needle` in `text`,
     * computed exactly via length difference (no regex, no UDF):
     * `(len(s) - len(replace(s, needle, ''))) / len(needle)`.

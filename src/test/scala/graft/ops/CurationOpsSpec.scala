@@ -438,4 +438,68 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(sizes == List((1L, 3L, 1L)))
   }
+
+  test("shardLayout: exhaustive, near-uniform, deterministic, dense ranks") {
+    val df = (0 until 2048).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+    val out = Sampling.shardLayout(df, col("text"), nShards = 16)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 2048, "every row must be placed")
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 16).toSet))
+    // md5 is uniform: 2048/16 = 128 ± 5 sd (sd ≈ 11)
+    byShard.foreach { case (s, rows) =>
+      assert(math.abs(rows.length - 128) < 56, s"shard $s: ${rows.length}")
+    }
+    // positions are a dense 1..n rank within each shard
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s ranks not dense")
+    }
+    // content-keyed: a rerun (and any repartitioning) gives byte-equal
+    // layout
+    val again = Sampling.shardLayout(df.repartition(7), col("text"), 16)
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.shardLayout(df, col("text"), nShards = 10))
+  }
+
+  test("classifierScore: hand-checked linear score, weight subset, guard") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "the cat and the dog ran to the park with care."),
+      (2L, "12345 67890 !!! ??? 555 000 111 222")).toDF("doc_id", "text")
+    // doc 1: words=11, stop hits: the×3 + and + to + with = 6,
+    // punct: 1 ('.'), digits: 0 -> -40 + 11 + 90 - 3 = 58 -> keep
+    val r1 = TextAnalysis.classifierScore(df).filter(col("doc_id") === 1)
+      .select("score", "keep").as[(Long, Int)].collect().head
+    assert(r1 == ((58L, 1)))
+    // doc 2: digit soup scores deep negative -> dropped
+    val r2 = TextAnalysis.classifierScore(df).filter(col("doc_id") === 2)
+      .select("score", "keep").as[(Long, Int)].collect().head
+    assert(r2._1 < 0 && r2._2 == 0)
+    // single-feature model: only the listed weights contribute
+    val solo = TextAnalysis.classifierScore(df,
+      (0L, Map("word_cnt" -> 2L)))
+      .filter(col("doc_id") === 1).select("score").as[Long].collect().head
+    assert(solo == 22L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierScore(df, (0L, Map("nope" -> 1L))))
+  }
+
+  test("curation funnel counts are monotone and end at the v2 output size") {
+    val sfDir = "/root/testdata/sf0.001"
+    val row = graft.SparkEntry.queries("curation_funnel")(spark, sfDir)
+      .collect().head
+    val Seq(in, gop, page, line, dedup) = Seq("n_input", "n_gopher",
+      "n_page", "n_line_nonempty", "n_deduped").map(row.getAs[Long])
+    assert(in >= gop && gop >= page && page >= line && line >= dedup,
+      s"funnel not monotone: $in $gop $page $line $dedup")
+    assert(dedup > 0, "funnel must keep something on the fixture")
+    val v2Rows = graft.SparkEntry.queries("curation_e2e_v2")(spark, sfDir)
+      .count()
+    assert(dedup == v2Rows,
+      s"funnel end ($dedup) must equal curation_e2e_v2 output ($v2Rows)")
+  }
 }
