@@ -129,11 +129,12 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("per-row quality operators plan with zero exchanges") {
-    // gopher_quality, c4_page_filter and line_dedup_within_doc are
-    // scan-shaped by design (per-row verdicts, no corpus-wide stage) —
-    // a shuffle appearing in any of them is a regression, not noise.
+    // gopher_quality, c4_page_filter, line_dedup_within_doc and
+    // quality_classifier are scan-shaped by design (per-row verdicts,
+    // no corpus-wide stage) — a shuffle appearing in any of them is a
+    // regression, not noise.
     for (name <- Seq("gopher_quality", "c4_page_filter",
-        "line_dedup_within_doc")) {
+        "line_dedup_within_doc", "quality_classifier")) {
       val plan = SparkEntry.queries(name)(
         spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
