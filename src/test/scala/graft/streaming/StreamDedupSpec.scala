@@ -229,6 +229,30 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("linear quality classifier runs unchanged on a stream") {
+    // classifierScore is a per-row projection (the model is integer
+    // literals folded into codegen), so the ingest-time quality gate
+    // is the same operator body as the batch one.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = graft.ops.TextAnalysis.classifierScore(
+      input.toDF().select(col("doc_id"), col("text")))
+    val q = out.writeStream
+      .format("memory").queryName("sd_classifier")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdq-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 70L, "the cat and the dog ran to the park with care."),
+        Doc(ts(2), 71L, "12345 67890 !!! ??? 555 000 111 222"))
+      q.processAllAvailable()
+      val verdicts = spark.table("sd_classifier")
+        .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+      assert(verdicts == Map(70L -> 1, 71L -> 0))
+    } finally q.stop()
+  }
+
   test("within-doc line dedup runs unchanged on a stream (pure projection)") {
     // lineDedupWithinDoc has no corpus-wide stage at all, so the same
     // operator body streams as a stateless projection.
