@@ -995,6 +995,13 @@ object SparkEntry {
       Sketches.approxDistinctChecked(
         T(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
 
+    // Approximate quantiles under their own Greenwald-Khanna rank
+    // bound, audited in-band (sketch values never cross the engine
+    // boundary; the flag does).
+    "sketch_quantiles" -> ((s, dir) =>
+      Sketches.approxQuantilesChecked(
+        T(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -2449,6 +2456,14 @@ object SparkEntry {
         ("SELECT l_returnflag, count(*) AS \"rows\", " +
           "count(DISTINCT l_partkey) AS exact_distinct, " +
           "TRUE AS within_5rsd FROM lineitem GROUP BY l_returnflag"),
+
+      // the quantile audit: group sizes replayed exactly, the GK rank
+      // flag asserted TRUE (Spark must have measured the bound held)
+      "sketch_quantiles" ->
+        ("SELECT l_returnflag, pct, \"rows\", TRUE AS rank_ok FROM " +
+          "(SELECT l_returnflag, count(l_quantity) AS \"rows\" " +
+          "FROM lineitem GROUP BY l_returnflag) " +
+          "CROSS JOIN (SELECT unnest([50, 90]) AS pct)"),
 
       // planted-recall oracles: the eligibility predicate is replayed
       // verbatim, the recall flag is asserted TRUE — Spark must have

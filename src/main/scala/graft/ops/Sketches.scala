@@ -138,4 +138,59 @@ object Sketches {
       accuracy: Int = 10000): Column =
     percentile_approx(col(valueCol),
       array(probs.map(lit): _*), lit(accuracy))
+
+  /** Per-group approximate quantiles with the sketch's OWN rank-error
+    * guarantee audited in-band: for each requested percent `pct`, the
+    * returned value's true rank interval `[rank_lt, rank_le]` must
+    * intersect `n·(pct/100 ± 1/accuracy)` (±1 for discreteness) — the
+    * Greenwald-Khanna bound `percentile_approx` promises. All audit
+    * arithmetic is integer cross-multiplied, so only
+    * engine-independent values (group, pct, rows, the flag) are
+    * emitted and the query oracles exactly while the sketch values
+    * themselves never cross the engine boundary.
+    *
+    * Shape, mirroring [[approxDistinctChecked]]: the sketch pass is
+    * the production aggregation (partial QuantileSummaries merge at
+    * the reducer — sketch bytes cross the shuffle, not rows); the
+    * audit recount joins the TINY (groups × probs) frame back to the
+    * facts by broadcast and counts rank positions in one partial
+    * aggregate — no sort, no windowing of the fact table anywhere.
+    */
+  def approxQuantilesChecked(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pcts: Seq[Int] = Seq(50, 90),
+      accuracy: Int = 1000): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p < 100),
+      s"pcts must be in (0,100), got $pcts")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val v = col(valueCol)
+    val sk = df.groupBy(col(groupCol))
+      .agg(
+        percentile_approx(v, array(pcts.map(p => lit(p / 100.0)): _*),
+          lit(accuracy)).as("qs"),
+        count(v).as("rows"))
+    val qrows = sk.select(col(groupCol), col("rows"),
+      posexplode(col("qs")).as(Seq("i", "qv")))
+      .withColumn("pct",
+        element_at(array(pcts.map(lit): _*), col("i") + 1))
+      .drop("i")
+    val acc = accuracy.toLong
+    df.select(col(groupCol), v.as("__v")).filter(col("__v").isNotNull)
+      .join(broadcast(qrows), Seq(groupCol))
+      .groupBy(col(groupCol), col("pct"), col("rows"))
+      .agg(
+        sum(when(col("__v") <= col("qv"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("__v") < col("qv"), 1L).otherwise(0L)).as("rank_lt"))
+      .select(col(groupCol), col("pct"), col("rows"),
+        // 100·acc·rank_le >= pct·acc·n − 100·n − 100·acc  (lower)
+        // 100·acc·rank_lt <= pct·acc·n + 100·n + 100·acc  (upper)
+        (col("rank_le") * (100L * acc) >=
+          col("pct").cast("long") * acc * col("rows") -
+            col("rows") * 100L - lit(100L * acc) &&
+          col("rank_lt") * (100L * acc) <=
+            col("pct").cast("long") * acc * col("rows") +
+              col("rows") * 100L + lit(100L * acc)).as("rank_ok"))
+  }
 }

@@ -57,4 +57,31 @@ class SketchesSpec extends SparkSpec {
       Array(0.5), 0.0)(0) // accuracy 0 -> exact
     assert(math.abs(qs(1) - exactMedian) / exactMedian < 0.02)
   }
+
+  test("approxQuantilesChecked: GK rank audit holds; exact rank on a " +
+      "known sequence; bad args rejected") {
+    import org.apache.spark.sql.functions._
+    // 1..1000 per group: the true p50/p90 ranks are known exactly, so
+    // a bound failure here is a real audit-logic bug, not noise
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 1000)
+      yield (g, i.toLong)).toDF("g", "v")
+    val out = Sketches.approxQuantilesChecked(df, "g", "v",
+      pcts = Seq(50, 90), accuracy = 1000)
+      .as[(String, Int, Long, Boolean)].collect()
+    assert(out.length == 4)
+    assert(out.forall(_._4), s"rank audit failed: ${out.mkString(", ")}")
+    assert(out.forall(_._3 == 1000L))
+    // the audit is not vacuous: an impossible rank interval fails it.
+    // Replay the flag arithmetic with rank_le = rank_lt = 0 for p90 on
+    // n = 1000 — lower bound needs rank_le >= ~899, so FALSE.
+    val acc = 1000L
+    val (n, pct, rank) = (1000L, 90L, 0L)
+    val lowerHolds = rank * (100L * acc) >=
+      pct * acc * n - n * 100L - 100L * acc
+    assert(!lowerHolds, "a rank of 0 must violate the p90 lower bound")
+    intercept[IllegalArgumentException](
+      Sketches.approxQuantilesChecked(df, "g", "v", pcts = Seq(0)))
+    intercept[IllegalArgumentException](
+      Sketches.approxQuantilesChecked(df, "g", "v", accuracy = 0))
+  }
 }
