@@ -507,6 +507,37 @@ object SparkEntry {
        |  LEFT JOIN sdcomp sc ON sc.node = eh.doc_id)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
+  /** PQ replay CTEs: int8 codes → per-subspace codebook from the 16
+    * lowest vec_ids → exact integer L2² assignment (row_number, ties
+    * to the lower centroid id) → big-endian nibble pack. Ends with
+    * `assign(vec_id, s, j)`, `cbn(s, j, cvec, nb)`, `qc(vec_id, qv)`
+    * and `pcodes(vec_id, pq_code)`; k=16, m=8, subDim=8 mirror the
+    * [[graft.ops.Quantization]] defaults.
+    */
+  private lazy val PqCtes: String =
+    """WITH qc AS (SELECT vec_id, list_transform(embedding,
+      |  v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), 127),
+      |    -128) AS BIGINT)) AS qv FROM embeddings),
+      |sp AS (SELECT unnest(range(0, 8)) AS s),
+      |cbn AS (SELECT sp.s AS s, qc.vec_id AS j,
+      |  qc.qv[sp.s*8+1:sp.s*8+8] AS cvec,
+      |  CAST(list_dot_product(qc.qv[sp.s*8+1:sp.s*8+8],
+      |    qc.qv[sp.s*8+1:sp.s*8+8]) AS BIGINT) AS nb
+      |  FROM qc, sp WHERE qc.vec_id < 16),
+      |subs AS (SELECT qc.vec_id, sp.s, qc.qv[sp.s*8+1:sp.s*8+8] AS sub
+      |  FROM qc, sp),
+      |assign AS (SELECT vec_id, s, j FROM (
+      |  SELECT subs.vec_id, subs.s, cbn.j, row_number() OVER (
+      |    PARTITION BY subs.vec_id, subs.s
+      |    ORDER BY 2 * CAST(list_dot_product(subs.sub, cbn.cvec)
+      |      AS BIGINT) - cbn.nb DESC, cbn.j) AS rn
+      |  FROM subs JOIN cbn ON cbn.s = subs.s) WHERE rn = 1),
+      |pcodes AS (SELECT vec_id,
+      |  CAST(sum(j * (CAST(1 AS BIGINT) << CAST(4 * (7 - s) AS INTEGER)))
+      |    AS BIGINT) AS pq_code
+      |  FROM assign GROUP BY vec_id)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
   /** K-means label replay: the full integer-exact Lloyd iteration of
     * [[graft.ops.KMeans.fitAssign]] (k = 8, 2 rounds, 64 dims, scale
     * 2^6) rendered as CTEs over a caller-prepended `base0(vec_id,
@@ -1420,6 +1451,25 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Quantization.quantizedTopK(corpus, queries, k = 10)
+    }),
+
+    // PQ code column: 8 nibbles packed into one BIGINT per vector —
+    // the 4-byte compressed index a 100 TB corpus stores instead of
+    // 256 B of floats. Deterministic codebook, exact integer
+    // assignment; the oracle replays the whole encode.
+    "pq_codes" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      Quantization.pqEncode(corpus, Quantization.pqCodebook(corpus))
+        .select(col("vec_id"), col("pq_code"))
+    }),
+
+    // PQ ADC top-k: integer dot of query codes against PQ-
+    // reconstructed corpus vectors — rank AND score replay exactly.
+    "ann_pq_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Quantization.pqTopK(corpus, queries, topK = 10)
     }),
 
     // SemDeDup-style semantic dedup: within pre-assigned embedding
@@ -2514,6 +2564,27 @@ object SparkEntry {
           "CAST(row_number() OVER (PARTITION BY q_id " +
           "ORDER BY qdot DESC, vec_id) AS INTEGER) AS rk " +
           "FROM s QUALIFY rk <= 10"),
+
+      // the full PQ encode replay — codebook, assignment, nibble pack
+      "pq_codes" ->
+        (PqCtes + " SELECT vec_id, pq_code FROM pcodes"),
+
+      // PQ ADC replay: reconstruct each corpus vector from its
+      // assigned centroids (ordered flatten), integer-dot against the
+      // query codes — score and rank reach the comparator exactly
+      "ann_pq_topk" ->
+        (PqCtes + ", recon AS (SELECT a.vec_id, " +
+          "flatten(list(c.cvec ORDER BY a.s)) AS recon " +
+          "FROM assign a JOIN cbn c ON c.s = a.s AND c.j = a.j " +
+          "GROUP BY a.vec_id), " +
+          "qq AS (SELECT vec_id AS q_id, qv FROM qc WHERE vec_id < 10), " +
+          "adc AS (SELECT qq.q_id, r.vec_id, " +
+          "CAST(list_dot_product(qq.qv, r.recon) AS BIGINT) AS score " +
+          "FROM recon r, qq WHERE r.vec_id <> qq.q_id) " +
+          "SELECT q_id, vec_id, score, " +
+          "CAST(row_number() OVER (PARTITION BY q_id " +
+          "ORDER BY score DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM adc QUALIFY rk <= 10"),
 
       // SemDeDup replay: identical quantization, the cross-multiplied
       // integer cosine-squared test (qdot > 0 guard keeps the squaring

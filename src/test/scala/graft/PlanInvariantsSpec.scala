@@ -26,6 +26,8 @@ class PlanInvariantsSpec extends SparkSpec {
   private val bnljByDesign = Set(
     "ann_cosine_topk", // brute-force baseline: corpus × broadcast(queries)
     "ann_quantized_topk", // same brute-force shape on int8 codes
+    "pq_codes",        // corpus × broadcast(one packed codebook row)
+    "ann_pq_topk",     // PQ encode + broadcast(queries) ADC scoring
     "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join

@@ -81,4 +81,79 @@ class QuantizationSpec extends SparkSpec {
     // are near-constant norm, so the ordering transfers.)
     assert(recall > 0.7, s"quantized recall too low: $recall")
   }
+
+  test("PQ encode: codes in range, identical vectors share a code, " +
+      "pack is bijective on the code array, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val copies = corpus.filter(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val all = corpus.unionByName(copies)
+    val enc = Quantization.pqEncode(all, Quantization.pqCodebook(all))
+      .select("vec_id", "codes", "pq_code")
+      .as[(Long, Seq[Int], Long)].collect()
+    assert(enc.length == all.count())
+    // every code is a valid centroid id; the pack is the big-endian
+    // base-16 fold of the code array (bijective given the range)
+    enc.foreach { case (id, codes, packed) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16),
+        s"vec $id codes out of range: $codes")
+      assert(packed == codes.foldLeft(0L)(_ * 16 + _),
+        s"vec $id pack mismatch")
+    }
+    // verbatim copies must encode identically (same embedding -> same
+    // codes -> same pq_code) — the property semantic PQ dedup rides
+    val byId = enc.map(e => e._1 -> e._3).toMap
+    copies.select("vec_id").as[Long].collect().foreach { cid =>
+      assert(byId(cid) == byId(cid - 10000000L),
+        s"copy $cid differs from its original")
+    }
+    // content-determined: a different partitioning yields byte-equal
+    // codes
+    val again = Quantization.pqEncode(
+      all.repartition(5), Quantization.pqCodebook(all.repartition(3)))
+      .select("vec_id", "pq_code").as[(Long, Long)].collect().toMap
+    assert(again == byId)
+  }
+
+  test("PQ ADC top-k equals a driver-side reference on a small corpus") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(64).cache()
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Quantization.pqTopK(corpus, queries, topK = 5)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)))
+      .toMap
+    // reference: quantize + assign + reconstruct + dot, all in plain
+    // Scala from the same corpus rows
+    val rows = corpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def q8(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.max(math.min(math.floor(x.toDouble * 64), 127), -128).toLong)
+    val cents = rows.filter(_._1 < 16).map(r => q8(r._2))
+    def sub(v: Seq[Long], s: Int) = v.slice(s * 8, s * 8 + 8)
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map(t => t._1 * t._2).sum
+    def recon(v: Seq[Long]): Seq[Long] = (0 until 8).flatMap { s =>
+      val best = (0 until 16).maxBy { j =>
+        val c = sub(cents(j), s)
+        (2 * dot(sub(v, s), c) - dot(c, c), -j)
+      }
+      sub(cents(best), s)
+    }
+    val recons = rows.map { case (id, v) => id -> recon(q8(v)) }.toMap
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val qcodes = q8(rows(qid.toInt)._2)
+      val expect = rows.map(_._1).filter(_ != qid)
+        .map(id => (id, dot(qcodes, recons(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      assert(got(qid).toSeq == expect.toSeq,
+        s"q$qid: got ${got(qid).toSeq}, expect ${expect.toSeq}")
+    }
+    corpus.unpersist()
+  }
 }
