@@ -74,12 +74,16 @@ object Quantization {
     * quality, measured honestly: on the synthetic UNCLUSTERED
     * embeddings, seeded codebooks give ~32% recall@10 vs the
     * uncompressed int8 baseline (sf0.01) — random data is PQ's worst
-    * case and untrained codebooks compound it; real deployments train
-    * per-subspace codebooks (Lloyd over subvectors — the
-    * [[KMeans.refine]] machinery) and re-rank PQ candidates with
-    * exact scores. The engine contribution is the exact, replayable
-    * encode/ADC machinery; codebook quality is a model input, same as
-    * the IVF centroids.
+    * case and untrained codebooks compound it; [[pqTrainCodebook]]'s
+    * in-engine Lloyd rounds cut quantization DISTORTION 23% on the
+    * same data (spec-pinned — the property Lloyd provably improves)
+    * while recall stays within noise (0.31 → 0.30: structureless
+    * embeddings have no cluster geometry for the codebook to learn,
+    * so the distortion win cannot translate into ranking wins here).
+    * Real deployments train on real, clustered embeddings and re-rank
+    * PQ candidates with exact scores. The engine contribution is the
+    * exact, replayable encode/train/ADC machinery; codebook quality
+    * is a model input, same as the IVF centroids.
     *
     * Output: one row per (s, j) — subspace id, centroid id, the
     * centroid's int codes, and its integer squared norm.
@@ -139,6 +143,49 @@ object Quantization {
       .select(col("vec_id"), col("codes"), col("pq_code"))
   }
 
+  /** Lloyd-train the PQ codebooks in-engine: start from the seeded
+    * [[pqCodebook]], then alternate exact-integer assignment
+    * ([[pqEncode]]) with per-(subspace, centroid) mean updates
+    * (`floor(sum/count)` per dimension — the [[KMeans.refine]]
+    * convention, L2 flavor; empty cells vanish). Each round costs one
+    * corpus scan plus an m·kCode×subDim-cell aggregation whose partial
+    * rows are map-side combined; the tiny codebook is checkpointed per
+    * round so downstream references never re-execute prior rounds
+    * (same reasoning as [[KMeans.fitAssign]]).
+    */
+  def pqTrainCodebook(
+      corpus: DataFrame,
+      kCode: Int = 16,
+      m: Int = 8,
+      subDim: Int = 8,
+      logScale: Int = 6,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val qv = corpus.select(col("vec_id"),
+      int8Codes(col("embedding"), logScale).as("qv"))
+    (1 to iters).foldLeft(pqCodebook(corpus, kCode, m, subDim, logScale)) {
+      (cb, _) =>
+        val assigned = pqEncode(corpus, cb, kCode, m, subDim, logScale)
+          .select(col("vec_id"), col("codes"))
+        val subSums = (0 until subDim).map(d =>
+          sum(col("sub")(d)).as(s"s_$d"))
+        qv.join(assigned, "vec_id")
+          .select(explode(sequence(lit(0), lit(m - 1))).as("s"),
+            col("qv"), col("codes"))
+          .select(col("s"),
+            element_at(col("codes"), col("s") + 1).as("j"),
+            slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("sub"))
+          .groupBy(col("s"), col("j"))
+          .agg(subSums.head, (subSums.tail :+ count(lit(1)).as("cnt")): _*)
+          .select(col("s"), col("j"),
+            array((0 until subDim).map(d =>
+              floor(col(s"s_$d").cast("double") / col("cnt")).cast("int")): _*)
+              .as("cvec"))
+          .withColumn("nb", intDot(col("cvec"), col("cvec")))
+          .localCheckpoint()
+    }
+  }
+
   /** PQ ADC top-k: score every corpus vector against each query by the
     * exact integer dot of the query codes with the PQ-RECONSTRUCTED
     * corpus vector (Σ_s dot(q_s, cent(s, code_s)) = dot(q, recon) —
@@ -156,9 +203,10 @@ object Quantization {
       kCode: Int = 16,
       m: Int = 8,
       subDim: Int = 8,
-      logScale: Int = 6): DataFrame = {
+      logScale: Int = 6,
+      codebook: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = pqCodebook(corpus, kCode, m, subDim, logScale)
+    val cb = codebook.getOrElse(pqCodebook(corpus, kCode, m, subDim, logScale))
     val packed = cb
       .agg(array_sort(collect_list(
         struct(col("s"), col("j"), col("cvec"), col("nb")))).as("cb"))

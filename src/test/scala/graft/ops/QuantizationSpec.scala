@@ -118,6 +118,46 @@ class QuantizationSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("Lloyd-trained PQ codebooks cut quantization distortion") {
+    // The provable Lloyd property is DISTORTION reduction (each
+    // assignment and each mean update is non-increasing in
+    // Σ‖sub − cent‖²) — recall@10 on this corpus is NOT a valid pin:
+    // the synthetic embeddings are structureless, so training moves
+    // recall only within noise (measured 0.31 seeded vs 0.30 trained;
+    // recorded in the Quantization scaladoc). Assert the objective
+    // Lloyd actually optimizes, computed with a driver-side reference
+    // over the collected (tiny) codebooks.
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    def q8(v: Seq[Float]): Seq[Long] =
+      v.map(x =>
+        math.max(math.min(math.floor(x.toDouble * 64), 127), -128).toLong)
+    val rows = corpus.as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> q8(v) }
+    def distortion(cb: org.apache.spark.sql.DataFrame): Long = {
+      val cents = cb.select("s", "j", "cvec")
+        .as[(Int, Int, Seq[Int])].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(c => c._2 -> c._3.map(_.toLong)).toMap).toMap
+      rows.map { case (_, v) =>
+        (0 until 8).map { s =>
+          val sub = v.slice(s * 8, s * 8 + 8)
+          cents(s).values.map(c =>
+            sub.zip(c).map(t => (t._1 - t._2) * (t._1 - t._2)).sum).min
+        }.sum
+      }.sum
+    }
+    val seeded = distortion(Quantization.pqCodebook(corpus))
+    val trained = distortion(Quantization.pqTrainCodebook(corpus))
+    info(s"PQ total distortion: seeded=$seeded trained=$trained " +
+      f"(${100.0 * (seeded - trained) / seeded}%.1f%% cut)")
+    assert(trained < seeded,
+      s"training did not reduce distortion: $seeded -> $trained")
+    corpus.unpersist()
+  }
+
   test("PQ ADC top-k equals a driver-side reference on a small corpus") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read
