@@ -381,4 +381,36 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Materialize the [[shardLayout]] as an actual training-corpus
+    * sink: parquet partitioned by `shard` with rows SORTED by the
+    * content hash inside each shard directory — the layout a trainer
+    * streams shard-by-shard with a deterministic, crawl-decorrelated
+    * order and no global sort anywhere (`repartition(shard)` is one
+    * hash exchange; `sortWithinPartitions` sorts each shard slice
+    * independently). Same `nShards` contract as [[shardLayout]].
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      key: Column,
+      dest: String,
+      nShards: Int = 16): Unit = {
+    require(nShards >= 1 && 256 % nShards == 0,
+      s"nShards must divide 256, got $nShards")
+    val h = md5(key)
+    def nib(c: Column): Column =
+      when(ascii(c) < 58, ascii(c) - 48).otherwise(ascii(c) - 87)
+    val shard =
+      pmod(nib(substring(h, 1, 1)) * 16 + nib(substring(h, 2, 1)),
+        lit(nShards)).cast("int")
+    // shard leads the sort so the dynamic-partition writer sees its
+    // partition column already ordered and does NOT inject its own
+    // sort (which would only order by shard and could re-arrange the
+    // in-shard hash order)
+    df.withColumn("__h", h).withColumn("shard", shard)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col("doc_id"))
+      .drop("__h")
+      .write.partitionBy("shard").mode("overwrite").parquet(dest)
+  }
 }

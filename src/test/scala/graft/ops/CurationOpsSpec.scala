@@ -465,6 +465,48 @@ class CurationOpsSpec extends SparkSpec {
       Sampling.shardLayout(df, col("text"), nShards = 10))
   }
 
+  test("writeTrainingShards: one file per shard, hash-ordered inside") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards-").toString
+    val df = (0 until 600).map(i => (i.toLong, s"training document $i"))
+      .toDF("doc_id", "text")
+    Sampling.writeTrainingShards(df, col("text"), dir, nShards = 16)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty && shardDirs.length <= 16)
+    var total = 0L
+    for (sd <- shardDirs) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      // all rows of a shard live in one task's partition (hash of the
+      // shard value), so each directory holds exactly one file — the
+      // unit a trainer streams sequentially
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+      // single-file read on one partition preserves writer row order
+      val rows = spark.read.parquet(files.head.getAbsolutePath)
+        .select("doc_id", "text")
+        .as[(Long, String)].collect()
+      total += rows.length
+      val keys = rows.map { case (id, t) => (md5hex(t), id) }
+      assert(keys.sortBy(identity).toSeq == keys.toSeq,
+        s"${sd.getName} not hash-ordered")
+    }
+    assert(total == 600, s"rows lost or duplicated: $total")
+    // layout agrees with the queryable shardLayout view of the same key
+    val layout = Sampling.shardLayout(df, col("text"), 16)
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    for (sd <- shardDirs) {
+      val s = sd.getName.stripPrefix("shard=").toInt
+      val ids = spark.read.parquet(sd.getAbsolutePath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.forall(layout(_) == s), s"shard $s content mismatch")
+    }
+  }
+
   test("classifierScore: hand-checked linear score, weight subset, guard") {
     import graft.ops.TextAnalysis
     val df = Seq(
