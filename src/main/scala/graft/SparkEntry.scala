@@ -1527,6 +1527,20 @@ object SparkEntry {
       SemDedup.semDedup(KMeans.fitAssign(base.unionByName(planted)))
     }),
 
+    // the APPLIED form of the same end-to-end pass: raw embeddings →
+    // k-means labels → semantic dedup → survivors only (the corpus
+    // that ships to training)
+    "semdedup_keep_e2e" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"))
+      SemDedup.semDedup(KMeans.fitAssign(base.unionByName(planted)))
+        .filter(col("is_dup") === 0)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // Planted-neighbor recall for the APPROXIMATE ANN paths. The
     // ann_lsh_topk / ann_ivf_topk oracles replay the same algorithm in
     // SQL, proving determinism but not retrieval quality; this query
@@ -2625,6 +2639,20 @@ object SparkEntry {
           " CAST(b.vec_id <> r.component AS INTEGER) AS is_dup" +
           " FROM (SELECT node, min(lbl) AS component FROM reach" +
           " GROUP BY node) r JOIN base b ON b.vec_id = r.node"),
+
+      // the applied end-to-end form: survivors only
+      "semdedup_keep_e2e" ->
+        ("WITH RECURSIVE base0 AS (" +
+          "SELECT vec_id, embedding FROM embeddings UNION ALL " +
+          "SELECT vec_id + 10000000, embedding FROM embeddings " +
+          "WHERE vec_id % 17 = 0), " +
+          kmeansLabelSql() + ", " +
+          "base AS (SELECT vec_id, embedding, label FROM klabel), " +
+          SemdedupReachSuffix +
+          " SELECT b.vec_id, b.label" +
+          " FROM (SELECT node, min(lbl) AS component FROM reach" +
+          " GROUP BY node) r JOIN base b ON b.vec_id = r.node" +
+          " WHERE b.vec_id = r.component"),
 
       // winnowing guarantee gate: recall floor is 100 BY THEOREM
       // (shared ≥7-token run ⇒ shared fingerprint; plants share ≥49)

@@ -91,19 +91,33 @@ object TextAnalysis {
     * constant folding at this size, which is exactly what you want);
     * zero exchanges at any corpus size.
     */
-  def classifierScore(
-      docs: DataFrame,
-      weights: (Long, Map[String, Long]) = ClassifierWeights): DataFrame = {
+  /** The linear score as ONE per-row Column over a text Column. */
+  def classifierScoreCol(
+      text: Column,
+      weights: (Long, Map[String, Long]) = ClassifierWeights): Column = {
     val (bias, w) = weights
     require(w.keySet.subsetOf(ClassifierFeatures.map(_._1).toSet),
       s"unknown feature in weights: ${w.keySet}")
-    val score = ClassifierFeatures
+    ClassifierFeatures
       .filter { case (name, _) => w.contains(name) }
-      .map { case (name, f) => f(col("text")) * lit(w(name)) }
+      .map { case (name, f) => f(text) * lit(w(name)) }
       .foldLeft(lit(bias).cast("long"))(_ + _)
-    docs.select(col("doc_id"), score.as("score"))
-      .withColumn("keep", (col("score") >= 0L).cast("int"))
   }
+
+  /** The classifier verdict as a per-row Column — composes into a
+    * projected gate like [[gopherKeep]]/[[c4PageKeep]].
+    */
+  def classifierKeep(
+      text: Column,
+      weights: (Long, Map[String, Long]) = ClassifierWeights): Column =
+    classifierScoreCol(text, weights) >= 0L
+
+  def classifierScore(
+      docs: DataFrame,
+      weights: (Long, Map[String, Long]) = ClassifierWeights): DataFrame =
+    docs.select(col("doc_id"),
+      classifierScoreCol(col("text"), weights).as("score"))
+      .withColumn("keep", (col("score") >= 0L).cast("int"))
 
   /** Number of non-overlapping occurrences of `needle` in `text`,
     * computed exactly via length difference (no regex, no UDF):

@@ -33,6 +33,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "kmeans_assign",   // corpus × broadcast(one packed 8-centroid row)
     "semdedup_e2e",    // same k-means assignment feeding the dedup
+    "semdedup_keep_e2e", // its applied survivors-only form
     "quantile_filter",  // × broadcast(single-row percentile cutoff)
     "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
     "unigram_surprisal") // × broadcast(single-row corpus token total)

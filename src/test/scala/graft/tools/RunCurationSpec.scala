@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The one-command curation run on REAL multi-line documents (no
+  * synthetic line reconstruction): gates, line cleaning, dedup,
+  * redaction, funnel accounting, and the sharded sink.
+  */
+class RunCurationSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private val prose = (1 to 60)
+    .map(i => s"the data and model run $i goes to the set with care.")
+    .mkString("\n")
+
+  test("curate: gates, dedup, redaction and funnel on hand-built docs") {
+    val docs = Seq(
+      (1L, prose), // passes every gate
+      (2L, prose), // exact duplicate -> dropped by keep-first dedup
+      (3L, "short junk"), // fails the Gopher word-count floor
+      (4L, prose + "\nlorem ipsum dolor sit amet."), // page gate drops
+      (5L, prose + "\ncall +6281234567 now please today.")) // PII line
+      .toDF("doc_id", "text")
+    val (out, funnel) = RunCuration.curate(docs)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"kept $kept")
+    val t5 = out.filter(col("doc_id") === 5L)
+      .select("text").as[String].collect().head
+    assert(t5.contains("<PHONE>") && !t5.contains("+62812"),
+      s"PII survived: $t5")
+    assert(funnel ==
+      """{"n_input":5,"n_gopher":4,"n_gates":3,"n_out":2}""", funnel)
+    // the classifier gate composes without changing this verdict set
+    // (prose scores far positive, junk is already gone at the gates)
+    val (out2, _) = RunCuration.curate(docs, classifier = true)
+    assert(out2.select("doc_id").as[Long].collect().toSet == kept)
+  }
+
+  test("curate + writeTrainingShards: the full run lands on disk") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-run-cur-").toString
+    val docs = (0 until 40)
+      .map(i => (i.toLong, prose + s"\nextra closing line number $i."))
+      .toDF("doc_id", "text")
+    val (out, funnel) = RunCuration.curate(docs, redact = false)
+    graft.ops.Sampling.writeTrainingShards(out, col("text"), dir, 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 40)
+    assert(back.select("doc_id").distinct().count() == 40)
+    assert(funnel.contains("\"n_out\":40"), funnel)
+  }
+}
