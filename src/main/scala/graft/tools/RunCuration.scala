@@ -61,6 +61,8 @@ object RunCuration {
         .select(col("doc_id"), col("redacted").as("text")), "doc_id")
     } else deduped
     val funnel = {
+      // the ONE driver-side collect in this tool is a 1-row aggregate
+      // (four counters) for the run-log line — never corpus rows
       val f = docs.agg(
         count(lit(1)).as("n_input"),
         sum(when(gk, 1L).otherwise(0L)).as("n_gopher"),
