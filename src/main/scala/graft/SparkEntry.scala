@@ -1952,6 +1952,21 @@ object SparkEntry {
         gapNs = EventOps.SessionGapNs / 1000)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
 
+    // Cohort retention matrix: weekly cohorts by first event, distinct
+    // active users per (cohort, weeks-since) — integer week indices
+    // via `div` on epoch micros.
+    "cohort_retention" -> ((s, dir) =>
+      EventOps.cohortRetention(
+        eventsMicros(s, dir).select(col("user_id"), col("ts")))),
+
+    // Two-step conversion funnel: signup → purchase within one week
+    // of the user's FIRST signup.
+    "event_funnel" -> ((s, dir) =>
+      EventOps.conversionFunnel(
+        eventsMicros(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts")),
+        "signup", "purchase")),
+
     // As-of join composed from a window carry-forward (no range join,
     // no self-join): every click paired with the most recent purchase
     // at-or-before it by the same user. NULL (no prior purchase) → -1
@@ -3425,6 +3440,33 @@ object SparkEntry {
            |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            |    > ${EventOps.SessionGapNs / 1000} THEN 1 ELSE 0 END AS b
            |  FROM events)"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // week indices by integer division of epoch micros — both
+      // engines stay in BIGINT end to end
+      "cohort_retention" ->
+        (s"""WITH e AS (SELECT user_id,
+           |  epoch_us(ts) // ${EventOps.WeekUs} AS wk FROM events),
+           |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+           |  GROUP BY user_id),
+           |a AS (SELECT DISTINCT user_id, wk FROM e)
+           |SELECT f.cohort_wk, a.wk - f.cohort_wk AS weeks_since,
+           |  count(*) AS active_users
+           |FROM a JOIN f USING (user_id) GROUP BY 1, 2"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "event_funnel" ->
+        (s"""WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0
+           |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+           |c AS (SELECT DISTINCT e.user_id FROM events e
+           |  JOIN s ON s.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase'
+           |  AND epoch_us(e.ts) >= s.t0
+           |  AND epoch_us(e.ts) <= s.t0 + ${EventOps.WeekUs})
+           |SELECT count(*) AS started_users,
+           |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS converted_users
+           |FROM s LEFT JOIN c ON c.user_id = s.user_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       "asof_prior_purchase" ->

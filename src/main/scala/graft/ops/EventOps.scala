@@ -40,6 +40,62 @@ object EventOps {
           order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** One week in epoch micros — the default cohort bucket. */
+  val WeekUs: Long = 7L * 86400L * 1000000L
+
+  /** Cohort retention over an epoch-micros `ts` column: bucket every
+    * event into `bucketUs` periods by INTEGER division (`div` — a
+    * double divide of epoch micros would flirt with 2^53), assign
+    * each user the bucket of their first event (min of the bucket
+    * index — monotone, so it equals the bucket of the min ts), and
+    * count distinct active users per (cohort, periods-since) cell —
+    * the retention matrix.
+    *
+    * Scale shape: one map-side-combined per-user aggregate, one
+    * distinct over (user, bucket) — both shuffles hash on user_id and
+    * co-partition for the join (AQE broadcasts the per-user firsts
+    * when small) — and the output is |cohorts|² cells, tiny at any
+    * corpus size.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      bucketUs: Long = WeekUs): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val wkCol = expr(s"ts div $bucketUs")
+    val firsts = events.groupBy(col("user_id"))
+      .agg(min(wkCol).as("cohort_wk"))
+    val act = events.select(col("user_id"), wkCol.as("wk")).distinct()
+    act.join(firsts, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("weeks_since"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Two-step conversion funnel: of the users whose FIRST `fromType`
+    * event is at t0, how many performed a `toType` event within
+    * `windowUs` after it. One per-user aggregate, one filtered join,
+    * one left-join flag fold — no window functions, no cross join;
+    * emits a single (started_users, converted_users) row.
+    */
+  def conversionFunnel(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      windowUs: Long = WeekUs): DataFrame = {
+    require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
+    val starts = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val conv = events.filter(col("event_type") === toType)
+      .join(starts, "user_id")
+      .filter(col("ts") >= col("t0") &&
+        col("ts") <= col("t0") + windowUs)
+      .select("user_id").distinct()
+      .withColumn("__c", lit(1L))
+    starts.join(conv, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("started_users"),
+        sum(coalesce(col("__c"), lit(0L))).as("converted_users"))
+  }
+
   /** As-of lookup composed from existing operators (no custom plan
     * needed): for every event, the most recent `ts` at or before it —
     * same user — among rows matching `matchPred`. The carry-forward
