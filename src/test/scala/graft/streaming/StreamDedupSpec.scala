@@ -253,6 +253,37 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: gates, cleaning, dedup and redaction on a stream") {
+    // the full ingest-time pipeline: only the dedup holds state
+    implicit val sqlCtx = spark.sqlContext
+    val prose = (1 to 60)
+      .map(i => s"the data and model run $i goes to the set with care.")
+      .mkString("\n")
+    val input = MemoryStream[Doc]
+    val out = StreamCuration.curateStream(input.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("sd_curate")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdcu-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 80L, prose), // survives
+        Doc(ts(2), 81L, "too short"), // gopher drops
+        Doc(ts(3), 82L, prose + "\nlorem ipsum dolor sit amet."), // page
+        Doc(ts(4), 83L, prose + "\ncall +6281234567 now please today."))
+      q.processAllAvailable()
+      // a later batch re-sends doc 80's content — within-watermark
+      // dedup must drop it
+      input.addData(Doc(ts(5), 84L, prose))
+      q.processAllAvailable()
+      val rows = spark.table("sd_curate")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(80L, 83L), s"kept ${rows.keySet}")
+      assert(rows(83L).contains("<PHONE>") && !rows(83L).contains("+62812"))
+    } finally q.stop()
+  }
+
   test("within-doc line dedup runs unchanged on a stream (pure projection)") {
     // lineDedupWithinDoc has no corpus-wide stage at all, so the same
     // operator body streams as a stateless projection.
