@@ -1952,6 +1952,23 @@ object SparkEntry {
         gapNs = EventOps.SessionGapNs / 1000)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
 
+    // Time-based RANGE window frame: per event, the user's trailing
+    // one-hour spend — rangeBetween over the epoch-micros ordering
+    // key, so equal timestamps are peers and the frame is TIME, not
+    // row count (window_running_sum pins the ROWS flavor). Amounts
+    // ride as integer cents (round(value*100) is exact in IEEE double
+    // for 2-decimal values in both engines), so the sums hash.
+    "trailing_hour_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600000000L, 0L)
+      eventsMicros(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("trail_cents", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("ts_us"), col("trail_cents"))
+    }),
+
     // Cohort retention matrix: weekly cohorts by first event, distinct
     // active users per (cohort, weeks-since) — integer week indices
     // via `div` on epoch micros.
@@ -3441,6 +3458,15 @@ object SparkEntry {
            |    > ${EventOps.SessionGapNs / 1000} THEN 1 ELSE 0 END AS b
            |  FROM events)"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // RANGE frame replay: identical time-window semantics (peers at
+      // equal ts share a frame) on BIGINT micros and integer cents
+      "trailing_hour_sum" ->
+        ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+          "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (" +
+          "PARTITION BY user_id ORDER BY epoch_us(ts) " +
+          "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS trail_cents FROM events"),
 
       // week indices by integer division of epoch micros — both
       // engines stay in BIGINT end to end
