@@ -1952,6 +1952,41 @@ object SparkEntry {
         gapNs = EventOps.SessionGapNs / 1000)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
 
+    // HOPPING (sliding) event-time windows in batch: 1-hour windows
+    // every 30 minutes — each event lands in exactly two windows. The
+    // oracle replays the expansion arithmetically (each event's two
+    // half-hour-aligned window starts), so the window() operator's
+    // hop semantics are pinned value-exactly, complementing the
+    // tumbling time_window_agg and the streaming sliding specs.
+    "time_window_hopping" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      ev.withColumn("event_ts", timestamp_micros(col("ts")))
+        .groupBy(window(col("event_ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("win_start_epoch"),
+          col("event_type"), col("cnt"))
+    }),
+
+    // GROUPING SETS with an explicit grouping_id — the general form
+    // cube/rollup specialize; pinned because the Expand-based plan is
+    // what a reporting layer generates.
+    "grouping_sets_agg" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("__orders_gs")
+      // grouped-out cells coalesce to a sentinel: the driver comparator
+      // cannot row-align NULL sort keys across engines (same fix as
+      // rollup_agg); gid keeps the sets distinguishable regardless
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |  coalesce(o_orderpriority, '(all)') AS priority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+          |    AS gid,
+          |  count(*) AS cnt
+          |FROM __orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())""".stripMargin)
+    }),
+
     // Time-based RANGE window frame: per event, the user's trailing
     // one-hour spend — rangeBetween over the epoch-micros ordering
     // key, so equal timestamps are peers and the frame is TIME, not
@@ -3458,6 +3493,26 @@ object SparkEntry {
            |    > ${EventOps.SessionGapNs / 1000} THEN 1 ELSE 0 END AS b
            |  FROM events)"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // hop expansion replayed arithmetically: an event at t belongs
+      // to the two 30-min-aligned 1-hour windows starting at
+      // floor(t/30min) and that minus one hop
+      "time_window_hopping" ->
+        ("WITH e AS (SELECT event_type, " +
+          "epoch_us(ts) // 1800000000 AS slot FROM events), " +
+          "x AS (SELECT event_type, " +
+          "unnest([slot, slot - 1]) * 1800 AS win_start_epoch FROM e) " +
+          "SELECT win_start_epoch, event_type, count(*) AS cnt " +
+          "FROM x GROUP BY 1, 2"),
+
+      // same sets, same standard leftmost-is-MSB grouping id
+      "grouping_sets_agg" ->
+        ("SELECT coalesce(o_orderstatus, '(all)') AS status, " +
+          "coalesce(o_orderpriority, '(all)') AS priority, " +
+          "CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) " +
+          "AS gid, count(*) AS cnt FROM orders " +
+          "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), " +
+          "(o_orderstatus), ())"),
 
       // RANGE frame replay: identical time-window semantics (peers at
       // equal ts share a frame) on BIGINT micros and integer cents
