@@ -1952,6 +1952,27 @@ object SparkEntry {
         gapNs = EventOps.SessionGapNs / 1000)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
 
+    // Declarative data-quality suite — the pre-flight gate over the
+    // star schema: key uniqueness, completeness, value invariants and
+    // the lineitem→orders referential containment (all hold on this
+    // fixture — the suite proves a CLEAN bill exactly, and any
+    // violation would land in `observed` with passed = 0).
+    "dq_checks" -> ((s, dir) => DataQuality.suite(Seq(
+      DataQuality.uniqueness(T(s, dir, "orders"),
+        "orders_pk_unique", col("o_orderkey")),
+      DataQuality.uniqueness(T(s, dir, "customer"),
+        "customer_pk_unique", col("c_custkey")),
+      DataQuality.completeness(T(s, dir, "orders"),
+        "orders_custkey_complete", col("o_custkey")),
+      DataQuality.constraint(T(s, dir, "lineitem"),
+        "lineitem_qty_positive", col("l_quantity") > 0),
+      DataQuality.constraint(T(s, dir, "events"),
+        "events_value_nonneg", col("value") >= 0),
+      DataQuality.containment(
+        T(s, dir, "lineitem"), col("l_orderkey"),
+        T(s, dir, "orders"), col("o_orderkey"),
+        "lineitem_orderkey_contained")))),
+
     // HOPPING (sliding) event-time windows in batch: 1-hour windows
     // every 30 minutes — each event lands in exactly two windows. The
     // oracle replays the expansion arithmetically (each event's two
@@ -3493,6 +3514,37 @@ object SparkEntry {
            |    > ${EventOps.SessionGapNs / 1000} THEN 1 ELSE 0 END AS b
            |  FROM events)"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // every observation an exact count; the RI check's orphan count
+      // replays as the NOT EXISTS the anti-join implements
+      "dq_checks" ->
+        ("SELECT 'orders_pk_unique' AS check, " +
+          "count(*) - count(DISTINCT o_orderkey) AS observed, " +
+          "CAST(count(*) = count(DISTINCT o_orderkey) AS INTEGER) " +
+          "AS passed FROM orders " +
+          "UNION ALL SELECT 'customer_pk_unique', " +
+          "count(*) - count(DISTINCT c_custkey), " +
+          "CAST(count(*) = count(DISTINCT c_custkey) AS INTEGER) " +
+          "FROM customer " +
+          "UNION ALL SELECT 'orders_custkey_complete', " +
+          "count(CASE WHEN o_custkey IS NULL THEN 1 END), " +
+          "CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 " +
+          "AS INTEGER) FROM orders " +
+          "UNION ALL SELECT 'lineitem_qty_positive', " +
+          "count(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) " +
+          "THEN 1 END), " +
+          "CAST(count(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) " +
+          "THEN 1 END) = 0 AS INTEGER) FROM lineitem " +
+          "UNION ALL SELECT 'events_value_nonneg', " +
+          "count(CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 END), " +
+          "CAST(count(CASE WHEN NOT coalesce(value >= 0, FALSE) " +
+          "THEN 1 END) = 0 AS INTEGER) FROM events " +
+          "UNION ALL SELECT 'lineitem_orderkey_contained', " +
+          "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), " +
+          "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) " +
+          "= 0 AS INTEGER)"),
 
       // hop expansion replayed arithmetically: an event at t belongs
       // to the two 30-min-aligned 1-hour windows starting at

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the pre-flight gate a pipeline
+  * runs before committing a 100 TB job (the Deequ/great-expectations
+  * shape, engine-native): each rule reduces one frame to a single
+  * (check, observed, passed) row, and a suite is the union of its
+  * rules. Every observation is an exact integer count, so a suite
+  * replays value-exactly in an external SQL engine.
+  *
+  * Scale shape: each rule is one column-pruned scan into a map-side-
+  * combined aggregate (or one anti-join for containment); rules are
+  * independent single-row frames, so the union parallelizes and
+  * nothing is ever collected. Uniqueness deliberately counts via
+  * `count(*) - count(DISTINCT key)` in ONE aggregate — the Expand it
+  * plans is acceptable for a two-aggregate rule; suites that check
+  * many keys on one table should split rules per key to keep each
+  * Expand binary.
+  */
+object DataQuality {
+
+  private def row(name: String, observed: Column, passed: Column) =
+    (df: DataFrame) => df.agg(observed.as("observed"))
+      .select(lit(name).as("check"), col("observed"),
+        passed.cast("int").as("passed"))
+
+  /** Duplicate-key count for an intended primary key: 0 ⇔ unique. */
+  def uniqueness(df: DataFrame, name: String, key: Column): DataFrame =
+    row(name, count(lit(1)) - count_distinct(key),
+      col("observed") === 0L)(df)
+
+  /** NULL count for a required column: 0 ⇔ complete. */
+  def completeness(df: DataFrame, name: String, c: Column): DataFrame =
+    row(name, count(when(c.isNull, 1)), col("observed") === 0L)(df)
+
+  /** Rows violating a boolean invariant (NULL counts as violation). */
+  def constraint(df: DataFrame, name: String, pred: Column): DataFrame =
+    row(name, count(when(!coalesce(pred, lit(false)), 1)),
+      col("observed") === 0L)(df)
+
+  /** Orphan count: child keys absent from the parent key set — the
+    * referential-integrity rule as a left-anti join (the build side
+    * reduces to distinct keys; AQE picks broadcast when it fits).
+    */
+  def containment(
+      child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column,
+      name: String): DataFrame =
+    row(name, count(lit(1)), col("observed") === 0L)(
+      child.select(childKey.as("__k"))
+        .join(parent.select(parentKey.as("__k")).distinct(),
+          Seq("__k"), "left_anti"))
+
+  /** A suite is the union of its rules, one row each. */
+  def suite(rules: Seq[DataFrame]): DataFrame =
+    rules.reduce(_ unionByName _)
+}
