@@ -1704,6 +1704,23 @@ object SparkEntry {
         key = col("lang"), tieBreaker = col("doc_id"), k = 20)
         .select(col("doc_id"), col("lang"))),
 
+    // Per-DOMAIN capping through real URL parsing: deterministic
+    // synthetic URLs (host varies by doc_id mod 7), host extracted
+    // with Spark's parse_url, at most 10 docs per host by content-
+    // hash rank. The oracle reconstructs the host from the same mod
+    // arithmetic, so parse_url's HOST extraction is pinned against
+    // the construction — the FineWeb-style docs-per-domain limiter.
+    "domain_cap" -> ((s, dir) => {
+      val url = concat(lit("https://site"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com/d/"), col("doc_id"))
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+      Sampling.capPerKey(docs, key = col("host"),
+        tieBreaker = col("doc_id"), k = 10)
+        .select(col("doc_id"), col("host"))
+    }),
+
     // PII scrub: RE2-compatible detect + redact chains over documents
     // with deterministic synthetic PII injected (the synthetic corpus
     // contains none) — injector replayed verbatim in the oracle.
@@ -2472,6 +2489,14 @@ object SparkEntry {
         ("SELECT doc_id, lang FROM documents QUALIFY " +
           "row_number() OVER (PARTITION BY lang " +
           "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20"),
+
+      // host replayed from the construction arithmetic — pinning
+      // Spark's parse_url(HOST) against it
+      "domain_cap" ->
+        ("SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' " +
+          "AS host FROM documents QUALIFY " +
+          "row_number() OVER (PARTITION BY doc_id % 7 " +
+          "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10"),
 
       "unicode_nfc" ->
         (s"SELECT doc_id, nfc_normalize(text || '$DecomposedSuffix') " +
