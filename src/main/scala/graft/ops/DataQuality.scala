@@ -54,6 +54,8 @@ object DataQuality {
           Seq("__k"), "left_anti"))
 
   /** A suite is the union of its rules, one row each. */
-  def suite(rules: Seq[DataFrame]): DataFrame =
+  def suite(rules: Seq[DataFrame]): DataFrame = {
+    require(rules.nonEmpty, "suite needs at least one rule")
     rules.reduce(_ unionByName _)
+  }
 }

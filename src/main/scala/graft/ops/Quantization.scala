@@ -120,9 +120,9 @@ object Quantization {
       m: Int = 8,
       subDim: Int = 8,
       logScale: Int = 6): DataFrame = {
-    val packed = codebook
-      .agg(array_sort(collect_list(
-        struct(col("s"), col("j"), col("cvec"), col("nb")))).as("cb"))
+    require(kCode <= 16,
+      s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
+    val packed = packCodebook(codebook, kCode, m)
     val codes = transform(sequence(lit(0), lit(m - 1)), s => {
       val sub = slice(col("qv"), s * subDim + 1, lit(subDim))
       val best = array_max(transform(sequence(lit(0), lit(kCode - 1)), j => {
@@ -143,15 +143,37 @@ object Quantization {
       .select(col("vec_id"), col("codes"), col("pq_code"))
   }
 
+  /** The broadcast-packed codebook row for positional `(s, j)` lookup
+    * (`element_at(cb, s*kCode + j + 1)`). Positional indexing is only
+    * sound on a DENSE m×kCode codebook with contiguous j per subspace —
+    * a sparse one (e.g. a hand-rolled trainer that dropped empty cells)
+    * would silently misalign every later entry — so the pack guards the
+    * invariant with an in-plan `raise_error` instead of trusting the
+    * caller. The check costs one `size` per probe row against a
+    * broadcast array; the error fires on the first row touched.
+    */
+  private def packCodebook(codebook: DataFrame, kCode: Int, m: Int): DataFrame =
+    codebook
+      .agg(array_sort(collect_list(
+        struct(col("s"), col("j"), col("cvec"), col("nb")))).as("cb"))
+      .select(when(size(col("cb")) === m * kCode, col("cb"))
+        .otherwise(raise_error(concat(
+          lit(s"PQ codebook must be dense ${m}x$kCode = ${m * kCode} " +
+            "entries; got "), size(col("cb")).cast("string")))).as("cb"))
+
   /** Lloyd-train the PQ codebooks in-engine: start from the seeded
     * [[pqCodebook]], then alternate exact-integer assignment
     * ([[pqEncode]]) with per-(subspace, centroid) mean updates
     * (`floor(sum/count)` per dimension — the [[KMeans.refine]]
-    * convention, L2 flavor; empty cells vanish). Each round costs one
-    * corpus scan plus an m·kCode×subDim-cell aggregation whose partial
-    * rows are map-side combined; the tiny codebook is checkpointed per
-    * round so downstream references never re-execute prior rounds
-    * (same reasoning as [[KMeans.fitAssign]]).
+    * convention, L2 flavor). An EMPTY cell keeps its previous centroid
+    * (left join of the update against the full (s, j) grid): dropping
+    * it would leave a hole that shifts every later entry of the
+    * positionally-indexed packed codebook — silently wrong codes from
+    * that round on, including inside this loop's own next assignment.
+    * Each round costs one corpus scan plus an m·kCode×subDim-cell
+    * aggregation whose partial rows are map-side combined; the tiny
+    * codebook is checkpointed per round so downstream references never
+    * re-execute prior rounds (same reasoning as [[KMeans.fitAssign]]).
     */
   def pqTrainCodebook(
       corpus: DataFrame,
@@ -169,7 +191,7 @@ object Quantization {
           .select(col("vec_id"), col("codes"))
         val subSums = (0 until subDim).map(d =>
           sum(col("sub")(d)).as(s"s_$d"))
-        qv.join(assigned, "vec_id")
+        val updated = qv.join(assigned, "vec_id")
           .select(explode(sequence(lit(0), lit(m - 1))).as("s"),
             col("qv"), col("codes"))
           .select(col("s"),
@@ -180,7 +202,14 @@ object Quantization {
           .select(col("s"), col("j"),
             array((0 until subDim).map(d =>
               floor(col(s"s_$d").cast("double") / col("cnt")).cast("int")): _*)
-              .as("cvec"))
+              .as("new_cvec"))
+        // densify: the previous codebook IS the full (s, j) grid (dense
+        // by induction from the seeded one), so a left join + coalesce
+        // carries empty cells' previous centroids forward
+        cb.select(col("s"), col("j"), col("cvec").as("prev_cvec"))
+          .join(updated, Seq("s", "j"), "left")
+          .select(col("s"), col("j"),
+            coalesce(col("new_cvec"), col("prev_cvec")).as("cvec"))
           .withColumn("nb", intDot(col("cvec"), col("cvec")))
           .localCheckpoint()
     }
@@ -206,10 +235,10 @@ object Quantization {
       logScale: Int = 6,
       codebook: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(kCode <= 16,
+      s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
     val cb = codebook.getOrElse(pqCodebook(corpus, kCode, m, subDim, logScale))
-    val packed = cb
-      .agg(array_sort(collect_list(
-        struct(col("s"), col("j"), col("cvec"), col("nb")))).as("cb"))
+    val packed = packCodebook(cb, kCode, m)
     val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
       element_at(col("cb"),
         s * kCode + element_at(col("codes"), s + 1) + 1)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Redaction, TextAnalysis, TextDedup}
+import graft.ops.{Redaction, TextAnalysis}
 
 /** The curation pipeline at INGEST time — the streaming face of
   * [[graft.tools.RunCuration]]: every quality stage is stateless

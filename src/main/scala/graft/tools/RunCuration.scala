@@ -35,13 +35,17 @@ object RunCuration {
       "[--shards N] [--no-redact] [--classifier]"
 
   /** The pipeline as a function, for tests: returns (curated frame,
-    * funnel JSON). The funnel is computed from the same gate columns
-    * the pipeline filters on — one extra scan, zero extra logic.
+    * funnel thunk). The funnel is computed from the same gate columns
+    * the pipeline filters on — one extra scan, zero extra logic — but
+    * LAZILY: forcing it costs a driver collect of a 1-row aggregate
+    * plus a full pipeline count, so callers that only want the curated
+    * frame (or run at corpus scale with accounting disabled) never pay
+    * for the two accounting scans.
     */
   def curate(
       docs: DataFrame,
       redact: Boolean = true,
-      classifier: Boolean = false): (DataFrame, String) = {
+      classifier: Boolean = false): (DataFrame, () => String) = {
     val gk = TextAnalysis.gopherKeep(col("text"))
     val pk = TextAnalysis.c4PageKeep(col("text"))
     val keepAll = if (classifier)
@@ -60,7 +64,7 @@ object RunCuration {
       deduped.drop("text").join(scrubbed
         .select(col("doc_id"), col("redacted").as("text")), "doc_id")
     } else deduped
-    val funnel = {
+    val funnel = () => {
       // the ONE driver-side collect in this tool is a 1-row aggregate
       // (four counters) for the run-log line — never corpus rows
       val f = docs.agg(
@@ -99,7 +103,7 @@ object RunCuration {
     val docs = spark.read.parquet(src)
     val (out, funnel) = curate(docs, redact, classifier)
     Sampling.writeTrainingShards(out, col("text"), dest, shards)
-    println(funnel)
+    println(funnel())
     spark.stop()
   }
 }

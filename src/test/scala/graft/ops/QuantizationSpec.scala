@@ -158,6 +158,43 @@ class QuantizationSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("trained codebook stays dense under empty cells; sparse " +
+      "codebooks and nibble-colliding kCode error loudly") {
+    // 24 vectors drawn from only 3 distinct embeddings: the 16 seeds
+    // duplicate patterns, assignment ties go to the lowest j, so 13 of
+    // the 16 cells per subspace receive NO members in the refine step.
+    // Before the densify fix that round dropped those cells and every
+    // later positional element_at lookup misaligned (silent NULL/wrong
+    // codes); now empty cells keep their previous centroid.
+    val corpus = (0 until 24).map { i =>
+      val pat = i % 3
+      (i.toLong, Seq.tabulate(64)(d => (pat + 1) * 0.1f + d * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val trained = Quantization.pqTrainCodebook(corpus, iters = 1)
+    assert(trained.count() == 16 * 8,
+      "trained codebook must stay dense m x kCode")
+    val enc = Quantization.pqEncode(corpus, trained)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect()
+    assert(enc.length == 24)
+    enc.foreach { case (id, codes) =>
+      assert(codes != null && codes.forall(c => c >= 0 && c < 3),
+        s"vec $id: only the 3 winning cells may appear, got $codes")
+    }
+    // a hole in the grid must fail fast, not misalign silently
+    val sparse = trained.filter(!(col("s") === 0 && col("j") === 5))
+    val err = intercept[Exception] {
+      Quantization.pqEncode(corpus, sparse).head()
+    }
+    def deepMsg(t: Throwable): String =
+      Option(t.getCause).fold(t.getMessage)(c => t.getMessage + " | " + deepMsg(c))
+    assert(deepMsg(err).contains("dense"), deepMsg(err))
+    // kCode > 16 would collide the radix-16 nibble pack
+    val bad = intercept[IllegalArgumentException] {
+      Quantization.pqEncode(corpus, trained, kCode = 17)
+    }
+    assert(bad.getMessage.contains("radix 16"))
+  }
+
   test("PQ ADC top-k equals a driver-side reference on a small corpus") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read

@@ -30,8 +30,8 @@ class RunCurationSpec extends SparkSpec {
       .select("text").as[String].collect().head
     assert(t5.contains("<PHONE>") && !t5.contains("+62812"),
       s"PII survived: $t5")
-    assert(funnel ==
-      """{"n_input":5,"n_gopher":4,"n_gates":3,"n_out":2}""", funnel)
+    assert(funnel() ==
+      """{"n_input":5,"n_gopher":4,"n_gates":3,"n_out":2}""", funnel())
     // the classifier gate composes without changing this verdict set
     // (prose scores far positive, junk is already gone at the gates)
     val (out2, _) = RunCuration.curate(docs, classifier = true)
@@ -49,6 +49,6 @@ class RunCurationSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 40)
     assert(back.select("doc_id").distinct().count() == 40)
-    assert(funnel.contains("\"n_out\":40"), funnel)
+    assert(funnel().contains("\"n_out\":40"), funnel())
   }
 }
