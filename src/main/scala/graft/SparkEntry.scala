@@ -141,6 +141,15 @@ object SparkEntry {
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+  /** Distinct 3-gram set over a `toks` token-list column — the DuckDB
+    * replay of [[TextDedup.shingles]] (n = 3), including the
+    * whole-text fallback for sub-3-token docs (the range degenerates
+    * to one truncated slice, exactly like Spark's `slice`).
+    */
+  private val ShingleSetSql =
+    "list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+      "i -> array_to_string(toks[i+1:i+3], ' ')))"
+
   /** The planted stop-word sentence for curation_e2e_v2's Gopher gate:
     * 7 of the 8 [[TextAnalysis.GopherStopWords]] in one terminal-
     * punctuated 14-word line, so it survives the C4 line stage and
@@ -720,13 +729,18 @@ object SparkEntry {
     * SparkEntrySpec), which evaluates its lambda interpreted per
     * token and was the dominant per-row cost of the planted corpus.
     */
-  private def plantedInput(docs: DataFrame): DataFrame = {
+  private def plantedInput(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).union(plantedCopies(docs))
+
+  /** Just the mutated copies half of [[plantedInput]] — the "new
+    * snapshot" side for the incremental near-dup recall gate.
+    */
+  private def plantedCopies(docs: DataFrame): DataFrame = {
     val mutated = regexp_replace(TextDedup.normText(col("text")),
       "((?:\\S+ ){49})\\S+", "$1zzplantzz")
-    docs.select(col("doc_id"), col("text"))
-      .union(plantedEligible(docs).select(
-        (col("doc_id") + PlantOffset).as("doc_id"),
-        mutated.as("text")))
+    plantedEligible(docs).select(
+      (col("doc_id") + PlantOffset).as("doc_id"),
+      mutated.as("text"))
   }
 
   /** In-band recall summary over the planted pairs: how many eligible
@@ -1940,6 +1954,58 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250),
         docs.filter(col("doc_id") < 250))
         .select(col("doc_id"), col("text_hash"))
+    }),
+
+    // Cross-snapshot incremental NEAR-dup dedup against the persisted
+    // band+signature index (TextDedup.nearDupIndex) — the weekly
+    // re-crawl shape: only the new snapshot is shingled, the prior
+    // corpus participates purely through its index. The new snapshot
+    // is built SQL-replayably: verbatim re-fetches (every 5th doc),
+    // whitespace-mangled re-fetches (every 7th doc, ' ' -> '  ' —
+    // same normalized form, so exact AND near dedup both see through
+    // it), and genuinely new docs (doc_id >= 450 with a prefix that
+    // changes the gram set). thresholdPct = 100 makes the verdict
+    // shingle-SET equality — deterministic (set-equal docs share every
+    // band by construction; unequal candidates fail the exact verify),
+    // so the kept set replays as a NOT EXISTS over the gram sets. The
+    // fuzzy-threshold recall path is gated by incremental_near_recall.
+    "dedup_incremental_near" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (bands, sigs) = TextDedup.nearDupIndex(docs)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 450)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(lit("fresh v2 "), col("text")).as("text")))
+      TextDedup.incrementalNearNew(newDocs, bands, sigs,
+        thresholdPct = 100, maxBucket = Int.MaxValue)
+        .select(col("doc_id"))
+    }),
+
+    // The retrieval-quality gate for the fuzzy incremental path: the
+    // new snapshot is the planted mutated copies (every-50th-token
+    // sentinel, Jaccard ~0.9 vs their originals), the index is the
+    // unmodified corpus, and the flag asserts that >= floor% of the
+    // copies were DROPPED by incrementalNearNew at a 50% threshold —
+    // end-to-end through banding, the index join and the exact verify.
+    // Same floor as minhash_planted_recall: identical signature
+    // machinery, so candidacy recall is identical by construction.
+    "incremental_near_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val (bands, sigs) = TextDedup.nearDupIndex(docs)
+      val copies = plantedCopies(docs)
+      val kept = TextDedup.incrementalNearNew(copies, bands, sigs,
+        thresholdPct = 50)
+      val dropped = copies.select("doc_id")
+        .join(kept.select(col("doc_id"), lit(1L).as("kept")),
+          Seq("doc_id"), "left")
+      dropped.agg(count(lit(1)).as("planted_total"),
+        (sum(when(col("kept").isNull, 1L).otherwise(0L)) * 100 >=
+          count(lit(1)) * MinHashRecallFloorPct).as("recall_ok"))
     }),
 
     // Quality filtering at an exact discrete percentile cutoff: keep
@@ -3519,6 +3585,45 @@ object SparkEntry {
           "SELECT 1 FROM documents c WHERE c.doc_id < 250 AND " +
           s"md5($normC) = md5($normN))"
       },
+
+      // the incremental near-dup kept set, replayed as NOT EXISTS over
+      // distinct 3-gram sets: at thresholdPct = 100 the Spark verdict
+      // is shingle-set equality, which DuckDB tests as equality of the
+      // SORTED distinct-gram lists (a plain list comparison — DuckDB
+      // 1.0 cannot bind correlated columns inside list_intersect's
+      // lambda expansion; same shingle construction as the
+      // ngram_jaccard_pairs replay, whole-text fallback included).
+      // The doubled-space mangle is written ' ' || ' ' because this
+      // builder collapses whitespace runs even inside literals.
+      "dedup_incremental_near" ->
+        (s"""WITH oldsh AS (
+           |  SELECT doc_id, list_sort($ShingleSetSql) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents)),
+           |newdocs AS (
+           |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+           |    WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 600000, regexp_replace(text, ' ', ' ' || ' ', 'g')
+           |    FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 700000, 'fresh v2 ' || text
+           |    FROM documents WHERE doc_id >= 450),
+           |newsh AS (
+           |  SELECT doc_id, list_sort($ShingleSetSql) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM newdocs))
+           |SELECT n.doc_id FROM newsh n WHERE NOT EXISTS (
+           |  SELECT 1 FROM oldsh o WHERE o.sh = n.sh)"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // xxhash64 banding isn't SQL-replayable, so the fuzzy-threshold
+      // gate follows the planted-recall convention: eligibility replays
+      // verbatim, the drop-recall flag is asserted TRUE
+      "incremental_near_recall" ->
+        (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          s"FROM documents WHERE doc_id % $PlantMod = 0 " +
+          s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
 
       // quantile_disc is DuckDB's SQL-standard percentile_disc: the
       // smallest actual value with cume_dist >= 0.9 — same definition

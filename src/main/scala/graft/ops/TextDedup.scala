@@ -73,6 +73,111 @@ object TextDedup {
         corpus.select(md5(normText(col("text"))).as("text_hash")).distinct(),
         Seq("text_hash"), "left_anti")
 
+  /** The PERSISTED near-dup index of a corpus snapshot — what a weekly
+    * re-crawled corpus pipeline stores between runs so the NEXT
+    * snapshot can near-dedup against everything already ingested
+    * without re-reading (let alone re-shingling) the prior corpus:
+    *  - the MinHash band table `(doc_id, band_idx, band_hash)` —
+    *    candidate generation by band equi-join;
+    *  - the hashed-shingle signature table `(doc_id, sh)` — exact
+    *    Jaccard verification of candidates.
+    * Both are pure per-row derivations (one corpus scan builds both,
+    * no shuffle) and both carry only 8-byte hashes, so the index is a
+    * small fraction of the text it stands for. Persist as parquet;
+    * [[incrementalNearNew]] consumes the two tables directly.
+    */
+  def nearDupIndex(
+      corpus: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): (DataFrame, DataFrame) =
+    (minHashBands(corpus, numHashes, rowsPerBand, shingleSize),
+      corpus.select(col("doc_id"),
+        shinglesHashed(col("text"), shingleSize).as("sh")))
+
+  /** Verified cross-snapshot near-dup pairs: each NEW doc against the
+    * indexed PRIOR corpus ([[nearDupIndex]]). Only the new snapshot is
+    * shingled; the old corpus participates purely through its index —
+    * the shape a weekly re-crawl needs, where the new slice is a few
+    * percent of the corpus behind the index.
+    *
+    * Stages mirror [[minHashCandidates]] + [[jaccardVerify]], with the
+    * self-join replaced by a new-vs-index join: band the new docs (per-
+    * row expression work), equi-join on `(band_idx, band_hash)` against
+    * the index (the only shuffle, on a 12-byte key), dedup candidate
+    * pairs, then verify with the exact hashed-shingle intersection
+    * against the stored signatures. `maxBucket` drops degenerate INDEX
+    * buckets (boilerplate that collides every crawl) before the join —
+    * the same skew guard as the batch path, now protecting against a
+    * hot bucket accumulated across ALL prior snapshots.
+    *
+    * Returns `(new_id, old_id, inter_cnt, union_cnt)` — integer-exact
+    * counts, thresholds as `inter_cnt * 100 >= union_cnt * pct`.
+    */
+  def incrementalNearPairs(
+      newDocs: DataFrame,
+      bandIndex: DataFrame,
+      shingleIndex: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val newBands = minHashBands(newDocs, numHashes, rowsPerBand, shingleSize)
+    val guarded = bandIndex
+      .withColumn("bucket_n",
+        count(lit(1)).over(
+          Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cands = newBands
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+      .join(guarded
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")),
+        Seq("band_idx", "band_hash"))
+      .select("new_id", "old_id")
+      .distinct()
+    val newSh = newDocs.select(col("doc_id").as("new_id"),
+      shinglesHashed(col("text"), shingleSize).as("sh_new"))
+    // hashed shingles are sorted — one linear merge per pair
+    val inter = graft.functions.TextExprs
+      .sortedIntersectCount(col("sh_new"), col("sh_old"))
+    cands
+      .join(newSh, "new_id")
+      .join(shingleIndex
+        .select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
+      .select(col("new_id"), col("old_id"), inter.as("inter_cnt"),
+        (size(col("sh_new")) + size(col("sh_old")) - inter).as("union_cnt"))
+  }
+
+  /** Cross-snapshot incremental NEAR-dup dedup: rows of `newDocs` with
+    * no verified near-duplicate (shingle Jaccard ≥ `thresholdPct`%) in
+    * the indexed prior corpus — the near-dup analog of
+    * [[incrementalNew]], and the batch form of the streaming Bloom
+    * gate. At `thresholdPct = 100` the test degenerates to shingle-SET
+    * equality (catches case/whitespace/repetition variants exact
+    * hashing misses, deterministically — set-equal docs share every
+    * band by construction); below 100 it is the standard fuzzy gate
+    * whose recall follows the MinHash banding curve.
+    */
+  def incrementalNearNew(
+      newDocs: DataFrame,
+      bandIndex: DataFrame,
+      shingleIndex: DataFrame,
+      thresholdPct: Int = 80,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct must be in (0,100], got $thresholdPct")
+    val dup = incrementalNearPairs(newDocs, bandIndex, shingleIndex,
+      numHashes, rowsPerBand, shingleSize, maxBucket)
+      .filter(col("inter_cnt") * 100 >= col("union_cnt") * thresholdPct)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    newDocs.join(dup, Seq("doc_id"), "left_anti")
+  }
+
   /** Eval-set decontamination: for every training document sharing at
     * least one word `n`-gram with a benchmark document, the pair and
     * its shared-distinct-n-gram count — the screen a training corpus
