@@ -343,6 +343,8 @@ object SparkEntry {
   //   SimHashRecallFloorPct = 80  measured 100% / 94.8% (sf0.01 / sf0.1)
   //   AnnLshRecallFloorPct  = 75  measured 100% / 90.5% (multi-probe)
   //   AnnIvfRecallFloorPct  = 80  measured 100% / 95.2%
+  //   AnnIvfPqRecallFloorPct = 80  measured 100% / 95.2% (rerank=30 —
+  //     the one sf0.1 miss is the same coarse-cell miss as plain IVF)
   //   (winnowing_planted_overlap has NO floor constant: its planted
   //   ≥49-token shared runs make 100% recall a theorem of the
   //   winnowing window guarantee, independent of data.)
@@ -360,6 +362,7 @@ object SparkEntry {
   private val SimHashRecallFloorPct = 80
   private val AnnLshRecallFloorPct = 75
   private val AnnIvfRecallFloorPct = 80
+  private val AnnIvfPqRecallFloorPct = 80
 
   /** Recursive-CTE replay of [[neardupLabeled]] (shingles →
     * integer-exact Jaccard edges → min-label reachability), shared by
@@ -1484,6 +1487,49 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Quantization.pqTopK(corpus, queries, topK = 10)
+    }),
+
+    // IVF×PQ fused ANN with exact re-rank — the billion-vector index
+    // shape: coarse cells prune the corpus (nProbe=2 of 8), PQ ADC
+    // scores only within probed cells, and the ADC top-30 re-rank by
+    // exact int8 dot. Integer scores end-to-end, so score AND rank
+    // replay; the float cell assignment replays like ann_ivf_topk.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("c_vec"))
+      val queries = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Quantization.ivfPqTopK(corpus, queries, centroids,
+        topK = 10, nProbe = 2, rerank = 30)
+    }),
+
+    // Retrieval-quality gate for the fused path (same planted-original
+    // construction as ann_planted_recall): the flag asserts that the
+    // IVFPQ+rerank pipeline surfaced the planted original in its
+    // top-10 for >= floor% of planted queries — ADC quantization error
+    // and cell-miss both count against it.
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = base.union(planted)
+      val queries = planted.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))
+      val centroids = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("c_vec"))
+      val hits = Quantization.ivfPqTopK(corpus, queries, centroids,
+        topK = 10, nProbe = 2, rerank = 30)
+        .filter(col("vec_id") === col("q_id") - 1000000L)
+        .select(col("q_id"), lit(1L).as("hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("planted_total"),
+          (sum(coalesce(col("hit"), lit(0L))) * 100 >=
+            count(lit(1)) * AnnIvfPqRecallFloorPct).as("recall_ok"))
     }),
 
     // SemDeDup-style semantic dedup: within pre-assigned embedding
@@ -2778,6 +2824,53 @@ object SparkEntry {
           "CAST(row_number() OVER (PARTITION BY q_id " +
           "ORDER BY score DESC, vec_id) AS INTEGER) AS rk " +
           "FROM adc QUALIFY rk <= 10"),
+
+      // IVF×PQ replay: the PQ CTEs (codes + reconstruction) composed
+      // with the plain-IVF cell CTEs (float cosine assignment, same
+      // margin argument as ann_ivf_topk), ADC scored only inside
+      // probed cells, ADC top-30 re-ranked by the exact int8 dot —
+      // score and rank reach the comparator as integers
+      "ann_ivfpq_topk" ->
+        (PqCtes + ", recon AS (SELECT a.vec_id, " +
+          "flatten(list(c.cvec ORDER BY a.s)) AS recon " +
+          "FROM assign a JOIN cbn c ON c.s = a.s AND c.j = a.j " +
+          "GROUP BY a.vec_id), " +
+          "cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
+          "embedding AS c_vec FROM embeddings WHERE vec_id < 8), " +
+          "cellasg AS (SELECT vec_id, cell FROM (" +
+          "SELECT e.vec_id, c.cell, row_number() OVER (" +
+          "PARTITION BY e.vec_id ORDER BY " +
+          "list_cosine_similarity(e.embedding, c.c_vec) DESC, c.cell) AS rn " +
+          "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+          "probes AS (SELECT q_id, cell FROM (" +
+          "SELECT q.vec_id AS q_id, c.cell, row_number() OVER (" +
+          "PARTITION BY q.vec_id ORDER BY " +
+          "list_cosine_similarity(q.embedding, c.c_vec) DESC, c.cell) AS rn " +
+          "FROM embeddings q CROSS JOIN cent c " +
+          "WHERE q.vec_id >= 10 AND q.vec_id < 20) WHERE rn <= 2), " +
+          "qq AS (SELECT vec_id AS q_id, qv FROM qc " +
+          "WHERE vec_id >= 10 AND vec_id < 20), " +
+          "adc0 AS (SELECT p.q_id, r.vec_id, " +
+          "CAST(list_dot_product(q.qv, r.recon) AS BIGINT) AS adc " +
+          "FROM recon r JOIN cellasg ca ON ca.vec_id = r.vec_id " +
+          "JOIN probes p ON p.cell = ca.cell " +
+          "JOIN qq q ON q.q_id = p.q_id WHERE r.vec_id <> p.q_id), " +
+          "short AS (SELECT q_id, vec_id FROM (" +
+          "SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id " +
+          "ORDER BY adc DESC, vec_id) AS arn FROM adc0) WHERE arn <= 30), " +
+          "rr AS (SELECT s.q_id, s.vec_id, " +
+          "CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS score " +
+          "FROM short s JOIN qc c ON c.vec_id = s.vec_id " +
+          "JOIN qq q ON q.q_id = s.q_id) " +
+          "SELECT q_id, vec_id, score, " +
+          "CAST(row_number() OVER (PARTITION BY q_id " +
+          "ORDER BY score DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM rr QUALIFY rk <= 10"),
+
+      // fused-path quality gate: planted-total replay + flag TRUE
+      "ann_ivfpq_recall" ->
+        ("SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          "FROM embeddings WHERE vec_id % 97 = 0"),
 
       // SemDeDup replay: identical quantization, the cross-multiplied
       // integer cosine-squared test (qdot > 0 guard keeps the squaring

@@ -259,6 +259,99 @@ object Quantization {
       .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
   }
 
+  /** IVF×PQ fused ANN — the standard billion-vector index shape
+    * (FAISS IVFPQ + refine): a coarse quantizer routes every corpus
+    * vector to an IVF cell ([[Similarity.ivfAssign]] — broadcast
+    * argmin, no shuffle), queries probe only their `nProbe` nearest
+    * cells, and WITHIN the probed cells candidates are scored by PQ
+    * ADC (exact integer dot of the query codes against the
+    * PQ-reconstructed corpus vector — the corpus side of the scoring
+    * join reads a 4-byte code column, not 256 B of floats). With
+    * `rerank > 0` the ADC top-`rerank` per query are re-scored by the
+    * EXACT int8 dot (one broadcast-friendly join back to the corpus
+    * codes) — the refine stage that buys back the PQ approximation
+    * error for a fixed per-query cost.
+    *
+    * Every scoring value is integer-exact, and both stages' orderings
+    * are deterministic (ties to the lower vec_id), so score AND rank
+    * replay in an external SQL engine; the coarse float cell
+    * assignment replays the same way as the plain IVF path.
+    *
+    * Scale shape: cell assignment and encoding are per-row projections
+    * against broadcast k-row models; the candidate join is an
+    * equi-join on the cell id (never a cross product at scale —
+    * candidates per query ≈ nProbe/cells of the corpus); both top-k
+    * stages are per-query WindowGroupLimit prunes. The 100 TB corpus
+    * is touched once to build (cell, pq_code) and never again per
+    * query wave.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      topK: Int = 10,
+      nProbe: Int = 2,
+      rerank: Int = 0,
+      kCode: Int = 16,
+      m: Int = 8,
+      subDim: Int = 8,
+      logScale: Int = 6,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kCode <= 16,
+      s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
+    val cb = codebook.getOrElse(pqCodebook(corpus, kCode, m, subDim, logScale))
+    val packed = packCodebook(cb, kCode, m)
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      element_at(col("cb"),
+        s * kCode + element_at(col("codes"), s + 1) + 1)
+        .getField("cvec")))
+    // the compressed index: one row per corpus vector with its cell id
+    // and PQ reconstruction (what a persisted IVFPQ index stores)
+    val index = pqEncode(corpus, cb, kCode, m, subDim, logScale)
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), recon.as("recon"))
+      .join(Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    // query probes: nProbe nearest cells, carrying the int8 q codes
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("c_sim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), int8Codes(col("q_vec"), logScale).as("q_codes"),
+        col("cell"))
+    val adc = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        intDot(col("q_codes"), col("recon")).as("adc"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    if (rerank <= 0)
+      adc.withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("vec_id"), col("adc").as("score"), col("rk"))
+    else {
+      val shortlist = adc.withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= rerank)
+        .select("q_id", "vec_id")
+      val qcodes = queries.select(col("q_id"),
+        int8Codes(col("q_vec"), logScale).as("q_codes"))
+      val exact = shortlist
+        .join(quantize(corpus, logScale).select("vec_id", "qvec"), "vec_id")
+        .join(broadcast(qcodes), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          intDot(col("q_codes"), col("qvec")).as("score"))
+      val wEx = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      exact.withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
+    }
+  }
+
   /** Brute-force top-k over quantized codes: same broadcast + window
     * shape as [[Similarity.bruteForceTopK]], but the score is an exact
     * integer dot product — rank AND score replay bit-identically in an
