@@ -1050,6 +1050,34 @@ object SparkEntry {
       Sketches.approxQuantilesChecked(
         T(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
 
+    // Cross-shard HLL merge: two shard "jobs" (l_orderkey parity)
+    // each build DataSketches binary states; the merge unions STATES,
+    // never rows — the way distinct-count accounting composes across
+    // a 100-shard corpus build. Estimate audited in-band vs exact.
+    "sketch_hll_merge" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Sketches.hllMergeChecked(
+        Sketches.hllShardStates(li, pmod(col("l_orderkey"), lit(2)),
+          "l_returnflag", "l_partkey"),
+        li, "l_returnflag", "l_partkey")
+    }),
+
+    // Mergeable HISTOGRAM quantiles: per-shard (group, bucket, cnt)
+    // states (doc_id parity simulates two ingest jobs) merge by
+    // per-bucket SUM, and every derived percentile replays
+    // value-exactly — integer counts in, integer bucket edges out,
+    // no in-band flag needed (unlike GK, whose states never leave
+    // the engine).
+    "sketch_hist_quantiles_merged" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val shards = Seq(0, 1).map(p =>
+        Sketches.histogramState(
+          docs.filter(pmod(col("doc_id"), lit(2)) === p),
+          "lang", "n_chars", width = 64L))
+      Sketches.histogramMergeQuantiles(shards, "lang",
+        Seq(50, 90), width = 64L)
+    }),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -2753,6 +2781,35 @@ object SparkEntry {
           "(SELECT l_returnflag, count(l_quantity) AS \"rows\" " +
           "FROM lineitem GROUP BY l_returnflag) " +
           "CROSS JOIN (SELECT unnest([50, 90]) AS pct)"),
+
+      // cross-shard HLL state merge: the oracle recomputes the exact
+      // side (rows and distincts are shard-sum-invariant) and asserts
+      // the merged estimate held its bound
+      "sketch_hll_merge" ->
+        ("SELECT l_returnflag, count(*) AS \"rows\", " +
+          "count(DISTINCT l_partkey) AS exact_distinct, " +
+          "TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"),
+
+      // mergeable histogram quantiles replay EXACTLY: per-bucket sums
+      // over shards equal global bucket counts, so the oracle skips
+      // the sharding and derives the same integer bucket edges
+      "sketch_hist_quantiles_merged" ->
+        ("""WITH st AS (
+           |  SELECT lang, greatest(CAST(floor(CAST(n_chars AS DOUBLE)
+           |    / 64) AS BIGINT), 0) AS bucket, count(*) AS cnt
+           |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT lang, bucket,
+           |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS "rows"
+           |  FROM st),
+           |px AS (SELECT unnest([50, 90]) AS pct)
+           |SELECT lang, pct, "rows", min(bucket) * 64 AS q_lo
+           |FROM cum CROSS JOIN px
+           |WHERE cum * 100 >= pct * "rows"
+           |GROUP BY lang, pct, "rows""""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // planted-recall oracles: the eligibility predicate is replayed
       // verbatim, the recall flag is asserted TRUE — Spark must have

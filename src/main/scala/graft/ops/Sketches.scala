@@ -128,6 +128,116 @@ object Sketches {
           lit(bound) * col("sampled_distinct") * sampleMod).as("approx_ok"))
   }
 
+  /** Per-shard Apache DataSketches HLL states — the PERSISTABLE half
+    * of cross-job cardinality accounting: each shard job aggregates
+    * its own binary sketch state (`hll_sketch_agg`, a few KB per
+    * group regardless of shard size), writes it as a BINARY column,
+    * and a later job merges states with [[hllMergeChecked]] without
+    * ever touching the shard's rows again. This is the shape a
+    * 100-shard corpus build needs: distinct-count accounting composes
+    * by state union, not by re-scanning 100 TB.
+    */
+  def hllShardStates(
+      df: DataFrame,
+      shard: Column,
+      groupCol: String,
+      countCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(shard.as("shard"), col(groupCol))
+      .agg(hll_sketch_agg(col(countCol), lgK).as("state"),
+        count(lit(1)).as("rows"))
+
+  /** Merge per-shard HLL states ([[hllShardStates]]) into per-group
+    * estimates, with the estimate audited in-band against the exact
+    * distinct count (`errPct` bound — generous vs the sketch's
+    * ~1.04/√2^lgK relative error, so the flag never flakes; the
+    * estimate itself stays engine-internal, which keeps the query
+    * oracle-able). The audit recount is the gate's cost, not the
+    * operator's: production merges states alone — one tiny
+    * shuffle of sketch bytes, no row ever crosses a job boundary.
+    */
+  def hllMergeChecked(
+      states: DataFrame,
+      facts: DataFrame,
+      groupCol: String,
+      countCol: String,
+      errPct: Int = 10): DataFrame = {
+    val merged = states.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("state")))
+        .as("est"), sum(col("rows")).as("rows"))
+    val ex = facts.filter(col(countCol).isNotNull)
+      .select(col(groupCol), col(countCol)).distinct()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("exact_distinct"))
+    merged.join(ex, Seq(groupCol), "left")
+      .withColumn("exact_distinct", coalesce(col("exact_distinct"), lit(0L)))
+      .select(col(groupCol), col("rows"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) * 100 <=
+          col("exact_distinct") * errPct).as("within_bound"))
+  }
+
+  /** Equi-width histogram sketch state: `(group, bucket, cnt)` with
+    * `bucket = floor(value / width)` — the trivially-mergeable
+    * quantile state (merge = per-bucket SUM) with a PROVABLE rank
+    * guarantee (the reported bucket's cumulative count brackets the
+    * target rank by construction) and a value guarantee of one bucket
+    * width. Unlike GK/KLL summaries, the state is plain integer rows,
+    * so it persists as parquet, merges in any engine, and every
+    * derived quantile replays value-exactly in an external oracle —
+    * the audit-grade complement to [[approxQuantilesChecked]].
+    * Values below 0 clamp to bucket 0 (the caller picks `width` for
+    * the domain; the quantile error bound is `width`).
+    */
+  def histogramState(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        greatest(floor(col(valueCol) / width), lit(0L))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram states (union + per-bucket sum) and read off the
+    * requested percentiles: for each group and pct, the LOWER EDGE of
+    * the smallest bucket whose cumulative count reaches
+    * `ceil(pct·n/100)` — i.e. the bucket holding the exact
+    * percentile-disc value, so the reported edge is within one
+    * `width` of it. Output `(group, pct, rows, q_lo)`, all integers.
+    *
+    * Scale shape: states are (groups × occupied buckets) rows — tiny
+    * next to the facts — so the merge groupBy and the cumulative
+    * window run on sketch-sized data; nothing here re-reads a shard.
+    */
+  def histogramMergeQuantiles(
+      states: Seq[DataFrame],
+      groupCol: String,
+      pcts: Seq[Int],
+      width: Long): DataFrame = {
+    require(states.nonEmpty, "need at least one shard state")
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"pcts must be in (0,100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val merged = states.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("rows",
+        sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col("bucket"), col("cum"), col("rows"),
+        explode(typedLit(pcts)).as("pct"))
+      // cum >= ceil(pct*n/100)  <=>  100*cum >= pct*n (integers)
+      .filter(col("cum") * 100 >= col("pct") * col("rows"))
+      .groupBy(col(groupCol), col("pct"), col("rows"))
+      .agg((min(col("bucket")) * width).as("q_lo"))
+  }
+
   /** Approximate quantiles via the QuantileSummaries sketch.
     * `accuracy` = 1/relative-error (10000 → ~0.01% rank error).
     */

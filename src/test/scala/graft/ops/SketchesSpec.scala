@@ -84,4 +84,61 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.approxQuantilesChecked(df, "g", "v", accuracy = 0))
   }
+
+  test("HLL shard states persist to parquet and merge WITHOUT the rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hll-").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Sketches.hllShardStates(li, pmod(col("l_orderkey"), lit(2)),
+      "l_returnflag", "l_partkey").write.parquet(s"$dir/states")
+    // the production merge: a LATER job reads only the sketch bytes
+    val states = spark.read.parquet(s"$dir/states")
+    val est = states.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("est"))
+    assert(!est.queryExecution.executedPlan.toString.contains("lineitem"),
+      "the state merge must not rescan the fact table")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .as[(String, Long)].collect().toMap
+    est.as[(String, Long)].collect().foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: exact=$e merged=$a")
+    }
+    // and the audited form agrees
+    val audited = Sketches.hllMergeChecked(states, li,
+      "l_returnflag", "l_partkey")
+      .select("l_returnflag", "within_bound").as[(String, Boolean)]
+      .collect()
+    assert(audited.nonEmpty && audited.forall(_._2))
+  }
+
+  test("histogram quantile edges: shard-merge invariant and exactly " +
+      "the bucket of the true discrete percentile") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val width = 64L
+    def stateOf(mod: Int): Seq[org.apache.spark.sql.DataFrame] =
+      (0 until mod).map(p => Sketches.histogramState(
+        docs.filter(pmod(col("doc_id"), lit(mod)) === p),
+        "lang", "n_chars", width))
+    val two = Sketches.histogramMergeQuantiles(stateOf(2), "lang",
+      Seq(50, 90), width)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val five = Sketches.histogramMergeQuantiles(stateOf(5), "lang",
+      Seq(50, 90), width)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(two == five, "merge must be shard-partitioning invariant")
+    // driver-side truth: q_lo is the bucket lower edge of the exact
+    // percentile-disc value (smallest v with 100*rank_le >= pct*n)
+    val byLang = docs.select("lang", "n_chars").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((lang, pct, rows, qlo) <- two) {
+      val vs = byLang(lang)
+      assert(rows == vs.length)
+      val target = (pct * rows + 99) / 100 // ceil
+      val vStar = vs(target.toInt - 1)
+      assert(qlo == (vStar / width) * width,
+        s"$lang p$pct: edge $qlo vs true value $vStar")
+    }
+  }
 }
