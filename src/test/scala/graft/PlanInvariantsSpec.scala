@@ -29,6 +29,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "pq_codes",        // corpus × broadcast(one packed codebook row)
     "ann_pq_topk",     // PQ encode + broadcast(queries) ADC scoring
     "ann_ivf_topk",    // corpus × broadcast(centroids) assignment
+    "ann_ivfpq_topk",  // IVF assignment + broadcast packed codebook/probes
+    "ann_ivfpq_recall", // same fused pipeline under the planted-recall flag
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "kmeans_assign",   // corpus × broadcast(one packed 8-centroid row)

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted dedup-index lifecycle, end to end on parquet dirs:
+  * build once, apply a snapshot against the index alone (the prior
+  * corpus is never re-read, let alone re-shingled), and fold survivors
+  * back in with `--update` so the NEXT snapshot dedups against them
+  * too — the weekly-crawl loop at 100 TB.
+  */
+class RunDedupIndexSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  private val longText = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val otherText = (1 to 60).map(i => s"word$i").mkString(" ")
+
+  test("build → apply → update → apply sees the first snapshot") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-").toString
+    Seq((1L, longText)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/corpus"),
+      s"$dir/index")
+
+    // snapshot 1: a re-render of the indexed doc (dropped) + a genuinely
+    // new doc (kept); --update folds the survivor into the index
+    Seq((10L, longText.toUpperCase), (11L, otherText))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap1")
+    val kept1 = RunDedupIndex.applyRun(spark, s"$dir/snap1",
+      s"$dir/index", s"$dir/out1", thresholdPct = 100, update = true)
+    assert(kept1 == 1L)
+    assert(spark.read.parquet(s"$dir/out1")
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+
+    // snapshot 2: a re-render of snapshot 1's SURVIVOR — only the
+    // updated index can drop it; a fresh doc still passes
+    Seq((20L, otherText.toUpperCase),
+      (21L, (1 to 60).map(i => s"neu$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap2")
+    val kept2 = RunDedupIndex.applyRun(spark, s"$dir/snap2",
+      s"$dir/index", s"$dir/out2", thresholdPct = 100)
+    assert(kept2 == 1L)
+    assert(spark.read.parquet(s"$dir/out2")
+      .select("doc_id").as[Long].collect().toSet == Set(21L))
+  }
+
+  test("apply reads only the index — the corpus is never re-shingled") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-plan-").toString
+    Seq((1L, longText)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/prior_corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/prior_corpus"),
+      s"$dir/index")
+    val frame = RunDedupIndex.applyFrame(spark,
+      Seq((2L, otherText)).toDF("doc_id", "text"), s"$dir/index",
+      thresholdPct = 100)
+    assert(frame.select("doc_id").as[Long].collect().toSet == Set(2L))
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("prior_corpus"),
+      "an apply run must never scan the corpus behind the index")
+    assert(plan.contains("band_index") && plan.contains("shingle_index"))
+  }
+
+  test("a crash between survivor write and index append re-runs " +
+      "idempotently") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-crash-").toString
+    Seq((1L, longText)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/corpus"),
+      s"$dir/index")
+    Seq((10L, otherText)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap")
+    // run 1 "crashed" after the survivor write, before the append
+    RunDedupIndex.applyRun(spark, s"$dir/snap", s"$dir/index",
+      s"$dir/out", thresholdPct = 100, update = false)
+    // the repair re-run appends; a THIRD run must then drop the doc
+    // (it is now indexed) and leave exactly one index copy behind
+    RunDedupIndex.applyRun(spark, s"$dir/snap", s"$dir/index",
+      s"$dir/out", thresholdPct = 100, update = true)
+    val idx = spark.read.parquet(s"$dir/index/shingle_index")
+    assert(idx.filter(col("doc_id") === 10L).count() == 1L)
+    val kept3 = RunDedupIndex.applyRun(spark, s"$dir/snap", s"$dir/index",
+      s"$dir/out3", thresholdPct = 100)
+    assert(kept3 == 0L)
+  }
+}
