@@ -363,6 +363,7 @@ object SparkEntry {
   private val AnnLshRecallFloorPct = 75
   private val AnnIvfRecallFloorPct = 80
   private val AnnIvfPqRecallFloorPct = 80
+  private val AnnMatryoshkaRecallFloorPct = 80
 
   /** Recursive-CTE replay of [[neardupLabeled]] (shingles →
     * integer-exact Jaccard edges → min-label reachability), shared by
@@ -1078,6 +1079,30 @@ object SparkEntry {
         Seq(50, 90), width = 64L)
     }),
 
+    // Mergeable COUNT-MIN token-frequency states: four doc-parity
+    // shards each build a <= depth×width sparse counter state, merge
+    // by per-cell sum (CMS linearity, audited cell-identical against
+    // the unsharded build), and the top-10 tokens' estimates carry the
+    // in-band flags — never-undercount (deterministic CMS guarantee)
+    // and the 4N/width overcount bound. Probe selection is a
+    // TakeOrdered top-10 (per-partition heads + merge), never a global
+    // vocab sort.
+    "sketch_cms_merge" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val keyed = docs
+        .select(pmod(col("doc_id"), lit(4)).as("shard"),
+          explode(split(TextDedup.normText(col("text")), " ")).as("key"))
+        .filter(length(col("key")) > 0)
+        .groupBy(col("shard"), col("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = keyed.groupBy(col("key"))
+        .agg(sum(col("cnt")).as("tot"))
+        .orderBy(col("tot").desc, col("key").asc)
+        .limit(10)
+        .select(col("key"))
+      Sketches.cmsMergeChecked(keyed, probes)
+    }),
+
     // W1: document-order discipline (ordered projection + bound).
     "w1_ordered_projection" -> ((s, dir) =>
       T(s, dir, "events")
@@ -1673,6 +1698,32 @@ object SparkEntry {
           "ivf_recall_ok").select("ivf_recall_ok")))
     }),
 
+    // Matryoshka truncate-then-rerank retrieval gate (same planted
+    // construction): stage 1 scans only the first 16 of 64 dims — the
+    // head slice an MRL index keeps hot, 4× less vector I/O — and
+    // stage 2 re-ranks a 30-candidate shortlist at full dimension.
+    // The planted original's perturbation lives in dim 1 (inside the
+    // head), so the flag measures truncation's recall loss directly.
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = base.union(planted)
+      val queries = planted.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))
+      val hits = Similarity.truncatedRerankTopK(corpus, queries,
+        prefixDims = 16, shortlist = 30, k = 10)
+        .filter(col("vec_id") === col("q_id") - 1000000L)
+        .select(col("q_id"), lit(1L).as("hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("planted_total"),
+          (sum(coalesce(col("hit"), lit(0L))) * 100 >=
+            count(lit(1)) * AnnMatryoshkaRecallFloorPct)
+            .as("matryoshka_recall_ok"))
+    }),
+
     // Event-time window aggregation: tumbling 1-hour windows over the
     // events stream table (ts normalized to micros by eventsMicros —
     // physical-type-adaptive), bucketed with the window() operator. The
@@ -1886,6 +1937,24 @@ object SparkEntry {
     "neardup_cluster_sizes" -> ((s, dir) =>
       Components.componentSizes(
         Components.edgeComponents(neardupEdges(s, dir)._1))),
+
+    // Quality-aware canonical selection: within each near-dup
+    // component keep the HIGHEST-QUALITY member (max n_chars, doc_id
+    // tiebreak) instead of the smallest id — what a production dedup
+    // actually retains (the longest/cleanest copy), FineWeb-style.
+    // The window partitions by component label, so only label rows
+    // plus one quality column shuffle; text never moves.
+    "neardup_keep_best" -> ((s, dir) => {
+      val labeled = neardupLabeled(s, dir)
+      val quality = T(s, dir, "documents").select(
+        col("doc_id").as("node"), col("n_chars"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("node").asc)
+      labeled.join(quality, "node")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node").as("doc_id"), col("component"), col("n_chars"))
+    }),
 
     // C4-style cross-document line dedup: drop every line occurring
     // more than once corpus-wide, keep the documents. The corpus here
@@ -2790,6 +2859,20 @@ object SparkEntry {
           "count(DISTINCT l_partkey) AS exact_distinct, " +
           "TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"),
 
+      // exact token counts replay; the CMS estimates stay
+      // engine-internal behind the three in-band flags (one-sided
+      // guarantee, 4N/width bound, merge-linearity cell equality)
+      "sketch_cms_merge" ->
+        (s"""WITH toks AS (
+           |  SELECT unnest(string_split($NormTextSql, ' ')) AS key
+           |  FROM documents),
+           |k AS (SELECT key, count(*) AS exact_cnt FROM toks
+           |      WHERE len(key) > 0 GROUP BY key)
+           |SELECT key, exact_cnt, 1 AS est_ge_exact,
+           |  1 AS est_within_bound, 1 AS merge_exact
+           |FROM k ORDER BY exact_cnt DESC, key ASC LIMIT 10"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       // mergeable histogram quantiles replay EXACTLY: per-bucket sums
       // over shards equal global bucket counts, so the oracle skips
       // the sharding and derives the same integer bucket edges
@@ -2841,6 +2924,10 @@ object SparkEntry {
       "ann_planted_recall" ->
         ("SELECT count(*) AS planted_total, TRUE AS lsh_recall_ok, " +
           "TRUE AS ivf_recall_ok FROM embeddings WHERE vec_id % 97 = 0"),
+
+      "ann_matryoshka_recall" ->
+        ("SELECT count(*) AS planted_total, TRUE AS matryoshka_recall_ok " +
+          "FROM embeddings WHERE vec_id % 97 = 0"),
 
       // full replay of the int8 quantizer and integer dot product:
       // floor(CAST AS DOUBLE * 64) is exact in both engines (2^6
@@ -3551,6 +3638,17 @@ object SparkEntry {
       "neardup_dedup_keep" ->
         (NeardupReachCte + " SELECT node AS doc_id FROM reach" +
           " GROUP BY node HAVING node = min(lbl)"),
+
+      // same labeling, canonical member by quality: max n_chars then
+      // min node within each component
+      "neardup_keep_best" ->
+        (NeardupReachCte +
+          ", comp AS (SELECT node, min(lbl) AS component" +
+          " FROM reach GROUP BY node)" +
+          " SELECT node AS doc_id, component, n_chars" +
+          " FROM comp JOIN documents ON node = doc_id" +
+          " QUALIFY row_number() OVER (PARTITION BY component" +
+          " ORDER BY n_chars DESC, node ASC) = 1"),
 
       // non-singleton cluster histogram over the same labeling; the
       // canonical member is the component id by construction (min

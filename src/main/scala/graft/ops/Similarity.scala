@@ -248,4 +248,51 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
   }
+
+  /** Matryoshka-style two-stage retrieval: rank by cosine on the
+    * PREFIX of the embedding (the truncated head an MRL-trained model
+    * makes meaningful, and the only slice a 100 TB index keeps hot),
+    * shortlist `shortlist` candidates per query, then re-rank the
+    * shortlist by FULL-dimension cosine and keep top-k.
+    *
+    * Scale shape: the corpus pass reads `prefixDims`/dims of the
+    * vector bytes (4× fewer at 16/64 — with a columnar layout storing
+    * the head separately, 4× less I/O, not just less arithmetic); the
+    * full vectors are touched only for the `shortlist`-bounded
+    * re-rank, which joins back by vec_id on the corpus partitioning.
+    * Composes with IVF exactly like PQ does (coarse cells → head scan
+    * → full re-rank); kept single-stage here so the recall loss of
+    * truncation itself is what the planted gate measures.
+    */
+  def truncatedRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      prefixDims: Int = 16,
+      shortlist: Int = 30,
+      k: Int = 10): DataFrame = {
+    require(prefixDims >= 1, "prefixDims must be positive")
+    require(shortlist >= k, "shortlist must cover the final top-k")
+    val headScan = corpus
+      .select(col("vec_id"), slice(col("embedding"), 1, prefixDims).as("head"))
+      .crossJoin(broadcast(queries
+        .select(col("q_id"), slice(col("q_vec"), 1, prefixDims).as("q_head"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_head"), col("head")).as("head_sim"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("head_sim").desc, col("vec_id").asc)
+    val short = headScan.withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
+  }
 }

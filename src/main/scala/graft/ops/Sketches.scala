@@ -303,4 +303,106 @@ object Sketches {
             col("pct").cast("long") * acc * col("rows") +
               col("rows") * 100L + lit(100L * acc)).as("rank_ok"))
   }
+
+  /** Count-Min sketch state per shard, as sparse `(shard, row, pos,
+    * cnt)` counter cells: `pos = xxhash64(row_index, key) mod width`,
+    * one cell per occupied counter. The state is at most
+    * `depth × width` cells per shard REGARDLESS of input size — the
+    * fixed-memory frequency summary a 100-shard corpus build persists
+    * per shard — and CMS is LINEAR, so cross-shard merge is a
+    * per-cell SUM ([[cmsMerge]]): states compose without re-reading
+    * any shard's rows, exactly like the HLL union above.
+    *
+    * `keyed` must have columns (`shard`, `key`, `cnt`) — pre-aggregated
+    * key counts per shard, so the expensive explode runs on distinct
+    * keys, not occurrences.
+    */
+  def cmsShardStates(
+      keyed: DataFrame,
+      depth: Int = 4,
+      width: Int = 4096): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    keyed
+      .select(col("shard"), col("cnt"), posexplode(
+        transform(sequence(lit(0), lit(depth - 1)),
+          i => pmod(xxhash64(i, col("key")), lit(width.toLong))))
+        .as(Seq("row", "pos")))
+      .groupBy(col("shard"), col("row"), col("pos"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Merge CMS shard states by per-cell sum — the linearity law. */
+  def cmsMerge(states: DataFrame): DataFrame =
+    states.groupBy(col("row"), col("pos"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate `probes` (column `key`) against a merged CMS
+    * state: `est = min over rows of state[row][h_row(key)]` — the
+    * classic min-of-rows readout. Probes join the sketch cells on the
+    * (row, pos) key; a probe whose key was never inserted reads
+    * whatever collides there (CMS never underestimates, may over).
+    */
+  def cmsEstimate(
+      merged: DataFrame,
+      probes: DataFrame,
+      depth: Int = 4,
+      width: Int = 4096): DataFrame =
+    probes
+      .select(col("key"), posexplode(
+        transform(sequence(lit(0), lit(depth - 1)),
+          i => pmod(xxhash64(i, col("key")), lit(width.toLong))))
+        .as(Seq("row", "pos")))
+      .join(merged, Seq("row", "pos"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** The audited cross-shard CMS pipeline over per-shard key counts:
+    * build a state per shard, merge, estimate the given probes, and
+    * emit per-probe in-band flags the oracle asserts —
+    *
+    *  - `est_ge_exact`: the CMS one-sided guarantee (an estimate never
+    *    undercounts), which holds DETERMINISTICALLY;
+    *  - `est_within_bound`: `est − exact ≤ 4·N/width` (N = total
+    *    count), ~4× the expected single-row collision mass and far
+    *    above the min-of-`depth`-rows typical error — generous so the
+    *    flag never flakes, tight enough that a broken hash or merge
+    *    trips it;
+    *  - `merge_exact`: the merged state is CELL-IDENTICAL to the state
+    *    built unsharded — the linearity law CMS's whole cross-job
+    *    story rests on, checked as a full-outer-join over cells with
+    *    zero disagreements.
+    *
+    * The exact recount exists for the audit only: production merges
+    * states alone, nothing re-reads a shard.
+    */
+  def cmsMergeChecked(
+      keyed: DataFrame,
+      probes: DataFrame,
+      depth: Int = 4,
+      width: Int = 4096): DataFrame = {
+    val states = cmsShardStates(keyed, depth, width)
+    val merged = cmsMerge(states)
+    val est = cmsEstimate(merged, probes, depth, width)
+    val exact = keyed.groupBy(col("key")).agg(sum(col("cnt")).as("exact_cnt"))
+    val total = keyed.agg(sum(col("cnt")).as("n_total"))
+    val global = cmsShardStates(
+      keyed.select(lit(0).as("shard"), col("key"), col("cnt")),
+      depth, width)
+      .select(col("row"), col("pos"), col("cnt"))
+    val mergeOk = merged.join(global, Seq("row", "pos"), "full_outer")
+      .agg(coalesce(
+        sum(when(merged("cnt") <=> global("cnt"), 0L).otherwise(1L)),
+        lit(0L)).as("cells_differ"))
+      .select((col("cells_differ") === 0L).cast("int").as("merge_exact"))
+    probes
+      .join(est, Seq("key"))
+      .join(exact, Seq("key"))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(mergeOk))
+      .select(col("key"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).cast("int").as("est_ge_exact"),
+        ((col("est") - col("exact_cnt")) * width <= col("n_total") * 4L)
+          .cast("int").as("est_within_bound"),
+        col("merge_exact"))
+  }
 }

@@ -33,6 +33,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_ivfpq_recall", // same fused pipeline under the planted-recall flag
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
+    "ann_matryoshka_recall", // head scan × broadcast(planted queries)
+    "sketch_cms_merge", // × broadcast(1-row total + merge-audit flags)
     "kmeans_assign",   // corpus × broadcast(one packed 8-centroid row)
     "semdedup_e2e",    // same k-means assignment feeding the dedup
     "semdedup_keep_e2e", // its applied survivors-only form

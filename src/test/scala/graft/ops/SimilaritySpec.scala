@@ -156,4 +156,27 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(top.toSeq == Seq(1L))
   }
+
+  test("truncatedRerankTopK with a full-corpus shortlist equals " +
+      "bruteForceTopK; requires shortlist >= k") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = (0L until 3L).map(i =>
+      (100L + i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("q_id", "q_vec")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("q_id", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val twoStage = Similarity.truncatedRerankTopK(corpus, queries,
+      prefixDims = 8, shortlist = 40, k = 5)
+      .select("q_id", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(twoStage == exact,
+      "a full-dimension full-shortlist two-stage run is exact by definition")
+    // truncated stage 1 with a tight shortlist still returns k rows/query
+    val tight = Similarity.truncatedRerankTopK(corpus, queries,
+      prefixDims = 2, shortlist = 5, k = 5)
+    assert(tight.groupBy("q_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5L))
+    intercept[IllegalArgumentException](
+      Similarity.truncatedRerankTopK(corpus, queries, shortlist = 3, k = 5))
+  }
 }

@@ -141,4 +141,50 @@ class SketchesSpec extends SparkSpec {
         s"$lang p$pct: edge $qlo vs true value $vStar")
     }
   }
+
+  test("CMS: estimates never undercount, even with forced collisions") {
+    // width 4 forces heavy collisions across 200 distinct keys — the
+    // one-sided guarantee must survive the adversarial setting
+    val keyed = (0 until 200)
+      .map(i => (i % 3, s"key$i", (i % 7 + 1).toLong))
+      .toDF("shard", "key", "cnt")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsShardStates(keyed, depth = 2, width = 4))
+    val probes = keyed.select("key").distinct()
+    val est = Sketches.cmsEstimate(merged, probes, depth = 2, width = 4)
+    val exact = keyed.groupBy("key").agg(sum(col("cnt")).as("exact"))
+    val under = est.join(exact, "key")
+      .filter(col("est") < col("exact")).count()
+    assert(under == 0L, "CMS must never undercount")
+  }
+
+  test("CMS merge is linear: sharded states sum to the unsharded state") {
+    val keyed = (0 until 500)
+      .map(i => (i % 5, s"tok${i % 37}", 1L)).toDF("shard", "key", "cnt")
+    val merged = Sketches.cmsMerge(Sketches.cmsShardStates(keyed))
+      .as[(Int, Long, Long)].collect().toSet
+    val global = Sketches.cmsShardStates(
+        keyed.select(lit(0).as("shard"), col("key"), col("cnt")))
+      .select("row", "pos", "cnt")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == global, "per-cell sums must equal the global build")
+  }
+
+  test("cmsMergeChecked flags hold and an absent probe never " +
+      "underestimates zero") {
+    val keyed = (0 until 300)
+      .map(i => (i % 2, s"w${i % 11}", 1L)).toDF("shard", "key", "cnt")
+    val probes = keyed.select("key").distinct()
+    val out = Sketches.cmsMergeChecked(keyed, probes)
+      .as[(String, Long, Int, Int, Int)].collect()
+    assert(out.length == 11)
+    assert(out.forall(r => r._3 == 1 && r._4 == 1 && r._5 == 1),
+      out.mkString(", "))
+    // absent key: estimate is >= 0 by construction (coalesce to 0)
+    val ghost = Sketches.cmsEstimate(
+      Sketches.cmsMerge(Sketches.cmsShardStates(keyed)),
+      Seq("never-inserted").toDF("key"))
+      .as[(String, Long)].collect().head
+    assert(ghost._2 >= 0L)
+  }
 }
