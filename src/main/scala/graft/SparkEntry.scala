@@ -2151,6 +2151,23 @@ object SparkEntry {
           count(lit(1)) * MinHashRecallFloorPct).as("recall_ok"))
     }),
 
+    // Lexical BM25 retrieval: three fixed bag-of-terms queries ranked
+    // over the corpus. Postings restrict to queried terms via a
+    // broadcast semi-join BEFORE any aggregate (df is computed on
+    // queried-term postings only, never a vocabulary-wide groupBy);
+    // ranking is on round(score, 4) with doc_id tiebreak so the
+    // double-precision BM25 replays rank-exactly (tf-idf trick).
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "column"), (2L, "scan"),
+        (3L, "filter"), (3L, "merge"), (3L, "small"))
+        .toDF("q_id", "term")
+      Retrieval.bm25TopK(docs, queries, k = 10)
+    }),
+
     // Quality filtering at an exact discrete percentile cutoff: keep
     // docs at or below the global p90 of n_chars. Scale shape: a tiny
     // one-row aggregate broadcast back as a filter — NOT a global
@@ -4122,6 +4139,37 @@ object SparkEntry {
            |    AS INTEGER) AS rk
            |FROM tf JOIN df USING (term) CROSS JOIN nd
            |QUALIFY rk <= 5"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // full BM25 replay: identical idf smoothing and length
+      // normalization, rank on round(score, 4) with doc_id tiebreak
+      "bm25_topk" ->
+        (s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+           |    AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id, term),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id),
+           |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+           |  (1, 'hash'), (1, 'join'), (2, 'column'), (2, 'scan'),
+           |  (3, 'filter'), (3, 'merge'), (3, 'small')) t(q_id, term)),
+           |qp AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+           |       FROM tf JOIN dl USING (doc_id)
+           |       WHERE tf.term IN (SELECT term FROM q)),
+           |dfq AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+           |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |       (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+           |s AS (SELECT q.q_id, qp.doc_id,
+           |  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+           |    (tf * 2.2) / (tf + 1.2 *
+           |      (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+           |  FROM qp JOIN q USING (term) JOIN dfq USING (term)
+           |  CROSS JOIN sc GROUP BY q.q_id, qp.doc_id)
+           |SELECT q_id, doc_id, CAST(row_number() OVER (
+           |  PARTITION BY q_id
+           |  ORDER BY round(score, 4) DESC, doc_id ASC) AS INTEGER) AS rk
+           |FROM s QUALIFY rk <= 10"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       "cube_agg" ->

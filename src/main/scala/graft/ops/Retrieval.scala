@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the BM25 ranking a data
+  * pipeline uses to pull topical slices out of 100 TB of text (build a
+  * domain subset, mine hard negatives for embedding training, spot-
+  * check near-dup clusters) without any embedding model in the loop.
+  *
+  * Scale shape: the inverted-index statistics (term frequencies,
+  * document frequencies, document lengths) are one explode + two
+  * map-side-combined aggregates over the corpus; the QUERY side is a
+  * handful of terms and joins the tf rows via a BROADCAST equi-join on
+  * term, so scoring only ever touches postings of queried terms —
+  * never a corpus-wide pass per query. The two corpus-level scalars
+  * (N, avgdl) ride along as a broadcast 1-row frame.
+  */
+object Retrieval {
+
+  /** Okapi BM25 parameters — the standard defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tokenized corpus statistics: `(doc_id, term, tf, dl)` — term
+    * frequency and document length (in tokens) per posting. Tokens
+    * come from [[TextDedup.normText]] so casing/whitespace match the
+    * dedup family's view of the text.
+    */
+  def postings(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(TextDedup.normText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+  }
+
+  /** BM25 score expression for one posting row joined with its term's
+    * document frequency and the corpus scalars. The Robertson–Spärck
+    * Jones idf with the +1 smoothing (never negative), doubles
+    * throughout — consumers rank on `round(score, 4)` so the ranking
+    * replays across engines (same trick as the tf-idf query).
+    */
+  def bm25Term(
+      tf: Column, df: Column, dl: Column, nDocs: Column,
+      avgdl: Column): Column = {
+    val idf = log(lit(1.0) +
+      (nDocs.cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+    idf * (tf * (K1 + 1.0)) / (tf + lit(K1) *
+      (lit(1.0 - B) + lit(B) * dl.cast("double") / avgdl))
+  }
+
+  /** Top-k documents per query by BM25. `queries` must have columns
+    * `(q_id, term)` — one row per query term (duplicate terms in one
+    * query are deduplicated: BM25 is a bag-of-TERMS model over the
+    * DOCUMENT side). Output `(q_id, doc_id, rk)`; ranking is by
+    * `round(score, 4)` descending with doc_id tiebreak, so an external
+    * engine replays it exactly.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val post = postings(docs)
+    val qterms = queries.select(col("q_id"), col("term")).distinct()
+    // postings restricted to queried terms FIRST (broadcast semi-join),
+    // so document frequency is a groupBy over queried-term postings
+    // only — never a vocabulary-wide aggregate
+    val qpost = post.join(
+      broadcast(qterms.select("term").distinct()), Seq("term"),
+      "left_semi")
+    val dfreq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
+    // N = all docs; avgdl = mean token count over docs with >= 1
+    // token (exactly the docs that carry postings)
+    val scalars = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(post.select(col("doc_id"), col("dl")).distinct()
+        .agg(avg(col("dl").cast("double")).as("avgdl")))
+    val scored = qpost
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .select(col("q_id"), col("doc_id"),
+        bm25Term(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("avgdl")).as("s"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"),
+        col("rk").cast("int").as("rk"))
+  }
+}

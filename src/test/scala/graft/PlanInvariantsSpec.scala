@@ -39,6 +39,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "semdedup_e2e",    // same k-means assignment feeding the dedup
     "semdedup_keep_e2e", // its applied survivors-only form
     "quantile_filter",  // × broadcast(single-row percentile cutoff)
+    "bm25_topk",        // × broadcast(single-row N/avgdl scalars)
     "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
     "unigram_surprisal") // × broadcast(single-row corpus token total)
 
