@@ -1706,7 +1706,12 @@ object SparkEntry {
     // head), so the flag measures truncation's recall loss directly.
     "ann_matryoshka_recall" -> ((s, dir) => {
       val base = T(s, dir, "embeddings").select("vec_id", "embedding")
-      val planted = base.filter(col("vec_id") % 97 === 0)
+      // query set CAPPED to a fixed id range: the single-stage head
+      // scan is corpus × queries, so an SF-proportional query set
+      // would go quadratic (measured 13× at 10× data before the cap);
+      // a recall gate needs a fixed sample, not a growing one
+      val planted = base
+        .filter(col("vec_id") % 97 === 0 && col("vec_id") < 10000)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
             slice(col("embedding"), 2, 63)).as("embedding"))
@@ -2944,7 +2949,7 @@ object SparkEntry {
 
       "ann_matryoshka_recall" ->
         ("SELECT count(*) AS planted_total, TRUE AS matryoshka_recall_ok " +
-          "FROM embeddings WHERE vec_id % 97 = 0"),
+          "FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 10000"),
 
       // full replay of the int8 quantizer and integer dot product:
       // floor(CAST AS DOUBLE * 64) is exact in both engines (2^6
