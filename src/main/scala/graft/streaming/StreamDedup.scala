@@ -80,7 +80,6 @@ object StreamDedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       expectedItems: Long = 1000000L): DataFrame = {
-    val numBands = numHashes / rowsPerBand
     def bandsOf(text: Column): Column =
       graft.functions.MinHashExprs.minHashBands(
         TextDedup.shingles(text, shingleSize), numHashes, rowsPerBand)
@@ -95,9 +94,54 @@ object StreamDedup {
     val corpusHashes = corpus
       .select(posexplode(bandsOf(col("text"))).as(Seq("band_idx", "bh")))
       .select(xxhash64(col("band_idx"), col("bh")).as("h"))
+    nearDedupAgainstBandHashes(docs, corpusHashes,
+      numHashes, rowsPerBand, shingleSize, expectedItems)
+  }
+
+  /** [[nearDedupAgainstCorpus]] fed by the PERSISTED band index
+    * ([[graft.tools.RunDedupIndex]]'s `band_index` table: `(doc_id,
+    * band_idx, band_hash)`) instead of corpus text — the streaming
+    * face of the index lifecycle: the weekly batch job builds and
+    * updates the index, and the ingest stream gates against the SAME
+    * index without EVER re-shingling a corpus document (the index
+    * rows are 12 bytes each; the Bloom build scans only them). Band
+    * keys are identical to the batch path by construction, so a doc
+    * this gate passes is exactly a doc the batch
+    * `incrementalNearNew` would surface no candidates for (minus
+    * Bloom false positives).
+    */
+  def nearDedupAgainstIndex(
+      docs: DataFrame,
+      bandIndex: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      expectedItems: Long = 1000000L): DataFrame =
+    nearDedupAgainstBandHashes(docs,
+      bandIndex.select(
+        xxhash64(col("band_idx"), col("band_hash")).as("h")),
+      numHashes, rowsPerBand, shingleSize, expectedItems)
+
+  /** Shared gate body: aggregate the given `(band_idx, band_hash)`
+    * key hashes into ONE Bloom filter (scalar subquery — evaluated
+    * once, shipped to every task), then drop any stream doc whose own
+    * band array probes positive on any band. Stateless and
+    * shuffle-free on the stream side.
+    */
+  private def nearDedupAgainstBandHashes(
+      docs: DataFrame,
+      keyHashes: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      shingleSize: Int,
+      expectedItems: Long): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    def bandsOf(text: Column): Column =
+      graft.functions.MinHashExprs.minHashBands(
+        TextDedup.shingles(text, shingleSize), numHashes, rowsPerBand)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(col("h")))), expectedItems)
-    val bloomDf = corpusHashes.agg(
+    val bloomDf = keyHashes.agg(
       ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
     val bloom = ScalarSubquery(bloomDf.queryExecution.analyzed)
     val hit = (1 to numBands).map { i =>

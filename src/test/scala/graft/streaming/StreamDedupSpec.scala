@@ -305,4 +305,44 @@ class StreamDedupSpec extends SparkSpec {
       assert(row == ((4L, 3L, "nav\nbody text.\nfooter")))
     } finally q.stop()
   }
+
+  test("index-fed Bloom gate == corpus-fed gate, off the PERSISTED " +
+      "parquet band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 60).map(i => if (i == 30) "MUT" else s"tok$i")
+      .mkString(" ")
+    val unrelated = (0 until 60).map(i => s"other$i").mkString(" ")
+    val corpus = Seq(1L -> base).toDF("doc_id", "text")
+    // the weekly batch job persists the index once; the ingest stream
+    // gates against the index parquet — corpus text never re-shingles
+    val dir = Files.createTempDirectory("graft-sdidx-").toString
+    graft.tools.RunDedupIndex.buildIndex(corpus, s"$dir/index")
+    val bandIndex = spark.read.parquet(s"$dir/index/band_index")
+    val input = MemoryStream[Doc]
+    val out = StreamDedup.nearDedupAgainstIndex(input.toDF(), bandIndex)
+    val q = out.writeStream
+      .format("memory").queryName("sd_near_idx")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdni-").toString)
+      .start()
+    try {
+      input.addData(
+        Doc(ts(1), 20L, near),      // near-dup of the indexed doc -> drop
+        Doc(ts(2), 21L, base),      // exact dup -> drop
+        Doc(ts(3), 22L, unrelated)) // fresh -> keep
+      q.processAllAvailable()
+      val kept = spark.table("sd_near_idx")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(22L), s"index gate must match corpus gate: $kept")
+    } finally q.stop()
+    // batch-mode parity: same verdicts as the corpus-fed gate
+    val streamDocs = Seq(20L -> near, 21L -> base, 22L -> unrelated)
+      .toDF("doc_id", "text")
+    val viaIndex = StreamDedup.nearDedupAgainstIndex(streamDocs, bandIndex)
+      .select("doc_id").as[Long].collect().toSet
+    val viaCorpus = StreamDedup.nearDedupAgainstCorpus(streamDocs, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == viaCorpus)
+  }
 }
