@@ -2173,6 +2173,30 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, queries, k = 10)
     }),
 
+    // Hybrid retrieval: BM25 over documents fused with exact-cosine
+    // ANN over the SAME id universe (vec_id == doc_id in the fixture)
+    // by reciprocal-rank fusion — no score calibration, integer ranks
+    // in, and 1/(60+rk) doubles are single correctly-rounded IEEE ops,
+    // so the fused ordering replays bit-exactly with no rounding
+    // trick. Both inputs are top-20-bounded, so the fusion join is
+    // O(queries × 20) whatever the corpus size.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val qt = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "column"), (2L, "scan"),
+        (3L, "filter"), (3L, "merge"))
+        .toDF("q_id", "term")
+      val bm = Retrieval.bm25TopK(docs, qt, k = 20)
+      val qv = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val ann = Similarity.bruteForceTopK(emb, qv, k = 20)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rk"))
+      Retrieval.rrfFuse(bm, ann, k = 10)
+    }),
+
     // Quality filtering at an exact discrete percentile cutoff: keep
     // docs at or below the global p90 of n_chars. Scale shape: a tiny
     // one-row aggregate broadcast back as a filter — NOT a global
@@ -4175,6 +4199,55 @@ object SparkEntry {
            |  PARTITION BY q_id
            |  ORDER BY round(score, 4) DESC, doc_id ASC) AS INTEGER) AS rk
            |FROM s QUALIFY rk <= 10"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the full hybrid replay: BM25 CTE chain (rank trick) + exact
+      // cosine ranks + the RRF sum, which needs NO rounding — integer
+      // ranks through one IEEE division and one addition are
+      // bit-identical across engines
+      "hybrid_rrf_topk" ->
+        (s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+           |    AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id, term),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id),
+           |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+           |  (1, 'hash'), (1, 'join'), (2, 'column'), (2, 'scan'),
+           |  (3, 'filter'), (3, 'merge')) t(q_id, term)),
+           |qp AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+           |       FROM tf JOIN dl USING (doc_id)
+           |       WHERE tf.term IN (SELECT term FROM q)),
+           |dfq AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+           |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |       (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+           |s AS (SELECT q.q_id, qp.doc_id,
+           |  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+           |    (tf * 2.2) / (tf + 1.2 *
+           |      (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+           |  FROM qp JOIN q USING (term) JOIN dfq USING (term)
+           |  CROSS JOIN sc GROUP BY q.q_id, qp.doc_id),
+           |bm AS (SELECT q_id, doc_id, row_number() OVER (
+           |  PARTITION BY q_id
+           |  ORDER BY round(score, 4) DESC, doc_id ASC) AS rk_a
+           |  FROM s QUALIFY rk_a <= 20),
+           |qv AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |       FROM embeddings WHERE vec_id IN (1, 2, 3)),
+           |sims AS (SELECT qv.q_id, e.vec_id AS doc_id,
+           |  list_cosine_similarity(qv.q_vec, e.embedding) AS sim
+           |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
+           |ann AS (SELECT q_id, doc_id, row_number() OVER (
+           |  PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rk_b
+           |  FROM sims QUALIFY rk_b <= 20),
+           |fused AS (SELECT q_id, doc_id,
+           |  coalesce(CAST(1 AS DOUBLE) / (60 + rk_a), 0) +
+           |  coalesce(CAST(1 AS DOUBLE) / (60 + rk_b), 0) AS score
+           |  FROM bm FULL OUTER JOIN ann USING (q_id, doc_id))
+           |SELECT q_id, doc_id, CAST(row_number() OVER (
+           |  PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+           |  AS INTEGER) AS rk
+           |FROM fused QUALIFY rk <= 10"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       "cube_agg" ->

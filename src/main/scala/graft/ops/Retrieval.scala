@@ -93,4 +93,41 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"),
         col("rk").cast("int").as("rk"))
   }
+
+  /** Reciprocal-rank fusion of two ranked lists — the standard hybrid
+    * retrieval combiner (lexical BM25 + embedding ANN) that needs NO
+    * score calibration between systems: each list contributes
+    * `1/(kRrf + rank)` and the fused ranking orders by the sum.
+    *
+    * Inputs must both have columns `(q_id, doc_id, rk)` (top-m per
+    * query from each system). A doc present in only one list gets zero
+    * from the other — the full-outer join on `(q_id, doc_id)` is over
+    * two already-top-m-bounded frames, so the fusion costs O(q·m)
+    * regardless of corpus size.
+    *
+    * Determinism note: `1/(kRrf+rk)` over integer ranks is one
+    * correctly-rounded IEEE division, and the sum of the two is one
+    * correctly-rounded addition — every engine computes bit-identical
+    * scores from the same rank pairs, so the fused ordering replays
+    * exactly with no rounding trick.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(kRrf >= 1, "kRrf must be positive")
+    val fa = a.select(col("q_id"), col("doc_id"), col("rk").as("rk_a"))
+    val fb = b.select(col("q_id"), col("doc_id"), col("rk").as("rk_b"))
+    val score =
+      coalesce(lit(1.0) / (lit(kRrf) + col("rk_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col("rk_b")), lit(0.0))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    fa.join(fb, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), score.as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rk").cast("int").as("rk"))
+  }
 }

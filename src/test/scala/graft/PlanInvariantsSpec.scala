@@ -40,6 +40,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "semdedup_keep_e2e", // its applied survivors-only form
     "quantile_filter",  // × broadcast(single-row percentile cutoff)
     "bm25_topk",        // × broadcast(single-row N/avgdl scalars)
+    "hybrid_rrf_topk",  // BM25 scalars + brute-ANN broadcast(queries)
     "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
     "unigram_surprisal") // × broadcast(single-row corpus token total)
 

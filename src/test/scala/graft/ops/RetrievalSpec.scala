@@ -70,4 +70,24 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("rk").as[(Long, Long, Int)].collect()
     assert(got.head._2 == 1L, "the shorter doc must rank first")
   }
+
+  test("rrfFuse: doc in both lists beats docs in one; absent side " +
+      "contributes zero; ties break by doc_id") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "doc_id", "rk")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 14L, 3))
+      .toDF("q_id", "doc_id", "rk")
+    val fused = Retrieval.rrfFuse(a, b, k = 10)
+      .orderBy("rk").as[(Long, Long, Int)].collect().toSeq
+    // doc 11: 1/62 + 1/61 dominates every single-list doc
+    assert(fused.head == ((1L, 11L, 1)), fused.toString)
+    // doc 10 (rank 1 in a alone, 1/61) beats doc 13 (rank 2 in b, 1/62)
+    val pos = fused.map(r => r._2 -> r._3).toMap
+    assert(pos(10L) < pos(13L))
+    // exact tie: doc 12 (1/63 from a) vs doc 14 (1/63 from b) — the
+    // smaller doc_id must come first in BOTH engines' ordering
+    assert(pos(12L) < pos(14L))
+    assert(fused.size == 5)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(a, b, kRrf = 0))
+  }
 }
