@@ -318,6 +318,14 @@ object SparkEntry {
   private val SampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.125, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25)
 
+  /** Per-language epoch budgets for the repeated-epoch upsampling
+    * query (en repeated 2.5 epochs, es 1.25, de THINNED to half an
+    * epoch, rest exactly once) — rendered into both the Spark plan and
+    * the generated DuckDB CASE so they can't drift.
+    */
+  private val EpochBudgets: Seq[(String, Double)] = Seq(
+    "en" -> 2.5, "es" -> 1.25, "de" -> 0.5)
+
   // ---- planted near-dup ground truth (MinHash / SimHash recall) ----
   // The synthetic corpus holds no true near-dups, so the banded-LSH
   // candidate generators get checkable true positives by planting
@@ -1816,6 +1824,16 @@ object SparkEntry {
       Sampling.stratifiedSample(T(s, dir, "documents"),
         col("lang"), col("text"), SampleRates, defaultRate = 0.0625)
         .select(col("doc_id"), col("lang"))),
+
+    // Repeated-epoch upsampling (data budgeting for data-constrained
+    // training): full copies per stratum budget plus a content-keyed
+    // deterministic fractional epoch; de's 0.5 budget shows the same
+    // machinery DOWNsampling. Scan-only — CASE projection + bounded
+    // sequence explode, no shuffle; the whole expansion replays in SQL.
+    "epoch_upsample" -> ((s, dir) =>
+      Sampling.epochUpsample(T(s, dir, "documents"),
+        col("lang"), col("text"), EpochBudgets, defaultEpochs = 1.0)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
     // Capped stratum share: no language may exceed ~150 expected rows
     // — the rebalancer with DATA-DEPENDENT rates (min(1, cap/n) per
@@ -3561,6 +3579,24 @@ object SparkEntry {
         "SELECT doc_id, lang FROM documents " +
           s"WHERE substring(md5(text), 1, 4) < CASE lang $cases " +
           s"ELSE '${Sampling.thresholdHex(0.0625)}' END"
+      },
+
+      // full replay of the epoch expansion from the same budget
+      // constants: integer full copies + the md5-bucket fractional coin
+      "epoch_upsample" -> {
+        val fullCase = EpochBudgets.map { case (l, e) =>
+          s"WHEN '$l' THEN ${math.floor(e).toLong}"
+        }.mkString(" ")
+        val fracCase = EpochBudgets.map { case (l, e) =>
+          s"WHEN '$l' THEN '${Sampling.thresholdHex(e - math.floor(e))}'"
+        }.mkString(" ")
+        "WITH c AS (SELECT doc_id, lang, " +
+          s"CAST(CASE lang $fullCase ELSE 1 END AS BIGINT) + " +
+          "CASE WHEN substring(md5(text), 1, 4) < " +
+          s"CASE lang $fracCase ELSE '${Sampling.thresholdHex(0.0)}' END " +
+          "THEN 1 ELSE 0 END AS copies FROM documents) " +
+          "SELECT doc_id, lang, unnest(range(1, copies + 1)) AS copy_idx " +
+          "FROM c WHERE copies > 0"
       },
 
       // Counts via regexp_extract_all (DuckDB's regexp_count analog);

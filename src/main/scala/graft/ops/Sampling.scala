@@ -100,6 +100,51 @@ object Sampling {
   def intBucket(key: Column): Column =
     conv(substring(md5(key), 1, 4), 16, 10).cast("long")
 
+  /** Repeated-epoch upsampling — the data-budgeting move of a
+    * data-constrained training run ("repeat high-quality sources up
+    * to ~4 epochs, downweight the rest"): each row is emitted
+    * `floor(epochs)` times, plus one more copy with probability
+    * `frac(epochs)` decided by the content-keyed md5 bucket — the
+    * same deterministic coin as [[deterministicSample]], so fractional
+    * epochs never move under re-shards or re-runs, and the copy-count
+    * of a document is a pure function of its own bytes and its
+    * stratum's budget. `epochs < 1` strata are thereby DOWNsampled
+    * with the same machinery (0 full copies, fractional keep).
+    *
+    * Output: the input columns plus `copy_idx` (1-based BIGINT).
+    * Scale shape: scan-only — a CASE projection, one explode of a
+    * `sequence` bounded by ceil(max epoch), no shuffle, no state.
+    * Epoch budgets are per-stratum constants rendered into the plan
+    * (like [[stratifiedSample]]'s rates), so an external engine
+    * replays the whole expansion exactly.
+    */
+  def epochUpsample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      epochs: Seq[(String, Double)],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((defaultEpochs +: epochs.map(_._2)).forall(e => e >= 0.0),
+      s"epoch budgets must be >= 0: $epochs / $defaultEpochs")
+    def whole(e: Double): Long = math.floor(e).toLong
+    def frac(e: Double): Double = e - math.floor(e)
+    val fullCopies = epochs.foldRight(lit(whole(defaultEpochs)): Column) {
+      case ((stratum, e), acc) =>
+        when(strata === stratum, lit(whole(e))).otherwise(acc)
+    }
+    val fracThreshold =
+      epochs.foldRight(lit(thresholdHex(frac(defaultEpochs))): Column) {
+        case ((stratum, e), acc) =>
+          when(strata === stratum, lit(thresholdHex(frac(e)))).otherwise(acc)
+      }
+    df.withColumn("__copies", fullCopies +
+        when(hexBucket(key) < fracThreshold, 1L).otherwise(0L))
+      .filter(col("__copies") > 0L)
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Cap each stratum's EXPECTED share at `cap` rows — the corpus
     * rebalancer ("no language/source may dominate") with data-DEPENDENT
     * rates: a stratum of size n thins by min(1, cap/n), keyed on

@@ -9,6 +9,43 @@ class CurationOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------ Sampling
 
+  test("epochUpsample: integer budgets give exact copy counts; " +
+      "fractional coin is deterministic and monotone") {
+    val df = (0 until 800).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"document body $i")
+    }.toDF("doc_id", "lang", "text")
+    def run(budgets: Seq[(String, Double)]) =
+      Sampling.epochUpsample(df, col("lang"), col("text"), budgets)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+    // pure integer budgets: exactly 3 copies of en, 1 of de
+    val exact = run(Seq("en" -> 3.0, "de" -> 1.0))
+    assert(exact == Map("en" -> 1200L, "de" -> 400L))
+    // fractional: en 2.5 -> 1000 +- binomial noise (sd ~ 10)
+    val frac = run(Seq("en" -> 2.5, "de" -> 0.5))
+    assert(math.abs(frac("en") - 1000L) < 60, frac.toString)
+    assert(math.abs(frac("de") - 200L) < 60, frac.toString)
+    assert(frac == run(Seq("en" -> 2.5, "de" -> 0.5)), "must be stable")
+    // monotone coin: every doc with the extra copy at 0.25 also has it
+    // at 0.75 (same md5 bucket, higher threshold)
+    def extras(e: Double): Set[Long] =
+      Sampling.epochUpsample(df.filter(col("lang") === "en"),
+        col("lang"), col("text"), Seq("en" -> (1.0 + e)))
+        .filter(col("copy_idx") === 2L)
+        .select("doc_id").as[Long].collect().toSet
+    assert(extras(0.25).subsetOf(extras(0.75)))
+    // downsampled stratum only ever emits copy_idx 1
+    val down = Sampling.epochUpsample(df, col("lang"), col("text"),
+      Seq("de" -> 0.5), defaultEpochs = 1.0)
+    assert(down.filter(col("lang") === "de" && col("copy_idx") =!= 1L)
+      .count() == 0L)
+    intercept[IllegalArgumentException](
+      Sampling.epochUpsample(df, col("lang"), col("text"),
+        Seq("en" -> -1.0)))
+  }
+
+
+
   test("thresholdHex maps rates to fixed-width bounds") {
     assert(Sampling.thresholdHex(0.0) == "0000")
     assert(Sampling.thresholdHex(0.5) == "8000")
