@@ -43,7 +43,8 @@ object RunDedupIndex {
   private val Usage =
     "usage: RunDedupIndex build <corpus.parquet> <indexDir>\n" +
       "       RunDedupIndex apply <new.parquet> <indexDir> <outDir> " +
-      "[--threshold P] [--update]"
+      "[--threshold P] [--update]\n" +
+      "       RunDedupIndex compact <indexDir> [numFiles]"
 
   /** Write the band + shingle index for `corpus` under `indexDir`. */
   def buildIndex(corpus: DataFrame, indexDir: String): Unit = {
@@ -81,6 +82,49 @@ object RunDedupIndex {
     sigs.write.mode("append").parquet(s"$indexDir/shingle_index")
   }
 
+  /** Compact the index in place: every weekly `--update` appends a
+    * few files, and after months the band table is thousands of small
+    * parquet files — the classic streaming-sink pathology, here on a
+    * batch cadence. Rewrites each index table into `numFiles` files
+    * sorted by its join key (band buckets / doc ids), which both
+    * shrinks the file listing the next `apply` plans over and lets
+    * sorted band buckets compress tightly. The rewrite goes to a
+    * sibling temp dir first and swaps via two directory renames, so a
+    * crash at any point leaves either the old or the new index intact
+    * — never a half-written one (the stranded temp/old dir is cleaned
+    * by the next compact).
+    */
+  def compactIndex(
+      spark: SparkSession,
+      indexDir: String,
+      numFiles: Int = 8): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    import java.nio.file.{Files, Paths}
+    def swap(live: String, tmp: String): Unit = {
+      val old = Paths.get(live + ".old")
+      if (Files.exists(old)) {
+        // stranded by a previous crash — remove before reusing the name
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.move(Paths.get(live), old)
+      Files.move(Paths.get(tmp), Paths.get(live))
+      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    def rewrite(table: String, sortCols: Seq[String]): Unit = {
+      val live = s"$indexDir/$table"
+      val tmp = s"$indexDir/.$table.compact"
+      spark.read.parquet(live)
+        .repartition(numFiles)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      swap(live, tmp)
+    }
+    rewrite("band_index", Seq("band_idx", "band_hash"))
+    rewrite("shingle_index", Seq("doc_id"))
+  }
+
   /** One `apply` run: dedup `newDocs` against the index, write the
     * survivors to `outDir`, optionally fold them into the index.
     */
@@ -111,6 +155,10 @@ object RunDedupIndex {
       case "build" =>
         buildIndex(spark.read.parquet(args(1)), args(2))
         println(s"""{"built":"${args(2)}"}""")
+      case "compact" =>
+        compactIndex(spark, args(1),
+          numFiles = args.lift(2).map(_.toInt).getOrElse(8))
+        println(s"""{"compacted":"${args(1)}"}""")
       case "apply" =>
         if (args.length < 4) { System.err.println(Usage); sys.exit(2) }
         val rest = args.drop(4)

@@ -87,4 +87,41 @@ class RunDedupIndexSpec extends SparkSpec {
       s"$dir/out3", thresholdPct = 100)
     assert(kept3 == 0L)
   }
+
+  test("compact shrinks the appended index to numFiles and changes " +
+      "no verdict") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-cpt-").toString
+    Seq((1L, longText)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/corpus"),
+      s"$dir/index")
+    // five weekly updates, each appending files
+    (0 until 5).foreach { w =>
+      Seq((100L + w, (1 to 60).map(i => s"w${w}t$i").mkString(" ")))
+        .toDF("doc_id", "text").write.parquet(s"$dir/snap$w")
+      RunDedupIndex.applyRun(spark, s"$dir/snap$w", s"$dir/index",
+        s"$dir/out$w", thresholdPct = 100, update = true)
+    }
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(s"$dir/index/band_index")
+    assert(before > 2, s"appends must have fragmented the index: $before")
+    val probe = Seq((900L, longText.toUpperCase), (901L, otherText))
+      .toDF("doc_id", "text")
+    val verdictBefore = RunDedupIndex.applyFrame(spark, probe,
+      s"$dir/index", thresholdPct = 100)
+      .select("doc_id").as[Long].collect().toSet
+    RunDedupIndex.compactIndex(spark, s"$dir/index", numFiles = 2)
+    assert(parquetFiles(s"$dir/index/band_index") == 2)
+    assert(parquetFiles(s"$dir/index/shingle_index") == 2)
+    val verdictAfter = RunDedupIndex.applyFrame(spark, probe,
+      s"$dir/index", thresholdPct = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(verdictAfter == verdictBefore && verdictBefore == Set(901L))
+    // idempotent: compacting a compacted index is a no-op in content
+    RunDedupIndex.compactIndex(spark, s"$dir/index", numFiles = 2)
+    assert(RunDedupIndex.applyFrame(spark, probe, s"$dir/index",
+      thresholdPct = 100).select("doc_id").as[Long].collect().toSet ==
+      Set(901L))
+  }
 }
