@@ -138,6 +138,65 @@ object SparkEntry {
   private def hitsSql(markers: Seq[String]): String =
     markers.map(occSql(PaddedLower, _)).mkString("(", " + ", ")")
 
+  /** The linear quality-classifier score as one DuckDB expression —
+    * generated from the SAME weight constants the Spark column uses
+    * ([[TextAnalysis.ClassifierWeights]]), shared by the
+    * quality_classifier and classifier_calibration oracles.
+    */
+  private lazy val ClassifierScoreSql: String = {
+    val fragments = Map(
+      "word_cnt" ->
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)",
+      "stop_hits" -> TextAnalysis.GopherStopWords
+        .map(w => occSql(PaddedLower, s" $w ")).mkString("(", " + ", ")"),
+      "punct_cnt" ->
+        ("CAST(length(text) - length(regexp_replace(text, " +
+          "'[.,;:!?]', '', 'g')) AS BIGINT)"),
+      "digit_cnt" ->
+        ("CAST(length(text) - length(regexp_replace(text, " +
+          "'[0-9]', '', 'g')) AS BIGINT)"))
+    val (bias, w) = TextAnalysis.ClassifierWeights
+    (s"CAST($bias AS BIGINT)" +:
+      TextAnalysis.ClassifierFeatures
+        .collect { case (name, _) if w.contains(name) =>
+          s"(${fragments(name)}) * (${w(name)})" })
+      .mkString("(", " + ", ")")
+  }
+
+  /** The Gopher stat columns (SELECT fragment over `documents`'s raw
+    * `text`) and the composite keep rule over them — shared by the
+    * gopher_quality and classifier_calibration oracles. The rule
+    * yields FALSE for blank docs through the word-count floor, same as
+    * [[TextAnalysis.gopherKeep]].
+    */
+  private lazy val GopherStatsSql: String = {
+    val stopPresent = TextAnalysis.GopherStopWords
+      .map(w => s"CASE WHEN strpos($PaddedLower, ' $w ') > 0 " +
+        "THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS word_cnt, " +
+      "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonws_chars, " +
+      "CAST((length(text) - length(replace(text, '#', ''))) + " +
+      "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_cnt, " +
+      "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, " +
+      "CAST(len(list_filter(string_split(text, chr(10)), l -> " +
+      "starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines, " +
+      "CAST(len(list_filter(string_split(text, chr(10)), l -> " +
+      "ends_with(l, '...'))) AS BIGINT) AS ellipsis_lines, " +
+      "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> " +
+      "regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words, " +
+      s"CAST($stopPresent AS BIGINT) AS stop_present"
+  }
+
+  private val GopherRuleSql: String =
+    "(word_cnt BETWEEN 50 AND 100000 " +
+      "AND nonws_chars >= word_cnt * 3 AND nonws_chars <= word_cnt * 10 " +
+      "AND symbol_cnt * 10 <= word_cnt " +
+      "AND bullet_lines * 10 <= n_lines * 9 " +
+      "AND ellipsis_lines * 10 <= n_lines * 3 " +
+      "AND alpha_words * 10 >= word_cnt * 8 " +
+      "AND stop_present >= 2)"
+
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
@@ -1229,6 +1288,18 @@ object SparkEntry {
     // per-row projection.
     "quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(T(s, dir, "documents"))),
+
+    // Classifier-vs-gate calibration: integer score bins × Gopher
+    // verdict counts — the report that places a classifier threshold
+    // before it gates a corpus. Runs over the synthesized curation
+    // corpus (the raw fixture fails Gopher uniformly — no stopwords —
+    // so raw calibration would be a degenerate all-zero column). One
+    // scan, one small-key aggregate.
+    "classifier_calibration" -> ((s, dir) =>
+      TextAnalysis.classifierCalibration(
+        T(s, dir, "documents")
+          .select(col("doc_id"), curationSynth.as("text")),
+        binWidth = 50L)),
 
     // Training-shard layout: deterministic global shuffle + per-shard
     // position — the write-side layout of a curation run (16 hash
@@ -3165,27 +3236,21 @@ object SparkEntry {
       // the linear classifier replay, GENERATED from the same feature
       // fragments and weight constants the Spark side folds — the two
       // can't drift
-      "quality_classifier" -> {
-        val fragments = Map(
-          "word_cnt" ->
-            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)",
-          "stop_hits" -> TextAnalysis.GopherStopWords
-            .map(w => occSql(PaddedLower, s" $w ")).mkString("(", " + ", ")"),
-          "punct_cnt" ->
-            ("CAST(length(text) - length(regexp_replace(text, " +
-              "'[.,;:!?]', '', 'g')) AS BIGINT)"),
-          "digit_cnt" ->
-            ("CAST(length(text) - length(regexp_replace(text, " +
-              "'[0-9]', '', 'g')) AS BIGINT)"))
-        val (bias, w) = TextAnalysis.ClassifierWeights
-        val score = (s"CAST($bias AS BIGINT)" +:
-          TextAnalysis.ClassifierFeatures
-            .collect { case (name, _) if w.contains(name) =>
-              s"(${fragments(name)}) * (${w(name)})" })
-          .mkString("(", " + ", ")")
-        s"SELECT doc_id, $score AS score, " +
-          s"CAST($score >= 0 AS INTEGER) AS keep FROM documents"
-      },
+      "quality_classifier" ->
+        (s"SELECT doc_id, $ClassifierScoreSql AS score, " +
+          s"CAST($ClassifierScoreSql >= 0 AS INTEGER) AS keep " +
+          "FROM documents"),
+
+      // the calibration report replays both replayable signals over
+      // the shared synthesized-corpus CTE (st carries text + every
+      // Gopher stat) and re-aggregates: integer classifier score bins
+      // vs the Gopher rule verdict
+      "classifier_calibration" ->
+        ("WITH " + CurationSynthCtes +
+          s" SELECT CAST(floor(CAST($ClassifierScoreSql AS DOUBLE) " +
+          "/ 50) AS BIGINT) AS bin, count(*) AS n_docs, " +
+          s"CAST(sum(CASE WHEN $GopherCondSql THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_gopher_pass FROM st GROUP BY bin"),
 
       // shard = md5 first-byte value folded mod 16 (ascii arithmetic —
       // no hex-parse builtin assumed), pos = rank of the hash within
@@ -3207,33 +3272,10 @@ object SparkEntry {
 
       // Gopher rules replayed with the same cross-multiplied integer
       // arithmetic (no float ratios cross the engine boundary)
-      "gopher_quality" -> {
-        val stopPresent = TextAnalysis.GopherStopWords
-          .map(w => s"CASE WHEN strpos($PaddedLower, ' $w ') > 0 " +
-            "THEN 1 ELSE 0 END")
-          .mkString("(", " + ", ")")
-        "WITH s AS (SELECT doc_id, " +
-          "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS word_cnt, " +
-          "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonws_chars, " +
-          "CAST((length(text) - length(replace(text, '#', ''))) + " +
-          "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_cnt, " +
-          "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, " +
-          "CAST(len(list_filter(string_split(text, chr(10)), l -> " +
-          "starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines, " +
-          "CAST(len(list_filter(string_split(text, chr(10)), l -> " +
-          "ends_with(l, '...'))) AS BIGINT) AS ellipsis_lines, " +
-          "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> " +
-          "regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words, " +
-          s"CAST($stopPresent AS BIGINT) AS stop_present " +
+      "gopher_quality" ->
+        (s"WITH s AS (SELECT doc_id, $GopherStatsSql " +
           "FROM documents WHERE length(trim(text)) > 0) " +
-          "SELECT *, (word_cnt BETWEEN 50 AND 100000 " +
-          "AND nonws_chars >= word_cnt * 3 AND nonws_chars <= word_cnt * 10 " +
-          "AND symbol_cnt * 10 <= word_cnt " +
-          "AND bullet_lines * 10 <= n_lines * 9 " +
-          "AND ellipsis_lines * 10 <= n_lines * 3 " +
-          "AND alpha_words * 10 >= word_cnt * 8 " +
-          "AND stop_present >= 2) AS keep FROM s"
-      },
+          s"SELECT *, $GopherRuleSql AS keep FROM s"),
 
       // C4 line rules replayed over the same synthesized lines.
       // Positions: DuckDB's range/generate_subscripts are 1-based vs

@@ -629,4 +629,29 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array_distinct(mins)).as("fingerprint"))
   }
+
+  /** Classifier-vs-rule-gate calibration report: bucket the linear
+    * classifier's INTEGER score into fixed-width bins and count, per
+    * bin, how many docs the Gopher composite rule keeps — the
+    * monitoring view that answers "where does the cheap classifier
+    * disagree with the published gate, and at what score band should
+    * the threshold sit". Run before trusting a re-weighted classifier
+    * on a 100 TB corpus.
+    *
+    * Scale shape: one scan, two per-row integer projections, one
+    * map-side-combined aggregate keyed on ~tens of bins — the
+    * same zero-exchange-per-row shape as the gates themselves.
+    */
+  def classifierCalibration(
+      docs: DataFrame,
+      binWidth: Long = 200L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    docs
+      .select(classifierScoreCol(col("text")).as("score"),
+        gopherKeep(col("text")).cast("long").as("pass"))
+      .groupBy(floor(col("score").cast("double") / binWidth)
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_gopher_pass"))
+  }
 }
