@@ -2072,6 +2072,18 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
     }),
 
+    // Boilerplate-share page gate over the same synthesized 12-token
+    // lines: the fraction of a page's lines that are corpus-frequent,
+    // and the drop-whole-page verdict at the 50% share — the page-
+    // level complement of line_dedup (verbatim duplicate docs in the
+    // fixture make every one of their lines frequent, so they flag).
+    "boilerplate_share" -> ((s, dir) => {
+      val recon = regexp_replace(TextDedup.normText(col("text")),
+        "((?:\\S+ ){11}\\S+) ", "$1\n")
+      TextDedup.boilerplateShare(
+        T(s, dir, "documents").select(col("doc_id"), recon.as("text")))
+    }),
+
     // C4-faithful keep-first line dedup over the same synthesized
     // 12-token lines: a duplicated line survives only at its global
     // first occurrence (min doc_id, then position) instead of being
@@ -3802,6 +3814,28 @@ object SparkEntry {
             |  count(*) FILTER (WHERE c.c <= 1) AS kept_lines,
             |  coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
             |    FILTER (WHERE c.c <= 1), '') AS dedup_text
+            |FROM lines l JOIN cnt c ON l.line = c.line
+            |GROUP BY l.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // same line reconstruction and raw-string occurrence counts as
+      // line_dedup (the green row doubles as the hash-collision
+      // audit); integer cross-multiplied share verdict
+      "boilerplate_share" ->
+        (s"""WITH toks AS (
+            |  SELECT doc_id, string_split($NormTextSql, ' ') AS t
+            |  FROM documents),
+            |ls AS (
+            |  SELECT doc_id, list_transform(range(0, (len(t)-1)//12 + 1),
+            |    i -> array_to_string(t[i*12+1:i*12+12], ' ')) AS la
+            |  FROM toks),
+            |lines AS (SELECT doc_id, unnest(la) AS line FROM ls),
+            |cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+            |SELECT l.doc_id, count(*) AS n_lines,
+            |  CAST(count(*) FILTER (WHERE c.c > 1) AS BIGINT)
+            |    AS frequent_lines,
+            |  CAST(count(*) FILTER (WHERE c.c > 1) * 100 > count(*) * 50
+            |    AS INTEGER) AS is_boilerplate
             |FROM lines l JOIN cnt c ON l.line = c.line
             |GROUP BY l.doc_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),

@@ -551,6 +551,47 @@ object TextDedup {
           sep).as("dedup_text"))
   }
 
+  /** Boilerplate-share gate: per document, the fraction of its lines
+    * occurring corpus-wide more than `maxOcc` times, and the verdict
+    * `is_boilerplate` when frequent lines exceed `sharePct`% — the
+    * page-level complement of [[lineDedup]] (RefinedWeb-style: a page
+    * that is MOSTLY nav/footer template is dropped whole rather than
+    * line-stripped; re-rendered chrome around near-empty content never
+    * reaches the corpus). Integer cross-multiplied share test, no
+    * floats.
+    *
+    * Scale shape = [[lineDedup]]'s: one groupBy over 64-bit line
+    * hashes, the frequent subset (boilerplate — small by nature)
+    * broadcast back, one per-document aggregate; line TEXT never
+    * shuffles at all here (only hashes and counts move).
+    */
+  def boilerplateShare(
+      docs: DataFrame,
+      maxOcc: Long = 1,
+      sharePct: Int = 50,
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    require(sharePct >= 0 && sharePct <= 100,
+      s"sharePct must be in [0,100], got $sharePct")
+    val lines = docs.select(col("doc_id"),
+      explode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep), -1)).as("line"))
+      .select(col("doc_id"), xxhash64(col("line")).as("h"))
+    val frequent = lines.groupBy("h")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+      .select(col("h"), lit(true).as("frequent"))
+    lines
+      .join(broadcast(frequent), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("frequent"), 1L).otherwise(0L)).as("frequent_lines"))
+      .select(col("doc_id"), col("n_lines"), col("frequent_lines"),
+        (col("frequent_lines") * 100 > col("n_lines") * sharePct)
+          .cast("int").as("is_boilerplate"))
+  }
+
   /** [[lineDedup]]'s keep-first variant — the C4-faithful rule: a
     * line occurring more than once corpus-wide KEEPS its global first
     * occurrence (minimum doc_id, then minimum position within it) and

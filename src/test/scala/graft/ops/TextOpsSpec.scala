@@ -669,4 +669,31 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
     assert(fps(1L).intersect(fps(3L)).isEmpty)
   }
+
+  test("boilerplateShare flags template-dominated pages, not content " +
+      "pages; NULL text is one empty line") {
+    val nav = "home | products | contact"
+    val foot = "copyright 2024 example corp"
+    val docs = Seq(
+      (1L, s"$nav\nunique article body one\n$foot"),
+      (2L, s"$nav\nunique article body two\n$foot"),
+      (3L, s"$nav\n$foot"),                      // pure template
+      (4L, "standalone essay with original text"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextDedup.boilerplateShare(docs)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 2L, 1)), out.toString) // 2/3 > 50%
+    assert(out(2L) == ((3L, 2L, 1)))
+    assert(out(3L) == ((2L, 2L, 1)))               // 100% template
+    assert(out(4L) == ((1L, 0L, 0)))
+    // NULL text -> one empty line; unique here, so not boilerplate
+    assert(out(5L) == ((1L, 0L, 0)))
+    // at the exact 50% boundary the share test is STRICT
+    val half = Seq((10L, "shared line\nown line a"),
+      (11L, "shared line\nown line b")).toDF("doc_id", "text")
+    assert(TextDedup.boilerplateShare(half)
+      .filter(col("is_boilerplate") === 1).count() == 0L)
+  }
 }
