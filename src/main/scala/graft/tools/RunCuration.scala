@@ -32,7 +32,7 @@ object RunCuration {
 
   private val Usage =
     "usage: RunCuration <documents.parquet> <destDir> " +
-      "[--shards N] [--no-redact] [--classifier]"
+      "[--shards N] [--no-redact] [--classifier] [--near-index DIR]"
 
   /** The pipeline as a function, for tests: returns (curated frame,
     * funnel thunk). The funnel is computed from the same gate columns
@@ -100,10 +100,28 @@ object RunCuration {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val nearIndex = rest.sliding(2).collectFirst {
+      case Array("--near-index", d) => d
+    }
+
     val docs = spark.read.parquet(src)
-    val (out, funnel) = curate(docs, redact, classifier)
+    val (curated, funnel) = curate(docs, redact, classifier)
+    // cross-snapshot NEAR-dup gate against the persisted MinHash index
+    // (RunDedupIndex) — placed AFTER the cheap per-row gates and the
+    // in-batch exact dedup, so only already-surviving docs pay the
+    // banding work; the prior corpus participates purely through its
+    // index (never re-shingled). The index is NOT updated here: the
+    // curation output dir is transient training layout, and folding it
+    // in is RunDedupIndex apply --update's explicit job.
+    val out = nearIndex match {
+      case Some(idx) => RunDedupIndex.applyFrame(spark, curated, idx)
+      case None => curated
+    }
     Sampling.writeTrainingShards(out, col("text"), dest, shards)
-    println(funnel())
+    val line = funnel()
+    val extra = nearIndex
+      .map(_ => s""","n_after_index":${out.count()}""").getOrElse("")
+    println(line.dropRight(1) + extra + "}")
     spark.stop()
   }
 }

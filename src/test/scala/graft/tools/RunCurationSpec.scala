@@ -51,4 +51,31 @@ class RunCurationSpec extends SparkSpec {
     assert(back.select("doc_id").distinct().count() == 40)
     assert(funnel().contains("\"n_out\":40"), funnel())
   }
+
+  test("--near-index composes: curated docs already in the prior " +
+      "corpus are dropped, the prior corpus is never re-scanned") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cur-idx-").toString
+    // prior corpus = one gate-passing doc; index it
+    Seq((900L, prose)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/prior")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/prior"),
+      s"$dir/index")
+    // new snapshot: a re-render of the indexed doc (gates pass, but
+    // the index gate must drop it) + a genuinely new passing doc
+    val fresh = (1 to 60)
+      .map(i => s"the fresh data and model run $i goes to the set now.")
+      .mkString("\n")
+    val docs = Seq((1L, prose.toUpperCase), (2L, fresh))
+      .toDF("doc_id", "text")
+    val (curated, _) = RunCuration.curate(docs, redact = false)
+    assert(curated.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L), "both must pass the content gates")
+    val gated = RunDedupIndex.applyFrame(spark, curated, s"$dir/index",
+      thresholdPct = 100)
+    assert(gated.select("doc_id").as[Long].collect().toSet == Set(2L),
+      "the indexed re-render must be dropped by the near-dup gate")
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("/prior"), "prior corpus must not be scanned")
+  }
 }
