@@ -376,4 +376,103 @@ object Quantization {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("qdot"), col("rk"))
   }
+
+  /** The rows a PERSISTED IVFPQ index stores, one per corpus vector:
+    * `(vec_id, pq_code, q8, cell)` — the 8-byte packed PQ code (ADC
+    * scoring side), the int8 codes (exact re-rank side, 64 B — the
+    * SQ8-alongside-PQ layout real billion-scale indexes keep), and the
+    * coarse cell id to partition the parquet by. ~72 bytes/vector vs
+    * 256 B of float32 — and the build is the ONE job that ever scans
+    * the corpus embeddings; every later search runs off these rows
+    * (see [[ivfPqSearchIndex]], plan-pinned in `RunAnnIndexSpec`).
+    */
+  def ivfPqIndexRows(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
+      kCode: Int = 16,
+      m: Int = 8,
+      subDim: Int = 8,
+      logScale: Int = 6): DataFrame =
+    pqEncode(corpus, codebook, kCode, m, subDim, logScale)
+      .select(col("vec_id"), col("pq_code"))
+      .join(quantize(corpus, logScale).select(col("vec_id"),
+        col("qvec").as("q8")), "vec_id")
+      .join(Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id"), col("cell")), "vec_id")
+
+  /** IVFPQ search over a PERSISTED index ([[ivfPqIndexRows]]) — the
+    * query path that never touches the corpus embeddings and never
+    * re-trains anything: PQ codes unpack from the 8-byte `pq_code`
+    * (nibble shifts), the reconstruction comes from the broadcast
+    * packed codebook, ADC scores only rows in the `nProbe` probed
+    * cells, and the exact re-rank reads the STORED int8 codes. With
+    * the index parquet partitioned by `cell`, the probe equi-join
+    * prunes unprobed cells' files (dynamic partition pruning).
+    *
+    * Bit-identical to [[ivfPqTopK]] run with the same centroids and
+    * codebook (spec-pinned): the index stores exactly the
+    * intermediates ivfPqTopK computes inline.
+    */
+  def ivfPqSearchIndex(
+      index: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
+      queries: DataFrame,
+      topK: Int = 10,
+      nProbe: Int = 2,
+      rerank: Int = 0,
+      kCode: Int = 16,
+      m: Int = 8,
+      logScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kCode <= 16,
+      s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
+    val packed = packCodebook(codebook, kCode, m)
+    // unpack: code s sits at nibble (m-1-s) — the aggregate pack above
+    // pushes earlier subspaces to more significant nibbles
+    val codes = transform(sequence(lit(0), lit(m - 1)), s =>
+      call_function("shiftright", col("pq_code"), (lit(m - 1) - s) * 4)
+        .bitwiseAND(lit(15L)).cast("int"))
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      element_at(col("cb"),
+        s * kCode + element_at(col("codes"), s + 1) + 1)
+        .getField("cvec")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("c_sim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"),
+        int8Codes(col("q_vec"), logScale).as("q_codes"), col("cell"))
+    val adc = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("codes", codes)
+      .crossJoin(broadcast(packed))
+      .select(col("q_id"), col("vec_id"), col("q8"),
+        intDot(col("q_codes"), recon).as("adc"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    if (rerank <= 0)
+      adc.withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("vec_id"), col("adc").as("score"),
+          col("rk"))
+    else {
+      val qcodes = queries.select(col("q_id"),
+        int8Codes(col("q_vec"), logScale).as("q_codes"))
+      val exact = adc.withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= rerank)
+        .join(broadcast(qcodes), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          intDot(col("q_codes"), col("q8")).as("score"))
+      val wEx = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      exact.withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
+    }
+  }
 }

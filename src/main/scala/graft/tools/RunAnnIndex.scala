@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{KMeans, Quantization}
+
+/** Persisted IVFPQ index lifecycle — the ANN counterpart of
+  * [[RunDedupIndex]]: ONE build job scans the corpus embeddings
+  * (k-means coarse cells + Lloyd-trained PQ codebooks + per-vector
+  * codes) and writes a parquet index ~72 bytes/vector; every later
+  * query runs entirely off the index — no re-training, no corpus
+  * scan, and with the vectors table PARTITIONED BY cell, a probe of
+  * `nProbe` cells reads only those cells' files.
+  *
+  * Usage:
+  *   RunAnnIndex build <embeddings.parquet> <indexDir> [--cells K]
+  *   RunAnnIndex query <indexDir> <queries.parquet> <outDir>
+  *                [--k N] [--nprobe P] [--rerank R]
+  *
+  * Layout under `indexDir`:
+  *   centroids/  (cell INT, c_vec ARRAY<FLOAT>)   — K rows
+  *   codebook/   (s, j, cvec, nb)                 — m×kCode rows
+  *   vectors/    (vec_id, pq_code, q8) partitioned by cell
+  *
+  * The coarse centroids come from the in-engine integer k-means
+  * ([[KMeans.fitAssign]]'s machinery): int8 centroid codes from the
+  * final Lloyd round, converted to float by undoing the 2^logScale
+  * quantizer scale — the cosine probe is scale-invariant, so the
+  * conversion only needs the right direction per dimension.
+  */
+object RunAnnIndex {
+
+  private val Usage =
+    "usage: RunAnnIndex build <embeddings.parquet> <indexDir> [--cells K]\n" +
+      "       RunAnnIndex query <indexDir> <queries.parquet> <outDir> " +
+      "[--k N] [--nprobe P] [--rerank R]"
+
+  /** Float coarse centroids via the integer k-means: labels from
+    * [[KMeans.fitAssign]], then one exact per-cell integer mean over
+    * the int8 codes, scaled back to float.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      kCells: Int = 8,
+      iters: Int = 2,
+      dims: Int = 64,
+      logScale: Int = 6): DataFrame = {
+    val labeled = KMeans.fitAssign(corpus, kCells, iters, dims, logScale)
+    val q = labeled.select(col("label").cast("int").as("cell"),
+      Quantization.int8Codes(col("embedding"), logScale).as("qvec"))
+    val sums = q
+      .select(col("cell"), posexplode(col("qvec")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    sums
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / col("n") /
+          math.pow(2.0, logScale)).as("c")))).as("a"))
+      .select(col("cell"),
+        transform(col("a"), x => x.getField("c").cast("float"))
+          .as("c_vec"))
+  }
+
+  /** Build and persist the index for `corpus` under `indexDir`. */
+  def buildIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      kCells: Int = 8,
+      trainIters: Int = 1): Unit = {
+    val centroids = trainCentroids(corpus, kCells)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = Quantization.pqTrainCodebook(corpus, iters = trainIters)
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val cbBack = spark.read.parquet(s"$indexDir/codebook")
+    Quantization.ivfPqIndexRows(corpus, cents, cbBack)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** Search the persisted index — the lazy frame reads ONLY the three
+    * index tables (spec-pinned: the corpus embeddings path never
+    * appears in the executed plan).
+    */
+  def searchFrame(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      topK: Int = 10,
+      nProbe: Int = 2,
+      rerank: Int = 30): DataFrame =
+    Quantization.ivfPqSearchIndex(
+      spark.read.parquet(s"$indexDir/vectors"),
+      spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/codebook"),
+      queries, topK, nProbe, rerank)
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) { System.err.println(Usage); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rest = args.drop(3)
+    def opt(flag: String, default: Int): Int = rest.sliding(2).collectFirst {
+      case Array(`flag`, v) => v.toInt
+    }.getOrElse(default)
+    try args(0) match {
+      case "build" =>
+        buildIndex(spark.read.parquet(args(1)), args(2),
+          kCells = opt("--cells", 8))
+        println(s"""{"built":"${args(2)}"}""")
+      case "query" =>
+        if (args.length < 4) { System.err.println(Usage); sys.exit(2) }
+        val out = searchFrame(spark, args(1),
+          spark.read.parquet(args(2)),
+          topK = opt("--k", 10), nProbe = opt("--nprobe", 2),
+          rerank = opt("--rerank", 30))
+        out.write.mode("overwrite").parquet(args(3))
+        println(s"""{"rows":${spark.read.parquet(args(3)).count()}}""")
+      case other =>
+        System.err.println(s"unknown mode '$other'\n$Usage"); sys.exit(2)
+    } finally spark.stop()
+  }
+}
