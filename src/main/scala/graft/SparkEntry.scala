@@ -1364,6 +1364,14 @@ object SparkEntry {
     "unigram_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"))),
 
+    // Bigram-LM surprisal: integer bit-length -log2 P(w|prev) under
+    // the corpus MLE — formulaic continuations score low. The bigram
+    // count table is NOT broadcastable at corpus scale, so counts meet
+    // the per-doc rows in a shuffled (prev, w) equi-join; the left-
+    // context totals derive from the count table, never the corpus.
+    "bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(T(s, dir, "documents"))),
+
     // Content-keyed train/eval split: every row labeled, none dropped;
     // membership is a function of the document's own bytes (the
     // property that keeps eval contamination-free across re-shards and
@@ -3387,6 +3395,28 @@ object SparkEntry {
           "CAST(sum(tf * length(bin(n_total // cnt))) AS BIGINT) " +
           "AS surprisal_bits " +
           "FROM tf JOIN c USING (tok) CROSS JOIN t GROUP BY doc_id"),
+
+      // identical integer arithmetic one order up: conditional
+      // bit-lengths over MLE bigram counts, 1-based list indexing
+      "bigram_surprisal" ->
+        (s"""WITH t AS (
+           |  SELECT doc_id, string_split($NormTextSql, ' ') AS tk
+           |  FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, len(tk)), i -> {'prev': tk[i], 'w': tk[i+1]}))
+           |    AS s FROM t),
+           |tf AS (SELECT doc_id, s.prev AS prev, s.w AS w,
+           |       count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+           |c AS (SELECT prev, w, CAST(sum(tf) AS BIGINT) AS c_bw
+           |      FROM tf GROUP BY 1, 2),
+           |cp AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_prev
+           |       FROM c GROUP BY 1)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(tf * length(bin(c_prev // c_bw))) AS BIGINT)
+           |    AS surprisal_bits
+           |FROM tf JOIN c USING (prev, w) JOIN cp USING (prev)
+           |GROUP BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // Bigram list built like ngram_jaccard_pairs' but NOT dedup'd —
       // the duplicate fraction is the signal.

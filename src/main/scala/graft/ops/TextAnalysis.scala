@@ -592,6 +592,45 @@ object TextAnalysis {
         sum(col("tf") * col("bits")).as("surprisal_bits"))
   }
 
+  /** Bigram-LM surprisal — the conditional step up from
+    * [[unigramSurprisal]]: each occurrence of bigram (prev, w) scores
+    * `bitlen(C(prev·) / C(prev,w))` bits, the integer-exact analog of
+    * `-log2 P(w | prev)` under the corpus MLE (no smoothing needed to
+    * SCORE seen text: every scored bigram has count ≥ 1 by
+    * construction). Low bits = formulaic continuation (boilerplate,
+    * templates); high bits = surprising text. Output per doc:
+    * `(n_bigrams, surprisal_bits)`; docs under two tokens carry no
+    * bigram and drop out, same as the SQL replay.
+    *
+    * Scale shape: unlike the unigram table, the bigram vocabulary is
+    * NOT broadcastable — corpus counts meet the per-doc rows in a
+    * shuffled equi-join on the (prev, w) key, and the left-context
+    * totals derive from the bigram counts themselves (a second
+    * aggregate over the count table — sketch-sized, never the corpus).
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val t = split(TextDedup.normText(col("text")), " ")
+    val pairs = transform(sequence(lit(1), size(t) - 1), i =>
+      struct(element_at(t, i).as("prev"), element_at(t, i + 1).as("w")))
+    val bg = docs
+      .select(col("doc_id"),
+        explode(when(size(t) >= 2, pairs)
+          .otherwise(array().cast("array<struct<prev:string,w:string>>")))
+          .as("s"))
+      .select(col("doc_id"), col("s.prev").as("prev"), col("s.w").as("w"))
+    val tf = bg.groupBy("doc_id", "prev", "w")
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("prev", "w").agg(sum(col("tf")).as("c_bw"))
+    val cprev = cnt.groupBy("prev").agg(sum(col("c_bw")).as("c_prev"))
+    tf.join(cnt, Seq("prev", "w"))
+      .join(cprev, Seq("prev"))
+      .select(col("doc_id"), col("tf"),
+        length(bin(expr("c_prev div c_bw"))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("surprisal_bits"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
