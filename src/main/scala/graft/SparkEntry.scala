@@ -1557,6 +1557,19 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rk"))
     }),
 
+    // Hard-negative mining: per anchor, the top-10 nearest vectors of
+    // a DIFFERENT label — the contrastive-training near-misses. Same
+    // broadcast + WindowGroupLimit shape as the brute top-k; sim stays
+    // engine-internal (float), rank-only output like ann_cosine_topk.
+    "hard_negatives" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val anchors = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(corpus, anchors, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
     // LSH-bucketed approximate top-k (the scale path; no SQL oracle).
     "ann_lsh_topk" -> ((s, dir) => {
       val corpus = T(s, dir, "embeddings")
@@ -3548,6 +3561,17 @@ object SparkEntry {
           "sims AS (SELECT q.q_id, e.vec_id, " +
           "list_cosine_similarity(q.q_vec, e.embedding) AS sim " +
           "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id) " +
+          "SELECT q_id, vec_id, CAST(row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
+          "FROM sims QUALIFY rk <= 10"),
+
+      "hard_negatives" ->
+        ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, " +
+          "label AS q_label FROM embeddings WHERE vec_id < 10), " +
+          "sims AS (SELECT q.q_id, e.vec_id, " +
+          "list_cosine_similarity(q.q_vec, e.embedding) AS sim " +
+          "FROM embeddings e CROSS JOIN q " +
+          "WHERE e.vec_id <> q.q_id AND e.label <> q.q_label) " +
           "SELECT q_id, vec_id, CAST(row_number() OVER " +
           "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rk " +
           "FROM sims QUALIFY rk <= 10"),

@@ -249,6 +249,33 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most-similar corpus vectors whose `label` DIFFERS from
+    * the anchor's — the near-misses a contrastive or reranker loss
+    * learns the most from (easy negatives are random; hard negatives
+    * sit just across the decision boundary). Same broadcast-anchors +
+    * rank-pushdown shape as [[bruteForceTopK]]; at index scale the
+    * scan side swaps for the IVFPQ probe unchanged.
+    *
+    * `anchors` needs (q_id, q_vec, q_label); corpus needs
+    * (vec_id, embedding, label). Output (q_id, vec_id, rk, sim).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      k: Int = 10): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
+  }
+
   /** Matryoshka-style two-stage retrieval: rank by cosine on the
     * PREFIX of the embedding (the truncated head an MRL-trained model
     * makes meaningful, and the only slice a 100 TB index keeps hot),

@@ -25,6 +25,7 @@ class PlanInvariantsSpec extends SparkSpec {
   /** Queries whose broadcast nested-loop join is the designed plan. */
   private val bnljByDesign = Set(
     "ann_cosine_topk", // brute-force baseline: corpus × broadcast(queries)
+    "hard_negatives",  // same brute shape, label-mismatch filter
     "ann_quantized_topk", // same brute-force shape on int8 codes
     "pq_codes",        // corpus × broadcast(one packed codebook row)
     "ann_pq_topk",     // PQ encode + broadcast(queries) ADC scoring
