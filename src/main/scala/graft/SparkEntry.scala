@@ -2351,6 +2351,22 @@ object SparkEntry {
     // the lineitem→orders referential containment (all hold on this
     // fixture — the suite proves a CLEAN bill exactly, and any
     // violation would land in `observed` with passed = 0).
+    // Snapshot-drift data contract: documents vs a mutated "today"
+    // snapshot (planted NULLs in source/lang by id modulus). Integer
+    // cross-multiplied rate verdict; 2 scans total for any number of
+    // tracked columns (one multi-null-count aggregate per side).
+    "dq_drift" -> ((s, dir) => {
+      val prev = T(s, dir, "documents")
+      val cur = prev.select(col("doc_id"),
+        when(col("doc_id") % 200 === 0, lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        when(col("doc_id") % 25 === 0, lit(null)).otherwise(col("source"))
+          .as("source"),
+        col("text"))
+      DataQuality.drift(prev, cur, Seq("lang", "source", "text"),
+        tolerancePct = 5)
+    }),
+
     "dq_checks" -> ((s, dir) => DataQuality.suite(Seq(
       DataQuality.uniqueness(T(s, dir, "orders"),
         "orders_pk_unique", col("o_orderkey")),
@@ -4107,6 +4123,36 @@ object SparkEntry {
 
       // every observation an exact count; the RI check's orphan count
       // replays as the NOT EXISTS the anti-join implements
+      // replay both sides' null counts and the cross-multiplied verdict
+      "dq_drift" ->
+        ("""WITH cur AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 200 = 0 THEN NULL ELSE lang END AS lang,
+           |  CASE WHEN doc_id % 25 = 0 THEN NULL ELSE source END AS source,
+           |  text FROM documents),
+           |p AS (SELECT count(*) AS prev_rows,
+           |  count(CASE WHEN lang IS NULL THEN 1 END) AS n_lang,
+           |  count(CASE WHEN source IS NULL THEN 1 END) AS n_source,
+           |  count(CASE WHEN text IS NULL THEN 1 END) AS n_text
+           |  FROM documents),
+           |c AS (SELECT count(*) AS cur_rows,
+           |  count(CASE WHEN lang IS NULL THEN 1 END) AS n_lang,
+           |  count(CASE WHEN source IS NULL THEN 1 END) AS n_source,
+           |  count(CASE WHEN text IS NULL THEN 1 END) AS n_text FROM cur),
+           |u AS (
+           |  SELECT 'lang' AS col_name, p.prev_rows, p.n_lang AS prev_nulls,
+           |    c.cur_rows, c.n_lang AS cur_nulls FROM p, c
+           |  UNION ALL
+           |  SELECT 'source', p.prev_rows, p.n_source, c.cur_rows,
+           |    c.n_source FROM p, c
+           |  UNION ALL
+           |  SELECT 'text', p.prev_rows, p.n_text, c.cur_rows, c.n_text
+           |    FROM p, c)
+           |SELECT col_name, prev_rows, prev_nulls, cur_rows, cur_nulls,
+           |  CAST(abs(cur_nulls * prev_rows - prev_nulls * cur_rows) * 100
+           |    <= 5 * prev_rows * cur_rows AS INTEGER) AS within_pct
+           |FROM u"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       "dq_checks" ->
         ("SELECT 'orders_pk_unique' AS check, " +
           "count(*) - count(DISTINCT o_orderkey) AS observed, " +

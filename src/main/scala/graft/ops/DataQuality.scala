@@ -58,4 +58,43 @@ object DataQuality {
     require(rules.nonEmpty, "suite needs at least one rule")
     rules.reduce(_ unionByName _)
   }
+
+  /** Snapshot-drift report — the data-contract check between two runs
+    * of the same table (yesterday's corpus vs today's): per tracked
+    * column, row counts and NULL counts on both sides plus an in-band
+    * `within_pct` verdict that the null RATE moved by at most
+    * `tolerancePct` percentage points (integer cross-multiplied:
+    * `|cur_nulls·prev_rows − prev_nulls·cur_rows| · 100 ≤
+    * tolerance · prev_rows · cur_rows` — no float rate ever
+    * materializes, so the whole report replays value-exactly).
+    *
+    * Scale shape: ONE map-side-combined aggregate per side computing
+    * every tracked column's null count in the same pass (not a rule
+    * per column — 2 scans total however many columns are tracked),
+    * then a columns×1 explode of the two single-row frames and a
+    * broadcast join on column name.
+    */
+  def drift(
+      prev: DataFrame,
+      cur: DataFrame,
+      columns: Seq[String],
+      tolerancePct: Int = 5): DataFrame = {
+    require(columns.nonEmpty, "drift needs at least one tracked column")
+    require(tolerancePct >= 0, "tolerancePct must be >= 0")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"__rows") +:
+        columns.map(c => count(when(col(c).isNull, 1)).as(s"__n_$c"))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(map(columns.flatMap(c =>
+          Seq(lit(c), col(s"__n_$c"))): _*)).as(Seq("col_name", s"${tag}_nulls")),
+          col("__rows").as(s"${tag}_rows"))
+    }
+    side(prev, "prev").join(side(cur, "cur"), Seq("col_name"))
+      .select(col("col_name"), col("prev_rows"), col("prev_nulls"),
+        col("cur_rows"), col("cur_nulls"),
+        (abs(col("cur_nulls") * col("prev_rows") -
+          col("prev_nulls") * col("cur_rows")) * 100 <=
+          lit(tolerancePct.toLong) * col("prev_rows") * col("cur_rows"))
+          .cast("int").as("within_pct"))
+  }
 }
