@@ -1372,6 +1372,12 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(T(s, dir, "documents"))),
 
+    // Rank-normalized multi-signal quality blend: decile buckets of
+    // classifier score + unigram surprisal via broadcast
+    // percentile_disc cutoffs (never a corpus-wide rank window).
+    "quality_blend" -> ((s, dir) =>
+      TextAnalysis.qualityBlend(T(s, dir, "documents"))),
+
     // Content-keyed train/eval split: every row labeled, none dropped;
     // membership is a function of the document's own bytes (the
     // property that keeps eval contamination-free across re-shards and
@@ -3424,6 +3430,37 @@ object SparkEntry {
           "CAST(sum(tf * length(bin(n_total // cnt))) AS BIGINT) " +
           "AS surprisal_bits " +
           "FROM tf JOIN c USING (tok) CROSS JOIN t GROUP BY doc_id"),
+
+      // both signal pipelines replay, then the same nine discrete
+      // cutoffs per signal and the strictly-below bucket count
+      "quality_blend" ->
+        (s"""WITH tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+           |      AS tok FROM documents) GROUP BY doc_id, tok),
+           |cg AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+           |       FROM tf GROUP BY tok),
+           |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+           |srp AS (SELECT doc_id,
+           |  CAST(sum(tf * length(bin(n_total // cnt))) AS BIGINT)
+           |    AS surprisal_bits
+           |  FROM tf JOIN cg USING (tok) CROSS JOIN tot GROUP BY doc_id),
+           |cls AS (SELECT doc_id, $ClassifierScoreSql AS score
+           |        FROM documents),
+           |j AS (SELECT doc_id, score, surprisal_bits
+           |      FROM cls JOIN srp USING (doc_id)),
+           |q AS (SELECT quantile_disc(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qc,
+           |  quantile_disc(surprisal_bits, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM j)
+           |SELECT doc_id,
+           |  CAST(len(list_filter(qc, c -> score > c)) AS INTEGER)
+           |    AS d_cls,
+           |  CAST(len(list_filter(qs, c -> surprisal_bits > c))
+           |    AS INTEGER) AS d_srp,
+           |  CAST(len(list_filter(qc, c -> score > c)) +
+           |    len(list_filter(qs, c -> surprisal_bits > c))
+           |    AS INTEGER) AS blend
+           |FROM j CROSS JOIN q"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // identical integer arithmetic one order up: conditional
       // bit-lengths over MLE bigram counts, 1-based list indexing

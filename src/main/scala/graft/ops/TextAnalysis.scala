@@ -638,6 +638,39 @@ object TextAnalysis {
         sum(col("tf") * col("bits")).as("surprisal_bits"))
   }
 
+  /** Multi-signal quality blend: decile-bucket two independent quality
+    * signals (linear-classifier score, unigram-LM surprisal bits) and
+    * sum the bucket indices — rank-normalized ensembling WITHOUT a
+    * corpus-wide rank window (a global `row_number` would single-task
+    * the corpus at 100 TB; here the normalization is nine
+    * `percentile_disc` cutoffs per signal — one tiny
+    * map-side-combined aggregate — broadcast back as a per-row CASE).
+    * Decile index = number of cutoffs strictly below the value, so
+    * ties bucket identically in any engine. Output:
+    * `(doc_id, d_cls, d_srp, blend)`, all exact integers.
+    */
+  def qualityBlend(docs: DataFrame): DataFrame = {
+    val joined = classifierScore(docs).select(col("doc_id"), col("score"))
+      .join(unigramSurprisal(docs)
+        .select(col("doc_id"), col("surprisal_bits")), "doc_id")
+    val cutCols =
+      (1 to 9).map(i => expr(
+        s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY score)")
+        .as(s"c$i")) ++
+        (1 to 9).map(i => expr(
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY surprisal_bits)")
+          .as(s"s$i"))
+    val cuts = joined.agg(cutCols.head, cutCols.tail: _*)
+    def decile(v: Column, pfx: String): Column =
+      (1 to 9).map(i => when(v > col(s"$pfx$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("int")
+    joined.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        decile(col("score"), "c").as("d_cls"),
+        decile(col("surprisal_bits"), "s").as("d_srp"))
+      .withColumn("blend", (col("d_cls") + col("d_srp")).cast("int"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -43,7 +43,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "bm25_topk",        // × broadcast(single-row N/avgdl scalars)
     "hybrid_rrf_topk",  // BM25 scalars + brute-ANN broadcast(queries)
     "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
-    "unigram_surprisal") // × broadcast(single-row corpus token total)
+    "unigram_surprisal", // × broadcast(single-row corpus token total)
+    "quality_blend")   // × broadcast(1-row percentile cutoffs + totals)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
