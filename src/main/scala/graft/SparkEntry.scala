@@ -1378,6 +1378,11 @@ object SparkEntry {
     "quality_blend" -> ((s, dir) =>
       TextAnalysis.qualityBlend(T(s, dir, "documents"))),
 
+    // Language-ID confidence margin: top1-top2 marker-vote gap and
+    // the routing flag. Scan-only, one 5-int sort per row.
+    "langid_confidence" -> ((s, dir) =>
+      TextAnalysis.langIdConfidence(T(s, dir, "documents"))),
+
     // Content-keyed train/eval split: every row labeled, none dropped;
     // membership is a function of the document's own bytes (the
     // property that keeps eval contamination-free across re-shards and
@@ -3269,6 +3274,21 @@ object SparkEntry {
 
       "text_stats" ->
         (s"SELECT doc_id, $statsCols FROM documents WHERE length(trim(text)) > 0"),
+
+      "langid_confidence" ->
+        (s"WITH h AS (SELECT doc_id, ${hitCols.mkString(", ")} " +
+          "FROM documents), " +
+          s"h2 AS (SELECT doc_id, CASE WHEN $great = 0 THEN 'und' " +
+          s"WHEN en_hits = $great THEN 'en' " +
+          s"WHEN de_hits = $great THEN 'de' " +
+          s"WHEN fr_hits = $great THEN 'fr' " +
+          s"WHEN es_hits = $great THEN 'es' ELSE 'zh' END AS lang_guess, " +
+          "list_reverse_sort([en_hits, de_hits, fr_hits, es_hits, " +
+          "zh_hits]) AS l FROM h) " +
+          "SELECT doc_id, lang_guess, l[1] AS top1, l[2] AS top2, " +
+          "l[1] - l[2] AS margin, " +
+          "CAST(l[1] > 0 AND l[1] - l[2] >= 2 AS INTEGER) AS confident " +
+          "FROM h2"),
 
       "lang_id" ->
         (s"WITH h AS (SELECT doc_id, lang, ${hitCols.mkString(", ")} FROM documents) " +

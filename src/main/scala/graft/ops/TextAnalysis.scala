@@ -638,6 +638,31 @@ object TextAnalysis {
         sum(col("tf") * col("bits")).as("surprisal_bits"))
   }
 
+  /** Language-ID confidence: the vote MARGIN between the top two
+    * languages (top1 − top2 marker hits), with a `confident` flag at
+    * `top1 > 0 && margin >= minMargin` — the gate real pipelines put
+    * in front of language routing (a doc whose top two languages tie
+    * is mixed/ambiguous and routes to manual or "und" handling, not to
+    * a monolingual corpus). Pure per-row expression on top of
+    * [[langId]]'s hit columns: one 5-element sort per row, no shuffle.
+    */
+  def langIdConfidence(docs: DataFrame, minMargin: Long = 2L): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val arr = sort_array(
+      array(LangMarkers.map { case (l, _) => col(s"${l}_hits") }: _*),
+      asc = false)
+    langId(docs)
+      .withColumn("__a", arr)
+      .select(col("doc_id"), col("lang_guess"),
+        element_at(col("__a"), 1).as("top1"),
+        element_at(col("__a"), 2).as("top2"),
+        (element_at(col("__a"), 1) - element_at(col("__a"), 2))
+          .as("margin"),
+        (element_at(col("__a"), 1) > 0 &&
+          element_at(col("__a"), 1) - element_at(col("__a"), 2) >=
+            minMargin).cast("int").as("confident"))
+  }
+
   /** Multi-signal quality blend: decile-bucket two independent quality
     * signals (linear-classifier score, unigram-LM surprisal bits) and
     * sum the bucket indices — rank-normalized ensembling WITHOUT a
