@@ -696,4 +696,56 @@ class TextOpsSpec extends SparkSpec {
     assert(TextDedup.boilerplateShare(half)
       .filter(col("is_boilerplate") === 1).count() == 0L)
   }
+
+  test("bigramSurprisal: hand-computed bits on a tiny corpus; " +
+      "sub-2-token docs drop out") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b)x2, (b,a)x1
+      (2L, "a b"),       // (a,b)x1
+      (3L, "solo"),      // no bigram -> absent
+      (4L, "a c"))       // (a,c)x1
+      .toDF("doc_id", "text")
+    // corpus: C(a,b)=3, C(b,a)=1, C(a,c)=1; C(a·)=4, C(b·)=1
+    // bits(a,b)=len(bin(4/3=1))=1; bits(b,a)=len(bin(1))=1;
+    // bits(a,c)=len(bin(4))=3
+    val got = TextAnalysis.bigramSurprisal(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L * 1 + 1L * 1)), // (a,b)x2·1 + (b,a)x1·1 = 3
+      2L -> ((1L, 1L)),
+      4L -> ((1L, 3L))), got.toString)
+    assert(!got.contains(3L))
+  }
+
+  test("qualityBlend deciles are monotone in each signal and bounded") {
+    val docs = (0 until 100).map { i =>
+      // longer docs -> higher classifier score; distinct vocab sizes
+      // -> distinct surprisal
+      (i.toLong, (0 to i).map(j => s"w${i}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.qualityBlend(docs)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 9 &&
+      r._3 >= 0 && r._3 <= 9 && r._4 == r._2 + r._3))
+    // the top decile is non-empty and the bottom is non-empty
+    assert(got.exists(_._2 == 9) && got.exists(_._2 == 0))
+  }
+
+  test("langIdConfidence: clear English is confident, a 50/50 " +
+      "bilingual page is not") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house with care and the end", "en"),
+      (2L, "the cat and the dog le chien et les amis avec of le", "en"),
+      (3L, "xyz qrs tuv", "en")) // zero hits anywhere
+      .toDF("doc_id", "text", "lang") // langId passes `lang` through
+    val got = TextAnalysis.langIdConfidence(docs)
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "en" && got(1L)._6 == 1, got(1L).toString)
+    // doc 2: en hits (the x2, and, of = 4) vs fr hits (le x2, et, les,
+    // avec = 5) -> margin 1 < 2 -> NOT confident, whoever wins
+    assert(got(2L)._6 == 0, got(2L).toString)
+    assert(got(3L)._2 == "und" && got(3L)._3 == 0L && got(3L)._6 == 0)
+  }
 }
