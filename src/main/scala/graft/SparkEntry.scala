@@ -1933,6 +1933,13 @@ object SparkEntry {
     // deterministic fractional epoch; de's 0.5 budget shows the same
     // machinery DOWNsampling. Scan-only — CASE projection + bounded
     // sequence explode, no shuffle; the whole expansion replays in SQL.
+    // Deterministic exact-k sample: lowest-k content hashes, stable
+    // across re-runs/re-shards; plans as TakeOrdered, never a global
+    // corpus sort.
+    "sample_exact_k" -> ((s, dir) =>
+      Sampling.exactKSample(T(s, dir, "documents"), col("text"), 50)
+        .select(col("doc_id"), col("lang"))),
+
     "epoch_upsample" -> ((s, dir) =>
       Sampling.epochUpsample(T(s, dir, "documents"),
         col("lang"), col("text"), EpochBudgets, defaultEpochs = 1.0)
@@ -3761,6 +3768,10 @@ object SparkEntry {
           s"WHERE substring(md5(text), 1, 4) < CASE lang $cases " +
           s"ELSE '${Sampling.thresholdHex(0.0625)}' END"
       },
+
+      "sample_exact_k" ->
+        ("SELECT doc_id, lang FROM documents " +
+          "ORDER BY md5(text), doc_id LIMIT 50"),
 
       // full replay of the epoch expansion from the same budget
       // constants: integer full copies + the md5-bucket fractional coin

@@ -100,6 +100,21 @@ object Sampling {
   def intBucket(key: Column): Column =
     conv(substring(md5(key), 1, 4), 16, 10).cast("long")
 
+  /** Deterministic EXACT-k global sample: the k documents whose
+    * content hash sorts lowest (doc_id tiebreak) — when a job needs
+    * "exactly 10,000 docs, stable across re-runs and re-shards"
+    * rather than [[deterministicSample]]'s Bernoulli rate. Plans as
+    * TakeOrdered (per-partition top-k, then a k-row merge on the
+    * driver-side collect limit) — never a global sort of the corpus.
+    */
+  def exactKSample(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    df.withColumn("__h", md5(key))
+      .orderBy(col("__h"), col("doc_id"))
+      .limit(k)
+      .drop("__h")
+  }
+
   /** Repeated-epoch upsampling — the data-budgeting move of a
     * data-constrained training run ("repeat high-quality sources up
     * to ~4 epochs, downweight the rest"): each row is emitted
