@@ -3458,8 +3458,11 @@ object SparkEntry {
           "AS surprisal_bits " +
           "FROM tf JOIN c USING (tok) CROSS JOIN t GROUP BY doc_id"),
 
-      // both signal pipelines replay, then the same nine discrete
-      // cutoffs per signal and the strictly-below bucket count
+      // both signal pipelines replay, then the same nine cutoffs per
+      // signal — the EXPLICIT integer nearest-rank rule k=(i*n+9)//10,
+      // not quantile_disc, whose convention differs from Spark's
+      // percentile_disc for some group sizes — and the strictly-below
+      // bucket count
       "quality_blend" ->
         (s"""WITH tf AS (
            |  SELECT doc_id, tok, count(*) AS tf FROM (
@@ -3476,8 +3479,13 @@ object SparkEntry {
            |        FROM documents),
            |j AS (SELECT doc_id, score, surprisal_bits
            |      FROM cls JOIN srp USING (doc_id)),
-           |q AS (SELECT quantile_disc(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qc,
-           |  quantile_disc(surprisal_bits, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM j)
+           |ql AS (SELECT list_sort(list(score)) AS lc,
+           |  list_sort(list(surprisal_bits)) AS ls FROM j),
+           |q AS (SELECT
+           |  list_transform(range(1, 10),
+           |    i -> lc[(i * len(lc) + 9) // 10]) AS qc,
+           |  list_transform(range(1, 10),
+           |    i -> ls[(i * len(ls) + 9) // 10]) AS qs FROM ql)
            |SELECT doc_id,
            |  CAST(len(list_filter(qc, c -> score > c)) AS INTEGER)
            |    AS d_cls,

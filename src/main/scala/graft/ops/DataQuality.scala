@@ -66,7 +66,10 @@ object DataQuality {
     * `tolerancePct` percentage points (integer cross-multiplied:
     * `|cur_nulls·prev_rows − prev_nulls·cur_rows| · 100 ≤
     * tolerance · prev_rows · cur_rows` — no float rate ever
-    * materializes, so the whole report replays value-exactly).
+    * materializes, so the whole report replays value-exactly). The
+    * cross-products run in DECIMAL(38,0): corpus-scale counts
+    * (≳3·10⁸ rows with proportional nulls) overflow a BIGINT product,
+    * and non-ANSI Spark would wrap silently and flip the verdict.
     *
     * Scale shape: ONE map-side-combined aggregate per side computing
     * every tracked column's null count in the same pass (not a rule
@@ -89,12 +92,13 @@ object DataQuality {
           Seq(lit(c), col(s"__n_$c"))): _*)).as(Seq("col_name", s"${tag}_nulls")),
           col("__rows").as(s"${tag}_rows"))
     }
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     side(prev, "prev").join(side(cur, "cur"), Seq("col_name"))
       .select(col("col_name"), col("prev_rows"), col("prev_nulls"),
         col("cur_rows"), col("cur_nulls"),
-        (abs(col("cur_nulls") * col("prev_rows") -
-          col("prev_nulls") * col("cur_rows")) * 100 <=
-          lit(tolerancePct.toLong) * col("prev_rows") * col("cur_rows"))
+        (abs(dec(col("cur_nulls")) * dec(col("prev_rows")) -
+          dec(col("prev_nulls")) * dec(col("cur_rows"))) * 100 <=
+          lit(tolerancePct.toLong) * dec(col("prev_rows")) * dec(col("cur_rows")))
           .cast("int").as("within_pct"))
   }
 }

@@ -667,25 +667,40 @@ object TextAnalysis {
     * signals (linear-classifier score, unigram-LM surprisal bits) and
     * sum the bucket indices — rank-normalized ensembling WITHOUT a
     * corpus-wide rank window (a global `row_number` would single-task
-    * the corpus at 100 TB; here the normalization is nine
-    * `percentile_disc` cutoffs per signal — one tiny
-    * map-side-combined aggregate — broadcast back as a per-row CASE).
+    * the corpus at 100 TB; here the normalization is nine cutoffs per
+    * signal — one aggregate row — broadcast back as a per-row CASE).
     * Decile index = number of cutoffs strictly below the value, so
     * ties bucket identically in any engine. Output:
     * `(doc_id, d_cls, d_srp, blend)`, all exact integers.
+    *
+    * The cutoffs use one EXPLICIT nearest-rank rule rather than any
+    * engine's discrete-percentile aggregate: the i-th cutoff is the
+    * k-th smallest value with `k = (i*n + 9) div 10` (the smallest k
+    * with `10k >= i*n`) — pure integer arithmetic, so Spark and an
+    * external oracle pick the SAME element for every (n, i).
+    * `percentile_disc` conventions genuinely differ between engines
+    * (Spark's cume_dist rule vs DuckDB quantile_disc's (n−1)p index —
+    * e.g. n=7, p=0.3 picks the 3rd vs the 2nd element), which made the
+    * previous green oracle fixture-size-dependent. Exact global
+    * cutoffs buffer one column per signal (as the engines' own
+    * discrete-percentile aggregates do internally); at corpus scale
+    * calibrate on a sample or use the mergeable GK sketch
+    * ([[Sketches]]) — the nine cutoffs are calibration constants, not
+    * per-row state.
     */
   def qualityBlend(docs: DataFrame): DataFrame = {
     val joined = classifierScore(docs).select(col("doc_id"), col("score"))
       .join(unigramSurprisal(docs)
         .select(col("doc_id"), col("surprisal_bits")), "doc_id")
-    val cutCols =
-      (1 to 9).map(i => expr(
-        s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY score)")
-        .as(s"c$i")) ++
-        (1 to 9).map(i => expr(
-          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY surprisal_bits)")
-          .as(s"s$i"))
-    val cuts = joined.agg(cutCols.head, cutCols.tail: _*)
+    val lists = joined.agg(
+      sort_array(collect_list(col("score"))).as("__sc"),
+      sort_array(collect_list(col("surprisal_bits"))).as("__sb"))
+    def cut(arr: String, i: Int): Column =
+      expr(s"try_element_at($arr, " +
+        s"cast((size($arr) * $i + 9) div 10 AS int))")
+    val cuts = lists.select(
+      (1 to 9).map(i => cut("__sc", i).as(s"c$i")) ++
+        (1 to 9).map(i => cut("__sb", i).as(s"s$i")): _*)
     def decile(v: Column, pfx: String): Column =
       (1 to 9).map(i => when(v > col(s"$pfx$i"), 1).otherwise(0))
         .reduce(_ + _).cast("int")

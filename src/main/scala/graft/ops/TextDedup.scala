@@ -95,6 +95,23 @@ object TextDedup {
       corpus.select(col("doc_id"),
         shinglesHashed(col("text"), shingleSize).as("sh")))
 
+  /** The band buckets of `bandIndex` holding more than `maxBucket`
+    * members — the boilerplate blocklist the incremental path anti-joins
+    * against. A map-side-combinable `groupBy.count` with a tiny output
+    * (only pathological buckets survive the filter), meant to run ONCE
+    * per index build/compact and be PERSISTED next to the index
+    * (`RunDedupIndex` writes `indexDir/hot_buckets`), so an `apply`
+    * run's only contact with the band index is the candidate equi-join
+    * — never a corpus-wide window or aggregate per snapshot.
+    */
+  def hotBandBuckets(bandIndex: DataFrame, maxBucket: Int = 64): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    bandIndex.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band_idx", "band_hash")
+  }
+
   /** Verified cross-snapshot near-dup pairs: each NEW doc against the
     * indexed PRIOR corpus ([[nearDupIndex]]). Only the new snapshot is
     * shingled; the old corpus participates purely through its index —
@@ -103,13 +120,20 @@ object TextDedup {
     *
     * Stages mirror [[minHashCandidates]] + [[jaccardVerify]], with the
     * self-join replaced by a new-vs-index join: band the new docs (per-
-    * row expression work), equi-join on `(band_idx, band_hash)` against
-    * the index (the only shuffle, on a 12-byte key), dedup candidate
-    * pairs, then verify with the exact hashed-shingle intersection
-    * against the stored signatures. `maxBucket` drops degenerate INDEX
-    * buckets (boilerplate that collides every crawl) before the join —
-    * the same skew guard as the batch path, now protecting against a
-    * hot bucket accumulated across ALL prior snapshots.
+    * row expression work), broadcast anti-join the NEW bands against the
+    * precomputed `hotBuckets` blocklist (degenerate boilerplate buckets
+    * accumulated across ALL prior snapshots — see [[hotBandBuckets]];
+    * filtering the small side is equivalent to filtering the index,
+    * since a candidate needs both ends of the equi-join), equi-join on
+    * `(band_idx, band_hash)` against the index (the only contact with
+    * the index, on a 12-byte key, new side broadcastable), dedup
+    * candidate pairs, then verify with the exact hashed-shingle
+    * intersection against the stored signatures. A doc whose OWN id is
+    * already in the index matches itself and is reported — re-applying
+    * an already-folded snapshot deliberately drops it ("the index
+    * already has it"); the `--update` retry case that must NOT clobber
+    * its output is guarded one level up by `RunDedupIndex`'s applied
+    * marker, not here.
     *
     * Returns `(new_id, old_id, inter_cnt, union_cnt)` — integer-exact
     * counts, thresholds as `inter_cnt * 100 >= union_cnt * pct`.
@@ -118,20 +142,16 @@ object TextDedup {
       newDocs: DataFrame,
       bandIndex: DataFrame,
       shingleIndex: DataFrame,
-      numHashes: Int = 32,
-      rowsPerBand: Int = 4,
-      shingleSize: Int = 3,
-      maxBucket: Int = 64): DataFrame = {
+      hotBuckets: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      shingleSize: Int): DataFrame = {
     val newBands = minHashBands(newDocs, numHashes, rowsPerBand, shingleSize)
-    val guarded = bandIndex
-      .withColumn("bucket_n",
-        count(lit(1)).over(
-          Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+      .join(broadcast(hotBuckets.select("band_idx", "band_hash")),
+        Seq("band_idx", "band_hash"), "left_anti")
     val cands = newBands
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
-      .join(guarded
+      .join(bandIndex
         .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")),
         Seq("band_idx", "band_hash"))
       .select("new_id", "old_id")
@@ -148,6 +168,25 @@ object TextDedup {
       .select(col("new_id"), col("old_id"), inter.as("inter_cnt"),
         (size(col("sh_new")) + size(col("sh_old")) - inter).as("union_cnt"))
   }
+
+  /** [[incrementalNearPairs]] with the hot-bucket blocklist derived
+    * inline from `bandIndex` (one map-side-combined aggregate over the
+    * index). Convenient for one-shot frames; the persisted-index path
+    * ([[graft.tools.RunDedupIndex]]) passes the blocklist computed at
+    * build/compact time instead, keeping the apply plan index-scan-free
+    * beyond the candidate equi-join.
+    */
+  def incrementalNearPairs(
+      newDocs: DataFrame,
+      bandIndex: DataFrame,
+      shingleIndex: DataFrame,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64): DataFrame =
+    incrementalNearPairs(newDocs, bandIndex, shingleIndex,
+      hotBandBuckets(bandIndex, maxBucket), numHashes, rowsPerBand,
+      shingleSize)
 
   /** Cross-snapshot incremental NEAR-dup dedup: rows of `newDocs` with
     * no verified near-duplicate (shingle Jaccard ≥ `thresholdPct`%) in
@@ -167,11 +206,29 @@ object TextDedup {
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    incrementalNearNew(newDocs, bandIndex, shingleIndex,
+      hotBandBuckets(bandIndex, maxBucket), thresholdPct, numHashes,
+      rowsPerBand, shingleSize)
+
+  /** [[incrementalNearNew]] against a PRECOMPUTED hot-bucket blocklist
+    * (see [[hotBandBuckets]]) — the persisted-index form: the plan's
+    * only contact with the band index is the candidate equi-join, with
+    * the (tiny) blocklist broadcast against the new slice's bands.
+    */
+  def incrementalNearNew(
+      newDocs: DataFrame,
+      bandIndex: DataFrame,
+      shingleIndex: DataFrame,
+      hotBuckets: DataFrame,
+      thresholdPct: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      shingleSize: Int): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"thresholdPct must be in (0,100], got $thresholdPct")
     val dup = incrementalNearPairs(newDocs, bandIndex, shingleIndex,
-      numHashes, rowsPerBand, shingleSize, maxBucket)
+      hotBuckets, numHashes, rowsPerBand, shingleSize)
       .filter(col("inter_cnt") * 100 >= col("union_cnt") * thresholdPct)
       .select(col("new_id").as("doc_id"))
       .distinct()

@@ -732,6 +732,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._2 == 9) && got.exists(_._2 == 0))
   }
 
+  test("qualityBlend cutoffs follow the explicit nearest-rank rule " +
+      "(n=7, the size where engine conventions diverge)") {
+    // ranks 1..7 by length -> by classifier score; cutoff i is the
+    // k-th smallest with k=(7i+9)//10 -> elements [1,2,3,3,4,5,5,6,7],
+    // so 'cutoffs strictly below' by rank = [0,1,2,4,5,7,8]. DuckDB's
+    // quantile_disc would put rank 3's cutoff at the 2nd element
+    // (floor((n-1)p)+1) — this pin holds BOTH engines to one rule.
+    // The score->rank direction doesn't matter: with 7 distinct scores
+    // the MULTISET of 'cutoffs strictly below' values is rule-defined —
+    // [0,1,2,4,5,7,8] under ours, [0,1,3,4,6,8,9] under DuckDB's
+    // (n-1)p convention, so the pin distinguishes them.
+    val docs = (1 to 7).map { i =>
+      (i.toLong, (0 until 5 * i).map(j => s"d${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dcls = TextAnalysis.qualityBlend(docs)
+      .select("d_cls").as[Int].collect().sorted.toSeq
+    assert(dcls == Seq(0, 1, 2, 4, 5, 7, 8), dcls.toString)
+  }
+
   test("langIdConfidence: clear English is confident, a 50/50 " +
       "bilingual page is not") {
     val docs = Seq(

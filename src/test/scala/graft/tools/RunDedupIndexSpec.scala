@@ -65,6 +65,39 @@ class RunDedupIndexSpec extends SparkSpec {
     assert(plan.contains("band_index") && plan.contains("shingle_index"))
   }
 
+  test("apply plan touches the band index ONLY through the candidate " +
+      "join: no Window, no index-wide aggregate, blocklist read " +
+      "precomputed") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-hot-").toString
+    Seq((1L, longText)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/corpus"),
+      s"$dir/index")
+    assert(new java.io.File(s"$dir/index/hot_buckets").isDirectory,
+      "build must persist the hot-bucket blocklist")
+    val frame = RunDedupIndex.applyFrame(spark,
+      Seq((2L, otherText)).toDF("doc_id", "text"), s"$dir/index",
+      thresholdPct = 100)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val lp = frame.queryExecution.optimizedPlan
+    assert(lp.collect { case w: LWindow => w }.isEmpty,
+      "an apply run must never window the persisted index")
+    // every aggregate whose subtree reads band_index must sit ABOVE the
+    // candidate equi-join (i.e. on already-collapsed candidate rows) —
+    // the pre-r15 plan put a bucket-count aggregate/window directly on
+    // the index scan, a full index shuffle per weekly snapshot
+    val offending = lp.collect {
+      case a: Aggregate if a.toString.contains("band_index") &&
+        a.collectFirst { case j: Join => j }.isEmpty => a
+    }
+    assert(offending.isEmpty,
+      s"index-wide aggregate in the apply plan:\n${offending.mkString}")
+    val phys = frame.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), "no Window in the physical plan")
+    assert(phys.contains("hot_buckets"),
+      "the blocklist must come from the persisted hot_buckets table")
+  }
+
   test("a crash between survivor write and index append re-runs " +
       "idempotently") {
     val dir = java.nio.file.Files
@@ -86,6 +119,50 @@ class RunDedupIndexSpec extends SparkSpec {
     val kept3 = RunDedupIndex.applyRun(spark, s"$dir/snap", s"$dir/index",
       s"$dir/out3", thresholdPct = 100)
     assert(kept3 == 0L)
+  }
+
+  test("re-running a successful --update apply keeps the output " +
+      "instead of recomputing against the folded survivors") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-retry-").toString
+    Seq((1L, longText)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/corpus"),
+      s"$dir/index")
+    Seq((10L, otherText)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap")
+    val kept1 = RunDedupIndex.applyRun(spark, s"$dir/snap", s"$dir/index",
+      s"$dir/out", thresholdPct = 100, update = true)
+    assert(kept1 == 1L)
+    // orchestrator retry: without the marker this would recompute
+    // against an index that now CONTAINS doc 10 and overwrite out with
+    // zero rows — the marker must short-circuit to the existing output
+    val kept2 = RunDedupIndex.applyRun(spark, s"$dir/snap", s"$dir/index",
+      s"$dir/out", thresholdPct = 100, update = true)
+    assert(kept2 == 1L)
+    assert(spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet == Set(10L))
+    // and the index did not double-append
+    assert(spark.read.parquet(s"$dir/index/shingle_index")
+      .filter(col("doc_id") === 10L).count() == 1L)
+  }
+
+  test("compact self-heals a crash between its two renames") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-heal-").toString
+    Seq((1L, longText)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    RunDedupIndex.buildIndex(spark.read.parquet(s"$dir/corpus"),
+      s"$dir/index")
+    // simulate the torn state: live renamed to .old, replacement never
+    // arrived — the live table name is missing entirely
+    val live = new java.io.File(s"$dir/index/band_index")
+    val old = new java.io.File(s"$dir/index/band_index.old")
+    assert(live.renameTo(old) && !live.exists())
+    RunDedupIndex.compactIndex(spark, s"$dir/index", numFiles = 1)
+    assert(live.isDirectory && !old.exists())
+    val probe = Seq((900L, longText.toUpperCase)).toDF("doc_id", "text")
+    assert(RunDedupIndex.applyFrame(spark, probe, s"$dir/index",
+      thresholdPct = 100).count() == 0L,
+      "the healed index must still drop the re-render")
   }
 
   test("compact shrinks the appended index to numFiles and changes " +
