@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** (steal ticks, total ticks) from the aggregate `cpu` line of
+    * /proc/stat — sampled before and after the timed sweep so the
+    * emitted JSON carries its own hypervisor-contention evidence
+    * (round 14's artifact was inflated 1.6× by 9-26% CPU steal that
+    * had to be reconstructed from a ledger afterwards).
+    */
+  private def cpuTicks(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +61,8 @@ object Bench {
     // jitter is 100% of signal, enough to fake a regression or hide a
     // real 30% win. Median-of-3 makes back-to-back benches agree.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val ticks0 = cpuTicks()
+    val loadStart = load1()
     val results = selected.map { case (name, fn) =>
       // noop sink: materializes every column of every row (unlike
       // count(), which lets Catalyst prune the projections under test).
@@ -74,9 +98,20 @@ object Bench {
       .collect { case (k, ts) if ts.nonEmpty && ts.size < reps => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts(ts.size / 2) }.sum
+    // Machine-contention trailer: steal% over the sweep (from the
+    // host-wide /proc/stat tick deltas) and 1-min loadavg at both
+    // ends. steal_pct <~ 1 means the numbers are the engine's; a
+    // steal_pct in the 10-25% band reproduces r14's diffuse 1.5-2×
+    // inflation and the run should be graded against a quiet re-run.
+    val stealPct = (for ((s0, t0) <- ticks0; (s1, t1) <- cpuTicks()
+        if t1 > t0)
+      yield math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0)
+      .getOrElse(-1.0)
+    val env = s""""steal_pct":$stealPct,"load1_start":$loadStart,""" +
+      s""""load1_end":${load1()}"""
     // "schema" lets any consumer of the old flat-number format fail
     // loudly instead of silently misreading {med,min,max} objects.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v3","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v3","queries":$qs,"failed":$failed,"flaky":$flaky,$env,"sf":"$sfDir"}""")
     // Truncation-proof summary, printed LAST: the round driver keeps
     // only the tail (~2000 chars) of this program's output, which in
     // round 8 cut the full line's head — losing the total and every
@@ -93,7 +128,7 @@ object Bench {
     // Distinct metric name so a metric-keyed parser can never
     // double-count the total or mistake the slowest-10 map for the
     // full per-query set (ADVICE r9).
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","schema":"graft-bench-v3-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","schema":"graft-bench-v3-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -431,6 +431,14 @@ object SparkEntry {
   private val AnnIvfRecallFloorPct = 80
   private val AnnIvfPqRecallFloorPct = 80
   private val AnnMatryoshkaRecallFloorPct = 80
+  // ADC-only recall@10 vs the exact-int8 ranking WITHIN the probed
+  // cells (isolates PQ fidelity from cell-miss), k-means-trained
+  // coarse centroids, seeded codebooks: residual encoding measured
+  // 34.9% vs raw 30.4% at sf0.01 (and 24.0% vs 22.7% at sf0.1 with
+  // trained codebooks) — floor 30 keeps >4pts margin under the
+  // residual measurement and sits ABOVE the raw-encoding measurement,
+  // so a silent fallback to raw codes would trip the gate.
+  private val AnnIvfPqAdcFloorPct = 30
 
   /** Recursive-CTE replay of [[neardupLabeled]] (shingles →
     * integer-exact Jaccard edges → min-label reachability), shared by
@@ -616,6 +624,65 @@ object SparkEntry {
       |  CAST(sum(j * (CAST(1 AS BIGINT) << CAST(4 * (7 - s) AS INTEGER)))
       |    AS BIGINT) AS pq_code
       |  FROM assign GROUP BY vec_id)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  /** Residual-IVFPQ replay CTEs (the IVFADC formulation
+    * [[graft.ops.Quantization.ivfPqTopK]] defaults to): int8 codes
+    * `qc`, float-cosine cell assignment `cellasg` (same margin
+    * argument as ann_ivf_topk), int8 centroid codes `cent8`, integer
+    * residuals `rv(vec_id, cell, rq)`, residual-seeded codebook `cbn`,
+    * exact integer L2² assignment `assign`, per-vector residual
+    * reconstruction `recon`, queries `qq(q_id, qv)` (vec_id 10..19),
+    * and `probes(q_id, cell, qoff)` with the per-probe ADC offset
+    * `qoff = dot(q_codes, c8_cell)`.
+    */
+  private lazy val IvfPqResidCtes: String =
+    """WITH qc AS (SELECT vec_id, list_transform(embedding,
+      |  v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), 127),
+      |    -128) AS BIGINT)) AS qv FROM embeddings),
+      |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+      |  embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+      |cent8 AS (SELECT cell, list_transform(c_vec,
+      |  v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), 127),
+      |    -128) AS BIGINT)) AS c8 FROM cent),
+      |cellasg AS (SELECT vec_id, cell FROM (
+      |  SELECT e.vec_id, c.cell, row_number() OVER (
+      |    PARTITION BY e.vec_id ORDER BY
+      |    list_cosine_similarity(e.embedding, c.c_vec) DESC, c.cell)
+      |    AS rn FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      |rv AS (SELECT qc.vec_id, ca.cell,
+      |  list_transform(range(1, 65), i -> qc.qv[i] - c8.c8[i]) AS rq
+      |  FROM qc JOIN cellasg ca USING (vec_id)
+      |  JOIN cent8 c8 USING (cell)),
+      |sp AS (SELECT unnest(range(0, 8)) AS s),
+      |cbn AS (SELECT sp.s AS s, rv.vec_id AS j,
+      |  rv.rq[sp.s*8+1:sp.s*8+8] AS cvec,
+      |  CAST(list_dot_product(rv.rq[sp.s*8+1:sp.s*8+8],
+      |    rv.rq[sp.s*8+1:sp.s*8+8]) AS BIGINT) AS nb
+      |  FROM rv, sp WHERE rv.vec_id < 16),
+      |subs AS (SELECT rv.vec_id, sp.s, rv.rq[sp.s*8+1:sp.s*8+8] AS sub
+      |  FROM rv, sp),
+      |assign AS (SELECT vec_id, s, j FROM (
+      |  SELECT subs.vec_id, subs.s, cbn.j, row_number() OVER (
+      |    PARTITION BY subs.vec_id, subs.s
+      |    ORDER BY 2 * CAST(list_dot_product(subs.sub, cbn.cvec)
+      |      AS BIGINT) - cbn.nb DESC, cbn.j) AS rn
+      |  FROM subs JOIN cbn ON cbn.s = subs.s) WHERE rn = 1),
+      |recon AS (SELECT a.vec_id,
+      |  flatten(list(c.cvec ORDER BY a.s)) AS recon
+      |  FROM assign a JOIN cbn c ON c.s = a.s AND c.j = a.j
+      |  GROUP BY a.vec_id),
+      |qq AS (SELECT vec_id AS q_id, qv FROM qc
+      |  WHERE vec_id >= 10 AND vec_id < 20),
+      |probes AS (SELECT p.q_id, p.cell,
+      |  CAST(list_dot_product(qq.qv, c8.c8) AS BIGINT) AS qoff FROM (
+      |  SELECT q.vec_id AS q_id, c.cell, row_number() OVER (
+      |    PARTITION BY q.vec_id ORDER BY
+      |    list_cosine_similarity(q.embedding, c.c_vec) DESC, c.cell)
+      |    AS rn FROM embeddings q CROSS JOIN cent c
+      |  WHERE q.vec_id >= 10 AND q.vec_id < 20) p
+      |  JOIN cent8 c8 USING (cell) JOIN qq ON qq.q_id = p.q_id
+      |  WHERE p.rn <= 2)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
   /** K-means label replay: the full integer-exact Lloyd iteration of
@@ -1694,6 +1761,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("planted_total"),
           (sum(coalesce(col("hit"), lit(0L))) * 100 >=
             count(lit(1)) * AnnIvfPqRecallFloorPct).as("recall_ok"))
+    }),
+
+    // The residual-vs-raw PQ fidelity gate, run as a query: ADC-only
+    // (rerank=0) top-10 for BOTH encodings against the exact-int8
+    // ranking within the same probed cells (rerank >> candidates), on
+    // k-means-TRAINED coarse centroids — the regime where residual
+    // encoding provably has something to subtract (cluster means;
+    // with arbitrary vector-valued centroids residual deltas are
+    // BIGGER than the vectors and raw wins — both measured, see
+    // SCALE.md). Asserts residual >= raw on this data AND residual
+    // above its absolute floor; the xxhash-free integer pipeline makes
+    // the flags in-band self-audits the oracle pins TRUE.
+    "ann_ivfpq_adc_recall" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 110)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cents = graft.tools.RunAnnIndex.trainCentroids(corpus)
+        .localCheckpoint()
+      val exact = Quantization.ivfPqTopK(corpus, queries, cents,
+        topK = 10, nProbe = 2, rerank = 1000000, residual = false)
+        .select("q_id", "vec_id").localCheckpoint()
+      def hits(residual: Boolean): DataFrame =
+        Quantization.ivfPqTopK(corpus, queries, cents,
+          topK = 10, nProbe = 2, rerank = 0, residual = residual)
+          .select("q_id", "vec_id")
+          .join(exact, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as(if (residual) "res_hits" else "raw_hits"))
+      queries.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(hits(residual = true))
+        .crossJoin(hits(residual = false))
+        .select(col("n_queries"),
+          (col("res_hits") >= col("raw_hits")).as("residual_not_worse"),
+          (col("res_hits") * 100 >= col("n_pairs") * AnnIvfPqAdcFloorPct)
+            .as("residual_floor_ok"))
     }),
 
     // SemDeDup-style semantic dedup: within pre-assigned embedding
@@ -3171,33 +3273,19 @@ object SparkEntry {
           "ORDER BY score DESC, vec_id) AS INTEGER) AS rk " +
           "FROM adc QUALIFY rk <= 10"),
 
-      // IVF×PQ replay: the PQ CTEs (codes + reconstruction) composed
-      // with the plain-IVF cell CTEs (float cosine assignment, same
-      // margin argument as ann_ivf_topk), ADC scored only inside
-      // probed cells, ADC top-30 re-ranked by the exact int8 dot —
-      // score and rank reach the comparator as integers
+      // IVF×PQ replay, RESIDUAL formulation (IVFADC): int8 codes and
+      // cells as before, then per-vector integer residuals rq = qv −
+      // c8(cell), a codebook seeded from the 16 lowest vec_ids'
+      // RESIDUAL subvectors, exact integer L2² assignment over
+      // residual subvectors, and ADC = per-probe offset dot(q, c8) +
+      // dot(q, recon(residual)) — every compared value an exact
+      // integer, the coarse float assignment replaying as in
+      // ann_ivf_topk; ADC top-30 re-ranked by the exact int8 dot
       "ann_ivfpq_topk" ->
-        (PqCtes + ", recon AS (SELECT a.vec_id, " +
-          "flatten(list(c.cvec ORDER BY a.s)) AS recon " +
-          "FROM assign a JOIN cbn c ON c.s = a.s AND c.j = a.j " +
-          "GROUP BY a.vec_id), " +
-          "cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
-          "embedding AS c_vec FROM embeddings WHERE vec_id < 8), " +
-          "cellasg AS (SELECT vec_id, cell FROM (" +
-          "SELECT e.vec_id, c.cell, row_number() OVER (" +
-          "PARTITION BY e.vec_id ORDER BY " +
-          "list_cosine_similarity(e.embedding, c.c_vec) DESC, c.cell) AS rn " +
-          "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
-          "probes AS (SELECT q_id, cell FROM (" +
-          "SELECT q.vec_id AS q_id, c.cell, row_number() OVER (" +
-          "PARTITION BY q.vec_id ORDER BY " +
-          "list_cosine_similarity(q.embedding, c.c_vec) DESC, c.cell) AS rn " +
-          "FROM embeddings q CROSS JOIN cent c " +
-          "WHERE q.vec_id >= 10 AND q.vec_id < 20) WHERE rn <= 2), " +
-          "qq AS (SELECT vec_id AS q_id, qv FROM qc " +
-          "WHERE vec_id >= 10 AND vec_id < 20), " +
-          "adc0 AS (SELECT p.q_id, r.vec_id, " +
-          "CAST(list_dot_product(q.qv, r.recon) AS BIGINT) AS adc " +
+        (IvfPqResidCtes +
+          ", adc0 AS (SELECT p.q_id, r.vec_id, " +
+          "CAST(p.qoff + list_dot_product(q.qv, r.recon) AS BIGINT) " +
+          "AS adc " +
           "FROM recon r JOIN cellasg ca ON ca.vec_id = r.vec_id " +
           "JOIN probes p ON p.cell = ca.cell " +
           "JOIN qq q ON q.q_id = p.q_id WHERE r.vec_id <> p.q_id), " +
@@ -3217,6 +3305,14 @@ object SparkEntry {
       "ann_ivfpq_recall" ->
         ("SELECT count(*) AS planted_total, TRUE AS recall_ok " +
           "FROM embeddings WHERE vec_id % 97 = 0"),
+
+      // residual-vs-raw PQ fidelity gate: query-count replay + both
+      // in-band self-audit flags pinned TRUE (Spark must have measured
+      // residual ADC recall >= raw AND above the absolute floor)
+      "ann_ivfpq_adc_recall" ->
+        ("SELECT count(*) AS n_queries, TRUE AS residual_not_worse, " +
+          "TRUE AS residual_floor_ok " +
+          "FROM embeddings WHERE vec_id >= 10 AND vec_id < 110"),
 
       // SemDeDup replay: identical quantization, the cross-multiplied
       // integer cosine-squared test (qdot > 0 guard keeps the squaring

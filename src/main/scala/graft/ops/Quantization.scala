@@ -94,9 +94,22 @@ object Quantization {
       m: Int = 8,
       subDim: Int = 8,
       logScale: Int = 6): DataFrame =
-    corpus.filter(col("vec_id") < kCode)
-      .select(col("vec_id").cast("int").as("j"),
-        int8Codes(col("embedding"), logScale).as("qv"))
+    seededCodebookCodes(corpus.select(col("vec_id"),
+      int8Codes(col("embedding"), logScale).as("qv")), kCode, m, subDim)
+
+  /** [[pqCodebook]] over an ALREADY-CODED frame `(vec_id, qv)` — the
+    * shared seeding for raw int8 codes and IVF residual codes (the
+    * residual path's "vectors" are integer deltas outside the int8
+    * range, so the codes frame, not a float column, is the common
+    * currency).
+    */
+  private[graft] def seededCodebookCodes(
+      codes: DataFrame,
+      kCode: Int,
+      m: Int,
+      subDim: Int): DataFrame =
+    codes.filter(col("vec_id") < kCode)
+      .select(col("vec_id").cast("int").as("j"), col("qv"))
       .select(col("j"), explode(sequence(lit(0), lit(m - 1))).as("s"),
         col("qv"))
       .select(col("s"), col("j"),
@@ -119,7 +132,21 @@ object Quantization {
       kCode: Int = 16,
       m: Int = 8,
       subDim: Int = 8,
-      logScale: Int = 6): DataFrame = {
+      logScale: Int = 6): DataFrame =
+    pqEncodeCodes(corpus.select(col("vec_id"),
+      int8Codes(col("embedding"), logScale).as("qv")),
+      codebook, kCode, m, subDim)
+
+  /** [[pqEncode]] over an already-coded frame `(vec_id, qv)` — see
+    * [[seededCodebookCodes]]. Extra columns of `codes` ride through
+    * untouched (the residual path keeps its `cell` this way).
+    */
+  private[graft] def pqEncodeCodes(
+      codesDf: DataFrame,
+      codebook: DataFrame,
+      kCode: Int,
+      m: Int,
+      subDim: Int): DataFrame = {
     require(kCode <= 16,
       s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
     val packed = packCodebook(codebook, kCode, m)
@@ -134,13 +161,12 @@ object Quantization {
       }))
       best.getField("negj") * -1
     })
-    corpus
-      .select(col("vec_id"), int8Codes(col("embedding"), logScale).as("qv"))
+    codesDf
       .crossJoin(broadcast(packed))
       .withColumn("codes", codes)
       .withColumn("pq_code",
         aggregate(col("codes"), lit(0L), (acc, c) => acc * 16 + c))
-      .select(col("vec_id"), col("codes"), col("pq_code"))
+      .drop("qv", "cb")
   }
 
   /** The broadcast-packed codebook row for positional `(s, j)` lookup
@@ -181,13 +207,26 @@ object Quantization {
       m: Int = 8,
       subDim: Int = 8,
       logScale: Int = 6,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    pqTrainCodebookCodes(corpus.select(col("vec_id"),
+      int8Codes(col("embedding"), logScale).as("qv")),
+      kCode, m, subDim, iters)
+
+  /** [[pqTrainCodebook]] over an already-coded frame `(vec_id, qv)` —
+    * the trainer the RESIDUAL index path uses (its training set is the
+    * integer residuals, not the raw codes).
+    */
+  private[graft] def pqTrainCodebookCodes(
+      codesDf: DataFrame,
+      kCode: Int,
+      m: Int,
+      subDim: Int,
+      iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val qv = corpus.select(col("vec_id"),
-      int8Codes(col("embedding"), logScale).as("qv"))
-    (1 to iters).foldLeft(pqCodebook(corpus, kCode, m, subDim, logScale)) {
+    val qv = codesDf.select(col("vec_id"), col("qv"))
+    (1 to iters).foldLeft(seededCodebookCodes(qv, kCode, m, subDim)) {
       (cb, _) =>
-        val assigned = pqEncode(corpus, cb, kCode, m, subDim, logScale)
+        val assigned = pqEncodeCodes(qv, cb, kCode, m, subDim)
           .select(col("vec_id"), col("codes"))
         val subSums = (0 until subDim).map(d =>
           sum(col("sub")(d)).as(s"s_$d"))
@@ -213,6 +252,80 @@ object Quantization {
           .withColumn("nb", intDot(col("cvec"), col("cvec")))
           .localCheckpoint()
     }
+  }
+
+  /** Int8 codes of the coarse centroids: `(cell, c8)` — the integer
+    * form both residual ends share (corpus-side residual = qv − c8,
+    * query-side per-probe offset = dot(q_codes, c8)), so residual
+    * arithmetic is exact-integer end to end and replays in SQL.
+    */
+  private[graft] def centroidCodes(
+      centroids: DataFrame, logScale: Int = 6): DataFrame =
+    centroids.select(col("cell"),
+      int8Codes(col("c_vec"), logScale).as("c8"))
+
+  /** IVF residual codes: `(vec_id, cell, qv)` where `qv` is the
+    * per-dimension integer difference between the vector's int8 codes
+    * and its assigned cell centroid's int8 codes. This is what the
+    * RESIDUAL IVFPQ paths PQ-encode: the codebook's `kCode` centroids
+    * then only have to span the within-cell delta (range ±255, exact
+    * ints) instead of the whole embedding space — at the same
+    * bits/vector the quantization error drops, and the gap widens
+    * with cell count (raw-vector PQ wastes code range re-describing
+    * the coarse component in every cell). Per-row arithmetic against
+    * two broadcast k-row models; no shuffle.
+    */
+  def residualCodes(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      logScale: Int = 6): DataFrame =
+    Similarity.ivfAssign(corpus, centroids)
+      .select(col("vec_id"),
+        int8Codes(col("embedding"), logScale).as("__v8"), col("cell"))
+      .join(broadcast(centroidCodes(centroids, logScale)), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("__v8"), col("c8"), (a, b) => a - b).as("qv"))
+
+  /** The frame the IVFPQ paths PQ-encode: `(vec_id, cell, qv)` —
+    * residual codes by default, raw int8 codes (+ cell) otherwise.
+    */
+  private def codedFrame(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      logScale: Int,
+      residual: Boolean): DataFrame =
+    if (residual) residualCodes(corpus, centroids, logScale)
+    else Similarity.ivfAssign(corpus, centroids)
+      .select(col("vec_id"),
+        int8Codes(col("embedding"), logScale).as("qv"), col("cell"))
+
+  /** Query probes: the `nProbe` nearest cells per query with the int8
+    * query codes and the per-probe ADC offset `qc_off` — the exact
+    * integer dot of the query codes with the probed cell's int8
+    * centroid codes in residual mode, 0 in raw mode. One k-row
+    * broadcast; never touches the corpus.
+    */
+  private def probeFrame(
+      queries: DataFrame,
+      centroids: DataFrame,
+      nProbe: Int,
+      logScale: Int,
+      residual: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val base = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("c_sim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), int8Codes(col("q_vec"), logScale).as("q_codes"),
+        col("cell"))
+    if (residual)
+      base.join(broadcast(centroidCodes(centroids, logScale)), "cell")
+        .select(col("q_id"), col("q_codes"), col("cell"),
+          intDot(col("q_codes"), col("c8")).as("qc_off"))
+    else base.withColumn("qc_off", lit(0L))
   }
 
   /** PQ ADC top-k: score every corpus vector against each query by the
@@ -272,6 +385,15 @@ object Quantization {
     * codes) — the refine stage that buys back the PQ approximation
     * error for a fixed per-query cost.
     *
+    * By default the PQ stage encodes RESIDUALS (`residual = true`):
+    * each vector's code describes `v8 − c8(cell)` ([[residualCodes]]),
+    * the textbook IVFADC formulation — the codebook's 4 bits per
+    * subspace describe only the within-cell delta, and ADC adds the
+    * per-probe offset `dot(q8, c8)` back (`dot(q, c + r̂) =
+    * dot(q, c8) + dot(q, r̂)` — one extra integer per probe row, zero
+    * extra per-candidate work). `residual = false` keeps the
+    * raw-vector encoding for A/B.
+    *
     * Every scoring value is integer-exact, and both stages' orderings
     * are deterministic (ties to the lower vec_id), so score AND rank
     * replay in an external SQL engine; the coarse float cell
@@ -296,11 +418,18 @@ object Quantization {
       m: Int = 8,
       subDim: Int = 8,
       logScale: Int = 6,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      residual: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kCode <= 16,
       s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
-    val cb = codebook.getOrElse(pqCodebook(corpus, kCode, m, subDim, logScale))
+    // what gets PQ-encoded: per-cell integer residuals (default), or
+    // the raw int8 codes (the pre-residual behavior, kept for A/B —
+    // same bits/vector, measurably lower recall; see SCALE.md)
+    val coded = codedFrame(corpus, centroids, logScale, residual)
+    val cb = codebook.getOrElse(
+      seededCodebookCodes(coded.select(col("vec_id"), col("qv")),
+        kCode, m, subDim))
     val packed = packCodebook(cb, kCode, m)
     val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
       element_at(col("cb"),
@@ -308,25 +437,18 @@ object Quantization {
         .getField("cvec")))
     // the compressed index: one row per corpus vector with its cell id
     // and PQ reconstruction (what a persisted IVFPQ index stores)
-    val index = pqEncode(corpus, cb, kCode, m, subDim, logScale)
+    val index = pqEncodeCodes(coded, cb, kCode, m, subDim)
       .crossJoin(broadcast(packed))
-      .select(col("vec_id"), recon.as("recon"))
-      .join(Similarity.ivfAssign(corpus, centroids)
-        .select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), recon.as("recon"))
     // query probes: nProbe nearest cells, carrying the int8 q codes
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_vec"), col("cell"),
-        Similarity.cosine(col("q_vec"), col("c_vec")).as("c_sim"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), int8Codes(col("q_vec"), logScale).as("q_codes"),
-        col("cell"))
+    // and (residual mode) the per-probe centroid offset
+    // dot(q_codes, c8_cell), so the per-candidate ADC stays one intDot:
+    // dot(q, c + r̂) = dot(q, c8) + dot(q, r̂)
+    val probes = probeFrame(queries, centroids, nProbe, logScale, residual)
     val adc = index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        intDot(col("q_codes"), col("recon")).as("adc"))
+        (col("qc_off") + intDot(col("q_codes"), col("recon"))).as("adc"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     if (rerank <= 0)
@@ -379,12 +501,15 @@ object Quantization {
 
   /** The rows a PERSISTED IVFPQ index stores, one per corpus vector:
     * `(vec_id, pq_code, q8, cell)` — the 8-byte packed PQ code (ADC
-    * scoring side), the int8 codes (exact re-rank side, 64 B — the
-    * SQ8-alongside-PQ layout real billion-scale indexes keep), and the
-    * coarse cell id to partition the parquet by. ~72 bytes/vector vs
-    * 256 B of float32 — and the build is the ONE job that ever scans
-    * the corpus embeddings; every later search runs off these rows
+    * scoring side; RESIDUAL codes by default — see [[ivfPqTopK]]), the
+    * int8 codes (exact re-rank side, 64 B — the SQ8-alongside-PQ
+    * layout real billion-scale indexes keep), and the coarse cell id
+    * to partition the parquet by. ~72 bytes/vector vs 256 B of
+    * float32 — and the build is the ONE job that ever scans the
+    * corpus embeddings; every later search runs off these rows
     * (see [[ivfPqSearchIndex]], plan-pinned in `RunAnnIndexSpec`).
+    * `residual` must match between build, codebook training, and
+    * search — the code spaces are disjoint.
     */
   def ivfPqIndexRows(
       corpus: DataFrame,
@@ -393,13 +518,13 @@ object Quantization {
       kCode: Int = 16,
       m: Int = 8,
       subDim: Int = 8,
-      logScale: Int = 6): DataFrame =
-    pqEncode(corpus, codebook, kCode, m, subDim, logScale)
-      .select(col("vec_id"), col("pq_code"))
+      logScale: Int = 6,
+      residual: Boolean = true): DataFrame =
+    pqEncodeCodes(codedFrame(corpus, centroids, logScale, residual),
+        codebook, kCode, m, subDim)
+      .select(col("vec_id"), col("pq_code"), col("cell"))
       .join(quantize(corpus, logScale).select(col("vec_id"),
         col("qvec").as("q8")), "vec_id")
-      .join(Similarity.ivfAssign(corpus, centroids)
-        .select(col("vec_id"), col("cell")), "vec_id")
 
   /** IVFPQ search over a PERSISTED index ([[ivfPqIndexRows]]) — the
     * query path that never touches the corpus embeddings and never
@@ -424,7 +549,8 @@ object Quantization {
       rerank: Int = 0,
       kCode: Int = 16,
       m: Int = 8,
-      logScale: Int = 6): DataFrame = {
+      logScale: Int = 6,
+      residual: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kCode <= 16,
       s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
@@ -438,21 +564,13 @@ object Quantization {
       element_at(col("cb"),
         s * kCode + element_at(col("codes"), s + 1) + 1)
         .getField("cvec")))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_vec"), col("cell"),
-        Similarity.cosine(col("q_vec"), col("c_vec")).as("c_sim"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"),
-        int8Codes(col("q_vec"), logScale).as("q_codes"), col("cell"))
+    val probes = probeFrame(queries, centroids, nProbe, logScale, residual)
     val adc = index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("codes", codes)
       .crossJoin(broadcast(packed))
       .select(col("q_id"), col("vec_id"), col("q8"),
-        intDot(col("q_codes"), recon).as("adc"))
+        (col("qc_off") + intDot(col("q_codes"), recon)).as("adc"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     if (rerank <= 0)

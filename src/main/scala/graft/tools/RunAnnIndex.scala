@@ -15,8 +15,17 @@ import graft.ops.{KMeans, Quantization}
   *
   * Usage:
   *   RunAnnIndex build <embeddings.parquet> <indexDir> [--cells K]
+  *   RunAnnIndex update <indexDir> <new.parquet>
+  *   RunAnnIndex compact <indexDir> [numFiles]
   *   RunAnnIndex query <indexDir> <queries.parquet> <outDir>
   *                [--k N] [--nprobe P] [--rerank R]
+  *
+  * `update` appends a new vector batch encoded against the EXISTING
+  * centroids + codebook (no retraining, no prior-corpus scan);
+  * `compact` folds the accumulated append files per cell behind a
+  * crash-safe rename swap. A weekly crawl alternates update/compact
+  * and only re-`build`s when the embedding distribution has drifted
+  * enough to warrant new cells/codebooks.
   *
   * Layout under `indexDir`:
   *   centroids/  (cell INT, c_vec ARRAY<FLOAT>)   — K rows
@@ -33,6 +42,8 @@ object RunAnnIndex {
 
   private val Usage =
     "usage: RunAnnIndex build <embeddings.parquet> <indexDir> [--cells K]\n" +
+      "       RunAnnIndex update <indexDir> <new.parquet>\n" +
+      "       RunAnnIndex compact <indexDir> [numFiles]\n" +
       "       RunAnnIndex query <indexDir> <queries.parquet> <outDir> " +
       "[--k N] [--nprobe P] [--rerank R]"
 
@@ -73,12 +84,62 @@ object RunAnnIndex {
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val cb = Quantization.pqTrainCodebook(corpus, iters = trainIters)
+    // codebook trained on the IVF RESIDUALS (v8 − c8(cell)) — the same
+    // code space ivfPqIndexRows encodes and ivfPqSearchIndex decodes
+    val cb = Quantization.pqTrainCodebookCodes(
+      Quantization.residualCodes(corpus, cents)
+        .select(col("vec_id"), col("qv")),
+      kCode = 16, m = 8, subDim = 8, iters = trainIters)
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
     val cbBack = spark.read.parquet(s"$indexDir/codebook")
     Quantization.ivfPqIndexRows(corpus, cents, cbBack)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/vectors")
+  }
+
+  /** Fold a NEW batch of vectors into the index without re-training:
+    * assign them to the EXISTING centroids and PQ-encode against the
+    * EXISTING codebook ([[Quantization.ivfPqIndexRows]] takes both as
+    * inputs), then append the rows to the cell-partitioned vectors
+    * table — the weekly-crawl shape: the new slice is scanned once,
+    * the prior corpus is never touched, and a post-append search is
+    * bit-identical to a fresh encode of the union under the same
+    * model (spec-pinned). The MODEL deliberately stays frozen — cells
+    * and codebook drift is a retraining decision (full `build`), not
+    * an append side effect; appended files accumulate until
+    * [[compactIndex]] folds them.
+    */
+  def updateIndex(
+      spark: SparkSession,
+      indexDir: String,
+      newVecsPath: String): Unit = {
+    IndexUtil.healTorn(spark, s"$indexDir/vectors")
+    Quantization.ivfPqIndexRows(
+        spark.read.parquet(newVecsPath),
+        spark.read.parquet(s"$indexDir/centroids"),
+        spark.read.parquet(s"$indexDir/codebook"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** Compact the vectors table in place: weekly appends leave a few
+    * files per cell per batch; the rewrite packs each cell into at
+    * most `numFiles` vec_id-sorted files behind the same crash-safe
+    * Hadoop-rename swap as the dedup index ([[IndexUtil.replaceDir]];
+    * see there for the S3 caveat). Centroids and codebook are tiny
+    * single-write tables and never need compaction.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      indexDir: String,
+      numFiles: Int = 4): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    IndexUtil.replaceDir(spark, s"$indexDir/vectors") { tmp =>
+      spark.read.parquet(s"$indexDir/vectors")
+        .repartition(numFiles, col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
   }
 
   /** Search the persisted index — the lazy frame reads ONLY the three
@@ -91,15 +152,18 @@ object RunAnnIndex {
       queries: DataFrame,
       topK: Int = 10,
       nProbe: Int = 2,
-      rerank: Int = 30): DataFrame =
+      rerank: Int = 30): DataFrame = {
+    IndexUtil.healTorn(spark, s"$indexDir/vectors")
     Quantization.ivfPqSearchIndex(
       spark.read.parquet(s"$indexDir/vectors"),
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"),
       queries, topK, nProbe, rerank)
+  }
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) { System.err.println(Usage); sys.exit(2) }
+    def usageExit(): Nothing = { System.err.println(Usage); sys.exit(2) }
+    if (args.isEmpty) usageExit()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,11 +177,21 @@ object RunAnnIndex {
     }.getOrElse(default)
     try args(0) match {
       case "build" =>
+        if (args.length < 3) usageExit()
         buildIndex(spark.read.parquet(args(1)), args(2),
           kCells = opt("--cells", 8))
         println(s"""{"built":"${args(2)}"}""")
+      case "update" =>
+        if (args.length < 3) usageExit()
+        updateIndex(spark, args(1), args(2))
+        println(s"""{"updated":"${args(1)}"}""")
+      case "compact" =>
+        if (args.length < 2) usageExit()
+        compactIndex(spark, args(1),
+          numFiles = args.lift(2).map(_.toInt).getOrElse(4))
+        println(s"""{"compacted":"${args(1)}"}""")
       case "query" =>
-        if (args.length < 4) { System.err.println(Usage); sys.exit(2) }
+        if (args.length < 4) usageExit()
         val out = searchFrame(spark, args(1),
           spark.read.parquet(args(2)),
           topK = opt("--k", 10), nProbe = opt("--nprobe", 2),

@@ -187,25 +187,13 @@ object RunDedupIndex {
       numFiles: Int = 8,
       maxBucket: Int = DefaultMaxBucket): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
-    def rewrite(table: String, sortCols: Seq[String]): Unit = {
-      val (fs, live) = fsFor(spark, s"$indexDir/$table")
-      val old = new Path(s"$indexDir/$table.old")
-      val tmp = new Path(s"$indexDir/.$table.compact")
-      if (!fs.exists(live) && fs.exists(old)) {
-        // previous compact died between its two renames: .old is the
-        // only intact copy — restore it before reading anything
-        require(fs.rename(old, live), s"could not restore $live from $old")
+    def rewrite(table: String, sortCols: Seq[String]): Unit =
+      IndexUtil.replaceDir(spark, s"$indexDir/$table") { tmp =>
+        spark.read.parquet(s"$indexDir/$table")
+          .repartition(numFiles)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode("overwrite").parquet(tmp)
       }
-      if (fs.exists(old)) fs.delete(old, true) // stranded after-rename leftover
-      if (fs.exists(tmp)) fs.delete(tmp, true) // half-written previous rewrite
-      spark.read.parquet(live.toString)
-        .repartition(numFiles)
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.toString)
-      require(fs.rename(live, old), s"rename $live -> $old failed")
-      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-      fs.delete(old, true)
-    }
     rewrite("band_index", Seq("band_idx", "band_hash"))
     rewrite("shingle_index", Seq("doc_id"))
     refreshHotBuckets(spark, indexDir, maxBucket)

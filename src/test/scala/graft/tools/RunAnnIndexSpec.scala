@@ -54,6 +54,83 @@ class RunAnnIndexSpec extends SparkSpec {
     assert(cells.length > 1, s"expected cell= partitions, got ${cells.toSeq}")
   }
 
+  test("update appends under the frozen model: post-append search == " +
+      "fresh encode of the union, and == inline ivfPqSearchIndex") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-upd-").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val firstBatch = all.filter(col("vec_id") < 300)
+    val newBatch = all.filter(col("vec_id") >= 300)
+    newBatch.write.parquet(s"$dir/new_batch")
+
+    RunAnnIndex.buildIndex(firstBatch, s"$dir/index")
+    RunAnnIndex.updateIndex(spark, s"$dir/index", s"$dir/new_batch")
+
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = RunAnnIndex.searchFrame(spark, s"$dir/index", queries,
+      topK = 5, nProbe = 2, rerank = 20)
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    // the same persisted model over the UNION, encoded fresh — the
+    // append must be indistinguishable from having built with the
+    // full corpus under these centroids/codebook
+    val cents = spark.read.parquet(s"$dir/index/centroids")
+    val cb = spark.read.parquet(s"$dir/index/codebook")
+    val freshRows = Quantization.ivfPqIndexRows(
+      firstBatch.union(spark.read.parquet(s"$dir/new_batch")), cents, cb)
+    val expect = Quantization.ivfPqSearchIndex(freshRows, cents, cb,
+      queries, topK = 5, nProbe = 2, rerank = 20)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == expect, s"post-append search diverged:\n got=$got\n exp=$expect")
+
+    // the appended half is actually searchable: a query with the exact
+    // embedding of an APPENDED vector (fresh q_id, so the self-id
+    // filter doesn't hide it) must surface that vector at rank 1
+    val self = all.filter(col("vec_id") === 400)
+      .select(lit(999999L).as("q_id"), col("embedding").as("q_vec"))
+    val top = RunAnnIndex.searchFrame(spark, s"$dir/index", self,
+      topK = 1, nProbe = 2, rerank = 20)
+      .select("vec_id").as[Long].collect()
+    assert(top.headOption.contains(400L), s"got $top")
+  }
+
+  test("compact shrinks the appended vectors table per cell and " +
+      "changes no result") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-cpt-").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    RunAnnIndex.buildIndex(all.filter(col("vec_id") < 200), s"$dir/index")
+    (0 until 3).foreach { b =>
+      val lo = 200 + b * 100
+      all.filter(col("vec_id") >= lo && col("vec_id") < lo + 100)
+        .write.parquet(s"$dir/batch$b")
+      RunAnnIndex.updateIndex(spark, s"$dir/index", s"$dir/batch$b")
+    }
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(s"$dir/index/vectors").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = filesPerCell
+    assert(before.values.max > 2,
+      s"appends must have fragmented some cell: $before")
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val resBefore = RunAnnIndex.searchFrame(spark, s"$dir/index", queries,
+      topK = 5, nProbe = 2, rerank = 20)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    RunAnnIndex.compactIndex(spark, s"$dir/index", numFiles = 2)
+    val after = filesPerCell
+    assert(after.values.max <= 2, s"compact left fragments: $after")
+    val resAfter = RunAnnIndex.searchFrame(spark, s"$dir/index", queries,
+      topK = 5, nProbe = 2, rerank = 20)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(resAfter == resBefore)
+  }
+
   test("ADC-only search (rerank=0) works off the stored pq codes alone") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-annidx0-").toString
