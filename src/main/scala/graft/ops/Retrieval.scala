@@ -29,13 +29,24 @@ object Retrieval {
     * dedup family's view of the text.
     */
   def postings(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = tokens(docs)
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(docLengths(toks), "doc_id")
+  }
+
+  /** One row per (doc, token occurrence). */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(split(TextDedup.normText(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
-  }
+
+  /** `(doc_id, dl)` — token count per document with >= 1 token. One
+    * map-side-combined aggregate; also the frame `avgdl` averages
+    * over DIRECTLY (one row per doc by construction — re-deriving it
+    * from the joined postings would need a corpus-wide distinct).
+    */
+  private def docLengths(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
 
   /** BM25 score expression for one posting row joined with its term's
     * document frequency and the corpus scalars. The Robertson–Spärck
@@ -63,20 +74,25 @@ object Retrieval {
       docs: DataFrame,
       queries: DataFrame,
       k: Int = 10): DataFrame = {
-    val post = postings(docs)
+    val toks = tokens(docs)
+    val dl = docLengths(toks)
     val qterms = queries.select(col("q_id"), col("term")).distinct()
-    // postings restricted to queried terms FIRST (broadcast semi-join),
-    // so document frequency is a groupBy over queried-term postings
-    // only — never a vocabulary-wide aggregate
-    val qpost = post.join(
+    // token stream restricted to queried terms FIRST (broadcast
+    // semi-join BELOW the tf aggregate), so both the tf groupBy and
+    // the document frequency only ever touch queried-term rows —
+    // never a vocabulary-wide aggregate
+    val qpost = toks.join(
       broadcast(qterms.select("term").distinct()), Seq("term"),
       "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
     val dfreq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
     // N = all docs; avgdl = mean token count over docs with >= 1
-    // token (exactly the docs that carry postings)
+    // token (exactly the docs that carry postings) — averaged over
+    // the one-row-per-doc dl aggregate directly, not a distinct of
+    // the joined postings
     val scalars = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(post.select(col("doc_id"), col("dl")).distinct()
-        .agg(avg(col("dl").cast("double")).as("avgdl")))
+      .crossJoin(dl.agg(avg(col("dl").cast("double")).as("avgdl")))
     val scored = qpost
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
