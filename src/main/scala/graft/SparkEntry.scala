@@ -902,6 +902,36 @@ object SparkEntry {
           count(lit(1)) * floorPct).as("recall_ok"))
   }
 
+  /** PPJoin oracle CTEs: the planted corpus re-derived in SQL (base
+    * normalized text ∪ every-50th-token-mutated eligible copies under
+    * `doc_id + PlantOffset`), distinct 3-gram shingle sets, and the
+    * ALL-PAIRS exact Jaccard counts `pairs(a_id, b_id, inter_cnt,
+    * union_cnt)`. The oracle deliberately brute-forces what the engine
+    * prefix-filters: at sf0.01 that is ~10^5 list intersections for
+    * DuckDB, and any pair the engine's prefix/length filters wrongly
+    * dropped (or any hash-collision miscount) diverges the compare —
+    * the completeness audit for the lossless claim.
+    */
+  private lazy val PpjoinCtes: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, $NormTextSql AS nt FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, regexp_replace($NormTextSql,
+       |    '((?:\\S+ ){49})\\S+', '\\1zzplantzz', 'g')
+       |  FROM documents WHERE doc_id % $PlantMod = 0
+       |    AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens),
+       |ppt0 AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM pt),
+       |ppts AS (SELECT doc_id, $ShingleSetSql AS tk FROM ppt0),
+       |pptn AS (SELECT doc_id, tk, len(tk) AS n FROM ppts
+       |  WHERE len(tk) > 0),
+       |pairs0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  a.n + b.n AS ssum,
+       |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter_cnt
+       |  FROM pptn a JOIN pptn b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT a_id, b_id, inter_cnt,
+       |  CAST(ssum - inter_cnt AS BIGINT) AS union_cnt FROM pairs0)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
   /** Combining-mark suffix appended for `unicode_nfc`: decomposed
     * e+COMBINING ACUTE (U+0301) forms that NFC precomposes — the same
     * constant is rendered into the DuckDB oracle literal.
@@ -1527,6 +1557,28 @@ object SparkEntry {
         plantedEligible(docs), MinHashRecallFloorPct)
     }),
 
+    // EXACT set-similarity self-join (PPJoin prefix filtering): the
+    // planted corpus' COMPLETE shingle-set-Jaccard>=80% pair set with
+    // exact intersection/union counts — the deterministic complement
+    // of the MinHash recall gate. The oracle brute-forces ALL pairs
+    // in DuckDB and compares the full answer, so the prefix/length
+    // filters' losslessness is audited pair-for-pair every round,
+    // not summarized into a floor flag.
+    "ppjoin_pairs" -> ((s, dir) =>
+      TextDedup.ppjoinPairs(
+        plantedInput(T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)),
+        thresholdPct = 80)),
+
+    // Applied form: first-occurrence survivors of the exact join —
+    // every doc with a qualifying similar earlier doc drops.
+    "ppjoin_keep" -> ((s, dir) =>
+      TextDedup.ppjoinKeep(
+        plantedInput(T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)),
+        thresholdPct = 80)
+        .select("doc_id")),
+
     // (An `ngram_jaccard` rows-only query — jaccardVerify over the raw
     // LSH candidates — was registered through round 7 and retired in
     // round 8: its verification math is fully oracled below in
@@ -1736,6 +1788,21 @@ object SparkEntry {
         topK = 10, nProbe = 2, rerank = 30)
     }),
 
+    // IVF + exact int8 scoring (FAISS "IVF,SQ8"): coarse cells prune,
+    // the true quantized dot scores — no PQ approximation, so score
+    // AND rank replay as integers. The uncompressed-index baseline
+    // the PQ paths are graded against.
+    "ann_ivfsq8_topk" -> ((s, dir) => {
+      val corpus = T(s, dir, "embeddings")
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("c_vec"))
+      val queries = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Quantization.ivfSq8TopK(corpus, queries, centroids,
+        topK = 10, nProbe = 2)
+    }),
+
     // Retrieval-quality gate for the fused path (same planted-original
     // construction as ann_planted_recall): the flag asserts that the
     // IVFPQ+rerank pipeline surfaced the planted original in its
@@ -1779,8 +1846,8 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val cents = graft.tools.RunAnnIndex.trainCentroids(corpus)
         .localCheckpoint()
-      val exact = Quantization.ivfPqTopK(corpus, queries, cents,
-        topK = 10, nProbe = 2, rerank = 1000000, residual = false)
+      val exact = Quantization.ivfSq8TopK(corpus, queries, cents,
+        topK = 10, nProbe = 2)
         .select("q_id", "vec_id").localCheckpoint()
       def hits(residual: Boolean): DataFrame =
         Quantization.ivfPqTopK(corpus, queries, cents,
@@ -3207,6 +3274,24 @@ object SparkEntry {
           s"FROM documents WHERE doc_id % $PlantMod = 0 " +
           s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
 
+      // the full exact-join answer, brute-forced: every pair the
+      // prefix filter may return, none it may not
+      "ppjoin_pairs" ->
+        (PpjoinCtes + " SELECT a_id, b_id, inter_cnt, union_cnt " +
+          "FROM pairs WHERE inter_cnt * 100 >= union_cnt * 80"),
+
+      // survivors = the planted-id universe minus the later half of
+      // every qualifying pair (NULL/empty-token docs never pair, so
+      // they always survive — both engines agree by construction)
+      "ppjoin_keep" ->
+        (PpjoinCtes + s", allids AS (SELECT doc_id FROM documents " +
+          s"UNION ALL SELECT doc_id + $PlantOffset FROM documents " +
+          s"WHERE doc_id % $PlantMod = 0 " +
+          s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens) " +
+          "SELECT doc_id FROM allids WHERE doc_id NOT IN " +
+          "(SELECT b_id FROM pairs " +
+          "WHERE inter_cnt * 100 >= union_cnt * 80)"),
+
       "simhash_planted_recall" ->
         (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
           s"FROM documents WHERE doc_id % $PlantMod = 0 " +
@@ -3300,6 +3385,39 @@ object SparkEntry {
           "CAST(row_number() OVER (PARTITION BY q_id " +
           "ORDER BY score DESC, vec_id) AS INTEGER) AS rk " +
           "FROM rr QUALIFY rk <= 10"),
+
+      // IVF,SQ8 replay: int8 codes, float-cosine cell assignment and
+      // probes (the ann_ivf_topk margin argument), exact integer dot
+      // within probed cells — score and rank reach the comparator
+      "ann_ivfsq8_topk" ->
+        ("""WITH qc AS (SELECT vec_id, list_transform(embedding,
+           |  v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), 127),
+           |    -128) AS BIGINT)) AS qv FROM embeddings),
+           |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+           |  embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+           |cellasg AS (SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, c.cell, row_number() OVER (
+           |    PARTITION BY e.vec_id ORDER BY
+           |    list_cosine_similarity(e.embedding, c.c_vec) DESC, c.cell)
+           |    AS rn FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+           |qq AS (SELECT vec_id AS q_id, qv FROM qc
+           |  WHERE vec_id >= 10 AND vec_id < 20),
+           |probes AS (SELECT q_id, cell FROM (
+           |  SELECT q.vec_id AS q_id, c.cell, row_number() OVER (
+           |    PARTITION BY q.vec_id ORDER BY
+           |    list_cosine_similarity(q.embedding, c.c_vec) DESC, c.cell)
+           |    AS rn FROM embeddings q CROSS JOIN cent c
+           |  WHERE q.vec_id >= 10 AND q.vec_id < 20) WHERE rn <= 2),
+           |sc AS (SELECT p.q_id, ca.vec_id,
+           |  CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS score
+           |  FROM cellasg ca JOIN probes p ON p.cell = ca.cell
+           |  JOIN qc c ON c.vec_id = ca.vec_id
+           |  JOIN qq q ON q.q_id = p.q_id WHERE ca.vec_id <> p.q_id)
+           |SELECT q_id, vec_id, score,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+           |FROM sc QUALIFY rk <= 10"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // fused-path quality gate: planted-total replay + flag TRUE
       "ann_ivfpq_recall" ->
@@ -4273,13 +4391,23 @@ object SparkEntry {
           s"FROM documents WHERE doc_id % $PlantMod = 0 " +
           s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
 
-      // quantile_disc is DuckDB's SQL-standard percentile_disc: the
-      // smallest actual value with cume_dist >= 0.9 — same definition
-      // Spark's percentile_disc implements, on BIGINTs, so the cutoff
-      // is integer-exact in both engines.
+      // Spark's percentile_disc rule replayed EXPLICITLY — the
+      // smallest value whose rank satisfies 10·rank >= 9·n, in integer
+      // arithmetic — instead of DuckDB's quantile_disc, whose
+      // nearest-rank convention ((n−1)p-based) differs from Spark's
+      // for some group sizes (the qualityBlend divergence, r15
+      // ADVICE). Spark's double-arithmetic boundary (smallest k with
+      // k >= fl(0.9)·n) agrees with the integer rule for every
+      // n < ~10^15: fl(0.9)'s relative error (2.5e-17) is under half
+      // an ulp, so fl(fl(0.9)·n) == 0.9·n exactly whenever 0.9·n is
+      // an integer.
       "quantile_filter" ->
-        ("SELECT doc_id, n_chars FROM documents WHERE n_chars <= " +
-          "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"),
+        ("WITH r AS (SELECT n_chars, " +
+          "row_number() OVER (ORDER BY n_chars) AS rn, " +
+          "count(*) OVER () AS n FROM documents), " +
+          "c AS (SELECT min(n_chars) AS cut FROM r WHERE rn * 10 >= n * 9) " +
+          "SELECT doc_id, n_chars FROM documents CROSS JOIN c " +
+          "WHERE n_chars <= cut"),
 
       "sessionize" ->
         (s"""SELECT event_id, user_id,
@@ -4727,11 +4855,19 @@ object SparkEntry {
            |  OR b.c_mktsegment <> a.c_mktsegment"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
+      // per-group form of the explicit nearest-rank replay (see
+      // quantile_filter): p ∈ {1/2, 9/10, 99/100} as integer
+      // cross-multiplications against the group rank/size
       "group_quantiles" ->
-        ("SELECT event_type, quantile_disc(value, 0.5) AS p50, " +
-          "quantile_disc(value, 0.9) AS p90, " +
-          "quantile_disc(value, 0.99) AS p99, count(*) AS cnt " +
-          "FROM events GROUP BY event_type"),
+        ("WITH r AS (SELECT event_type, value, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY value) " +
+          "AS rn, count(*) OVER (PARTITION BY event_type) AS n " +
+          "FROM events) " +
+          "SELECT event_type, " +
+          "min(value) FILTER (WHERE rn * 2 >= n) AS p50, " +
+          "min(value) FILTER (WHERE rn * 10 >= n * 9) AS p90, " +
+          "min(value) FILTER (WHERE rn * 100 >= n * 99) AS p99, " +
+          "CAST(max(n) AS BIGINT) AS cnt FROM r GROUP BY event_type"),
 
       // bit-exact Morton replay: disjoint power-of-two terms, so the
       // list_sum IS the bitwise OR of the interleaved bits. y's bit 31

@@ -474,6 +474,40 @@ object Quantization {
     }
   }
 
+  /** IVF + exact int8 scoring (the FAISS "IVF,SQ8" config — coarse
+    * cells prune, then the TRUE quantized dot product, no PQ
+    * approximation): the uncompressed-index baseline the PQ paths are
+    * measured against, and the exact-within-probed-cells ground truth
+    * the `ann_ivfpq_adc_recall` gate uses. Identical output to
+    * [[ivfPqTopK]] with `rerank >= |candidates|` (the refine stage
+    * re-scores everything exactly), at one scoring pass + one window
+    * instead of ADC + two windows. Integer scores, deterministic
+    * ties — score AND rank replay in SQL.
+    */
+  def ivfSq8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      topK: Int = 10,
+      nProbe: Int = 2,
+      logScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = quantize(corpus, logScale).select(col("vec_id"), col("qvec"))
+      .join(Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val probes = probeFrame(queries, centroids, nProbe, logScale,
+      residual = false)
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        intDot(col("q_codes"), col("qvec")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
+  }
+
   /** Brute-force top-k over quantized codes: same broadcast + window
     * shape as [[Similarity.bruteForceTopK]], but the score is an exact
     * integer dot product — rank AND score replay bit-identically in an

@@ -235,6 +235,90 @@ object TextDedup {
     newDocs.join(dup, Seq("doc_id"), "left_anti")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family, Xiao et al. / Bayardo et al.): ALL
+    * document pairs whose distinct word-`n`-gram-set Jaccard meets
+    * `thresholdPct`, with exact intersection/union counts —
+    * deterministic and complete, unlike the MinHash path, whose
+    * banding curve trades recall for speed. The complementary tool:
+    * MinHash for fuzzy recall at minimum cost, prefix filtering when
+    * the answer must be THE answer (contractual dedup, audit sets).
+    * Shingle sets (not unigram token sets) are the currency, same as
+    * the MinHash family — unigram SETS are near-identical across any
+    * shared-vocabulary corpus and would make every pair a candidate.
+    *
+    * Scale shape — never all-pairs:
+    *  1. one gram-level aggregate computes global document frequency
+    *     (map-side combined, 8-byte hashed grams);
+    *  2. each doc's distinct grams sort rarest-first (df, then hash)
+    *     and only the PREFIX — the first `sz − ceil(t·sz) + 1` grams —
+    *     is exploded into the candidate join. The prefix-filter lemma
+    *     guarantees two sets with Jaccard ≥ t share a prefix gram, so
+    *     no qualifying pair is lost; rarest-first ordering makes
+    *     prefix buckets the SMALLEST-df grams, which is what bounds
+    *     the equi-join fan-out (a boilerplate gram never lands in a
+    *     long doc's prefix);
+    *  3. candidates are additionally length-filtered in the join
+    *     condition (t·|a| ≤ |b| ≤ |a|/t, integer cross-multiplied)
+    *     and verified by one linear sorted-hash intersection.
+    *
+    * Every count is an exact integer over 8-byte gram hashes; the
+    * string-replay oracle brute-forces the ALL-PAIRS answer and
+    * doubles as both the completeness audit of the prefix/length
+    * filters and the collision audit (the shinglesHashed argument).
+    */
+  def ppjoinPairs(
+      docs: DataFrame,
+      thresholdPct: Int = 80,
+      shingleSize: Int = 3): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct must be in (0,100], got $thresholdPct")
+    val toks = docs.select(col("doc_id"),
+      explode(shinglesHashed(col("text"), shingleSize)).as("h"))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), s => s.getField("h")).as("ord"),
+        size(col("st")).as("sz"))
+      .filter(col("sz") > 0)
+      .withColumn("sorted", array_sort(col("ord")))
+      .withColumn("plen", expr(
+        s"sz - cast((sz * $thresholdPct + 99) div 100 AS int) + 1"))
+    val pref = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("ord"), lit(1), col("plen"))).as("h"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * 100 >= col("a.sz") * thresholdPct &&
+          col("a.sz") * 100 >= col("b.sz") * thresholdPct)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val inter = graft.functions.TextExprs
+      .sortedIntersectCount(col("ta"), col("tb"))
+    cands
+      .join(ordered.select(col("doc_id").as("a_id"),
+        col("sorted").as("ta"), col("sz").as("sza")), "a_id")
+      .join(ordered.select(col("doc_id").as("b_id"),
+        col("sorted").as("tb"), col("sz").as("szb")), "b_id")
+      .select(col("a_id"), col("b_id"), inter.as("inter_cnt"),
+        (col("sza") + col("szb") - inter).as("union_cnt"))
+      .filter(col("inter_cnt") * 100 >= col("union_cnt") * thresholdPct)
+  }
+
+  /** Applied form of [[ppjoinPairs]]: first-occurrence survivors —
+    * drop every doc with a qualifying similar EARLIER doc (by id).
+    * The same keep-first convention as the exact and MinHash keeps.
+    */
+  def ppjoinKeep(
+      docs: DataFrame,
+      thresholdPct: Int = 80,
+      shingleSize: Int = 3): DataFrame =
+    docs.join(ppjoinPairs(docs, thresholdPct, shingleSize)
+      .select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Eval-set decontamination: for every training document sharing at
     * least one word `n`-gram with a benchmark document, the pair and
     * its shared-distinct-n-gram count — the screen a training corpus
