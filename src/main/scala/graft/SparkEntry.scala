@@ -932,6 +932,33 @@ object SparkEntry {
        |  CAST(ssum - inter_cnt AS BIGINT) AS union_cnt FROM pairs0)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
+  /** PageRank oracle: the fixed-point update unrolled as one CTE pair
+    * per iteration — `i_k` (inflow: floor-divided contributions summed
+    * per target) and `r_k` (damped update, floor division by 100).
+    * Every value BIGINT, so three rounds replay bit-exactly.
+    */
+  private lazy val PageRankSql: String = {
+    val base = (100L - 85) * 1000000L
+    def iter(k: Int): String =
+      s"i$k AS (SELECT e.dst AS node, sum(r.r // d.deg) AS m " +
+        s"FROM e JOIN r${k - 1} r ON r.node = e.src " +
+        s"JOIN d ON d.src = e.src GROUP BY e.dst), " +
+        s"r$k AS (SELECT nd.node, " +
+        s"CAST(($base + 85 * COALESCE(m, 0)) // 100 AS BIGINT) AS r " +
+        s"FROM nd LEFT JOIN i$k ON i$k.node = nd.node)"
+    "WITH pe AS (SELECT DISTINCT o_custkey AS cust, " +
+      "l_suppkey + 1000000 AS supp " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT cust AS src, supp AS dst FROM pe " +
+      "UNION ALL SELECT supp, cust FROM pe), " +
+      "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "nd AS (SELECT DISTINCT node FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd), " +
+      iter(1) + ", " + iter(2) + ", " + iter(3) +
+      " SELECT node, r AS pr FROM r3"
+  }
+
   /** Combining-mark suffix appended for `unicode_nfc`: decomposed
     * e+COMBINING ACUTE (U+0301) forms that NFC precomposes — the same
     * constant is rendered into the DuckDB oracle literal.
@@ -2217,6 +2244,25 @@ object SparkEntry {
     "neardup_components" -> ((s, dir) =>
       neardupLabeled(s, dir)
         .select(col("node").as("doc_id"), col("component"))),
+
+    // Fixed-point integer PageRank over the customer↔supplier
+    // co-purchase graph (both directions of the distinct
+    // lineitem⋈orders pairs; suppliers offset into a disjoint id
+    // space) — the crawl-frontier/host-importance prior, 3 rounds,
+    // BIGINT ranks at a 10^6 scale with floor-divided updates, so
+    // the oracle unrolls the loop and every rank hashes exactly.
+    "pagerank_fixed" -> ((s, dir) => {
+      val pairs = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      PageRank.pagerankFixed(edges, iters = 3)
+        .select(col("node"), col("r").as("pr"))
+    }),
 
     // The end-user shape of near-dup clustering: DEDUP the corpus —
     // keep exactly one canonical (minimum-id) document per cluster,
@@ -4128,6 +4174,10 @@ object SparkEntry {
       "neardup_components" ->
         (NeardupReachCte + " SELECT node AS doc_id, min(lbl) AS component" +
           " FROM reach GROUP BY node"),
+
+      // the fixed-point update unrolled: three (inflow, damped-rank)
+      // CTE pairs, all-BIGINT floor arithmetic — ranks hash exactly
+      "pagerank_fixed" -> PageRankSql,
 
       // survivors of the end-to-end near-dup dedup: a node is kept iff
       // it IS its cluster's minimum reachable id
