@@ -2264,6 +2264,27 @@ object SparkEntry {
         .select(col("node"), col("r").as("pr"))
     }),
 
+    // Triangle census over the supplier co-occurrence graph (suppliers
+    // sharing an order) — degree-ordered compact-forward enumeration,
+    // so a hub of degree d costs O(√m) wedge work instead of O(d²);
+    // the oracle brute-forces the canonical three-way join. All-integer
+    // summary row. The order slice is CAPPED at a fixed key range (the
+    // ann_matryoshka precedent): a co-occurrence graph's density is a
+    // property of the data — at sf0.1 the uncapped supplier graph is
+    // near-COMPLETE and its 10^8-triangle output is the explosion, not
+    // the plan — so the demo graph stays analysis-sized at every sf
+    // while the operator's skew behavior is spec-pinned separately.
+    "triangle_count" -> ((s, dir) => {
+      val sp = T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_suppkey").distinct()
+      val edges = sp.as("x").join(sp.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Triangles.summary(edges)
+    }),
+
     // The end-user shape of near-dup clustering: DEDUP the corpus —
     // keep exactly one canonical (minimum-id) document per cluster,
     // singletons included. Same candidate/edge/label pipeline as
@@ -4178,6 +4199,23 @@ object SparkEntry {
       // the fixed-point update unrolled: three (inflow, damped-rank)
       // CTE pairs, all-BIGINT floor arithmetic — ranks hash exactly
       "pagerank_fixed" -> PageRankSql,
+
+      // the canonical (x<y<z) three-way join the engine's
+      // degree-ordered enumeration must agree with exactly
+      "triangle_count" ->
+        ("WITH sp AS (SELECT DISTINCT l_orderkey, l_suppkey " +
+          "FROM lineitem WHERE l_orderkey < 4000), " +
+          "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b " +
+          "FROM sp x JOIN sp y ON x.l_orderkey = y.l_orderkey " +
+          "AND x.l_suppkey < y.l_suppkey), " +
+          "nd AS (SELECT DISTINCT n FROM " +
+          "(SELECT a AS n FROM e UNION ALL SELECT b FROM e)), " +
+          "tri AS (SELECT count(*) AS t FROM e e1 " +
+          "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+          "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) " +
+          "SELECT CAST((SELECT count(*) FROM nd) AS BIGINT) AS n_nodes, " +
+          "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, " +
+          "CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles"),
 
       // survivors of the end-to-end near-dup dedup: a node is kept iff
       // it IS its cluster's minimum reachable id
