@@ -431,6 +431,10 @@ object SparkEntry {
   private val AnnIvfRecallFloorPct = 80
   private val AnnIvfPqRecallFloorPct = 80
   private val AnnMatryoshkaRecallFloorPct = 80
+  // fuzzy-join blocking recall on planted 1-substitution typos:
+  // measured 100% at sf0.01 AND sf0.1 (the substitution kills <= q
+  // grams; the rarest-2 prefix re-selects from the untouched ones)
+  private val FuzzyJoinRecallFloorPct = 90
   // ADC-only recall@10 vs the exact-int8 ranking WITHIN the probed
   // cells (isolates PQ fidelity from cell-miss), k-means-trained
   // coarse centroids, seeded codebooks: residual encoding measured
@@ -930,6 +934,50 @@ object SparkEntry {
        |  FROM pptn a JOIN pptn b ON a.doc_id < b.doc_id),
        |pairs AS (SELECT a_id, b_id, inter_cnt,
        |  CAST(ssum - inter_cnt AS BIGINT) AS union_cnt FROM pairs0)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  /** The fuzzy-join fixture: left = part names keyed by partkey;
+    * probes = every 50th part's name with one character substituted
+    * (position 3 → '#', a deterministic distance-1 typo the oracle
+    * renders identically), offset into a disjoint id space.
+    */
+  private def fuzzyLeft(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(col("p_partkey").as("l_id"), col("p_name").as("l_name"))
+
+  private def fuzzyProbes(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").filter(col("p_partkey") % 50 === 0)
+      .select((col("p_partkey") + 9000000L).as("r_id"),
+        concat(substring(col("p_name"), 1, 2), lit("#"),
+          expr("substring(p_name, 4)")).as("r_name"))
+
+  /** Fuzzy-join oracle CTEs: the fixture (part names + planted typo
+    * probes) and the ENTIRE blocking pipeline replayed — distinct
+    * 4-grams with the same sub-q truncation rule, left gram dfs, the
+    * rarest-(maxDist+1) prefix per probe ranked by (df, gram), the
+    * ±1 length band — ending in candidate set `c(l_id, l_name, r_id,
+    * r_name)`.
+    */
+  private lazy val FuzzyJoinCtes: String =
+    """WITH lf AS (SELECT p_partkey AS l_id, p_name AS l_name FROM part),
+      |rt AS (SELECT p_partkey + 9000000 AS r_id,
+      |  l_part[1:2] || '#' || l_part[4:] AS r_name FROM
+      |  (SELECT p_partkey, p_name AS l_part FROM part
+      |   WHERE p_partkey % 50 = 0)),
+      |lg AS (SELECT l_id, l_name, unnest(list_distinct(list_transform(
+      |  range(1, greatest(len(l_name) - 3, 1) + 1),
+      |  i -> l_name[i:i+3]))) AS g FROM lf),
+      |gdf AS (SELECT g, count(*) AS gdf FROM lg GROUP BY g),
+      |rg AS (SELECT r_id, r_name, g FROM (
+      |  SELECT r0.r_id, r0.r_name, r0.g, row_number() OVER (
+      |    PARTITION BY r0.r_id ORDER BY gdf.gdf, r0.g) AS rn
+      |  FROM (SELECT r_id, r_name, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(r_name) - 3, 1) + 1),
+      |    i -> r_name[i:i+3]))) AS g FROM rt) r0
+      |  JOIN gdf ON gdf.g = r0.g) WHERE rn <= 2),
+      |c AS (SELECT DISTINCT l.l_id, l.l_name, r.r_id, r.r_name
+      |  FROM lg l JOIN rg r ON l.g = r.g
+      |  WHERE abs(len(l.l_name) - len(r.r_name)) <= 1)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
   /** PageRank oracle: the fixed-point update unrolled as one CTE pair
@@ -2283,6 +2331,31 @@ object SparkEntry {
             col("x.l_suppkey") < col("y.l_suppkey"))
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       Triangles.summary(edges)
+    }),
+
+    // Edit-distance record linkage (EDJoin rarest-gram blocking +
+    // exact Levenshtein verify): part names probed by planted
+    // 1-substitution typos. The BLOCKING is part of the contract and
+    // the oracle replays it verbatim — grams, left-df prefix ranking,
+    // length band, verification — so the pair set hashes exactly.
+    "fuzzy_join_typos" -> ((s, dir) =>
+      FuzzyJoin.editBlockedJoin(
+        fuzzyLeft(s, dir), fuzzyProbes(s, dir), maxDist = 1)),
+
+    // Blocking recall on the planted typos — every probe should link
+    // back to its original (quantifies what the rarest-gram prefix
+    // gives up; measured 100%, floored at 90).
+    "fuzzy_join_recall" -> ((s, dir) => {
+      val hits = FuzzyJoin.editBlockedJoin(
+          fuzzyLeft(s, dir), fuzzyProbes(s, dir), maxDist = 1)
+        .filter(col("r_id") === col("l_id") + 9000000L)
+        .select(col("l_id"), lit(1L).as("hit"))
+      fuzzyLeft(s, dir).filter(col("l_id") % 50 === 0)
+        .select("l_id")
+        .join(hits, Seq("l_id"), "left")
+        .agg(count(lit(1)).as("planted_total"),
+          (sum(coalesce(col("hit"), lit(0L))) * 100 >=
+            count(lit(1)) * FuzzyJoinRecallFloorPct).as("recall_ok"))
     }),
 
     // The end-user shape of near-dup clustering: DEDUP the corpus —
@@ -4216,6 +4289,20 @@ object SparkEntry {
           "SELECT CAST((SELECT count(*) FROM nd) AS BIGINT) AS n_nodes, " +
           "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, " +
           "CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles"),
+
+      // the full blocking + verification replay: 4-grams, left-side
+      // gram dfs, the (df, gram) rarest-2 prefix per probe, the
+      // length band, and exact levenshtein — pair set hashes exactly
+      "fuzzy_join_typos" ->
+        (FuzzyJoinCtes +
+          " SELECT l_id, r_id, CAST(levenshtein(l_name, r_name) " +
+          "AS INTEGER) AS dist FROM c " +
+          "WHERE levenshtein(l_name, r_name) <= 1"),
+
+      // planted-typo linkage recall: count replay + flag TRUE
+      "fuzzy_join_recall" ->
+        ("SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          "FROM part WHERE p_partkey % 50 = 0"),
 
       // survivors of the end-to-end near-dup dedup: a node is kept iff
       // it IS its cluster's minimum reachable id
