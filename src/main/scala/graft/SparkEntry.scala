@@ -2982,6 +2982,23 @@ object SparkEntry {
         "c_custkey"), "c_custkey")
     }),
 
+    // Type-2 SCD history: fold the mutated "today" snapshot (same
+    // deterministic change set as upsert_apply/snapshot_diff) into the
+    // seeded history — changed/deleted keys close at version 2,
+    // changed/new keys open at version 2, unchanged rows stay open
+    // from version 1. One full-outer equi-join of the open slice; the
+    // oracle re-derives the intervals from the replayed snapshots.
+    "scd2_history" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = Merge.applyChanges(base, upsertChanges(base), "c_custkey")
+      Merge.scd2Apply(Merge.scd2Init(base, 1L), v2, "c_custkey", 2L)
+        // open rows carry valid_to NULL in the operator; the dump uses
+        // a 0 sentinel because a NULL numeric reads as NaN on both
+        // sides of the driver compare and NaN != NaN fails it
+        .withColumn("valid_to", coalesce(col("valid_to"), lit(0L)))
+    }),
+
     // Per-group discrete percentiles: the selected values are ACTUAL
     // data values (no interpolation), so doubles pass through exact
     // and both engines pick the identical element.
@@ -4999,6 +5016,52 @@ object SparkEntry {
            |UNION ALL
            |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
            |FROM changes WHERE op <> 'D'"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the SCD2 intervals re-derived from the replayed snapshots:
+      // U/D keys close (1→2), U/I keys open at 2, untouched keys stay
+      // open from 1
+      "scd2_history" ->
+        (s"""WITH base AS (SELECT c_custkey, c_name, c_acctbal,
+           |    c_mktsegment FROM customer),
+           |changes AS (
+           |  SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+           |    c_mktsegment, 'U' AS op FROM base
+           |  WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+           |  UNION ALL SELECT c_custkey, c_name, c_acctbal,
+           |    c_mktsegment, 'D' FROM base WHERE c_custkey % 7 = 0
+           |  UNION ALL SELECT c_custkey + 200000, c_name, c_acctbal,
+           |    c_mktsegment, 'I' FROM base WHERE c_custkey % 11 = 0),
+           |after AS (
+           |  SELECT b.* FROM base b WHERE NOT EXISTS
+           |    (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)
+           |  UNION ALL
+           |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+           |  FROM changes WHERE op <> 'D'),
+           |d AS (SELECT COALESCE(b.c_custkey, a.c_custkey) AS k,
+           |  CASE WHEN b.c_custkey IS NULL THEN 'I'
+           |       WHEN a.c_custkey IS NULL THEN 'D'
+           |       WHEN b.c_name <> a.c_name
+           |         OR b.c_acctbal <> a.c_acctbal
+           |         OR b.c_mktsegment <> a.c_mktsegment THEN 'U'
+           |  END AS op
+           |  FROM base b FULL OUTER JOIN after a
+           |    ON b.c_custkey = a.c_custkey),
+           |ops AS (SELECT k, op FROM d WHERE op IS NOT NULL)
+           |SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+           |  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+           |FROM base b JOIN ops ON ops.k = b.c_custkey
+           |  AND ops.op IN ('U', 'D')
+           |UNION ALL
+           |SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+           |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           |FROM base b WHERE NOT EXISTS
+           |  (SELECT 1 FROM ops WHERE ops.k = b.c_custkey)
+           |UNION ALL
+           |SELECT a.c_custkey, a.c_name, a.c_acctbal, a.c_mktsegment,
+           |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+           |FROM after a JOIN ops ON ops.k = a.c_custkey
+           |  AND ops.op IN ('U', 'I')"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // after-snapshot replayed, then classified against the base by a
