@@ -3002,6 +3002,21 @@ object SparkEntry {
         .withColumn("valid_to", coalesce(col("valid_to"), lit(0L)))
     }),
 
+    // HLL inclusion–exclusion set intersection: how many users did
+    // BOTH click and view, estimated from three one-pass sketches and
+    // audited in-band against the exact distinct-join count — the
+    // cross-segment overlap question answered sketch-side.
+    "sketch_hll_intersect" -> ((s, dir) =>
+      Sketches.hllIntersectChecked(T(s, dir, "events"),
+        "event_type", "user_id", "click", "view")),
+
+    // Robust per-group outlier census: median/MAD flags with both
+    // medians under the explicit integer nearest-rank rule — every
+    // reported number replays exactly (no percentile-convention
+    // dependence, no mean dragged by the tail it hunts).
+    "mad_outliers" -> ((s, dir) =>
+      DataQuality.madOutliers(T(s, dir, "events"), "event_type", "value")),
+
     // Per-group discrete percentiles: the selected values are ACTUAL
     // data values (no interpolation), so doubles pass through exact
     // and both engines pick the identical element.
@@ -5019,6 +5034,42 @@ object SparkEntry {
            |UNION ALL
            |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
            |FROM changes WHERE op <> 'D'"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // exact distinct-join intersection replay + the audit flag TRUE
+      "sketch_hll_intersect" ->
+        ("SELECT CAST(count(*) AS BIGINT) AS exact_intersection, " +
+          "TRUE AS within_bound FROM " +
+          "(SELECT DISTINCT user_id FROM events " +
+          "WHERE event_type = 'click') a JOIN " +
+          "(SELECT DISTINCT user_id FROM events " +
+          "WHERE event_type = 'view') b USING (user_id)"),
+
+      // median and MAD via the explicit nearest-rank rule (2·rank>=n,
+      // smallest value), deviations and the k·MAD comparison exact —
+      // counts, median and MAD all hash across engines
+      "mad_outliers" ->
+        ("""WITH v AS (SELECT event_type, value FROM events
+           |  WHERE value IS NOT NULL),
+           |r AS (SELECT event_type, value, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY value) AS rn,
+           |  count(*) OVER (PARTITION BY event_type) AS n FROM v),
+           |med AS (SELECT event_type, min(value) AS med FROM r
+           |  WHERE rn * 2 >= n GROUP BY event_type),
+           |dev AS (SELECT v.event_type, v.value, m.med,
+           |  abs(v.value - m.med) AS d FROM v JOIN med m
+           |  USING (event_type)),
+           |r2 AS (SELECT event_type, d, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY d) AS rn,
+           |  count(*) OVER (PARTITION BY event_type) AS n FROM dev),
+           |mad AS (SELECT event_type, min(d) AS mad FROM r2
+           |  WHERE rn * 2 >= n GROUP BY event_type)
+           |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN d.d > 3 * mad.mad THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_outliers,
+           |  any_value(d.med) AS med, any_value(mad.mad) AS mad
+           |FROM dev d JOIN mad USING (event_type)
+           |GROUP BY d.event_type"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the SCD2 intervals re-derived from the replayed snapshots:

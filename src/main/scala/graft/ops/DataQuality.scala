@@ -59,6 +59,52 @@ object DataQuality {
     rules.reduce(_ unionByName _)
   }
 
+  /** Robust per-group outlier census: median/MAD flags (the
+    * pre-training value screen that survives the outliers it hunts —
+    * mean/stddev z-scores are dragged by the very tail they're meant
+    * to catch; the median and the median absolute deviation are not).
+    * A row is an outlier when `|x − median| > k·MAD`. Both medians use
+    * the explicit integer nearest-rank rule (`2·rank >= n`, smallest
+    * such value) so every reported number — counts, the median, the
+    * MAD, all actual data values or exact arithmetic on them —
+    * replays in an external engine with no percentile-convention
+    * dependence.
+    *
+    * Output: `(group, n_rows, n_outliers, med, mad)`.
+    *
+    * Scale shape: two rank windows PARTITIONED BY the group — each
+    * group sorts on one task, fine for dashboard-sized group counts
+    * with bounded groups; a heavy-tailed million-group corpus screen
+    * should use [[Sketches.histogramMergeQuantiles]] cutoffs instead
+    * (mergeable, no per-group sort). The census aggregate itself is
+    * map-side combinable.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(groupCol))
+    def groupMedian(in: DataFrame, c: String, as: String): DataFrame =
+      in.withColumn("__rn",
+          row_number().over(w.orderBy(col(c))))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__rn") * 2 >= col("__n"))
+        .groupBy(col(groupCol)).agg(min(col(c)).as(as))
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+    val dev = v.join(groupMedian(v, valueCol, "med"), groupCol)
+      .withColumn("__d", abs(col(valueCol) - col("med")))
+    dev.join(groupMedian(dev, "__d", "mad"), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"))
+  }
+
   /** Snapshot-drift report — the data-contract check between two runs
     * of the same table (yesterday's corpus vs today's): per tracked
     * column, row counts and NULL counts on both sides plus an in-band

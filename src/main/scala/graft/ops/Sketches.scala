@@ -176,6 +176,54 @@ object Sketches {
           col("exact_distinct") * errPct).as("within_bound"))
   }
 
+  /** HLL set-INTERSECTION estimate by inclusion–exclusion
+    * (`|A∩B| ≈ est(A) + est(B) − est(A∪B)`) — the cross-segment
+    * overlap question ("how many users did BOTH X and Y") answered
+    * from sketch states without materializing either membership list.
+    * All three sketches build in ONE pass over the filtered facts
+    * (conditional `hll_sketch_agg`s in a single aggregate); the union
+    * sketch aggregates the same key column unconditionally, which is
+    * exactly the A∪B stream. Inclusion–exclusion AMPLIFIES sketch
+    * error when the intersection is small relative to the sets (three
+    * ±1.04/√2^lgK terms add), so the in-band audit bound `errPct` is
+    * the honest part of the contract: the flag compares against the
+    * exact distinct-join intersection, and a tolerance that would
+    * flake signals the estimator is wrong FOR THAT overlap regime,
+    * not that the gate is too strict. Production uses the estimate
+    * alone (sketch-sized state, mergeable across shards like
+    * [[hllMergeChecked]]); the exact recount is the gate's cost.
+    */
+  def hllIntersectChecked(
+      facts: DataFrame,
+      setCol: String,
+      keyCol: String,
+      setA: String,
+      setB: String,
+      lgK: Int = 12,
+      errPct: Int = 15): DataFrame = {
+    val in = facts.filter(col(setCol).isin(setA, setB) &&
+      col(keyCol).isNotNull)
+    val sketches = in.agg(
+      hll_sketch_estimate(
+        hll_sketch_agg(when(col(setCol) === setA, col(keyCol)), lit(lgK)))
+        .as("est_a"),
+      hll_sketch_estimate(
+        hll_sketch_agg(when(col(setCol) === setB, col(keyCol)), lit(lgK)))
+        .as("est_b"),
+      hll_sketch_estimate(hll_sketch_agg(col(keyCol), lit(lgK)))
+        .as("est_union"))
+    val exact = in.filter(col(setCol) === setA)
+      .select(col(keyCol)).distinct()
+      .join(in.filter(col(setCol) === setB)
+        .select(col(keyCol)).distinct(), keyCol)
+      .agg(count(lit(1)).as("exact_intersection"))
+    sketches.crossJoin(exact)
+      .select(col("exact_intersection"),
+        (abs(col("est_a") + col("est_b") - col("est_union") -
+          col("exact_intersection")) * 100 <=
+          col("exact_intersection") * errPct).as("within_bound"))
+  }
+
   /** Equi-width histogram sketch state: `(group, bucket, cnt)` with
     * `bucket = floor(value / width)` — the trivially-mergeable
     * quantile state (merge = per-bucket SUM) with a PROVABLE rank

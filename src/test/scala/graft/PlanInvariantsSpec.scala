@@ -35,6 +35,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_ivfpq_adc_recall", // k-means assignment + 1-row hit-count joins
     "ann_ivfsq8_topk", // corpus × broadcast(centroids) assignment
     "triangle_count",  // × broadcast(1-row count aggregates)
+    "sketch_hll_intersect", // × broadcast(1-row sketch + exact-count rows)
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "ann_matryoshka_recall", // head scan × broadcast(planted queries)

@@ -48,4 +48,24 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DataQuality.drift(frame(0), frame(0), Seq("c"), tolerancePct = -1))
   }
+
+  test("madOutliers: hand-computed median/MAD and the planted outlier") {
+    // group g: values 1..7 plus a 1000 outlier -> n=8, median rule
+    // 2*rn>=8 -> 4th smallest = 4.0; deviations sorted:
+    // [0,1,1,2,2,3,3,996] -> MAD = 4th smallest = 2.0; cutoff 3*2=6:
+    // only 996 exceeds it
+    val df = ((1 to 7).map(i => ("g", i.toDouble)) :+ ("g", 1000.0))
+      .toDF("grp", "v")
+    val out = DataQuality.madOutliers(df, "grp", "v")
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(out == (("g", 8L, 1L, 4.0, 2.0)), out.toString)
+  }
+
+  test("madOutliers: a constant group has MAD 0 and any deviation flags") {
+    val df = (Seq.fill(5)(("c", 2.0)) :+ ("c", 2.5)).toDF("grp", "v")
+    val out = DataQuality.madOutliers(df, "grp", "v")
+      .as[(String, Long, Long, Double, Double)].collect().head
+    // median 2.0, deviations [0,0,0,0,0,0.5] -> MAD 0; 0.5 > 3*0
+    assert(out == (("c", 6L, 1L, 2.0, 0.0)), out.toString)
+  }
 }

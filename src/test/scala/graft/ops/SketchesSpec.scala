@@ -187,4 +187,21 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().head
     assert(ghost._2 >= 0L)
   }
+
+  test("hllIntersectChecked: exact on small overlaps, zero on disjoint") {
+    // overlap {6..10}: A = 1..10, B = 6..15 — sparse-mode HLL is
+    // exact at this size, so inclusion-exclusion lands on 5 and the
+    // audit holds with margin
+    val facts = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (6 to 15).map(i => ("b", i.toLong))).toDF("s", "k")
+    val out = Sketches.hllIntersectChecked(facts, "s", "k", "a", "b")
+      .as[(Long, Boolean)].collect().head
+    assert(out == ((5L, true)), out.toString)
+    // disjoint: the estimate must cancel to ~0 against a 0 bound
+    val disjoint = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (100 to 110).map(i => ("b", i.toLong))).toDF("s", "k")
+    val out2 = Sketches.hllIntersectChecked(disjoint, "s", "k", "a", "b")
+      .as[(Long, Boolean)].collect().head
+    assert(out2 == ((0L, true)), out2.toString)
+  }
 }
