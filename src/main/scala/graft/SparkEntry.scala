@@ -982,6 +982,26 @@ object SparkEntry {
       |  WHERE abs(len(l.l_name) - len(r.r_name)) <= 1)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
+  /** k-core oracle: the peel unrolled — per round a degree CTE, a
+    * survivor filter at `k`, and the induced-subgraph edge CTE.
+    */
+  private lazy val KCoreSql: String = {
+    def round(r: Int): String =
+      s"d$r AS (SELECT node, count(*) AS deg FROM " +
+        s"(SELECT a AS node FROM e${r - 1} " +
+        s"UNION ALL SELECT b FROM e${r - 1}) GROUP BY node), " +
+        s"k$r AS (SELECT node FROM d$r WHERE deg >= 30), " +
+        s"e$r AS (SELECT e.a, e.b FROM e${r - 1} e " +
+        s"JOIN k$r x ON x.node = e.a JOIN k$r y ON y.node = e.b)"
+    "WITH e0 AS (SELECT DISTINCT o_custkey AS a, " +
+      "l_suppkey + 1000000 AS b " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      round(1) + ", " + round(2) + ", " + round(3) +
+      " SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) " +
+      "GROUP BY node"
+  }
+
   /** PageRank oracle: the fixed-point update unrolled as one CTE pair
     * per iteration — `i_k` (inflow: floor-divided contributions summed
     * per target) and `r_k` (damped update, floor division by 100).
@@ -2313,6 +2333,21 @@ object SparkEntry {
         .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       PageRank.pagerankFixed(edges, iters = 3)
         .select(col("node"), col("r").as("pr"))
+    }),
+
+    // Bounded k-core peel over the customer↔supplier purchase graph
+    // (k = 30, 3 rounds): low-degree periphery nodes drop, survivors
+    // report their within-subgraph degrees — all exact integers, the
+    // oracle unrolls the peel. Completes the graph suite next to
+    // components, PageRank and the triangle census.
+    "kcore_peel" -> ((s, dir) => {
+      val edges = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      KCore.kcorePeel(edges, k = 30, rounds = 3)
     }),
 
     // Triangle census over the supplier co-occurrence graph (suppliers
@@ -4307,6 +4342,10 @@ object SparkEntry {
       // the fixed-point update unrolled: three (inflow, damped-rank)
       // CTE pairs, all-BIGINT floor arithmetic — ranks hash exactly
       "pagerank_fixed" -> PageRankSql,
+
+      // the peel unrolled: three (degree, survivor, induced-edge)
+      // rounds — survivor degrees hash exactly
+      "kcore_peel" -> KCoreSql,
 
       // the canonical (x<y<z) three-way join the engine's
       // degree-ordered enumeration must agree with exactly
