@@ -3037,6 +3037,14 @@ object SparkEntry {
         .withColumn("valid_to", coalesce(col("valid_to"), lit(0L)))
     }),
 
+    // Collocation mining: top-50 adjacent-token pairs by the PMI
+    // ratio c_xy·N/(c_x·c_y) — one IEEE division of exact integer
+    // products, so score and top-k membership replay bit-identically;
+    // the multiword-expression pass a tokenizer pipeline runs first.
+    "collocations_topk" -> ((s, dir) =>
+      TextAnalysis.collocationsTopK(T(s, dir, "documents"),
+        k = 50, minCount = 5)),
+
     // HLL inclusion–exclusion set intersection: how many users did
     // BOTH click and view, estimated from three one-pass sketches and
     // audited in-band against the exact distinct-join count — the
@@ -5073,6 +5081,27 @@ object SparkEntry {
            |UNION ALL
            |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
            |FROM changes WHERE op <> 'D'"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // pair/unigram counts and the single-division PMI ratio replay;
+      // ordering ties broken by the pair text on both sides
+      "collocations_topk" ->
+        (s"""WITH t AS (SELECT string_split($NormTextSql, ' ') AS tk
+           |  FROM documents WHERE text IS NOT NULL),
+           |uni AS (SELECT tok AS t, count(*) AS c FROM (
+           |  SELECT unnest(tk) AS tok FROM t) WHERE len(tok) > 0
+           |  GROUP BY tok),
+           |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+           |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+           |  i -> {'l': tk[i], 'r': tk[i+1]})) AS s FROM t),
+           |pc AS (SELECT s.l AS l, s.r AS r, count(*) AS pair_cnt
+           |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT pc.l, pc.r, CAST(pc.pair_cnt AS BIGINT) AS pair_cnt,
+           |  CAST(pc.pair_cnt * n.n_tok AS DOUBLE) /
+           |    CAST(ul.c * ur.c AS DOUBLE) AS pmi_ratio
+           |FROM pc JOIN uni ul ON ul.t = pc.l
+           |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
+           |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // exact distinct-join intersection replay + the audit flag TRUE

@@ -638,6 +638,58 @@ object TextAnalysis {
         sum(col("tf") * col("bits")).as("surprisal_bits"))
   }
 
+  /** Collocation extraction: the corpus' top-k adjacent-token pairs
+    * by pointwise mutual information — the multiword-expression miner
+    * ("new york", "machine learning") a vocabulary/tokenizer pipeline
+    * runs before deciding what deserves a single token. Ranking is by
+    * the PMI ratio `c_xy·N / (c_x·c_y)` (log-free: log is monotone,
+    * so the ratio orders identically) computed as ONE IEEE division
+    * of two exact integer products — both engines produce the
+    * bit-identical double, so score AND membership of the top-k
+    * replay exactly (ties broken by the pair text). `minCount` is the
+    * standard low-frequency guard: a hapax pair has degenerate PMI.
+    * Integer products stay inside 2^53 up to ~10^9-token corpora;
+    * beyond that, cast the products to DECIMAL first.
+    *
+    * Scale shape: one tokenize scan, two map-side-combinable
+    * aggregates (pair counts, unigram counts), sketch-sized joins
+    * between them, and a global TakeOrdered top-k — never a window
+    * over the corpus.
+    */
+  def collocationsTopK(
+      docs: DataFrame,
+      k: Int = 50,
+      minCount: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // materialize the token array first — the HOF-CSE lesson above
+    val tk = docs.select(
+      split(TextDedup.normText(col("text")), " ").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val pairs = transform(sequence(lit(1), size(col("tk")) - 1), i =>
+      struct(element_at(col("tk"), i).as("l"),
+        element_at(col("tk"), i + 1).as("r")))
+    val pc = tk
+      .select(explode(when(size(col("tk")) >= 2, pairs)
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    pc
+      .join(uni.select(col("t").as("l"), col("c").as("c_l")), "l")
+      .join(uni.select(col("t").as("r"), col("c").as("c_r")), "r")
+      .crossJoin(broadcast(nTok))
+      .select(col("l"), col("r"), col("pair_cnt"),
+        ((col("pair_cnt") * col("n_tok")).cast("double") /
+          (col("c_l") * col("c_r")).cast("double")).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("l").asc, col("r").asc)
+      .limit(k)
+  }
+
   /** Language-ID confidence: the vote MARGIN between the top two
     * languages (top1 − top2 marker hits), with a `confident` flag at
     * `top1 > 0 && margin >= minMargin` — the gate real pipelines put

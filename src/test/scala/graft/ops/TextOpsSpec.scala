@@ -751,6 +751,21 @@ class TextOpsSpec extends SparkSpec {
     assert(dcls == Seq(0, 1, 2, 4, 5, 7, 8), dcls.toString)
   }
 
+  test("collocationsTopK: hand-computed PMI ratios, minCount guard, " +
+      "rank order") {
+    // tokens: a3 b3 c1 d1 x2 y2, N=12; pairs >= 2: (a,b)x3, (x,y)x2
+    // ratios: (x,y) 2*12/(2*2)=6.0 > (a,b) 3*12/(3*3)=4.0
+    val docs = Seq((1L, "a b a b c d"), (2L, "a b x y x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocationsTopK(docs, k = 10, minCount = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", "y", 2L, 6.0), ("a", "b", 3L, 4.0)),
+      got.toString)
+    // minCount=1 admits the hapax pairs too
+    assert(TextAnalysis.collocationsTopK(docs, k = 100, minCount = 1)
+      .count() == 7L)
+  }
+
   test("langIdConfidence: clear English is confident, a 50/50 " +
       "bilingual page is not") {
     val docs = Seq(
