@@ -70,21 +70,24 @@ object Merge {
     val snap = snapshot.select(col(key).as("__k2"),
       struct(payloadCols.map(col): _*).as("__pn"))
     val j = open.join(snap, col("__k") === col("__k2"), "full_outer")
+    // payload comparisons are NULL-SAFE (<=>): with plain =/!= a NULL
+    // payload field makes both the "changed" and the "unchanged"
+    // predicates NULL and the row would silently vanish from the fold
     val closedNow = j
       .filter(col("__k").isNotNull &&
-        (col("__k2").isNull || col("__po") =!= col("__pn")))
+        (col("__k2").isNull || !(col("__po") <=> col("__pn"))))
       .select(col("__k").as(key), col("__po").as("__p"),
         col("__vf").as("valid_from"),
         lit(version).as("valid_to"))
     val stillOpen = j
       .filter(col("__k").isNotNull && col("__k2").isNotNull &&
-        col("__po") === col("__pn"))
+        (col("__po") <=> col("__pn")))
       .select(col("__k").as(key), col("__po").as("__p"),
         col("__vf").as("valid_from"),
         lit(null).cast("long").as("valid_to"))
     val opened = j
       .filter(col("__k2").isNotNull &&
-        (col("__k").isNull || col("__po") =!= col("__pn")))
+        (col("__k").isNull || !(col("__po") <=> col("__pn"))))
       .select(col("__k2").as(key), col("__pn").as("__p"),
         lit(version).as("valid_from"),
         lit(null).cast("long").as("valid_to"))

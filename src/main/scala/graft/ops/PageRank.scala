@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * no collect — the classic bulk-synchronous PageRank, expressed
   * declaratively. Iteration count is a constant (3 by default):
   * frontier ranking needs a stable ordering, not convergence to
-  * 1e-9.
+  * 1e-9. Arithmetic headroom: the damped update's product is bounded
+  * by `dampingPct · n_nodes · scale` — inside BIGINT up to ~10^11
+  * nodes at the default 10^6 scale (drop `scale` a decade per decade
+  * of nodes beyond that).
   */
 object PageRank {
 

@@ -32,7 +32,11 @@ object StreamScd {
 
   /** `updates` = (key, payload, version) rows, versions
     * watermark-ordered ACROSS batches by the caller (within a batch
-    * any order — each invocation sorts). Emits closed intervals.
+    * any order — each invocation sorts). At most one update per
+    * (key, version): two conflicting payloads on the same version
+    * have no defined order (the sort is stable on version alone) —
+    * resolve conflicts upstream, where the ordering context lives
+    * (the applyChanges contract). Emits closed intervals.
     */
   def changelog(
       updates: Dataset[(Long, String, Long)]): Dataset[ScdClosed] = {

@@ -29,6 +29,21 @@ class Scd2Spec extends SparkSpec {
       h.toString)
   }
 
+  test("NULL payload fields fold null-safely (no silently vanishing " +
+      "rows)") {
+    val v1 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "v")
+    val v2 = Seq((1L, Some("x")), (2L, Option.empty[String]))
+      .toDF("id", "v")
+    val h = Merge.scd2Apply(Merge.scd2Init(v1, 1L), v2, "id", 2L)
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSet
+    assert(h == Set(
+      (1L, None, 1L, Some(2L)),     // null -> "x" is a CHANGE: closes
+      (1L, Some("x"), 2L, None),
+      (2L, None, 1L, None)),        // null -> null is UNCHANGED: open
+      h.toString)
+  }
+
   test("chained folds reconstruct every version exactly") {
     val v1 = snap(1L -> "a", 2L -> "b", 3L -> "c")
     val v2 = snap(1L -> "a", 2L -> "B", 4L -> "d")
