@@ -3045,6 +3045,75 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Community detection by synchronous label propagation (3 rounds,
+    // most-frequent-neighbor label, ties to the smallest) over the
+    // supplier co-occurrence graph — one equi-join + one map-side-
+    // combinable count per round, adjacency checkpointed once; the
+    // oracle unrolls all three rounds.
+    "label_propagation" -> ((s, dir) => {
+      val sp = T(s, dir, "lineitem").filter(col("l_orderkey") < 4000)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sp.as("x").join(sp.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"),
+          col("y.l_suppkey").as("dst"))
+      LabelProp.propagate(edges, rounds = 3).orderBy("node")
+    }),
+
+    // The first three BPE tokenizer-training merges: per round the
+    // most frequent adjacent symbol pair over the (word, count)
+    // vocabulary, applied leftmost-non-overlapping before the next
+    // recount; merged symbols ride single placeholder chars and
+    // expand back in the output. ONE corpus tokenize; every round
+    // runs on the vocabulary.
+    "bpe_merges" -> ((s, dir) =>
+      BpeMiner.topMerges(T(s, dir, "documents"), rounds = 3)),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: exact (from, to) counts off ONE sessionize-shaped
+    // window shuffle, with P(to|from) as a single IEEE division of
+    // two exact BIGINTs — the behavioral-model fit analytics runs on
+    // a clickstream.
+    "markov_transitions" -> ((s, dir) =>
+      EventOps.markovTransitions(
+        eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")))
+        .orderBy("from_type", "to_type")),
+
+    // Exact pairwise covariance (scaled fixed-point, DECIMAL(38,0)
+    // throughout): the feature-correlation screen before training a
+    // quality classifier — one map-side-combined pass computes every
+    // Σx/Σxy; a double sum would never replay across engines.
+    "cov_matrix" -> ((s, dir) =>
+      Profiling.covMatrix(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("x_col", "y_col")),
+
+    // 2-D Pareto frontier (skyline) of parts under (min price, max
+    // size): the "best tradeoff" rows via group + tiny running-max
+    // window — strict dominance without a self-join.
+    "pareto_frontier" -> ((s, dir) =>
+      Profiling.paretoFrontier(T(s, dir, "part"),
+        "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_retailprice", "p_size", "p_partkey")),
+
+    // Water-filling token-budget allocation across sources: small
+    // sources keep all their tokens, the rest split the remainder to
+    // one exact water level — all-BIGINT cross-multiplication, the
+    // sub-token remainder dealt deterministically, so Σalloc ==
+    // min(budget, Σcap) replays bit-identically.
+    "mixture_weights" -> ((s, dir) => {
+      val caps = T(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .groupBy(col("source"))
+        .agg(sum(graft.ops.TextAnalysis.wordCount(col("text")))
+          .as("cap_tokens"))
+      Mixture.waterfill(caps, "source", "cap_tokens")
+        .orderBy("source")
+    }),
+
     // HLL inclusion–exclusion set intersection: how many users did
     // BOTH click and view, estimated from three one-pass sketches and
     // audited in-band against the exact distinct-join count — the
@@ -5102,6 +5171,161 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the three LPA rounds unrolled: per round a count + argmax
+      // (row_number over count desc, label asc) CTE
+      "label_propagation" -> {
+        def round(prev: String, out: String) =
+          s"$out AS (SELECT n, lbl FROM (SELECT adj.n AS n, " +
+            "l.lbl AS lbl, row_number() OVER (PARTITION BY adj.n " +
+            "ORDER BY count(*) DESC, l.lbl) AS rn " +
+            s"FROM adj JOIN $prev l ON l.n = adj.m " +
+            "GROUP BY adj.n, l.lbl) WHERE rn = 1)"
+        "WITH sp AS (SELECT DISTINCT l_orderkey, l_suppkey " +
+          "FROM lineitem WHERE l_orderkey < 4000), " +
+          "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b " +
+          "FROM sp x JOIN sp y ON x.l_orderkey = y.l_orderkey " +
+          "AND x.l_suppkey < y.l_suppkey), " +
+          "adj AS (SELECT a AS n, b AS m FROM e " +
+          "UNION ALL SELECT b, a FROM e), " +
+          "l0 AS (SELECT DISTINCT n, n AS lbl FROM adj), " +
+          s"${round("l0", "r1")}, ${round("r1", "r2")}, " +
+          s"${round("r2", "r3")} " +
+          "SELECT n AS node, lbl AS label FROM r3 ORDER BY node"
+      },
+
+      // the three merge rounds unrolled: pair-count + top-1 + apply
+      // CTEs, placeholders chr(1)/chr(2) expanded in the output
+      "bpe_merges" -> {
+        def pairs(src: String, out: String) =
+          s"$out AS (SELECT s.l AS l, s.r AS r, " +
+            "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
+            "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
+            "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
+            s"FROM $src) GROUP BY 1, 2)"
+        def top(src: String, out: String) =
+          s"$out AS (SELECT * FROM $src " +
+            "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
+        s"WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
+          s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
+          "FROM documents WHERE text IS NOT NULL) " +
+          "WHERE length(w) > 1 GROUP BY w), " +
+          s"${pairs("w0", "p1")}, ${top("p1", "t1")}, " +
+          "w1 AS (SELECT replace(w0.w, t1.l || t1.r, chr(1)) AS w, " +
+          "cnt FROM w0, t1), " +
+          s"${pairs("w1", "p2")}, ${top("p2", "t2")}, " +
+          "w2 AS (SELECT replace(w1.w, t2.l || t2.r, chr(2)) AS w, " +
+          "cnt FROM w1, t2), " +
+          s"${pairs("w2", "p3")}, ${top("p3", "t3")} " +
+          "SELECT * FROM (" +
+          "SELECT CAST(1 AS BIGINT) AS merge_rank, t1.l AS left_sym, " +
+          "t1.r AS right_sym, t1.pair_cnt FROM t1 " +
+          "UNION ALL SELECT 2, replace(t2.l, chr(1), t1.l || t1.r), " +
+          "replace(t2.r, chr(1), t1.l || t1.r), t2.pair_cnt " +
+          "FROM t2, t1 " +
+          "UNION ALL SELECT 3, " +
+          "replace(replace(t3.l, chr(2), t2.l || t2.r), chr(1), " +
+          "t1.l || t1.r), " +
+          "replace(replace(t3.r, chr(2), t2.l || t2.r), chr(1), " +
+          "t1.l || t1.r), t3.pair_cnt FROM t3, t2, t1" +
+          ") ORDER BY merge_rank"
+      },
+
+      // lead-window transition replay; P(to|from) is one IEEE
+      // division of two exact BIGINTs
+      "markov_transitions" ->
+        ("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+           |  event_type FROM events),
+           |t AS (SELECT event_type AS from_type,
+           |  lead(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY us, event_id) AS to_type FROM e),
+           |c AS (SELECT from_type, to_type,
+           |  CAST(count(*) AS BIGINT) AS n_trans FROM t
+           |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_type, to_type, n_trans,
+           |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+           |    AS row_total,
+           |  CAST(n_trans AS DOUBLE) /
+           |    CAST(sum(n_trans) OVER (PARTITION BY from_type)
+           |      AS DOUBLE) AS p_trans
+           |FROM c ORDER BY from_type, to_type"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // fixed-point sums replayed in HUGEINT (DuckDB's 128-bit exact
+      // lane; Spark's is DECIMAL(38,0)), final cast to DECIMAL(38,0)
+      "cov_matrix" -> {
+        val cs = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val fx = cs.map(c =>
+          s"CAST(round($c * 10000.0) AS HUGEINT) AS $c").mkString(", ")
+        val sums = cs.map(c => s"sum($c) AS s_$c") ++
+          (for { (x, i) <- cs.zipWithIndex; (y, j) <- cs.zipWithIndex
+                 if i <= j } yield s"sum($x * $y) AS sxy_${x}__$y")
+        val rows = for { (x, i) <- cs.zipWithIndex
+                         (y, j) <- cs.zipWithIndex if i <= j } yield
+          s"SELECT '$x' AS x_col, '$y' AS y_col, " +
+            "CAST(n AS BIGINT) AS n, " +
+            s"CAST(n * sxy_${x}__$y - s_$x * s_$y AS DECIMAL(38,0)) " +
+            "AS cov_num FROM a"
+        s"WITH s AS (SELECT $fx FROM lineitem), " +
+          s"a AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+          s"${sums.mkString(", ")} FROM s) " +
+          rows.mkString(" UNION ALL ") +
+          " ORDER BY x_col, y_col"
+      },
+
+      // grouped best-y + running max in x-order — the same
+      // no-self-join strict-dominance algebra as the Spark side
+      "pareto_frontier" ->
+        ("""WITH b AS (SELECT p_retailprice, max(p_size) AS best
+           |  FROM part GROUP BY 1),
+           |r AS (SELECT p_retailprice, best, max(best) OVER (
+           |  ORDER BY p_retailprice
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+           |  FROM b),
+           |f AS (SELECT p_retailprice, best FROM r
+           |  WHERE prev IS NULL OR best > prev)
+           |SELECT p.p_partkey, p.p_retailprice, p.p_size
+           |FROM part p JOIN f ON p.p_retailprice = f.p_retailprice
+           |  AND p.p_size = f.best
+           |ORDER BY p.p_retailprice, p.p_size, p.p_partkey"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the water level found by the same exact cross-multiplication;
+      // // is DuckDB's integer div, both operands non-negative
+      "mixture_weights" ->
+        ("""WITH caps AS (SELECT source,
+           |  CAST(sum(len(string_split_regex(trim(text), '\s+')))
+           |    AS BIGINT) AS cap_tokens
+           |  FROM documents WHERE length(trim(text)) > 0
+           |  GROUP BY source),
+           |w AS (SELECT source, cap_tokens,
+           |  CAST(row_number() OVER (ORDER BY cap_tokens, source)
+           |    AS BIGINT) AS i,
+           |  CAST(count(*) OVER () AS BIGINT) AS n,
+           |  CAST(COALESCE(sum(cap_tokens) OVER (
+           |    ORDER BY cap_tokens, source
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS prior,
+           |  CAST(sum(cap_tokens) OVER () AS BIGINT) AS total
+           |  FROM caps),
+           |w2 AS (SELECT *, total // 2 AS budget,
+           |  cap_tokens * (n - i + 1) <= (total // 2) - prior AS capped
+           |  FROM w),
+           |w3 AS (SELECT *,
+           |  CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+           |    AS BIGINT) AS k,
+           |  CAST(COALESCE(sum(CASE WHEN capped THEN cap_tokens END)
+           |    OVER (), 0) AS BIGINT) AS spent FROM w2),
+           |w4 AS (SELECT *, budget - spent AS leftb, n - k AS m
+           |  FROM w3)
+           |SELECT source, cap_tokens AS capacity,
+           |  CAST(CASE WHEN capped THEN cap_tokens
+           |    ELSE (leftb // m) +
+           |      (CASE WHEN i - k <= (leftb % m) THEN 1 ELSE 0 END)
+           |    END AS BIGINT) AS alloc_tokens, capped
+           |FROM w4 ORDER BY source"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // exact distinct-join intersection replay + the audit flag TRUE

@@ -119,4 +119,34 @@ object EventOps {
     events.withColumn(asCol,
       last(when(matchPred, col("ts")), ignoreNulls = true).over(order))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every consecutive `(event, next event)` pair in a
+    * user's `(ts, event_id)` order, the exact transition count and the
+    * row-conditional probability P(to | from).
+    *
+    * Scale shape: the `lead` window is the sessionize shuffle (hash on
+    * user_id, sort within partitions — per-user sequences are bounded,
+    * so no skew); the transition tally is a map-side-combinable
+    * aggregate whose output is |event types|² rows, tiny at any corpus
+    * size — the row-total window and the probability division run on
+    * that tiny frame. `p_trans` is ONE IEEE division of two exact
+    * BIGINT counts, so it replays bit-identically in any engine.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(order))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val row = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("row_total", sum(col("n_trans")).over(row))
+      .withColumn("p_trans",
+        col("n_trans").cast("double") / col("row_total").cast("double"))
+  }
 }

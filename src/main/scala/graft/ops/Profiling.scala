@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-profiling operators: exact pairwise covariance (the
+  * feature-correlation screen a curation pipeline runs before training
+  * a quality classifier) and the 2-D Pareto frontier (skyline — the
+  * "best tradeoff" rows under two competing objectives).
+  *
+  * Both are scan-shaped: one map-side-combinable aggregate (cov) or
+  * one group + one tiny window (skyline) — no self-joins, nothing
+  * quadratic, so both survive a 100 TB input unchanged.
+  */
+object Profiling {
+
+  /** Exact pairwise covariance (scaled) over the given numeric
+    * columns, in long format `(x_col, y_col, n, cov_num)` with
+    * `cov_num = n·Σxy − Σx·Σy` computed over values scaled to integers
+    * by `scaleDigits` decimal digits — all DECIMAL(38,0) arithmetic,
+    * so the result is EXACT (a double sum would depend on aggregation
+    * order and never replay across engines). The true covariance is
+    * `cov_num / (n² · 10^(2·scaleDigits))`; callers divide at the
+    * edge if they want the float.
+    *
+    * One pass over the input computes all k·(k+1)/2 sums
+    * map-side-combined; the pair explosion happens AFTER the aggregate
+    * on a single row.
+    */
+  def covMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scaleDigits: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "covMatrix needs at least one column")
+    val pow = math.pow(10, scaleDigits)
+    // fixed-point per column: round half-up to an integer, carried as
+    // DECIMAL(38,0) so sums and products never overflow or round
+    val fx = cols.map(c =>
+      round(col(c) * pow).cast("decimal(38,0)").as(s"__fx_$c"))
+    val scaled = df.select(fx: _*)
+    val pairs = for {
+      (x, i) <- cols.zipWithIndex
+      (y, j) <- cols.zipWithIndex
+      if i <= j
+    } yield (x, y)
+    val aggs =
+      count(lit(1)).cast("decimal(38,0)").as("__n") +:
+        cols.map(c => sum(col(s"__fx_$c")).as(s"__s_$c")) ++:
+        pairs.map { case (x, y) =>
+          sum((col(s"__fx_$x") * col(s"__fx_$y")).cast("decimal(38,0)"))
+            .as(s"__sxy_${x}__$y")
+        }
+    val one = scaled.agg(aggs.head, aggs.tail: _*)
+    // explode the single stats row into (x, y, n, cov_num) rows
+    val entries = pairs.map { case (x, y) =>
+      struct(lit(x).as("x_col"), lit(y).as("y_col"), col("__n").as("n"),
+        (col("__n") * col(s"__sxy_${x}__$y") -
+          col(s"__s_$x") * col(s"__s_$y"))
+          .cast("decimal(38,0)").as("cov_num"))
+    }
+    one.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.x_col"), col("e.y_col"),
+        col("e.n").cast("long").as("n"), col("e.cov_num"))
+  }
+
+  /** The 2-D Pareto frontier of `df` under (minimize `xCol`, maximize
+    * `yCol`): rows for which no other row is at-most-equal on x and
+    * at-least-equal on y with one strict. Emitted with the input's
+    * columns, frontier rows only.
+    *
+    * Strict-dominance algebra without a self-join: group to the max y
+    * per distinct x, running-max that tiny frame in x-order — an x is
+    * on the frontier iff its best y beats every better-x best — and
+    * semi-join the winners back. The grouped frame has |distinct x|
+    * rows, so the window is trivial; the input is scanned twice but
+    * never self-joined (a NOT EXISTS formulation is O(n²) on ties).
+    */
+  def paretoFrontier(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val best = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__best_y"))
+    val prev = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("__prev_best", max(col("__best_y")).over(prev))
+      .filter(col("__prev_best").isNull ||
+        col("__best_y") > col("__prev_best"))
+      .select(col(xCol), col("__best_y").as(yCol))
+    df.join(frontier, Seq(xCol, yCol), "left_semi")
+  }
+}

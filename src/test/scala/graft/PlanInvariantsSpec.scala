@@ -37,6 +37,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "triangle_count",  // × broadcast(1-row count aggregates)
     "sketch_hll_intersect", // × broadcast(1-row sketch + exact-count rows)
     "collocations_topk", // × broadcast(1-row token total)
+    "bpe_merges",      // × broadcast(1-row per-round top merge)
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "ann_matryoshka_recall", // head scan × broadcast(planted queries)

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the profiling/mixture/transition operators. */
+class ProfilingSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  test("covMatrix: exact n·Σxy − Σx·Σy on a hand-computed frame") {
+    // x = [1.0, 2.0, 3.0], y = [2.0, 4.0, 8.0], scale 10^1
+    // fx = [10,20,30], fy = [20,40,80]
+    // n=3, Σx=60, Σy=140, Σxx=1400, Σxy=3400, Σyy=8400
+    // cov(x,x)=3·1400−60·60=600; cov(x,y)=3·3400−60·140=1800
+    // cov(y,y)=3·8400−140·140=5600
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 8.0)).toDF("x", "y")
+    val got = Profiling.covMatrix(df, Seq("x", "y"), scaleDigits = 1)
+      .orderBy("x_col", "y_col")
+      .select(col("x_col"), col("y_col"), col("n"),
+        col("cov_num").cast("long"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x", "x", 3L, 600L),
+      ("x", "y", 3L, 1800L),
+      ("y", "y", 3L, 5600L)), got.toString)
+  }
+
+  test("covMatrix: anti-correlated pair goes negative, constant is zero") {
+    val df = Seq((1.0, 3.0, 7.0), (2.0, 2.0, 7.0), (3.0, 1.0, 7.0))
+      .toDF("a", "b", "c")
+    val got = Profiling.covMatrix(df, Seq("a", "b", "c"), scaleDigits = 0)
+      .orderBy("x_col", "y_col")
+      .select(col("x_col"), col("y_col"), col("cov_num").cast("long"))
+      .as[(String, String, Long)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(got(("a", "b")) == -6L, got.toString) // 3·10 − 6·6
+    assert(got(("a", "c")) == 0L)
+    assert(got(("c", "c")) == 0L)
+  }
+
+  test("paretoFrontier: strict dominance, equal-x and equal-pair ties") {
+    // (price, size): frontier = (1,5), (3,9); (1,4) dominated by (1,5)
+    // at equal x; (2,5) dominated by (1,5) at equal y; duplicates of a
+    // frontier point ALL survive (neither strictly dominates the other)
+    val df = Seq(
+      (10L, 1.0, 5), (11L, 1.0, 4), (12L, 2.0, 5), (13L, 3.0, 9),
+      (14L, 3.0, 9), (15L, 4.0, 8)).toDF("id", "x", "y")
+    val got = Profiling.paretoFrontier(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(10L, 13L, 14L), got.toString)
+  }
+
+  test("waterfill: small groups capped, remainder dealt one token each") {
+    // caps [2, 10, 10, 30] asc, total 52, budget 26
+    // i=1: 2·4 = 8 <= 26 → capped. left 24 over 3 → fair 8 each
+    // i=2: 10·3 = 30 > 24 → uncapped (and so all after: prefix proof)
+    // base = 24 div 3 = 8, rem 0 → allocs [2, 8, 8, 8], Σ = 26
+    val caps = Seq(("a", 30L), ("b", 10L), ("c", 2L), ("d", 10L))
+      .toDF("k", "cap")
+    val byK = Mixture.waterfill(caps, "k", "cap")
+      .select(col("k"), col("alloc_tokens"), col("capped"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(byK == Map("c" -> ((2L, true)), "b" -> ((8L, false)),
+      "d" -> ((8L, false)), "a" -> ((8L, false))), byK.toString)
+  }
+
+  test("waterfill: sub-token remainder lands on the FIRST uncapped rows") {
+    // caps [3, 7, 9] asc, total 19, budget 9 (numer 1, denom 2 → 9)
+    // i=1: 3·3 = 9 <= 9 → capped. left 6 over 2 → base 3, rem 0
+    // → [3, 3, 3]. With budget 10/19·19? use numer 10, denom 19 → 10:
+    // i=1: 3·3 = 9 <= 10 → capped; left 7 over 2 → base 3, rem 1 →
+    // first uncapped (cap asc, key asc = "b") takes the extra token
+    val caps = Seq(("a", 9L), ("b", 7L), ("c", 3L)).toDF("k", "cap")
+    val got = Mixture.waterfill(caps, "k", "cap",
+      budgetNumer = 10L, budgetDenom = 19L)
+      .select(col("k"), col("alloc_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("c" -> 3L, "b" -> 4L, "a" -> 3L), got.toString)
+    assert(got.values.sum == 10L)
+  }
+
+  test("waterfill: budget above total capacity caps everyone") {
+    val caps = Seq(("a", 5L), ("b", 3L)).toDF("k", "cap")
+    val got = Mixture.waterfill(caps, "k", "cap",
+      budgetNumer = 2L, budgetDenom = 1L)
+      .select(col("k"), col("alloc_tokens"), col("capped"))
+      .collect().map(r =>
+        (r.getString(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map("a" -> ((5L, true)), "b" -> ((3L, true))),
+      got.toString)
+  }
+
+  test("markovTransitions: counts and conditional probabilities") {
+    // user 1: A B A B   → A→B ×2, B→A ×1
+    // user 2: A A B     → A→A ×1, A→B ×1
+    // rows: (A,A,1,4,0.25) (A,B,3,4,0.75) (B,A,1,1,1.0)
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "B"),
+      (3L, 1L, 30L, "A"), (4L, 1L, 40L, "B"),
+      (5L, 2L, 10L, "A"), (6L, 2L, 20L, "A"), (7L, 2L, 30L, "B"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.markovTransitions(ev)
+      .orderBy("from_type", "to_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("row_total"), col("p_trans"))
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", "A", 1L, 4L, 0.25), ("A", "B", 3L, 4L, 0.75),
+      ("B", "A", 1L, 1L, 1.0)), got.toString)
+  }
+
+  test("markovTransitions: equal-ts order breaks by event_id") {
+    val ev = Seq(
+      (2L, 1L, 10L, "B"), (1L, 1L, 10L, "A"), (3L, 1L, 20L, "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.markovTransitions(ev)
+      .select("from_type", "to_type")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("B", "C")), got.toString)
+  }
+}
