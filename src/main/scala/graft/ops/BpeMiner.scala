@@ -46,7 +46,11 @@ object BpeMiner {
     var cur = vocab
     var tops = List.empty[DataFrame] // newest first, raw (unexpanded)
     for (r <- 0 until rounds) {
+      // length-1 words (fully merged symbols) must not reach the
+      // sequence(): Spark's sequence(1, 0) generates DESCENDING [1,0]
+      // rather than empty, minting phantom ("", sym) pairs
       val top = cur
+        .filter(length(col("w")) > 1)
         .select(col("cnt"), explode(pairStructs).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("pair_cnt"))
