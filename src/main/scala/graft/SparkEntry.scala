@@ -3045,6 +3045,23 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Entity-resolution golden records: the EDJoin-blocked fuzzy
+    // match pairs connect into clusters by transitive closure
+    // (pointer-jumping components), each cluster collapsing to one
+    // record under the explicit survivorship rule (longest name, ties
+    // to the smallest id). Unmatched records stay singletons.
+    "er_golden_record" -> ((s, dir) => {
+      val records = fuzzyLeft(s, dir)
+        .select(col("l_id").as("id"), col("l_name").as("name"))
+        .unionByName(fuzzyProbes(s, dir)
+          .select(col("r_id").as("id"), col("r_name").as("name")))
+      val pairs = FuzzyJoin.editBlockedJoin(
+        fuzzyLeft(s, dir), fuzzyProbes(s, dir), maxDist = 1)
+        .select(col("l_id"), col("r_id"))
+      EntityResolution.goldenRecords(records, pairs)
+        .orderBy("cluster_id")
+    }),
+
     // Community detection by synchronous label propagation (3 rounds,
     // most-frequent-neighbor label, ties to the smallest) over the
     // supplier co-occurrence graph — one equi-join + one map-side-
@@ -5172,6 +5189,33 @@ object SparkEntry {
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the full blocking replay feeding a recursive reach closure;
+      // survivorship replayed as row_number over (len desc, id)
+      "er_golden_record" ->
+        (FuzzyJoinCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          ", pairs AS (SELECT l_id, r_id FROM c " +
+          "WHERE levenshtein(l_name, r_name) <= 1), " +
+          "recs AS (SELECT l_id AS id, l_name AS name FROM lf " +
+          "UNION ALL SELECT r_id, r_name FROM rt), " +
+          "edges AS (SELECT l_id AS src, r_id AS dst FROM pairs " +
+          "UNION SELECT r_id, l_id FROM pairs), " +
+          "reach(node, lbl) AS (SELECT id, id FROM recs " +
+          "UNION SELECT e.dst, r.lbl FROM reach r " +
+          "JOIN edges e ON e.src = r.node), " +
+          "comp AS (SELECT node, min(lbl) AS component FROM reach " +
+          "GROUP BY node), " +
+          "m AS (SELECT comp.component, recs.id, recs.name FROM recs " +
+          "JOIN comp ON comp.node = recs.id), " +
+          "g AS (SELECT component, CAST(count(*) AS BIGINT) " +
+          "AS n_members FROM m GROUP BY component), " +
+          "rk AS (SELECT component, name, row_number() OVER (" +
+          "PARTITION BY component " +
+          "ORDER BY length(name) DESC, id) AS rn FROM m) " +
+          "SELECT g.component AS cluster_id, g.n_members, " +
+          "rk.name AS canonical_name FROM g " +
+          "JOIN rk ON rk.component = g.component AND rk.rn = 1 " +
+          "ORDER BY cluster_id"),
 
       // the three LPA rounds unrolled: per round a count + argmax
       // (row_number over count desc, label asc) CTE
