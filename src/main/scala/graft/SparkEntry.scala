@@ -3045,6 +3045,31 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Ingest-telemetry spike detection, EWMA flavor: each hourly
+    // bucket vs the 2^k-weighted sum of its previous 8 OBSERVED
+    // buckets — scaled-integer weights, cross-multiplied verdict, no
+    // float accumulation, null until a full history exists.
+    // (ewma_num coalesces to 0 for the incomplete-history rows AFTER
+    // the spike verdict: a null in the dump would be sort-unstable in
+    // any engine's row-order-insensitive compare, and 0 is
+    // unambiguous — observed history always sums to ≥ 255)
+    "ewma_anomaly" -> ((s, dir) =>
+      Anomaly.ewmaSpikes(eventsMicros(s, dir)
+          .select(col("event_type"), col("ts")))
+        .select(col("event_type"), col("bucket"), col("cnt"),
+          coalesce(col("ewma_num"), lit(0L)).as("ewma_num"),
+          col("is_spike"))
+        .orderBy("event_type", "bucket")),
+
+    // Seasonal flavor: each bucket vs the leave-one-out mean of its
+    // (key, hour-of-day) slot — cnt·(n−1) > 2·(Σ−cnt) exact.
+    "seasonal_anomaly" -> ((s, dir) =>
+      Anomaly.seasonalSpikes(eventsMicros(s, dir)
+          .select(col("event_type"), col("ts")))
+        .select(col("event_type"), col("bucket"), col("cnt"),
+          col("slot"), col("base_cnt"), col("base_n"), col("is_spike"))
+        .orderBy("event_type", "bucket")),
+
     // Entity-resolution golden records: the EDJoin-blocked fuzzy
     // match pairs connect into clusters by transitive closure
     // (pointer-jumping components), each cluster collapsing to one
@@ -5189,6 +5214,41 @@ object SparkEntry {
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the 8-lag weighted sum replayed under one WINDOW clause;
+      // verdict by integer cross-multiplication
+      "ewma_anomaly" -> {
+        val terms = (1 to 8)
+          .map(d => s"lag(cnt, $d) OVER win * ${1L << (8 - d)}")
+          .mkString(" + ")
+        "WITH b AS (SELECT event_type, " +
+          "epoch_us(ts) // 3600000000 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+          s"w AS (SELECT event_type, bucket, cnt, $terms AS ewma_num " +
+          "FROM b WINDOW win AS " +
+          "(PARTITION BY event_type ORDER BY bucket)) " +
+          "SELECT event_type, bucket, cnt, " +
+          "coalesce(ewma_num, 0) AS ewma_num, " +
+          "CASE WHEN ewma_num IS NULL THEN FALSE " +
+          "ELSE cnt * 255 > ewma_num * 2 END AS is_spike " +
+          "FROM w ORDER BY event_type, bucket"
+      },
+
+      // leave-one-out slot baseline, all-BIGINT
+      "seasonal_anomaly" ->
+        ("WITH b AS (SELECT event_type, " +
+          "epoch_us(ts) // 3600000000 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+          "s AS (SELECT event_type, bucket, cnt, bucket % 24 AS slot " +
+          "FROM b), " +
+          "w AS (SELECT *, CAST(sum(cnt) OVER " +
+          "(PARTITION BY event_type, slot) - cnt AS BIGINT) " +
+          "AS base_cnt, CAST(count(*) OVER " +
+          "(PARTITION BY event_type, slot) - 1 AS BIGINT) AS base_n " +
+          "FROM s) " +
+          "SELECT event_type, bucket, cnt, slot, base_cnt, base_n, " +
+          "(base_n > 0 AND cnt * base_n > base_cnt * 2) AS is_spike " +
+          "FROM w ORDER BY event_type, bucket"),
 
       // the full blocking replay feeding a recursive reach closure;
       // survivorship replayed as row_number over (len desc, id)
