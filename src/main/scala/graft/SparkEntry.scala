@@ -3045,6 +3045,14 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Skip-gram co-occurrence counts (window ±2, forward pairs): the
+    // (center, context, dist) table a word2vec/GloVe trainer
+    // consumes — both offsets generated from ONE materialized token
+    // array, zero joins, one map-side-combinable count.
+    "skipgram_counts" -> ((s, dir) =>
+      TextAnalysis.skipgramCounts(T(s, dir, "documents"),
+        maxDist = 2, k = 100, minCount = 5)),
+
     // Ingest-telemetry spike detection, EWMA flavor: each hourly
     // bucket vs the 2^k-weighted sum of its previous 8 OBSERVED
     // buckets — scaled-integer weights, cross-multiplied verdict, no
@@ -5213,6 +5221,26 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // both window offsets as list_transform slices, exact counts,
+      // full (cnt desc, l, r, dist) tie order at the top-k boundary
+      "skipgram_counts" ->
+        (s"""WITH t AS (SELECT string_split($NormTextSql, ' ') AS tk
+           |  FROM documents WHERE text IS NOT NULL),
+           |bg AS (
+           |  SELECT unnest(list_transform(range(1, len(tk)),
+           |    i -> {'l': tk[i], 'r': tk[i+1], 'dist': 1})) AS s FROM t
+           |  UNION ALL
+           |  SELECT unnest(list_transform(range(1, len(tk) - 1),
+           |    i -> {'l': tk[i], 'r': tk[i+2], 'dist': 2})) AS s FROM t),
+           |pc AS (SELECT s.l AS l, s.r AS r,
+           |  CAST(s.dist AS BIGINT) AS dist,
+           |  CAST(count(*) AS BIGINT) AS pair_cnt FROM bg
+           |  WHERE len(s.l) > 0 AND len(s.r) > 0
+           |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+           |SELECT l, r, dist, pair_cnt FROM pc
+           |ORDER BY pair_cnt DESC, l, r, dist LIMIT 100"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the 8-lag weighted sum replayed under one WINDOW clause;

@@ -690,6 +690,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Skip-gram co-occurrence counts — the (center, context) pair
+    * table a word2vec/GloVe-style embedding trainer consumes: ordered
+    * token pairs within a forward window of `maxDist` positions,
+    * tallied exactly. Zero joins: both offsets generate per-document
+    * from the one materialized token array (the adjacency-pair shape
+    * of [[collocationsTopK]], widened to the window), so the only
+    * shuffle is the map-side-combinable pair count. Forward-only
+    * pairs keep each unordered co-occurrence counted once per
+    * direction convention (symmetrize downstream by summing (a,b) and
+    * (b,a) if needed).
+    */
+  def skipgramCounts(
+      docs: DataFrame,
+      maxDist: Int = 2,
+      k: Int = 100,
+      minCount: Int = 5): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tk = docs.select(
+      split(TextDedup.normText(col("text")), " ").as("tk"))
+    val pairCols = (1 to maxDist).map { d =>
+      val ps = transform(sequence(lit(1), size(col("tk")) - d), i =>
+        struct(element_at(col("tk"), i).as("l"),
+          element_at(col("tk"), i + d).as("r"),
+          lit(d.toLong).as("dist")))
+      when(size(col("tk")) > d, ps).otherwise(
+        array().cast("array<struct<l:string,r:string,dist:bigint>>"))
+    }
+    tk.select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"),
+        col("p.dist").as("dist"))
+      .filter(length(col("l")) > 0 && length(col("r")) > 0)
+      .groupBy("l", "r", "dist").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+      .orderBy(col("pair_cnt").desc, col("l"), col("r"), col("dist"))
+      .limit(k)
+  }
+
   /** Language-ID confidence: the vote MARGIN between the top two
     * languages (top1 − top2 marker hits), with a `confident` flag at
     * `top1 > 0 && margin >= minMargin` — the gate real pipelines put

@@ -766,6 +766,24 @@ class TextOpsSpec extends SparkSpec {
       .count() == 7L)
   }
 
+  test("skipgramCounts: both window offsets, exact counts, rank order") {
+    // doc "a b a b a": dist-1 pairs (a,b)x2 (b,a)x2;
+    // dist-2 pairs (a,a)x2 (b,b)x1 — forward-only, per offset
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramCounts(docs, maxDist = 2,
+        k = 10, minCount = 1)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "a", 2L, 2L), ("a", "b", 1L, 2L), ("b", "a", 1L, 2L),
+      ("b", "b", 2L, 1L)), got.toString)
+    // minCount prunes the hapax pair; short docs emit nothing at all
+    assert(TextAnalysis.skipgramCounts(docs, maxDist = 2, k = 10,
+      minCount = 2).count() == 3L)
+    assert(TextAnalysis.skipgramCounts(
+      Seq((1L, "solo")).toDF("doc_id", "text"),
+      maxDist = 2, k = 10, minCount = 1).count() == 0L)
+  }
+
   test("langIdConfidence: clear English is confident, a 50/50 " +
       "bilingual page is not") {
     val docs = Seq(
