@@ -3045,6 +3045,21 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Market-basket pair rules: exact support, directional
+    // confidence and lift for item pairs co-occurring in orders —
+    // pair work bounded by C(basket, 2) via the order-key self-join,
+    // every score one IEEE division of exact BIGINTs.
+    "basket_pairs" -> ((s, dir) =>
+      Association.pairRules(T(s, dir, "lineitem"),
+        minSupport = 3, k = 100)),
+
+    // Corpus compression under the learned BPE merges: weighted
+    // symbol counts before vs after the three merges, off the same
+    // one-pass vocabulary as bpe_merges — the "is this tokenizer
+    // worth its vocab slots" accounting.
+    "bpe_compression" -> ((s, dir) =>
+      BpeMiner.compressionSummary(T(s, dir, "documents"), rounds = 3)),
+
     // Skip-gram co-occurrence counts (window ±2, forward pairs): the
     // (center, context, dist) table a word2vec/GloVe trainer
     // consumes — both offsets generated from ONE materialized token
@@ -5222,6 +5237,68 @@ object SparkEntry {
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // distinct (order, item) counts, pair self-join, the three
+      // single-division scores; full tie order at the top-k boundary
+      "basket_pairs" ->
+        ("""WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+           |  l_partkey AS item FROM lineitem),
+           |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+           |  FROM items GROUP BY item),
+           |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT)
+           |  AS n_orders FROM items),
+           |p AS (SELECT x.item AS item_a, y.item AS item_b,
+           |  CAST(count(*) AS BIGINT) AS pair_cnt
+           |  FROM items x JOIN items y
+           |    ON x.ok = y.ok AND x.item < y.item
+           |  GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT p.item_a, p.item_b, p.pair_cnt, a.c AS cnt_a,
+           |  b.c AS cnt_b, no.n_orders,
+           |  CAST(p.pair_cnt * no.n_orders AS DOUBLE) /
+           |    CAST(a.c * b.c AS DOUBLE) AS lift,
+           |  CAST(p.pair_cnt AS DOUBLE) / CAST(a.c AS DOUBLE)
+           |    AS conf_a_to_b,
+           |  CAST(p.pair_cnt AS DOUBLE) / CAST(b.c AS DOUBLE)
+           |    AS conf_b_to_a
+           |FROM p JOIN ic a ON a.item = p.item_a
+           |JOIN ic b ON b.item = p.item_b CROSS JOIN no
+           |ORDER BY lift DESC, p.item_a, p.item_b LIMIT 100"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the bpe_merges chain extended one apply further; weighted
+      // symbol sums and one final division
+      "bpe_compression" -> {
+        def pairs(src: String, out: String) =
+          s"$out AS (SELECT s.l AS l, s.r AS r, " +
+            "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
+            "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
+            "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
+            s"FROM $src) GROUP BY 1, 2)"
+        def top(src: String, out: String) =
+          s"$out AS (SELECT * FROM $src " +
+            "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
+        s"WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
+          s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
+          "FROM documents WHERE text IS NOT NULL) " +
+          "WHERE length(w) > 1 GROUP BY w), " +
+          s"${pairs("w0", "p1")}, ${top("p1", "t1")}, " +
+          "w1 AS (SELECT replace(w0.w, t1.l || t1.r, chr(1)) AS w, " +
+          "cnt FROM w0, t1), " +
+          s"${pairs("w1", "p2")}, ${top("p2", "t2")}, " +
+          "w2 AS (SELECT replace(w1.w, t2.l || t2.r, chr(2)) AS w, " +
+          "cnt FROM w1, t2), " +
+          s"${pairs("w2", "p3")}, ${top("p3", "t3")}, " +
+          "w3 AS (SELECT replace(w2.w, t3.l || t3.r, chr(3)) AS w, " +
+          "cnt FROM w2, t3), " +
+          "bf AS (SELECT CAST(sum(cnt * length(w)) AS BIGINT) " +
+          "AS symbols_before FROM w0), " +
+          "af AS (SELECT CAST(sum(cnt * length(w)) AS BIGINT) " +
+          "AS symbols_after FROM w3) " +
+          "SELECT symbols_before, symbols_after, " +
+          "CAST(symbols_before AS DOUBLE) / " +
+          "CAST(symbols_after AS DOUBLE) AS compression_x " +
+          "FROM bf, af"
+      },
 
       // both window offsets as list_transform slices, exact counts,
       // full (cnt desc, l, r, dist) tie order at the top-k boundary

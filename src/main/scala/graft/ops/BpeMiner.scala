@@ -24,10 +24,14 @@ object BpeMiner {
     */
   private val Placeholders = Seq("\u0001", "\u0002", "\u0003", "\u0004")
 
-  /** One row per merge round: `(merge_rank, left_sym, right_sym,
-    * pair_cnt)` with placeholder symbols expanded to their full text.
+  /** The shared mining loop: `(vocab, tops oldest-first, final
+    * vocabulary after ALL `rounds` merges applied)`. Every frame is
+    * lazy except the vocabulary and per-round 1-row tops (both
+    * checkpointed), so a caller that ignores the final vocabulary
+    * pays nothing for it.
     */
-  def topMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  private def mineRounds(
+      docs: DataFrame, rounds: Int): (DataFrame, List[DataFrame], DataFrame) = {
     require(rounds >= 1 && rounds <= Placeholders.size,
       s"rounds must be in [1, ${Placeholders.size}], got $rounds")
     // the one corpus pass: normalized whitespace tokens → vocabulary
@@ -58,17 +62,22 @@ object BpeMiner {
         .limit(1)
         .localCheckpoint()
       tops ::= top
-      if (r + 1 < rounds) {
-        cur = cur
-          .crossJoin(broadcast(
-            top.select(col("l").as("__l"), col("r").as("__r"))))
-          .withColumn("w",
-            replace(col("w"), concat(col("__l"), col("__r")),
-              lit(Placeholders(r))))
-          .drop("__l", "__r")
-      }
+      cur = cur
+        .crossJoin(broadcast(
+          top.select(col("l").as("__l"), col("r").as("__r"))))
+        .withColumn("w",
+          replace(col("w"), concat(col("__l"), col("__r")),
+            lit(Placeholders(r))))
+        .drop("__l", "__r")
     }
-    val ordered = tops.reverse
+    (vocab, tops.reverse, cur)
+  }
+
+  /** One row per merge round: `(merge_rank, left_sym, right_sym,
+    * pair_cnt)` with placeholder symbols expanded to their full text.
+    */
+  def topMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, ordered, _) = mineRounds(docs, rounds)
     // expand placeholders newest-first: placeholder i's expansion may
     // itself contain earlier placeholders, which the later replaces fix
     val out = ordered.zipWithIndex.map { case (top, idx) =>
@@ -90,5 +99,25 @@ object BpeMiner {
         col("pair_cnt"))
     }
     out.reduce(_.unionByName(_)).orderBy("merge_rank")
+  }
+
+  /** Corpus compression under the learned merges, one row:
+    * `(symbols_before, symbols_after, compression_x)` — symbol counts
+    * (each char and each merged placeholder = one symbol) over the
+    * multi-char vocabulary weighted by word frequency, before vs after
+    * all `rounds` merges, with the ratio as a single IEEE division of
+    * the two exact BIGINTs. The "is this tokenizer worth its vocab
+    * slots" accounting, off the same one corpus pass as [[topMerges]].
+    */
+  def compressionSummary(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (vocab, _, fin) = mineRounds(docs, rounds)
+    val before = vocab.agg(
+      sum(col("cnt") * length(col("w"))).as("symbols_before"))
+    val after = fin.agg(
+      sum(col("cnt") * length(col("w"))).as("symbols_after"))
+    before.crossJoin(broadcast(after))
+      .select(col("symbols_before"), col("symbols_after"),
+        (col("symbols_before").cast("double") /
+          col("symbols_after").cast("double")).as("compression_x"))
   }
 }

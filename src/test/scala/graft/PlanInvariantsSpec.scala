@@ -38,6 +38,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "sketch_hll_intersect", // × broadcast(1-row sketch + exact-count rows)
     "collocations_topk", // × broadcast(1-row token total)
     "bpe_merges",      // × broadcast(1-row per-round top merge)
+    "bpe_compression", // same chain, one more 1-row apply + 1-row ratio
+    "basket_pairs",    // × broadcast(1-row order total)
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "ann_matryoshka_recall", // head scan × broadcast(planted queries)

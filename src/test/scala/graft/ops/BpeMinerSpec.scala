@@ -45,6 +45,15 @@ class BpeMinerSpec extends SparkSpec {
       (2L, "aa", "a", 1L)), got.toString)
   }
 
+  test("compressionSummary: weighted symbol counts before and after") {
+    // vocab abab×2 abc×1 → before = 2·4 + 1·3 = 11; after three
+    // merges (ab, abab, abc) every word is ONE symbol → after = 3
+    val df = Seq((1L, "abab abab"), (2L, "abc")).toDF("doc_id", "text")
+    val got = BpeMiner.compressionSummary(df, rounds = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(got == ((11L, 3L, 11.0 / 3.0)), got.toString)
+  }
+
   test("normalization feeds the vocabulary: case folds, spaces collapse") {
     // "AB  ab" → tokens ab, ab → vocab ab×2 → merge (a,b,2)
     assert(merges(Seq("AB  ab"), rounds = 1) ==
