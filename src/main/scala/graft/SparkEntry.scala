@@ -3045,6 +3045,25 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Three-step ordered funnel (view → click → purchase, each step
+    // within a week of the previous anchor, anchors at the earliest
+    // qualifying event): per stage one filtered scan + one user join
+    // + one min — the surviving-user frame only shrinks.
+    "funnel_3step" -> ((s, dir) =>
+      EventOps.funnelSteps(
+        eventsMicros(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type")),
+        steps = Seq("view", "click", "purchase"))),
+
+    // Per-group OLS trend: slope of extended price on quantity per
+    // return flag, carried as exact DECIMAL(38,0) numerator and
+    // denominator plus their single IEEE division; zero-variance
+    // groups flag degenerate instead of emitting NULL.
+    "ols_trend" -> ((s, dir) =>
+      Profiling.olsTrend(T(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // Market-basket pair rules: exact support, directional
     // confidence and lift for item pairs co-occurring in orders —
     // pair work bounded by C(basket, 2) via the order-key self-join,
@@ -5236,6 +5255,49 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // per-stage min-anchor CTEs; counts replay exactly
+      "funnel_3step" -> {
+        val wk = EventOps.WeekUs
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+           |  FROM events),
+           |s1 AS (SELECT user_id, min(us) AS t FROM e
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |s2 AS (SELECT e.user_id, min(us) AS t FROM e
+           |  JOIN s1 ON s1.user_id = e.user_id
+           |  WHERE e.event_type = 'click' AND e.us > s1.t
+           |    AND e.us <= s1.t + $wk GROUP BY e.user_id),
+           |s3 AS (SELECT e.user_id, min(us) AS t FROM e
+           |  JOIN s2 ON s2.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND e.us > s2.t
+           |    AND e.us <= s2.t + $wk GROUP BY e.user_id)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_type,
+           |    CAST(count(*) AS BIGINT) AS users FROM s1
+           |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+           |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+           |ORDER BY step_idx"""
+          .stripMargin.replaceAll("\\s+", " ").trim
+      },
+
+      // the same fixed-point sums in HUGEINT; slope one division
+      "ols_trend" ->
+        ("""WITH s AS (SELECT l_returnflag,
+           |  CAST(round(l_quantity * 10000.0) AS HUGEINT) AS x,
+           |  CAST(round(l_extendedprice * 10000.0) AS HUGEINT) AS y
+           |  FROM lineitem),
+           |a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+           |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+           |  sum(x * y) AS sxy FROM s GROUP BY 1)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+           |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+           |  (n * sxx - sx * sx) = 0 AS degenerate,
+           |  CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+           |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+           |      CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+           |FROM a ORDER BY l_returnflag"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // distinct (order, item) counts, pair self-join, the three

@@ -120,6 +120,43 @@ object EventOps {
       last(when(matchPred, col("ts")), ignoreNulls = true).over(order))
   }
 
+  /** K-step ordered funnel: users whose FIRST `steps(0)` event is
+    * followed by a `steps(1)` event strictly after it within
+    * `windowUs`, then a `steps(2)` within `windowUs` of THAT, and so
+    * on — each stage anchored at the earliest qualifying event
+    * (min-ts, the deterministic "first qualifying path" convention).
+    * Emits one row per step: `(step_idx, step_type, users)`.
+    *
+    * Scale shape: per stage one filtered scan + one equi-join on
+    * user_id + one map-side-combinable min — the surviving-user frame
+    * shrinks monotonically, AQE broadcasts it once it is small, and
+    * nothing is ever windowed over the raw stream.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      steps: Seq[String],
+      windowUs: Long = WeekUs): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val counts = collection.mutable.ListBuffer(
+      cur.agg(count(lit(1)).as("users"))
+        .select(lit(1L).as("step_idx"), lit(steps.head).as("step_type"),
+          col("users")))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      cur = events.filter(col("event_type") === st)
+        .join(cur, "user_id")
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + windowUs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      counts += cur.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step_idx"), lit(st).as("step_type"),
+          col("users"))
+    }
+    counts.reduce(_.unionByName(_)).orderBy("step_idx")
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for every consecutive `(event, next event)` pair in a
     * user's `(ts, event_id)` order, the exact transition count and the

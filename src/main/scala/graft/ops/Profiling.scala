@@ -64,6 +64,47 @@ object Profiling {
         col("e.n").cast("long").as("n"), col("e.cov_num"))
   }
 
+  /** Per-group least-squares trend: for each group the OLS slope of
+    * `yCol` on `xCol`, carried as the EXACT fixed-point numerator
+    * `n·Σxy − Σx·Σy` and denominator `n·Σxx − (Σx)²` (DECIMAL(38,0);
+    * the shared scale cancels in the ratio) plus the slope as their
+    * single IEEE division. Degenerate groups (zero x-variance) emit
+    * `degenerate = true` and slope 0 — never a NULL that would be
+    * sort-unstable in a dump. One map-side-combinable aggregate; the
+    * output is |groups| rows.
+    */
+  def olsTrend(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      scaleDigits: Int = 4): DataFrame = {
+    val pow = math.pow(10, scaleDigits)
+    def fx(c: String) =
+      round(col(c) * pow).cast("decimal(38,0)")
+    val agg = df
+      .select(col(groupCol), fx(xCol).as("__x"), fx(yCol).as("__y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"))
+    agg.select(
+      col(groupCol),
+      col("__n").cast("long").as("n"),
+      (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast("decimal(38,0)").as("slope_num"),
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("decimal(38,0)").as("slope_den"))
+      .withColumn("degenerate", col("slope_den") === 0)
+      .withColumn("slope",
+        when(col("degenerate"), lit(0.0))
+          .otherwise(col("slope_num").cast("double") /
+            col("slope_den").cast("double")))
+  }
+
   /** The 2-D Pareto frontier of `df` under (minimize `xCol`, maximize
     * `yCol`): rows for which no other row is at-most-equal on x and
     * at-least-equal on y with one strict. Emitted with the input's

@@ -91,6 +91,40 @@ class ProfilingSpec extends SparkSpec {
       got.toString)
   }
 
+  test("olsTrend: exact slope ratio; constant-x groups flag degenerate") {
+    // g: (1,2),(2,4),(3,6) → num = 3·28−6·12 = 12, den = 3·14−36 = 6,
+    // slope 2.0; h: x constant → den 0 → degenerate, slope 0
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+      ("h", 5.0, 1.0), ("h", 5.0, 9.0)).toDF("grp", "x", "y")
+    val got = Profiling.olsTrend(df, "grp", "x", "y", scaleDigits = 0)
+      .select(col("grp"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"), col("degenerate"), col("slope"))
+      .as[(String, Long, Long, Long, Boolean, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 3L, 12L, 6L, false, 2.0)), got.toString)
+    assert(got("h") == (("h", 2L, 0L, 0L, true, 0.0)), got.toString)
+  }
+
+  test("funnelSteps: strict ordering, per-step window, earliest anchor") {
+    // w = 5: u1 completes; u2's click precedes its view; u4's click is
+    // outside the window; u5's click ties the view ts (strict >); u6
+    // anchors at its EARLIEST click (11), so purchase@17 > 11+5 drops
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 12L, "click"), (1L, 14L, "purchase"),
+      (2L, 10L, "view"), (2L, 5L, "click"),
+      (3L, 10L, "click"),
+      (4L, 10L, "view"), (4L, 16L, "click"),
+      (5L, 10L, "view"), (5L, 10L, "click"),
+      (6L, 10L, "view"), (6L, 11L, "click"), (6L, 12L, "click"),
+      (6L, 17L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelSteps(ev,
+        Seq("view", "click", "purchase"), windowUs = 5L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 5L), (2L, "click", 2L),
+      (3L, "purchase", 1L)), got.toString)
+  }
+
   test("markovTransitions: counts and conditional probabilities") {
     // user 1: A B A B   → A→B ×2, B→A ×1
     // user 2: A A B     → A→A ×1, A→B ×1
