@@ -3045,6 +3045,32 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Top ordered 3-step event paths: one ordered per-user array,
+    // sliding triples generated array-side (zero joins), exact
+    // counts — the path analysis above the Markov matrix.
+    "event_paths" -> ((s, dir) =>
+      EventOps.topPaths(
+        eventsMicros(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        k = 50, minCount = 5)),
+
+    // Embedding-norm outlier census: int8-quantized (the SemDeDup
+    // convention) exact integer norm² per vector, then the per-label
+    // median/MAD census — the "are these embeddings healthy" check
+    // before any ANN index build.
+    "embedding_outliers" -> ((s, dir) => {
+      val q = "CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), " +
+        "127), -128) AS BIGINT)"
+      val norm2 = expr("aggregate(transform(embedding, v -> " + q +
+        "), CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+      DataQuality.madOutliers(
+        T(s, dir, "embeddings").filter(col("embedding").isNotNull)
+          .select(col("label"), norm2.as("norm2")),
+        "label", "norm2")
+        .orderBy("label")
+    }),
+
     // Three-step ordered funnel (view → click → purchase, each step
     // within a week of the previous anchor, anchors at the earliest
     // qualifying event): per stage one filtered scan + one user join
@@ -5256,6 +5282,55 @@ object SparkEntry {
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // ordered list() aggregation + sliding slices; exact counts,
+      // full tie order at the top-k boundary
+      "event_paths" ->
+        ("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           |  event_type FROM events),
+           |s AS (SELECT user_id,
+           |  list(event_type ORDER BY us, event_id) AS tk FROM e
+           |  GROUP BY user_id),
+           |tr AS (SELECT unnest(list_transform(range(1, len(tk) - 1),
+           |  i -> {'a': tk[i], 'b': tk[i+1], 'c': tk[i+2]})) AS p
+           |  FROM s WHERE len(tk) >= 3),
+           |pc AS (SELECT p.a AS step1, p.b AS step2, p.c AS step3,
+           |  CAST(count(*) AS BIGINT) AS path_cnt FROM tr
+           |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+           |SELECT * FROM pc
+           |ORDER BY path_cnt DESC, step1, step2, step3 LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the int8 norm² replay feeding the same nearest-rank
+      // median/MAD algebra as mad_outliers
+      "embedding_outliers" -> {
+        val q = "CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64), " +
+          "127), -128) AS BIGINT)"
+        s"""WITH v AS (SELECT label,
+           |  CAST(list_sum(list_transform(embedding,
+           |    v -> $q * $q)) AS BIGINT) AS norm2
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |r AS (SELECT label, norm2, row_number() OVER (
+           |    PARTITION BY label ORDER BY norm2) AS rn,
+           |  count(*) OVER (PARTITION BY label) AS n FROM v),
+           |med AS (SELECT label, min(norm2) AS med FROM r
+           |  WHERE rn * 2 >= n GROUP BY label),
+           |dev AS (SELECT v.label, v.norm2, m.med,
+           |  abs(v.norm2 - m.med) AS d FROM v JOIN med m
+           |  USING (label)),
+           |r2 AS (SELECT label, d, row_number() OVER (
+           |    PARTITION BY label ORDER BY d) AS rn,
+           |  count(*) OVER (PARTITION BY label) AS n FROM dev),
+           |mad AS (SELECT label, min(d) AS mad FROM r2
+           |  WHERE rn * 2 >= n GROUP BY label)
+           |SELECT d.label, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN d.d > 3 * mad.mad THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_outliers,
+           |  any_value(d.med) AS med, any_value(mad.mad) AS mad
+           |FROM dev d JOIN mad USING (label)
+           |GROUP BY d.label ORDER BY d.label"""
+          .stripMargin.replaceAll("\\s+", " ").trim
+      },
 
       // per-stage min-anchor CTEs; counts replay exactly
       "funnel_3step" -> {

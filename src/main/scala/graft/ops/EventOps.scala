@@ -157,6 +157,42 @@ object EventOps {
     counts.reduce(_.unionByName(_)).orderBy("step_idx")
   }
 
+  /** Top event paths: the most frequent ordered 3-step event-type
+    * sequences across users — the "what do users actually do" path
+    * analysis one level up from [[markovTransitions]]' single-step
+    * matrix. Per user ONE ordered array (collect_list + sort_array —
+    * per-user event counts are bounded, the sessionize assumption),
+    * sliding triples generated array-side with zero joins, then one
+    * map-side-combinable count.
+    */
+  def topPaths(
+      events: DataFrame,
+      k: Int = 50,
+      minCount: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val seqs = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("s"))
+      .select(expr("transform(s, x -> x.event_type)").as("tk"))
+    // guard: sequence(1, 0) DESCENDS in Spark rather than emitting
+    // empty — short sequences must not reach it
+    val triples = expr(
+      "transform(sequence(1, size(tk) - 2), i -> struct(" +
+        "element_at(tk, i) AS a, element_at(tk, i + 1) AS b, " +
+        "element_at(tk, i + 2) AS c))")
+    seqs.filter(size(col("tk")) >= 3)
+      .select(explode(triples).as("p"))
+      .groupBy(col("p.a").as("step1"), col("p.b").as("step2"),
+        col("p.c").as("step3"))
+      .agg(count(lit(1)).as("path_cnt"))
+      .filter(col("path_cnt") >= minCount)
+      .orderBy(col("path_cnt").desc, col("step1"), col("step2"),
+        col("step3"))
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for every consecutive `(event, next event)` pair in a
     * user's `(ts, event_id)` order, the exact transition count and the

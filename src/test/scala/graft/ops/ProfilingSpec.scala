@@ -125,6 +125,24 @@ class ProfilingSpec extends SparkSpec {
       (3L, "purchase", 1L)), got.toString)
   }
 
+  test("topPaths: ordered sliding triples, short users drop, tie order") {
+    // u1 A B C D → (A,B,C),(B,C,D); u2 A B C → (A,B,C); u3 A B → none
+    // equal-ts order breaks by event_id (u2's B/C share ts)
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 3L, 30L, "C"),
+      (1L, 4L, 40L, "D"),
+      (2L, 5L, 10L, "A"), (2L, 6L, 20L, "B"), (2L, 7L, 20L, "C"),
+      (3L, 8L, 10L, "A"), (3L, 9L, 20L, "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val got = EventOps.topPaths(ev, k = 10, minCount = 1)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", "C", 2L), ("B", "C", "D", 1L)),
+      got.toString)
+    assert(EventOps.topPaths(ev, k = 10, minCount = 2).count() == 1L)
+  }
+
   test("markovTransitions: counts and conditional probabilities") {
     // user 1: A B A B   → A→B ×2, B→A ×1
     // user 2: A A B     → A→A ×1, A→B ×1
