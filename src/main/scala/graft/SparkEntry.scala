@@ -3045,6 +3045,35 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Star-schema revenue rollup (the TPC-H Q5 shape): lineitem ⋈
+    // orders ⋈ customer ⋈ nation ⋈ region, revenue in fixed-point
+    // DECIMAL(38,0) (price·(10⁴−disc) scaled units — a double sum
+    // would never replay). The fact-fact join shuffles; the dims ride
+    // broadcasts (nation/region pinned, customer via AQE).
+    "star_revenue" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        round(col("l_extendedprice") * 10000).cast("decimal(38,0)")
+          .as("__p"),
+        round(col("l_discount") * 10000).cast("decimal(38,0)")
+          .as("__d"))
+      li.join(T(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"),
+          col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("o_year"))
+        .agg(sum((col("__p") * (lit(10000) - col("__d")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("revenue_num"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "o_year")
+    }),
+
     // Top ordered 3-step event paths: one ordered per-user array,
     // sliding triples generated array-side (zero joins), exact
     // counts — the path analysis above the Markov matrix.
@@ -5281,6 +5310,24 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the same fixed-point revenue in HUGEINT; year cast to INT on
+      // both sides
+      "star_revenue" ->
+        ("""WITH li AS (SELECT l_orderkey,
+           |  CAST(round(l_extendedprice * 10000.0) AS HUGEINT) AS p,
+           |  CAST(round(l_discount * 10000.0) AS HUGEINT) AS d
+           |  FROM lineitem)
+           |SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           |  CAST(sum(p * (10000 - d)) AS DECIMAL(38,0))
+           |    AS revenue_num,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM li JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2 ORDER BY 1, 2"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // ordered list() aggregation + sliding slices; exact counts,

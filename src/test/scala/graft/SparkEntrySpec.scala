@@ -128,6 +128,19 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("star_revenue keeps its star shape: broadcast dims, no SMJ") {
+    // The Q5-shape rollup is the canonical star-join plan: the two
+    // fact tables shuffle, every dimension rides a broadcast. A dim
+    // decaying into a SortMergeJoin at 100 TB is the classic silent
+    // regression — pin it.
+    val plan = SparkEntry.queries("star_revenue")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"star grew an SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected broadcast dims, got $bhj BHJs:\n$plan")
+  }
+
   test("per-row quality operators plan with zero exchanges") {
     // gopher_quality, c4_page_filter, line_dedup_within_doc and
     // quality_classifier are scan-shaped by design (per-row verdicts,
@@ -198,9 +211,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 174,
+    assert(SparkEntry.queries.size == 175,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 174,
+    assert(SparkEntry.oracleSql.size == 175,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set is pinned EMPTY since round 10: every query
     // carries an oracle — the two whose raw values aren't
