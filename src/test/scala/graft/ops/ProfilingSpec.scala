@@ -80,6 +80,24 @@ class ProfilingSpec extends SparkSpec {
     assert(got.values.sum == 10L)
   }
 
+  test("waterfill matches the sequential reference model on random caps") {
+    // fixed-seed random instances: the Spark prefix-count plan must
+    // agree with the independent sequential model exactly
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val caps = (0 until (1 + rnd.nextInt(12)))
+        .map(i => (s"g$i", rnd.nextInt(500).toLong))
+      val (nu, de) = (1L + rnd.nextInt(3), 2L + rnd.nextInt(3))
+      val want = WaterfillModel.allocate(caps, nu, de)
+      val got = Mixture.waterfill(caps.toDF("k", "cap"), "k", "cap",
+          budgetNumer = nu, budgetDenom = de)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(got == want, s"trial $trial caps=$caps nu=$nu de=$de")
+    }
+  }
+
   test("waterfill: budget above total capacity caps everyone") {
     val caps = Seq(("a", 5L), ("b", 3L)).toDF("k", "cap")
     val got = Mixture.waterfill(caps, "k", "cap",
