@@ -3045,6 +3045,18 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Mutual top-match alignment (the bitext-mining shape): even-id
+    // vectors vs odd-id vectors, integer-dot scores, keep (a, b) only
+    // when each is the other's argmax — both argmaxes map-side-
+    // combinable aggregates, hub vectors die by construction.
+    "mutual_top_match" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mutualTopMatch(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+        .orderBy("a_id")
+    }),
+
     // Star-schema revenue rollup (the TPC-H Q5 shape): lineitem ⋈
     // orders ⋈ customer ⋈ nation ⋈ region, revenue in fixed-point
     // DECIMAL(38,0) (price·(10⁴−disc) scaled units — a double sum
@@ -5310,6 +5322,29 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // int8 dot replay; both argmaxes as row_number over
+      // (score desc, id) — the deterministic tie order
+      "mutual_top_match" ->
+        ("""WITH q AS (SELECT vec_id, list_transform(embedding,
+           |  v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64),
+           |    127), -128) AS BIGINT)) AS qv FROM embeddings),
+           |a AS (SELECT vec_id AS a_id, qv AS qa FROM q
+           |  WHERE vec_id % 2 = 0),
+           |b AS (SELECT vec_id AS b_id, qv AS qb FROM q
+           |  WHERE vec_id % 2 = 1),
+           |p AS (SELECT a_id, b_id,
+           |  CAST(list_dot_product(qa, qb) AS BIGINT) AS score
+           |  FROM a, b),
+           |ab AS (SELECT a_id, b_id, score FROM (SELECT *,
+           |  row_number() OVER (PARTITION BY a_id
+           |    ORDER BY score DESC, b_id) AS rn FROM p) WHERE rn = 1),
+           |ba AS (SELECT a_id, b_id FROM (SELECT *,
+           |  row_number() OVER (PARTITION BY b_id
+           |    ORDER BY score DESC, a_id) AS rn FROM p) WHERE rn = 1)
+           |SELECT ab.a_id, ab.b_id, ab.score FROM ab
+           |JOIN ba USING (a_id, b_id) ORDER BY a_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the same fixed-point revenue in HUGEINT; year cast to INT on

@@ -322,4 +322,40 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("rk"), col("sim"))
   }
+
+  /** Mutual top-match alignment — the bitext/parallel-corpus mining
+    * shape (LASER/CCMatrix-style): keep (a, b) only when b is a's
+    * best match AND a is b's best match, which kills the hub vectors
+    * a one-directional top-1 would glue to everything. Scores are
+    * int8-quantized integer dots ([[Quantization]] convention), so
+    * every score and both argmaxes replay exactly.
+    *
+    * Both argmaxes are map-side-combinable `max(struct(score, -id))`
+    * aggregates over the scored pair frame — no corpus-wide windows.
+    * Pair generation here is the brute broadcast product (the
+    * oracle-exact baseline, same stance as [[bruteForceTopK]]); at
+    * corpus scale feed the scored CANDIDATES from an ANN stage
+    * (IVF/LSH) through the identical mutual-argmax tail instead.
+    */
+  def mutualTopMatch(
+      left: DataFrame,
+      right: DataFrame,
+      logScale: Int = 6): DataFrame = {
+    val ql = Quantization.quantize(left, logScale)
+      .select(col("vec_id").as("a_id"), col("qvec").as("qa"))
+    val qr = Quantization.quantize(right, logScale)
+      .select(col("vec_id").as("b_id"), col("qvec").as("qb"))
+    val pairs = ql.crossJoin(broadcast(qr))
+      .select(col("a_id"), col("b_id"),
+        Quantization.intDot(col("qa"), col("qb")).as("score"))
+    val bestAb = pairs.groupBy(col("a_id"))
+      .agg(max(struct(col("score"), (-col("b_id")).as("nb"))).as("s"))
+      .select(col("a_id"), (-col("s.nb")).as("b_id"),
+        col("s.score").as("score"))
+    val bestBa = pairs.groupBy(col("b_id"))
+      .agg(max(struct(col("score"), (-col("a_id")).as("na"))).as("s"))
+      .select((-col("s.na")).as("a_id"), col("b_id"))
+    bestAb.join(bestBa, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
 }

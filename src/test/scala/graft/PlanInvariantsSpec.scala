@@ -40,6 +40,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "bpe_merges",      // × broadcast(1-row per-round top merge)
     "bpe_compression", // same chain, one more 1-row apply + 1-row ratio
     "basket_pairs",    // × broadcast(1-row order total)
+    "mutual_top_match", // brute baseline: left × broadcast(right)
     "cosine_neardup_pairs",
     "ann_planted_recall", // IVF × broadcast(centroids) + 1-row flag join
     "ann_matryoshka_recall", // head scan × broadcast(planted queries)

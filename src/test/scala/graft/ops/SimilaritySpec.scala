@@ -179,4 +179,18 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.truncatedRerankTopK(corpus, queries, shortlist = 3, k = 5))
   }
+
+  test("mutualTopMatch: only reciprocal argmaxes survive; ties to min id") {
+    // logScale 0 → codes are floor(v): a1=[2,0] a2=[0,2]; b10=[1,0]
+    // b11=[1,1]. a1's best: b10/b11 tie at 2 → b10. a2's best: b11.
+    // b10's best: a1 (mutual ✓). b11's best: a1/a2 tie at 2 → a1,
+    // but a1 chose b10 → (a2, b11) NOT mutual. One pair survives.
+    val left = Seq((1L, Array(2f, 0f)), (2L, Array(0f, 2f)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((10L, Array(1f, 0f)), (11L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopMatch(left, right, logScale = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 2L)), got.toString)
+  }
 }
