@@ -3045,6 +3045,23 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Incremental sessionization (the nightly-batch shape): fold the
+    // second half-month of events into the first half's session
+    // TABLE — prior sessions compressed to one pseudo-event each —
+    // and the oracle is the full batch recompute over all events, so
+    // the gate checks incremental == batch EXACTLY.
+    "sessionize_incremental" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val cutoffUs = 1705363200000000L // 2024-01-16T00:00Z
+      val gapUs = EventOps.SessionGapNs / 1000
+      val prior = EventOps.sessionSummaries(
+        ev.filter(col("ts") < cutoffUs), gapUs)
+      EventOps.sessionsIncremental(prior,
+          ev.filter(col("ts") >= cutoffUs), gapUs)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Mutual top-match alignment (the bitext-mining shape): even-id
     // vectors vs odd-id vectors, integer-dot scores, keep (a, b) only
     // when each is the other's argmax — both argmaxes map-side-
@@ -5322,6 +5339,25 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the BATCH recompute over all events — incremental must equal
+      // it exactly (that is the operator's contract)
+      "sessionize_incremental" ->
+        (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+           |  FROM events),
+           |x AS (SELECT user_id, us, event_id,
+           |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+           |    ORDER BY us, event_id) > ${EventOps.SessionGapNs / 1000}
+           |    THEN 1 ELSE 0 END AS b FROM e),
+           |s AS (SELECT user_id, us,
+           |  sum(b) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS sidx FROM x)
+           |SELECT user_id, min(us) AS session_start,
+           |  max(us) AS session_end, CAST(count(*) AS BIGINT)
+           |  AS n_events
+           |FROM s GROUP BY user_id, sidx
+           |ORDER BY user_id, session_start"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // int8 dot replay; both argmaxes as row_number over

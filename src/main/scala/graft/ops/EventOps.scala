@@ -120,6 +120,52 @@ object EventOps {
       last(when(matchPred, col("ts")), ignoreNulls = true).over(order))
   }
 
+  /** Per-session summaries `(user_id, session_start, session_end,
+    * n_events)` — [[sessionize]] folded to one row per session.
+    */
+  def sessionSummaries(
+      events: DataFrame, gapNs: Long = SessionGapNs): DataFrame =
+    sessionize(events, gapNs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_idx")
+
+  /** Incremental sessionization — the nightly-batch shape: fold a new
+    * day of events into yesterday's session table WITHOUT re-reading
+    * yesterday's events. Prior sessions enter the gap logic as ONE
+    * pseudo-event each, carrying their (start, count) payload at
+    * ts = session_end; a session's start is then min(payload start)
+    * and its count sum(payload n) over the merged run — so the output
+    * is EXACTLY the batch [[sessionSummaries]] over the union of all
+    * days (spec-pinned), at the cost of scanning only the new day
+    * plus the (tiny) state table.
+    *
+    * A prior session can only merge with NEW events (later than its
+    * end), never re-split: its internal gaps were already resolved
+    * when it was built. That is what makes the one-pseudo-event
+    * compression lossless for the gap rule.
+    */
+  def sessionsIncremental(
+      priorSessions: DataFrame,
+      newEvents: DataFrame,
+      gapNs: Long = SessionGapNs): DataFrame = {
+    val pseudo = priorSessions.select(col("user_id"),
+      col("session_end").as("ts"),
+      lit(Long.MinValue).as("event_id"), // sorts before same-ts events
+      col("session_start").as("start0"),
+      col("n_events").as("n0"))
+    val fresh = newEvents.select(col("user_id"), col("ts"),
+      col("event_id"), col("ts").as("start0"), lit(1L).as("n0"))
+    sessionize(pseudo.unionByName(fresh), gapNs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("start0")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("n0")).as("n_events"))
+      .drop("session_idx")
+  }
+
   /** K-step ordered funnel: users whose FIRST `steps(0)` event is
     * followed by a `steps(1)` event strictly after it within
     * `windowUs`, then a `steps(2)` within `windowUs` of THAT, and so
