@@ -3045,6 +3045,18 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // Reference-LM surprisal (the CCNet perplexity-filter shape):
+    // docs with doc_id % 4 == 0 form the clean reference LM; the rest
+    // score against it — known bigrams at reference bit cost, unseen
+    // ones at a flat OOV penalty, all exact integers.
+    "ref_surprisal" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.refBigramSurprisal(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Incremental sessionization (the nightly-batch shape): fold the
     // second half-month of events into the first half's session
     // TABLE — prior sessions compressed to one pseudo-event each —
@@ -5339,6 +5351,33 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the reference LM's counts from the %4==0 slice; unseen
+      // bigrams at the flat 20-bit OOV penalty
+      "ref_surprisal" ->
+        (s"""WITH t AS (
+           |  SELECT doc_id, string_split($NormTextSql, ' ') AS tk
+           |  FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, len(tk)), i -> {'prev': tk[i], 'w': tk[i+1]}))
+           |    AS s FROM t),
+           |p AS (SELECT doc_id, s.prev AS prev, s.w AS w FROM bg),
+           |c AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_bw
+           |      FROM p WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+           |cp AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_prev
+           |       FROM c GROUP BY 1),
+           |tf AS (SELECT doc_id, prev, w, count(*) AS tf FROM p
+           |       WHERE doc_id % 4 <> 0 GROUP BY 1, 2, 3)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(CASE WHEN c.c_bw IS NOT NULL THEN tf ELSE 0 END)
+           |    AS BIGINT) AS known_bigrams,
+           |  CAST(sum(tf * CASE WHEN c.c_bw IS NULL THEN 20
+           |    ELSE length(bin(cp.c_prev // c.c_bw)) END) AS BIGINT)
+           |    AS surprisal_bits
+           |FROM tf LEFT JOIN c USING (prev, w)
+           |LEFT JOIN cp USING (prev)
+           |GROUP BY doc_id ORDER BY doc_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the BATCH recompute over all events — incremental must equal

@@ -608,24 +608,28 @@ object TextAnalysis {
     * totals derive from the bigram counts themselves (a second
     * aggregate over the count table — sketch-sized, never the corpus).
     */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
-    // Two projections on purpose (the winnowingFingerprints trick):
-    // HOF lambdas get no CSE, so referencing the split-expression
-    // inside `transform` would re-tokenize the document PER ELEMENT —
-    // O(len²) per doc (measured 9.4 s → 2.7 s at sf0.1 from this
-    // change alone). Materialize the token array once per row first.
+  /** Per-document adjacent-token pairs `(doc_id, prev, w)`.
+    * Two projections on purpose (the winnowingFingerprints trick):
+    * HOF lambdas get no CSE, so referencing the split-expression
+    * inside `transform` would re-tokenize the document PER ELEMENT —
+    * O(len²) per doc (measured 9.4 s → 2.7 s at sf0.1 from this
+    * change alone). Materialize the token array once per row first.
+    */
+  private def docBigrams(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"),
       split(TextDedup.normText(col("text")), " ").as("tk"))
     val pairs = transform(sequence(lit(1), size(col("tk")) - 1), i =>
       struct(element_at(col("tk"), i).as("prev"),
         element_at(col("tk"), i + 1).as("w")))
-    val bg = tk
-      .select(col("doc_id"),
+    tk.select(col("doc_id"),
         explode(when(size(col("tk")) >= 2, pairs)
           .otherwise(array().cast("array<struct<prev:string,w:string>>")))
           .as("s"))
       .select(col("doc_id"), col("s.prev").as("prev"), col("s.w").as("w"))
-    val tf = bg.groupBy("doc_id", "prev", "w")
+  }
+
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tf = docBigrams(docs).groupBy("doc_id", "prev", "w")
       .agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy("prev", "w").agg(sum(col("tf")).as("c_bw"))
     val cprev = cnt.groupBy("prev").agg(sum(col("c_bw")).as("c_prev"))
@@ -635,6 +639,44 @@ object TextAnalysis {
         length(bin(expr("c_prev div c_bw"))).cast("long").as("bits"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("surprisal_bits"))
+  }
+
+  /** Reference-LM surprisal — the CCNet/Wikipedia-LM perplexity
+    * filter: score TARGET documents against bigram statistics built
+    * from a separate (clean) REFERENCE corpus, instead of against
+    * themselves. Known bigrams cost the usual integer bit length of
+    * `c_prev / c_bw` from the reference counts; bigrams the reference
+    * never saw cost a flat `oovBits` penalty — so gibberish and
+    * off-domain text score high, fluent text low, and every number is
+    * an exact integer. Emits `(doc_id, n_bigrams, known_bigrams,
+    * surprisal_bits)`.
+    *
+    * Scale shape: one tokenize scan per corpus, two map-side-
+    * combinable aggregates for the reference LM (its distinct-bigram
+    * table is vocabulary-sized, not corpus-sized), one left join of
+    * the target's per-doc bigram counts against it.
+    */
+  def refBigramSurprisal(
+      target: DataFrame,
+      reference: DataFrame,
+      oovBits: Int = 20): DataFrame = {
+    require(oovBits >= 1, s"oovBits must be >= 1, got $oovBits")
+    val refCnt = docBigrams(reference).groupBy("prev", "w")
+      .agg(count(lit(1)).as("c_bw"))
+    val refPrev = refCnt.groupBy("prev").agg(sum(col("c_bw")).as("c_prev"))
+    val tf = docBigrams(target).groupBy("doc_id", "prev", "w")
+      .agg(count(lit(1)).as("tf"))
+    tf.join(refCnt, Seq("prev", "w"), "left")
+      .join(refPrev, Seq("prev"), "left")
+      .select(col("doc_id"), col("tf"), col("c_bw"),
+        when(col("c_bw").isNull, lit(oovBits.toLong))
+          .otherwise(length(bin(expr("c_prev div c_bw"))).cast("long"))
+          .as("bits"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(when(col("c_bw").isNotNull, col("tf")).otherwise(0L))
+          .as("known_bigrams"),
         sum(col("tf") * col("bits")).as("surprisal_bits"))
   }
 

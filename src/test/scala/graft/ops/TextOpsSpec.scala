@@ -766,6 +766,18 @@ class TextOpsSpec extends SparkSpec {
       .count() == 7L)
   }
 
+  test("refBigramSurprisal: reference bit costs, flat OOV penalty") {
+    // ref "a b a b": c(a,b)=2 c(b,a)=1, c_prev(a)=2 c_prev(b)=1
+    // target 1 "a b z": (a,b) known → bin(2/2)='1' → 1 bit; (b,z)
+    // unseen → 20. target 2 "z z": all-OOV.
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val tgt = Seq((1L, "a b z"), (2L, "z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.refBigramSurprisal(tgt, ref)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L, 21L), (2L, 1L, 0L, 20L)),
+      got.toString)
+  }
+
   test("skipgramCounts: both window offsets, exact counts, rank order") {
     // doc "a b a b a": dist-1 pairs (a,b)x2 (b,a)x2;
     // dist-2 pairs (a,a)x2 (b,b)x1 — forward-only, per offset
