@@ -3045,6 +3045,25 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(T(s, dir, "documents"),
         k = 50, minCount = 5)),
 
+    // URL canonicalization + dedup: two deterministic messy variants
+    // of every doc's URL (tracking params, fragment, mixed-case host,
+    // default port, trailing slash, shuffled params) must collapse to
+    // ONE canonical form — n_variants == 2 everywhere is the proof.
+    "url_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(lit("HTTPS://Site"), pmod(id, lit(7)),
+        lit(".Example.COM:443/d/"), id,
+        lit("/?utm_source=feed&b=2&a=1#sec"), id)
+      val clean = concat(lit("https://site"), pmod(id, lit(7)),
+        lit(".example.com/d/"), id, lit("?a=1&b=2"))
+      T(s, dir, "documents")
+        .select(id, explode(array(messy, clean)).as("url"))
+        .select(UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"))
+        .orderBy("canonical_url")
+    }),
+
     // Reference-LM surprisal (the CCNet perplexity-filter shape):
     // docs with doc_id % 4 == 0 form the clean reference LM; the rest
     // score against it — known bigrams at reference bit cost, unseen
@@ -5351,6 +5370,40 @@ object SparkEntry {
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the full canonicalization replayed step by step in RE2
+      "url_dedup" ->
+        ("""WITH u AS (SELECT doc_id, unnest([
+           |  'HTTPS://Site' || (doc_id % 7) ||
+           |    '.Example.COM:443/d/' || doc_id ||
+           |    '/?utm_source=feed&b=2&a=1#sec' || doc_id,
+           |  'https://site' || (doc_id % 7) ||
+           |    '.example.com/d/' || doc_id || '?a=1&b=2']) AS url
+           |  FROM documents),
+           |st AS (SELECT
+           |  lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+           |    '^([A-Za-z]+)://', 1)) AS scheme,
+           |  regexp_replace(regexp_replace(url, '#.*$', ''),
+           |    '^[A-Za-z]+://', '') AS rest FROM u),
+           |p AS (SELECT scheme,
+           |  lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+           |    ':(443|80)$', '')) AS host,
+           |  regexp_replace(rest, '^[^/?]+', '') AS pathq FROM st),
+           |p2 AS (SELECT scheme, host,
+           |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+           |    '/+$', '') AS path0,
+           |  regexp_extract(pathq, '\?(.*)$', 1) AS q FROM p),
+           |c AS (SELECT scheme || '://' || host ||
+           |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+           |  (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS curl
+           |  FROM (SELECT scheme, host, path0, array_to_string(
+           |    list_sort(list_filter(string_split(q, '&'),
+           |      x -> x <> '' AND NOT regexp_matches(x,
+           |        '^(utm_[^=]*|ref)='))), '&') AS sq FROM p2))
+           |SELECT curl AS canonical_url,
+           |  CAST(count(*) AS BIGINT) AS n_variants
+           |FROM c GROUP BY 1 ORDER BY 1"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the reference LM's counts from the %4==0 slice; unseen

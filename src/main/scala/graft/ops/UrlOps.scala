@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the crawler-side dedup key: the same page
+  * arrives as `HTTPS://Site.COM:443/d/5/?utm_source=feed&b=2&a=1#sec`
+  * and `https://site.com/d/5?a=1&b=2`, and a corpus that treats those
+  * as distinct double-counts every domain. One canonical form, built
+  * from pure per-row string algebra (no UDF, fully codegen):
+  *
+  *  - fragment dropped, scheme and host lowercased,
+  *  - default ports `:443`/`:80` dropped,
+  *  - trailing path slashes trimmed (bare root stays `/`),
+  *  - tracking params (`utm_*`, `ref`) dropped, the rest SORTED —
+  *    param order never distinguishes two URLs.
+  *
+  * Every step is deterministic string/regex algebra that replays
+  * identically in any engine (RE2-safe patterns, binary sort order).
+  */
+object UrlOps {
+
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]+)", 1)
+    val host = lower(regexp_replace(hostPort, ":(443|80)$", ""))
+    // everything after the authority — regex strip, no offset math
+    val pathQ = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_replace(
+      regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|ref)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(sortedQ === "", lit(""))
+        .otherwise(concat(lit("?"), sortedQ)))
+  }
+}
