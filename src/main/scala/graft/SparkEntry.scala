@@ -3097,8 +3097,12 @@ object SparkEntry {
     // vectors vs odd-id vectors, integer-dot scores, keep (a, b) only
     // when each is the other's argmax — both argmaxes map-side-
     // combinable aggregates, hub vectors die by construction.
+    // (vec_id < 2000 caps the brute demo at a fixed pair budget —
+    // the triangle_count/ann_matryoshka fixed-size precedent; the
+    // production path is Similarity.mutualArgmax over an ANN stage's
+    // candidates, linear in the candidate list)
     "mutual_top_match" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 2000)
       Similarity.mutualTopMatch(
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1))
@@ -5459,9 +5463,9 @@ object SparkEntry {
            |  v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 64),
            |    127), -128) AS BIGINT)) AS qv FROM embeddings),
            |a AS (SELECT vec_id AS a_id, qv AS qa FROM q
-           |  WHERE vec_id % 2 = 0),
+           |  WHERE vec_id % 2 = 0 AND vec_id < 2000),
            |b AS (SELECT vec_id AS b_id, qv AS qb FROM q
-           |  WHERE vec_id % 2 = 1),
+           |  WHERE vec_id % 2 = 1 AND vec_id < 2000),
            |p AS (SELECT a_id, b_id,
            |  CAST(list_dot_product(qa, qb) AS BIGINT) AS score
            |  FROM a, b),

@@ -348,6 +348,17 @@ object Similarity {
     val pairs = ql.crossJoin(broadcast(qr))
       .select(col("a_id"), col("b_id"),
         Quantization.intDot(col("qa"), col("qb")).as("score"))
+    mutualArgmax(pairs)
+  }
+
+  /** The mutual-argmax tail alone, over an already-scored candidate
+    * frame `(a_id, b_id, score)` — THIS is the production entry
+    * point: feed it the candidates of an ANN stage (IVF cells, LSH
+    * buckets) and the cost is linear in the candidate list, never
+    * quadratic in the corpus. Mutuality semantics are then "mutual
+    * best among candidates", the standard approximation.
+    */
+  def mutualArgmax(pairs: DataFrame): DataFrame = {
     val bestAb = pairs.groupBy(col("a_id"))
       .agg(max(struct(col("score"), (-col("b_id")).as("nb"))).as("s"))
       .select(col("a_id"), (-col("s.nb")).as("b_id"),
