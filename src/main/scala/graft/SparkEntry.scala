@@ -1586,6 +1586,38 @@ object SparkEntry {
       Sampling.hashSplit(T(s, dir, "documents"), col("text"),
         evalRate = 0.05).select(col("doc_id"), col("split"))),
 
+    // Near-dup-aware split: every member of a near-dup component
+    // splits by the REPRESENTATIVE document's bytes (component = min
+    // doc_id), so a whole duplicate cluster lands on one side — the
+    // Lee-et-al test-set-leakage fix as an operator. Components come
+    // from the same deterministic candidate graph as
+    // neardup_components, so the recursive-CTE oracle replays the
+    // labeling and md5-splits the rep text identically.
+    "split_leakage_safe" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(T(s, dir, "documents"),
+          neardupLabeled(s, dir), col("text"), evalRate = 0.2)
+        .select(col("doc_id"), col("component"), col("split"))),
+
+    // The leakage census that justifies it: near-dup candidate pairs
+    // straddling the train/eval boundary under the naive per-doc hash
+    // split vs the cluster-rep split — safe_leaks is structurally 0
+    // (split is a function of the component), naive_leaks is the
+    // exposure removed. One |E|-row double join per audit into 1-row
+    // aggregates.
+    "split_leakage_audit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (edges, _) = neardupEdges(s, dir)
+      val naive = Sampling.hashSplit(docs, col("text"), evalRate = 0.2)
+        .select(col("doc_id"), col("split"))
+      val safe = Sampling.leakageSafeSplit(docs,
+          neardupLabeled(s, dir), col("text"), evalRate = 0.2)
+        .select(col("doc_id"), col("split"))
+      Sampling.splitLeakageAudit(edges, naive)
+        .select(col("n_pairs"), col("leaks").as("naive_leaks"))
+        .crossJoin(Sampling.splitLeakageAudit(edges, safe)
+          .select(col("leaks").as("safe_leaks")))
+    }),
+
     // Per-language "dataset card" rollup — all exact integers, one
     // map-side-combined aggregate.
     "corpus_report" -> ((s, dir) =>
@@ -2697,6 +2729,25 @@ object SparkEntry {
       docs.crossJoin(broadcast(cutoff))
         .filter(col("n_chars") <= col("cut"))
         .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // Late-interaction (ColBERT MaxSim) retrieval: every 4 consecutive
+    // vec_ids form one multi-vector "document", queries are the first
+    // 4 such groups, and score(q,d) = sum over query tokens of the max
+    // int8-dot against d's tokens — all 64-bit integer arithmetic
+    // (Quantization.quantize codes), so scores and ranks hash exactly.
+    // Query side broadcast; linear in corpus tokens at the fixed query
+    // set (the ann_cosine_topk shape). Production path at 100 TB: pass
+    // `candidates` from a pooled-vector ANN stage and the rerank is
+    // linear in the candidate list.
+    "maxsim_topk" -> ((s, dir) => {
+      val grp = floor(col("vec_id") / 4).cast("long")
+      val codes = Quantization.quantize(T(s, dir, "embeddings"))
+      val dt = codes.select(grp.as("d_id"), col("qvec").as("dvec"))
+      val qt = codes.filter(col("vec_id") < 16)
+        .select(grp.as("q_id"), col("vec_id").as("qtok_id"),
+          col("qvec"))
+      Retrieval.maxSimTopK(qt, dt, k = 10, excludeSelf = true)
     }),
 
     // Gap-based sessionization (30-min gap): lag boundary + running-sum
@@ -4120,6 +4171,45 @@ object SparkEntry {
           s"'${Sampling.thresholdHex(0.05)}' THEN 'eval' ELSE 'train' " +
           "END AS split FROM documents"),
 
+      // the components CTE replayed, every member md5-split by its
+      // representative (= component = min doc_id) document's text
+      "split_leakage_safe" ->
+        (NeardupReachCte +
+          ", comp AS (SELECT node, min(lbl) AS component" +
+          " FROM reach GROUP BY node)" +
+          " SELECT c.node AS doc_id, c.component," +
+          " CASE WHEN substring(md5(d.text), 1, 4) < " +
+          s"'${Sampling.thresholdHex(0.2)}' THEN 'eval' ELSE 'train'" +
+          " END AS split FROM comp c" +
+          " JOIN documents d ON d.doc_id = c.component"),
+
+      // candidate pairs straddling the split boundary: naive per-doc
+      // hash split vs the cluster-rep split (structurally 0)
+      "split_leakage_audit" ->
+        (NeardupReachCte +
+          ", comp AS (SELECT node, min(lbl) AS component" +
+          " FROM reach GROUP BY node)" +
+          ", rsplit AS (SELECT c.node AS doc_id," +
+          " CASE WHEN substring(md5(d.text), 1, 4) < " +
+          s"'${Sampling.thresholdHex(0.2)}' THEN 'eval' ELSE 'train'" +
+          " END AS split FROM comp c" +
+          " JOIN documents d ON d.doc_id = c.component)" +
+          ", nsplit AS (SELECT doc_id," +
+          " CASE WHEN substring(md5(text), 1, 4) < " +
+          s"'${Sampling.thresholdHex(0.2)}' THEN 'eval' ELSE 'train'" +
+          " END AS split FROM documents)" +
+          ", na AS (SELECT count(*) AS n_pairs," +
+          " count(CASE WHEN a.split <> b.split THEN 1 END)" +
+          " AS naive_leaks FROM edges0 e" +
+          " JOIN nsplit a ON a.doc_id = e.src" +
+          " JOIN nsplit b ON b.doc_id = e.dst)" +
+          ", sa AS (SELECT count(CASE WHEN a.split <> b.split THEN 1" +
+          " END) AS safe_leaks FROM edges0 e" +
+          " JOIN rsplit a ON a.doc_id = e.src" +
+          " JOIN rsplit b ON b.doc_id = e.dst)" +
+          " SELECT na.n_pairs, na.naive_leaks, sa.safe_leaks" +
+          " FROM na CROSS JOIN sa"),
+
       "corpus_report" ->
         (s"WITH h AS (SELECT doc_id, text, ${hitCols.mkString(", ")} " +
           "FROM documents), " +
@@ -5290,6 +5380,26 @@ object SparkEntry {
            |  AS INTEGER) AS rk
            |FROM fused QUALIFY rk <= 10"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // MaxSim replayed in integer arithmetic: same floor(v·64) int8
+      // codes, max-of-dots per query token, summed per (q, d)
+      "maxsim_topk" ->
+        ("""WITH qc AS (SELECT vec_id, vec_id // 4 AS grp,
+           |  list_transform(embedding, v -> CAST(greatest(least(
+           |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT))
+           |    AS qv FROM embeddings),
+           |qt AS (SELECT grp AS q_id, vec_id AS qtok, qv FROM qc
+           |  WHERE vec_id < 16),
+           |tokmax AS (SELECT qt.q_id, dc.grp AS d_id, qt.qtok,
+           |  max(CAST(list_dot_product(qt.qv, dc.qv) AS BIGINT)) AS mx
+           |  FROM qc dc CROSS JOIN qt WHERE dc.grp <> qt.q_id
+           |  GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, d_id, CAST(sum(mx) AS BIGINT) AS score
+           |  FROM tokmax GROUP BY 1, 2)
+           |SELECT q_id, d_id, score, CAST(row_number() OVER (
+           |  PARTITION BY q_id ORDER BY score DESC, d_id) AS INTEGER)
+           |  AS rk FROM sc QUALIFY rk <= 10""")
+          .stripMargin.replaceAll("\\s+", " ").trim,
 
       "cube_agg" ->
         ("SELECT coalesce(l_returnflag, '(all)') AS returnflag, " +

@@ -110,6 +110,66 @@ object Retrieval {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) scoring — the reranker
+    * between single-vector ANN and a cross-encoder: query and document
+    * are each a BAG of token vectors, and
+    * `score(q, d) = Σ_{qtok} max_{dtok} ⟨qtok, dtok⟩`. Vectors here
+    * are INT8 code arrays ([[Quantization.quantize]]), so every dot
+    * product, max, and sum is exact 64-bit integer arithmetic and the
+    * full ranking replays bit-exactly in an external engine — no
+    * float-order-of-summation hazard.
+    *
+    * `queryTokens`: `(q_id, qtok_id, qvec)`, one row per query token
+    * vector. `docTokens`: `(d_id, dvec)`, one row per document token
+    * vector. Output `(q_id, d_id, score, rk)`, top-k per query by
+    * score with d_id tiebreak.
+    *
+    * Scale shape: the query side is small and BROADCAST; the pairing
+    * is linear in the doc-token count at a fixed query set (the
+    * ann_cosine_topk shape, not an all-pairs product). The MaxSim
+    * reduction is two map-side-combined aggregates — `max` per
+    * (q, d, qtok), then `sum` per (q, d) — followed by one top-k
+    * window over the already-aggregated (q, d) frame. At corpus scale
+    * pass `candidates` (q_id, d_id — e.g. the top-m of a pooled-vector
+    * ANN stage) and the whole computation becomes linear in the
+    * candidate list: exact late-interaction scores exactly where a
+    * first-stage retriever says they might matter, which is the
+    * two-stage ColBERT serving layout.
+    *
+    * `excludeSelf` drops d_id = q_id pairs (for fixtures where queries
+    * are drawn from the corpus itself).
+    */
+  def maxSimTopK(
+      queryTokens: DataFrame,
+      docTokens: DataFrame,
+      k: Int = 10,
+      candidates: Option[DataFrame] = None,
+      excludeSelf: Boolean = false): DataFrame = {
+    val q = queryTokens.select(col("q_id"), col("qtok_id"), col("qvec"))
+    val d = docTokens.select(col("d_id"), col("dvec"))
+    val paired0 = candidates match {
+      case Some(c) => c.select(col("q_id"), col("d_id"))
+        .join(d, Seq("d_id")).join(broadcast(q), Seq("q_id"))
+      case None => d.crossJoin(broadcast(q))
+    }
+    val paired =
+      if (excludeSelf) paired0.filter(col("d_id") =!= col("q_id"))
+      else paired0
+    val tokMax = paired
+      .select(col("q_id"), col("d_id"), col("qtok_id"),
+        Quantization.intDot(col("qvec"), col("dvec")).as("dot"))
+      .groupBy(col("q_id"), col("d_id"), col("qtok_id"))
+      .agg(max(col("dot")).as("mx"))
+    val scored = tokMax.groupBy(col("q_id"), col("d_id"))
+      .agg(sum(col("mx")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("d_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("d_id"), col("score"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists — the standard hybrid
     * retrieval combiner (lexical BM25 + embedding ANN) that needs NO
     * score calibration between systems: each list contributes

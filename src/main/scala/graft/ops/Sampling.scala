@@ -75,6 +75,66 @@ object Sampling {
       when(hexBucket(key) < lit(thresholdHex(evalRate)), "eval")
         .otherwise("train"))
 
+  /** Near-dup-aware train/eval split — [[hashSplit]]'s blind spot is
+    * that two NEAR-duplicate documents hash independently, so a
+    * boilerplate-heavy corpus leaks eval content into train through
+    * every almost-copy the hash can't see (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * test-set-leakage finding). Here the split key is the CLUSTER
+    * representative's content, not the row's own: `components` is the
+    * (node, component) labeling from [[graft.ops.Components]] over the
+    * near-dup candidate graph, `component` is the min doc_id of the
+    * cluster, and every member splits by the representative document's
+    * bytes — so a whole duplicate cluster lands on one side, always.
+    * Singleton docs are their own representative, making this a strict
+    * generalization of [[hashSplit]] (identical labels wherever no
+    * near-dup edge exists).
+    *
+    * `docs` needs `doc_id` plus whatever `key` reads. Scale shape: two
+    * equi-joins on document ids — membership (doc_id) then
+    * representative content (component = rep doc_id). A mega-cluster
+    * fans many members onto one rep row; that is plain join skew on a
+    * tiny build side, which AQE's skew handling (or a broadcast of the
+    * rep frame when the cluster count is small) absorbs — no window,
+    * no per-cluster state.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      components: DataFrame,
+      key: Column,
+      evalRate: Double): DataFrame = {
+    val reps = docs.select(col("doc_id").as("component"),
+      key.as("__rep_key"))
+    docs.select(col("doc_id"))
+      .join(components.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"))
+      .join(reps, Seq("component"))
+      .withColumn("split",
+        when(hexBucket(col("__rep_key")) < lit(thresholdHex(evalRate)),
+          "eval").otherwise("train"))
+      .drop("__rep_key")
+  }
+
+  /** Leakage census for a split: how many near-dup candidate PAIRS
+    * straddle the train/eval boundary. Feed the same `edges(src, dst)`
+    * the cluster labeling was built from and any `split(doc_id, split)`
+    * labeling; `leaks` = pairs whose endpoints disagree. For
+    * [[leakageSafeSplit]]'s output this is structurally zero (split is
+    * a function of the component); for [[hashSplit]] it measures the
+    * exposure the safe split removes. One |E|-row double join into a
+    * single-row aggregate — the audit a 100 TB pipeline can afford to
+    * run on every split refresh.
+    */
+  def splitLeakageAudit(edges: DataFrame, split: DataFrame): DataFrame =
+    edges
+      .join(split.select(col("doc_id").as("src"),
+        col("split").as("src_split")), Seq("src"))
+      .join(split.select(col("doc_id").as("dst"),
+        col("split").as("dst_split")), Seq("dst"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("src_split") =!= col("dst_split"), 1))
+          .as("leaks"))
+
   /** Stratified sample: per-stratum keep-rates (e.g. downsample an
     * over-represented language), `defaultRate` for unlisted strata.
     * One CASE-shaped predicate — still scan-only, still deterministic.

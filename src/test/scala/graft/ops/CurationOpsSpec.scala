@@ -207,6 +207,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(evalIds == sampled)
   }
 
+  test("leakageSafeSplit: clusters never straddle; singletons match " +
+    "hashSplit; audit reports zero leaks for the safe labeling") {
+    val df = (0 until 200).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+    // a 3-chain {0,1,2}, a pair {10,11}, everything else singleton
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L))
+      .toDF("src", "dst")
+    val comps = Components.connectedComponents(
+      edges, df.select(col("doc_id").as("node")))
+    val safe = Sampling.leakageSafeSplit(df, comps, col("text"), 0.3)
+    assert(safe.count() == 200, "every row labeled")
+    // every component maps to exactly one split label
+    val straddlers = safe.groupBy("component")
+      .agg(count_distinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddlers == 0, "a cluster straddled the split")
+    // cluster members wear the REPRESENTATIVE's label: doc 2 splits by
+    // doc 0's text, not its own
+    val naive = Sampling.hashSplit(df, col("text"), 0.3)
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val rep0 = naive.filter(col("doc_id") === 0L)
+      .select("naive_split").as[String].head()
+    val got2 = safe.filter(col("doc_id") === 2L)
+      .select("split").as[String].head()
+    assert(got2 == rep0, "member must wear the rep's label")
+    // singletons are their own representative ⇒ identical to hashSplit
+    val joined = safe.join(naive, "doc_id")
+      .filter(!col("doc_id").isin(0L, 1L, 2L, 10L, 11L))
+    assert(joined.filter(col("split") =!= col("naive_split")).count() == 0)
+    // the audit: safe labeling has zero leaking pairs by construction
+    val audit = Sampling.splitLeakageAudit(
+      edges, safe.select("doc_id", "split"))
+      .as[(Long, Long)].head()
+    assert(audit == ((3L, 0L)), s"audit: $audit")
+  }
+
   test("tokenBudgetPack equals the global greedy prefix") {
     // budget 50 crosses inside rank 1: rank 2 (30 toks) keeps whole
     // via the no-window fast path, rank 1 is the boundary bucket

@@ -90,4 +90,40 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.size == 5)
     intercept[IllegalArgumentException](Retrieval.rrfFuse(a, b, kRrf = 0))
   }
+
+  // hand-computable MaxSim fixture: one query of two token vectors
+  // against two docs; every dot is trivial integer arithmetic
+  private def qToks = Seq(
+    (1L, 100L, Seq(1, 0)), (1L, 101L, Seq(0, 1)))
+    .toDF("q_id", "qtok_id", "qvec")
+  private def dToks = Seq(
+    (10L, Seq(2, 0)), (10L, Seq(0, 3)), (20L, Seq(1, 1)))
+    .toDF("d_id", "dvec")
+
+  test("maxSimTopK: sum of per-query-token maxes, rank by score") {
+    // score(1,10) = max(2,0) + max(0,3) = 5; score(1,20) = 1 + 1 = 2
+    val got = Retrieval.maxSimTopK(qToks, dToks, k = 10)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 10L, 5L, 1), (1L, 20L, 2L, 2)), got.toString)
+  }
+
+  test("maxSimTopK: candidates restrict scoring to the given pairs " +
+      "and agree with the full product on them") {
+    val cand = Seq((1L, 20L)).toDF("q_id", "d_id")
+    val got = Retrieval.maxSimTopK(qToks, dToks, k = 10,
+      candidates = Some(cand))
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 20L, 2L, 1)), got.toString)
+  }
+
+  test("maxSimTopK: excludeSelf drops the query's own document") {
+    val d = dToks.union(Seq((1L, Seq(9, 9))).toDF("d_id", "dvec"))
+    val ids = Retrieval.maxSimTopK(qToks, d, k = 10, excludeSelf = true)
+      .select("d_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 20L), ids.toString)
+    // and without the flag the self doc dominates (score 9+9)
+    val top = Retrieval.maxSimTopK(qToks, d, k = 1)
+      .as[(Long, Long, Long, Int)].head()
+    assert(top == ((1L, 1L, 18L, 1)), top.toString)
+  }
 }
