@@ -2750,6 +2750,69 @@ object SparkEntry {
       Retrieval.maxSimTopK(qt, dt, k = 10, excludeSelf = true)
     }),
 
+    // Two-stage late-interaction serving audit: a lead-token ("CLS"
+    // proxy) int8-dot prefilter takes top-30 candidates per query,
+    // full MaxSim reranks only those, and the output counts the exact
+    // overlap with the unrestricted MaxSim top-10 — the recall census
+    // that tells you whether the cheap first stage is safe. All
+    // integer arithmetic end to end. On this corpus the verdict is
+    // honest and negative (~3-4/10): the synthetic embeddings are
+    // RANDOM, so one token carries no summary of the other three —
+    // exactly the situation the census exists to catch before a
+    // production rollout (real ColBERT encoders concentrate meaning
+    // in the CLS token; random vectors cannot).
+    "maxsim_rerank_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grp = floor(col("vec_id") / 4).cast("long")
+      val codes = Quantization.quantize(T(s, dir, "embeddings"))
+      val dt = codes.select(grp.as("d_id"), col("qvec").as("dvec"))
+      val qt = codes.filter(col("vec_id") < 16)
+        .select(grp.as("q_id"), col("vec_id").as("qtok_id"),
+          col("qvec"))
+      val full = Retrieval.maxSimTopK(qt, dt, k = 10,
+        excludeSelf = true)
+      val dLead = codes.filter(col("vec_id") % 4 === 0)
+        .select(grp.as("d_id"), col("qvec").as("dv0"))
+      val qLead = codes.filter(col("vec_id") < 16 &&
+          col("vec_id") % 4 === 0)
+        .select(grp.as("q_id"), col("qvec").as("qv0"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("s0").desc, col("d_id").asc)
+      val cand = dLead.crossJoin(broadcast(qLead))
+        .filter(col("d_id") =!= col("q_id"))
+        .select(col("q_id"), col("d_id"),
+          Quantization.intDot(col("qv0"), col("dv0")).as("s0"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .select(col("q_id"), col("d_id"))
+      val two = Retrieval.maxSimTopK(qt, dt, k = 10,
+        candidates = Some(cand), excludeSelf = true)
+      full.select(col("q_id"), col("d_id"))
+        .join(two.select(col("q_id"), col("d_id"), lit(1).as("hit")),
+          Seq("q_id", "d_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_full"),
+          sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+    }),
+
+    // Retrieval eval harness: BM25 run vs deterministic boolean-AND
+    // pseudo-qrels (doc relevant iff it contains every query term) —
+    // per query the relevant-set size, top-10 hit count (recall@10
+    // numerator) and first-relevant rank (MRR denominator; 0 = miss).
+    // All integers; query-bounded joins, corpus touched once.
+    "retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "column"), (2L, "scan"),
+        (3L, "filter"), (3L, "merge"), (3L, "small"))
+        .toDF("q_id", "term")
+      Retrieval.rankEval(
+        Retrieval.bm25TopK(docs, queries, k = 10),
+        Retrieval.booleanAndQrels(docs, queries), k = 10)
+    }),
+
     // Gap-based sessionization (30-min gap): lag boundary + running-sum
     // numbering over ONE (shuffle, sort) on user_id. Timestamps are
     // micros on both sides (eventsMicros / epoch_us): micros is the
@@ -5399,6 +5462,88 @@ object SparkEntry {
            |SELECT q_id, d_id, score, CAST(row_number() OVER (
            |  PARTITION BY q_id ORDER BY score DESC, d_id) AS INTEGER)
            |  AS rk FROM sc QUALIFY rk <= 10""")
+          .stripMargin.replaceAll("\\s+", " ").trim,
+
+      // the two-stage replay: unrestricted MaxSim top-10 vs the
+      // lead-token-prefiltered rerank, exact overlap counts
+      "maxsim_rerank_recall" ->
+        ("""WITH qc AS (SELECT vec_id, vec_id // 4 AS grp,
+           |  list_transform(embedding, v -> CAST(greatest(least(
+           |    floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT))
+           |    AS qv FROM embeddings),
+           |qt AS (SELECT grp AS q_id, vec_id AS qtok, qv FROM qc
+           |  WHERE vec_id < 16),
+           |tokmax AS (SELECT qt.q_id, dc.grp AS d_id, qt.qtok,
+           |  max(CAST(list_dot_product(qt.qv, dc.qv) AS BIGINT)) AS mx
+           |  FROM qc dc CROSS JOIN qt WHERE dc.grp <> qt.q_id
+           |  GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, d_id, CAST(sum(mx) AS BIGINT) AS score
+           |  FROM tokmax GROUP BY 1, 2),
+           |fl AS (SELECT q_id, d_id FROM (SELECT q_id, d_id,
+           |  row_number() OVER (PARTITION BY q_id
+           |    ORDER BY score DESC, d_id) AS rk FROM sc) WHERE rk <= 10),
+           |cand AS (SELECT q_id, d_id FROM (
+           |  SELECT qq.grp AS q_id, dd.grp AS d_id,
+           |    row_number() OVER (PARTITION BY qq.grp ORDER BY
+           |      CAST(list_dot_product(qq.qv, dd.qv) AS BIGINT) DESC,
+           |      dd.grp) AS rn
+           |  FROM qc qq CROSS JOIN qc dd
+           |  WHERE qq.vec_id < 16 AND qq.vec_id % 4 = 0
+           |    AND dd.vec_id % 4 = 0 AND dd.grp <> qq.grp)
+           |  WHERE rn <= 30),
+           |two AS (SELECT q_id, d_id FROM (SELECT s.q_id, s.d_id,
+           |  row_number() OVER (PARTITION BY s.q_id
+           |    ORDER BY s.score DESC, s.d_id) AS rk
+           |  FROM sc s JOIN cand USING (q_id, d_id)) WHERE rk <= 10)
+           |SELECT f.q_id, count(*) AS n_full,
+           |  CAST(sum(CASE WHEN t.d_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_overlap
+           |FROM fl f LEFT JOIN two t USING (q_id, d_id) GROUP BY 1""")
+          .stripMargin.replaceAll("\\s+", " ").trim,
+
+      // BM25 CTE chain + boolean-AND pseudo-qrels + the integer
+      // rank-quality census
+      "retrieval_eval" ->
+        (s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+           |    AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id, term),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id),
+           |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+           |  (1, 'hash'), (1, 'join'), (2, 'column'), (2, 'scan'),
+           |  (3, 'filter'), (3, 'merge'), (3, 'small')) t(q_id, term)),
+           |qp AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+           |       FROM tf JOIN dl USING (doc_id)
+           |       WHERE tf.term IN (SELECT term FROM q)),
+           |dfq AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+           |scl AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |       (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+           |s AS (SELECT q.q_id, qp.doc_id,
+           |  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+           |    (tf * 2.2) / (tf + 1.2 *
+           |      (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+           |  FROM qp JOIN q USING (term) JOIN dfq USING (term)
+           |  CROSS JOIN scl GROUP BY q.q_id, qp.doc_id),
+           |run AS (SELECT q_id, doc_id, CAST(row_number() OVER (
+           |  PARTITION BY q_id
+           |  ORDER BY round(score, 4) DESC, doc_id ASC) AS INTEGER) AS rk
+           |  FROM s QUALIFY rk <= 10),
+           |nq AS (SELECT q_id, count(*) AS n_terms FROM q GROUP BY 1),
+           |relc AS (SELECT q.q_id, qp.doc_id, count(*) AS c
+           |  FROM (SELECT DISTINCT doc_id, term FROM qp) qp
+           |  JOIN q USING (term) GROUP BY 1, 2),
+           |rel AS (SELECT relc.q_id, relc.doc_id FROM relc
+           |  JOIN nq USING (q_id) WHERE c = n_terms),
+           |h AS (SELECT run.q_id, count(*) AS hits_at_k,
+           |  min(rk) AS fr FROM run JOIN rel USING (q_id, doc_id)
+           |  GROUP BY 1)
+           |SELECT nr.q_id, nr.n_rel,
+           |  coalesce(h.hits_at_k, 0) AS hits_at_k,
+           |  CAST(coalesce(h.fr, 0) AS INTEGER) AS first_rel_rank
+           |FROM (SELECT q_id, count(*) AS n_rel FROM rel GROUP BY 1) nr
+           |LEFT JOIN h USING (q_id)""")
           .stripMargin.replaceAll("\\s+", " ").trim,
 
       "cube_agg" ->

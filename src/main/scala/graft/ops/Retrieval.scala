@@ -170,6 +170,60 @@ object Retrieval {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Boolean-AND relevance judgments: a document is relevant to a
+    * query iff it contains EVERY query term (the deterministic qrel
+    * set a pipeline can compute without human labels — the classic
+    * pseudo-qrel for regression-testing a ranker). Output
+    * `(q_id, doc_id)`.
+    *
+    * Scale shape: the corpus side is one distinct over (doc, term)
+    * RESTRICTED to queried terms by a broadcast join first (the
+    * bm25TopK discipline — never a vocabulary-wide pass), then a
+    * count-equals-arity gate against the broadcast per-query arity.
+    */
+  def booleanAndQrels(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val qterms = queries.select(col("q_id"), col("term")).distinct()
+    val nq = qterms.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_terms"))
+    tokens(docs)
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .distinct()
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(nq), Seq("q_id"))
+      .filter(col("c") === col("n_terms"))
+      .select(col("q_id"), col("doc_id"))
+  }
+
+  /** Rank-quality census of a retrieval run against relevance
+    * judgments — the eval harness a pipeline runs after every ranker
+    * change: per query, the relevant-set size, the number of relevant
+    * docs retrieved in the top k (recall@k's numerator), and the rank
+    * of the first relevant hit (MRR's denominator; 0 = none
+    * retrieved). All exact integers, so the report replays bit-exactly
+    * in an external engine — compute the float recall/MRR from these
+    * at presentation time.
+    *
+    * `run` must have `(q_id, doc_id, rk)`; `qrels` `(q_id, doc_id)`.
+    * Queries with an empty relevant set are dropped (no denominator).
+    * Both inputs are query-bounded frames, so every join here is
+    * trivially broadcastable — cost is independent of corpus size.
+    */
+  def rankEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = run.filter(col("rk") <= k)
+      .join(qrels, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("__h"), min(col("rk")).as("__fr"))
+    qrels.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("__h"), lit(0L)).as("hits_at_k"),
+        coalesce(col("__fr"), lit(0)).cast("int").as("first_rel_rank"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists — the standard hybrid
     * retrieval combiner (lexical BM25 + embedding ANN) that needs NO
     * score calibration between systems: each list contributes

@@ -126,4 +126,34 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].head()
     assert(top == ((1L, 1L, 18L, 1)), top.toString)
   }
+
+  test("booleanAndQrels: relevant iff EVERY query term present; " +
+      "duplicate query terms don't inflate the arity gate") {
+    val q = Seq((1L, "apple"), (1L, "cherry"), (1L, "cherry"),
+      (2L, "durian")).toDF("q_id", "term")
+    val got = Retrieval.booleanAndQrels(docs, q)
+      .as[(Long, Long)].collect().toSet
+    // apple AND cherry: docs 1, 2, 4 (doc 3 lacks apple);
+    // durian: doc 4 only
+    assert(got == Set((1L, 1L), (1L, 2L), (1L, 4L), (2L, 4L)), got)
+  }
+
+  test("rankEval: hit counts, first-relevant rank, 0 sentinel on " +
+      "miss, and empty-qrel queries dropped") {
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1), (9L, 10L, 1)).toDF("q_id", "doc_id", "rk")
+    val qrels = Seq((1L, 20L), (1L, 30L), (1L, 99L), (2L, 55L))
+      .toDF("q_id", "doc_id")
+    val got = Retrieval.rankEval(run, qrels, k = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // q1: 3 rel, top-2 contains doc 20 (rk 2) -> hits 1, first rank 2
+    // q2: 1 rel, none retrieved -> (1, 0, 0)
+    // q9: no qrels -> dropped
+    assert(got == Set((1L, 3L, 1L, 2), (2L, 1L, 0L, 0)), got)
+    // widen k: doc 30 at rk 3 now counts and first rank stays 2
+    val got3 = Retrieval.rankEval(run, qrels, k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got3 == Set((1L, 3L, 2L, 2), (2L, 1L, 0L, 0)), got3)
+    intercept[IllegalArgumentException](Retrieval.rankEval(run, qrels, 0))
+  }
 }
