@@ -1731,6 +1731,32 @@ object SparkEntry {
       TextDedup.jaccardCounts(pairs, docs)
     }),
 
+    // TF-weighted Jaccard over the same adjacent candidate pairs —
+    // the multiplicity-aware verifier (set Jaccard saturates on
+    // repeated boilerplate; min/max of term frequencies does not).
+    // Exact integer numerator/denominator via the
+    // wmax = dl_a + dl_b − wmin identity, so only SHARED terms join.
+    "weighted_jaccard_pairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+      TextDedup.weightedJaccardCounts(pairs, docs)
+    }),
+
+    // Vocabulary-growth census (Heaps'-law curve): new distinct
+    // 3-grams per doc_id-range slice by FIRST occurrence, with the
+    // running vocabulary size — one vocabulary-sized min-aggregate,
+    // then a 10-row frame. 3-grams, not unigrams: this corpus's 31
+    // unigram types all appear by doc 8 (the curve would be one
+    // degenerate row), while its 16k 3-grams keep arriving through
+    // the last slice — the order a tokenizer budget actually tracks.
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(T(s, dir, "documents"), buckets = 10,
+        n = 3)),
+
     // SimHash signature pass with an IN-BAND SELF-AUDIT (the
     // compression_signal pattern): the raw 64-bit signatures are
     // xxhash64-derived and DuckDB's hash() is a different function, so
@@ -3794,6 +3820,54 @@ object SparkEntry {
            |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
            |       AS BIGINT) AS union_cnt
            |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the weighted replay: per-doc term frequencies, min-sum over
+      // shared terms, max-sum via the dl identity
+      "weighted_jaccard_pairs" ->
+        (s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+           |    AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE len(term) > 0 GROUP BY doc_id, term),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+           |       GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM documents a JOIN documents b
+           |    ON b.doc_id = a.doc_id + 1),
+           |shared AS (SELECT p.doc_a, p.doc_b,
+           |  CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS wmin
+           |  FROM pairs p
+           |  JOIN tf ta ON ta.doc_id = p.doc_a
+           |  JOIN tf tb ON tb.doc_id = p.doc_b AND tb.term = ta.term
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b,
+           |  coalesce(s.wmin, 0) AS wmin,
+           |  da.dl + db.dl - coalesce(s.wmin, 0) AS wmax
+           |FROM pairs p
+           |LEFT JOIN shared s USING (doc_a, doc_b)
+           |JOIN dl da ON da.doc_id = p.doc_a
+           |JOIN dl db ON db.doc_id = p.doc_b"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // first-occurrence slices over the 3-gram set; bucket
+      // arithmetic is the identical IEEE double division + floor on
+      // both engines
+      "vocab_growth" ->
+        (s"""WITH first AS (
+           |  SELECT term, min(doc_id) AS fd FROM (
+           |    SELECT doc_id, unnest($ShingleSetSql) AS term
+           |    FROM (SELECT doc_id,
+           |      string_split($NormTextSql, ' ') AS toks
+           |      FROM documents)) WHERE len(term) > 0 GROUP BY term),
+           |rg AS (SELECT min(doc_id) AS lo,
+           |  max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+           |b AS (SELECT least(CAST(floor((fd - lo) * 10 / span)
+           |    AS BIGINT), 9) AS bucket, count(*) AS new_terms
+           |  FROM first CROSS JOIN rg GROUP BY 1)
+           |SELECT bucket, new_terms,
+           |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
+           |    AS cum_terms FROM b"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       "dedup_exact_groups" ->

@@ -906,4 +906,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("pass")).as("n_gopher_pass"))
   }
+
+  /** Vocabulary-growth census (the Heaps'-law planning curve): how
+    * many NEW distinct terms each ingestion slice contributes, plus
+    * the running vocabulary size — the number that sizes a tokenizer
+    * training budget and predicts whether the next 10× of crawl still
+    * buys vocabulary. A term belongs to the slice of its FIRST
+    * occurrence (min doc_id), slices are `buckets` equal doc_id
+    * ranges. `n` picks the gram order: 1 counts single tokens, n > 1
+    * counts word n-grams ([[TextDedup.shingles]]) — the order that
+    * actually keeps growing on template-heavy corpora whose unigram
+    * vocabulary saturates in the first slice. Output
+    * `(bucket, new_terms, cum_terms)` — all exact integers.
+    *
+    * Scale shape: tokenize → one map-side-combined `min(doc_id)` per
+    * term (the only corpus-wide aggregate — vocabulary-sized output,
+    * not corpus-sized), broadcast 1-row id-range frame for the bucket
+    * arithmetic, then a `buckets`-row aggregate and a window over
+    * that tiny frame for the cumulative sum.
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      buckets: Int = 10,
+      n: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams =
+      if (n == 1) array_distinct(
+        split(TextDedup.normText(col("text")), " "))
+      else TextDedup.shingles(col("text"), n)
+    val first = docs
+      .select(col("doc_id"), explode(grams).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val range = docs.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+    first.crossJoin(broadcast(range))
+      .groupBy(least(((col("fd") - col("lo")) * buckets / col("span"))
+        .cast("long"), lit(buckets - 1L)).as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_terms",
+        sum(col("new_terms")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -596,6 +596,53 @@ object TextDedup {
           .as("union_cnt"))
   }
 
+  /** TF-WEIGHTED Jaccard verification for candidate pairs — the
+    * bag-of-words refinement of [[jaccardCounts]] for boilerplate-
+    * heavy corpora: set Jaccard saturates when two documents share a
+    * large template (every shared gram counts once however often it
+    * repeats), while weighted Jaccard
+    * `Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)` keeps multiplicity,
+    * so a page that repeats the template 50× no longer looks
+    * near-identical to one that states it once. Emits the exact
+    * integer numerator/denominator `(wmin, wmax)` per pair —
+    * `wmax = dl_a + dl_b − wmin` (the max-sum identity over the term
+    * union), so only SHARED terms ever join.
+    *
+    * Scale shape: one tokenize + tf aggregate over the corpus (the
+    * BM25 postings shape), then two equi-joins keyed by the candidate
+    * pair's doc ids — the shared-term sum fans each pair by its
+    * per-doc vocabulary, bounded by document length; never an
+    * all-pairs or vocabulary-wide product. Feed LSH/banding
+    * candidates, exactly like [[jaccardCounts]].
+    */
+  def weightedJaccardCounts(
+      pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val shared = pairs
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"),
+        col("tf").as("tf_a")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"),
+        col("tf").as("tf_b")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("wmin"))
+    pairs
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(dl.select(col("doc_id").as("doc_a"), col("dl").as("dl_a")),
+        Seq("doc_a"))
+      .join(dl.select(col("doc_id").as("doc_b"), col("dl").as("dl_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("wmin"), lit(0L)).as("wmin"),
+        (col("dl_a") + col("dl_b") - coalesce(col("wmin"), lit(0L)))
+          .as("wmax"))
+  }
+
   /** [[jaccardCounts]] with the shingle sets pre-hashed to SORTED
     * `array<bigint>` before they reach any exchange — the form the
     * near-dup clustering pipeline feeds on. Two effects, both about

@@ -423,6 +423,52 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("union_cnt") == 3L)
   }
 
+  test("weightedJaccardCounts: min/max tf sums; disjoint pairs hit " +
+      "the 0 numerator; multiplicity breaks set-Jaccard saturation") {
+    val d = docs(1L -> "x x y", 2L -> "x y y z", 3L -> "p q",
+      4L -> "t t t t", 5L -> "t")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = TextDedup.weightedJaccardCounts(pairs, d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // tf_1={x:2,y:1}, tf_2={x:1,y:2,z:1}: wmin=1+1=2, wmax=3+4-2=5
+    assert(got((1L, 2L)) == ((2L, 5L)), got.toString)
+    // disjoint: wmin 0, wmax = 3 + 2
+    assert(got((1L, 3L)) == ((0L, 5L)), got.toString)
+    // "t t t t" vs "t": the token SET is {t} on both sides (set
+    // Jaccard 1.0 — saturated); the weighted form reports 1/4 —
+    // the boilerplate-multiplicity fix
+    assert(got((4L, 5L)) == ((1L, 4L)), got.toString)
+  }
+
+  test("vocabGrowth: first-occurrence slicing, cumulative sum, and " +
+      "the top-bucket clamp") {
+    val d = docs((0L until 10L).map(i =>
+      i -> s"w$i common").toSeq: _*)
+    val got = TextAnalysis.vocabGrowth(d, buckets = 10)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toList
+    // bucket i contributes w$i; bucket 0 also contributes "common"
+    val expect = (0L until 10L).map(i =>
+      (i, if (i == 0) 2L else 1L, i + 2L)).toList
+    assert(got == expect, got.toString)
+    // 3 buckets over ids 0..9: floor(i*3/10) — sizes 4/3/3, plus
+    // common in the first; the max-id term lands in the LAST bucket
+    val got3 = TextAnalysis.vocabGrowth(d, buckets = 3)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toList
+    assert(got3 == List((0L, 5L, 5L), (1L, 3L, 8L), (2L, 3L, 11L)),
+      got3.toString)
+    // gram order n=3: overlapping windows dedup across docs by first
+    // occurrence ("b c d" belongs to doc 0, not doc 1)
+    val dg = docs(0L -> "a b c d", 1L -> "b c d e")
+    val gotG = TextAnalysis.vocabGrowth(dg, buckets = 2, n = 3)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toList
+    assert(gotG == List((0L, 2L, 2L), (1L, 1L, 3L)), gotG.toString)
+    intercept[IllegalArgumentException](TextAnalysis.vocabGrowth(d, 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabGrowth(d, 10, 0))
+  }
+
   // ------------------------------------------------------- text analysis
 
   test("native markerHits matches the composed length-replace chain") {
