@@ -1757,6 +1757,16 @@ object SparkEntry {
       TextAnalysis.vocabGrowth(T(s, dir, "documents"), buckets = 10,
         n = 3)),
 
+    // Padding-waste census: tokens billed under arrival-order batching
+    // vs length-bucketed batching (batch 8, bucket width 16) — the
+    // sequence-bucketing ROI number. Arrival side is doc_id
+    // arithmetic (no sort); the bucketed window partitions by length
+    // class, never corpus-wide.
+    "padding_waste" -> ((s, dir) =>
+      Sampling.paddingWasteCensus(T(s, dir, "documents"),
+        TextAnalysis.wordCount(col("text")),
+        batchSize = 8, bucketWidth = 16)),
+
     // SimHash signature pass with an IN-BAND SELF-AUDIT (the
     // compression_signal pattern): the raw 64-bit signatures are
     // xxhash64-derived and DuckDB's hash() is a different function, so
@@ -3869,6 +3879,31 @@ object SparkEntry {
            |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
            |    AS cum_terms FROM b"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // both batching disciplines replayed: arrival = doc_id runs,
+      // bucketed = (len, doc_id) order within width-16 length classes
+      "padding_waste" ->
+        ("""WITH l AS (SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\s+'))
+           |    AS BIGINT) AS len FROM documents),
+           |a AS (SELECT floor(doc_id / 8) AS b, count(*) AS n,
+           |  sum(len) AS s, max(len) AS m FROM l GROUP BY 1),
+           |ar AS (SELECT 'arrival' AS strategy,
+           |  count(*) AS n_batches, CAST(sum(s) AS BIGINT)
+           |    AS real_tokens,
+           |  CAST(sum(n * m) AS BIGINT) AS padded_tokens FROM a),
+           |br AS (SELECT lb, floor((row_number() OVER (
+           |    PARTITION BY lb ORDER BY len, doc_id) - 1) / 8) AS bb,
+           |    len FROM (SELECT doc_id, len,
+           |      CAST(floor(len / 16) AS BIGINT) AS lb FROM l)),
+           |bg AS (SELECT lb, bb, count(*) AS n, sum(len) AS s,
+           |  max(len) AS m FROM br GROUP BY 1, 2),
+           |bu AS (SELECT 'bucketed' AS strategy,
+           |  count(*) AS n_batches, CAST(sum(s) AS BIGINT)
+           |    AS real_tokens,
+           |  CAST(sum(n * m) AS BIGINT) AS padded_tokens FROM bg)
+           |SELECT * FROM ar UNION ALL SELECT * FROM bu""")
+          .stripMargin.replaceAll("\\s+", " ").trim,
 
       "dedup_exact_groups" ->
         (s"SELECT md5($NormTextSql) AS text_hash, min(doc_id) AS keep_doc_id, " +

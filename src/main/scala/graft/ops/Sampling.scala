@@ -533,4 +533,55 @@ object Sampling {
       .drop("__h")
       .write.partitionBy("shard").mode("overwrite").parquet(dest)
   }
+
+  /** Padding-waste census — the sequence-bucketing ROI measurement: a
+    * training batch pads every sequence to the batch max, so tokens
+    * billed = Σ_batch n_in_batch · max_len. Compares two batching
+    * disciplines over the same corpus:
+    *   - `arrival`: batches are consecutive `batchSize`-runs of
+    *     doc_id (the naive loader; assumes ids reflect arrival
+    *     order, as this corpus's dense ids do) — short docs pay for
+    *     whatever long doc lands next to them;
+    *   - `bucketed`: docs first route to length buckets of width
+    *     `bucketWidth`, batches form in (len, doc_id) order WITHIN a
+    *     bucket — intra-batch spread is bounded by the bucket width.
+    * Output: one row per strategy,
+    * `(strategy, n_batches, real_tokens, padded_tokens)` — waste is
+    * `padded − real`, all exact integers.
+    *
+    * Scale shape: the arrival side is pure arithmetic on doc_id (no
+    * sort, no window); the bucketed side's only window partitions BY
+    * BUCKET — every partition is one length class, bounded and
+    * numerous, never a corpus-wide single-reducer sort. Both sides
+    * end in map-side-combined per-batch aggregates.
+    */
+  def paddingWasteCensus(
+      docs: DataFrame,
+      lenCol: Column,
+      batchSize: Int = 8,
+      bucketWidth: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(bucketWidth >= 1,
+      s"bucketWidth must be >= 1, got $bucketWidth")
+    val lens = docs.select(col("doc_id"), lenCol.cast("long").as("len"))
+    def census(tagged: DataFrame, tag: String): DataFrame =
+      tagged.groupBy(col("__b"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("s"),
+          max(col("len")).as("m"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("s")).as("real_tokens"),
+          sum(col("n") * col("m")).as("padded_tokens"))
+        .select(lit(tag).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"))
+    val arrival = census(
+      lens.withColumn("__b", floor(col("doc_id") / batchSize)), "arrival")
+    val w = Window.partitionBy(col("__lb"))
+      .orderBy(col("len"), col("doc_id"))
+    val bucketed = census(
+      lens.withColumn("__lb", floor(col("len") / bucketWidth))
+        .withColumn("__b", concat_ws("#", col("__lb"),
+          floor((row_number().over(w) - 1) / batchSize))), "bucketed")
+    arrival.unionByName(bucketed)
+  }
 }

@@ -243,6 +243,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(audit == ((3L, 0L)), s"audit: $audit")
   }
 
+  test("paddingWasteCensus: arrival pays for length mixing, bucketed " +
+      "pays only within a length class; partial batches count n, " +
+      "not batchSize") {
+    // lens 1, 9, 1, 9, 1 (ids 0..4), batch 2, bucket width 10
+    val df = Seq(1, 9, 1, 9, 1).zipWithIndex
+      .map { case (k, i) => (i.toLong, k.toLong) }
+      .toDF("doc_id", "len")
+    val got = Sampling.paddingWasteCensus(df, col("len"),
+      batchSize = 2, bucketWidth = 10)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // arrival: {1,9} -> 2*9, {1,9} -> 2*9, {1} -> 1*1 (partial pays
+    // its own n, not batchSize): padded 37, real 21
+    assert(got("arrival") == ((3L, 21L, 37L)), got.toString)
+    // bucketed (all in bucket 0, sorted 1,1,1,9,9):
+    // {1,1} -> 2, {1,9} -> 18, {9} -> 9: padded 29
+    assert(got("bucketed") == ((3L, 21L, 29L)), got.toString)
+    // width 5 separates the classes entirely: {1,1},{1} + {9,9}
+    // -> padded == 2 + 1 + 18 + ... = real + 0 waste
+    val sep = Sampling.paddingWasteCensus(df, col("len"),
+      batchSize = 2, bucketWidth = 5)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(sep("bucketed") == ((3L, 21L, 21L)), sep.toString)
+    intercept[IllegalArgumentException](
+      Sampling.paddingWasteCensus(df, col("len"), 0, 5))
+    intercept[IllegalArgumentException](
+      Sampling.paddingWasteCensus(df, col("len"), 2, 0))
+  }
+
   test("tokenBudgetPack equals the global greedy prefix") {
     // budget 50 crosses inside rank 1: rank 2 (30 toks) keeps whole
     // via the no-window fast path, rank 1 is the boundary bucket
