@@ -53,7 +53,12 @@ class PlanInvariantsSpec extends SparkSpec {
     "hybrid_rrf_topk",  // BM25 scalars + brute-ANN broadcast(queries)
     "tfidf_top_terms",  // × broadcast(single-row corpus doc count)
     "unigram_surprisal", // × broadcast(single-row corpus token total)
-    "quality_blend")   // × broadcast(1-row percentile cutoffs + totals)
+    "quality_blend",   // × broadcast(1-row percentile cutoffs + totals)
+    "maxsim_topk",     // doc tokens × broadcast(16 query token vectors)
+    "maxsim_rerank_recall", // same + lead-token × broadcast(4 queries)
+    "retrieval_eval",  // BM25 scalars 1-row broadcast (bm25_topk shape)
+    "split_leakage_audit", // × broadcast(two 1-row leak aggregates)
+    "vocab_growth")    // × broadcast(1-row id-range frame)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
