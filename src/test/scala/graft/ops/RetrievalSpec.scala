@@ -127,6 +127,36 @@ class RetrievalSpec extends SparkSpec {
     assert(top == ((1L, 1L, 18L, 1)), top.toString)
   }
 
+  test("maxSimTopK matches a brute Scala reference on fuzzed vectors") {
+    // deterministic LCG vectors: 6 queries × 3 tokens, 40 docs × 4
+    // tokens, dim 8, values in [-9, 9]
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    def vec(seed: Long): Seq[Int] =
+      lcg(seed).drop(1).take(8).map(v => ((v >>> 33) % 19 - 9).toInt).toSeq
+    val qRows = for (q <- 0 until 6; t <- 0 until 3)
+      yield (q.toLong, (q * 3 + t).toLong, vec(q * 1000 + t))
+    val dRows = for (d <- 0 until 40; t <- 0 until 4)
+      yield (d.toLong, vec(900000 + d * 100 + t))
+    val got = Retrieval.maxSimTopK(
+      qRows.toDF("q_id", "qtok_id", "qvec"),
+      dRows.toDF("d_id", "dvec"), k = 7)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // reference: plain Scala loops
+    val expect = (for (q <- 0 until 6) yield {
+      val qtoks = qRows.filter(_._1 == q).map(_._3)
+      val scored = (0 until 40).map { d =>
+        val dtoks = dRows.filter(_._1 == d.toLong).map(_._2)
+        val s = qtoks.map(qv => dtoks.map(dv =>
+          qv.zip(dv).map { case (a, b) => a.toLong * b }.sum).max).sum
+        (d.toLong, s)
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(7).zipWithIndex
+        .map { case ((d, s), i) => (q.toLong, d, s, i + 1) }
+    }).flatten.toSet
+    assert(got == expect)
+  }
+
   test("booleanAndQrels: relevant iff EVERY query term present; " +
       "duplicate query terms don't inflate the arity gate") {
     val q = Seq((1L, "apple"), (1L, "cherry"), (1L, "cherry"),

@@ -442,6 +442,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got((4L, 5L)) == ((1L, 4L)), got.toString)
   }
 
+  test("weightedJaccardCounts matches a bag-intersection reference " +
+      "on fuzzed token soup") {
+    // deterministic word soup over a 12-word vocabulary with heavy
+    // repetition (the multiplicity regime the operator exists for)
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val vocab = ('a' to 'l').map(_.toString)
+    val texts = (0 until 30).map { i =>
+      val len = 1 + ((i * 7) % 25)
+      i.toLong -> lcg(i * 77 + 5).drop(1).take(len)
+        .map(v => vocab(((v >>> 33) % 12).toInt)).mkString(" ")
+    }
+    val d = docs(texts: _*)
+    val pairs = (0 until 29).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val got = TextDedup.weightedJaccardCounts(pairs, d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val bags = texts.toMap.view.mapValues(
+      _.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    for (i <- 0L until 29L) {
+      val (a, b) = (bags(i), bags(i + 1))
+      val wmin = (a.keySet & b.keySet).toSeq
+        .map(t => math.min(a(t), b(t))).sum
+      val wmax = a.values.sum + b.values.sum - wmin
+      assert(got((i, i + 1)) == ((wmin, wmax)), s"pair $i")
+    }
+  }
+
   test("vocabGrowth: first-occurrence slicing, cumulative sum, and " +
       "the top-bucket clamp") {
     val d = docs((0L until 10L).map(i =>
