@@ -90,6 +90,13 @@ object Sampling {
     * generalization of [[hashSplit]] (identical labels wherever no
     * near-dup edge exists).
     *
+    * `components` must COVER the doc universe — pass
+    * [[graft.ops.Components.connectedComponents]] (which back-fills
+    * singletons against a node universe), not `edgeComponents`: a doc
+    * absent from the labeling is silently dropped by the membership
+    * join, and a silently shrinking split is exactly the failure mode
+    * this operator exists to prevent.
+    *
     * `docs` needs `doc_id` plus whatever `key` reads. Scale shape: two
     * equi-joins on document ids — membership (doc_id) then
     * representative content (component = rep doc_id). A mega-cluster

@@ -614,6 +614,13 @@ object TextDedup {
     * per-doc vocabulary, bounded by document length; never an
     * all-pairs or vocabulary-wide product. Feed LSH/banding
     * candidates, exactly like [[jaccardCounts]].
+    *
+    * Edge semantics: a pair whose side has NO tokens (empty/
+    * whitespace-only text) is DROPPED by the inner dl join — weighted
+    * Jaccard is 0/0-undefined against an empty bag, and emitting a
+    * row would force an arbitrary convention. Pre-filter token-less
+    * docs (every curation pipeline here already does) if candidate
+    * generation can pair them.
     */
   def weightedJaccardCounts(
       pairs: DataFrame,
