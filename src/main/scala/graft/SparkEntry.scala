@@ -2786,17 +2786,18 @@ object SparkEntry {
       Retrieval.maxSimTopK(qt, dt, k = 10, excludeSelf = true)
     }),
 
-    // Two-stage late-interaction serving audit: a lead-token ("CLS"
-    // proxy) int8-dot prefilter takes top-30 candidates per query,
-    // full MaxSim reranks only those, and the output counts the exact
-    // overlap with the unrestricted MaxSim top-10 — the recall census
-    // that tells you whether the cheap first stage is safe. All
-    // integer arithmetic end to end. On this corpus the verdict is
-    // honest and negative (~3-4/10): the synthetic embeddings are
-    // RANDOM, so one token carries no summary of the other three —
-    // exactly the situation the census exists to catch before a
-    // production rollout (real ColBERT encoders concentrate meaning
-    // in the CLS token; random vectors cannot).
+    // Two-stage late-interaction serving audit, two first stages per
+    // query: a lead-token ("CLS" proxy) int8-dot prefilter and a
+    // SUM-POOLED single-vector prefilter (dot(Σq,Σd) = the all-pairs
+    // interaction total), each taking top-30 candidates which full
+    // MaxSim then reranks; output counts the exact overlap with the
+    // unrestricted MaxSim top-10 per strategy. All integer arithmetic
+    // end to end. On these RANDOM synthetic embeddings the census
+    // reads exactly as the math says it must: the lead token carries
+    // no summary of the other three (~3-4/10), while the pooled
+    // proxy — correlated with the full interaction sum by
+    // construction — recovers most of the top-10; the side-by-side
+    // IS the pre-rollout decision artifact.
     "maxsim_rerank_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val grp = floor(col("vec_id") / 4).cast("long")
@@ -2807,28 +2808,40 @@ object SparkEntry {
           col("qvec"))
       val full = Retrieval.maxSimTopK(qt, dt, k = 10,
         excludeSelf = true)
-      val dLead = codes.filter(col("vec_id") % 4 === 0)
-        .select(grp.as("d_id"), col("qvec").as("dv0"))
-      val qLead = codes.filter(col("vec_id") < 16 &&
-          col("vec_id") % 4 === 0)
-        .select(grp.as("q_id"), col("qvec").as("qv0"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("s0").desc, col("d_id").asc)
-      val cand = dLead.crossJoin(broadcast(qLead))
-        .filter(col("d_id") =!= col("q_id"))
-        .select(col("q_id"), col("d_id"),
-          Quantization.intDot(col("qv0"), col("dv0")).as("s0"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 30)
-        .select(col("q_id"), col("d_id"))
-      val two = Retrieval.maxSimTopK(qt, dt, k = 10,
-        candidates = Some(cand), excludeSelf = true)
-      full.select(col("q_id"), col("d_id"))
-        .join(two.select(col("q_id"), col("d_id"), lit(1).as("hit")),
-          Seq("q_id", "d_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(count(lit(1)).as("n_full"),
-          sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      def top30(dSide: DataFrame, qSide: DataFrame): DataFrame =
+        dSide.crossJoin(broadcast(qSide))
+          .filter(col("d_id") =!= col("q_id"))
+          .select(col("q_id"), col("d_id"),
+            Quantization.intDot(col("qv0"), col("dv0")).as("s0"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 30)
+          .select(col("q_id"), col("d_id"))
+      val leadCand = top30(
+        codes.filter(col("vec_id") % 4 === 0)
+          .select(grp.as("d_id"), col("qvec").as("dv0")),
+        codes.filter(col("vec_id") < 16 && col("vec_id") % 4 === 0)
+          .select(grp.as("q_id"), col("qvec").as("qv0")))
+      val pooledCand = top30(
+        Retrieval.sumPool(dt, "d_id", "dvec")
+          .select(col("d_id"), col("pvec").as("dv0")),
+        Retrieval.sumPool(qt.select(col("q_id"), col("qvec")),
+          "q_id", "qvec")
+          .select(col("q_id"), col("pvec").as("qv0")))
+      def census(cand: DataFrame, tag: String): DataFrame = {
+        val two = Retrieval.maxSimTopK(qt, dt, k = 10,
+          candidates = Some(cand), excludeSelf = true)
+        full.select(col("q_id"), col("d_id"))
+          .join(two.select(col("q_id"), col("d_id"), lit(1).as("hit")),
+            Seq("q_id", "d_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_full"),
+            sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+          .select(col("q_id"), lit(tag).as("strategy"),
+            col("n_full"), col("n_overlap"))
+      }
+      census(leadCand, "lead").unionByName(census(pooledCand, "pooled"))
     }),
 
     // Retrieval eval harness: BM25 run vs deterministic boolean-AND
@@ -5574,7 +5587,8 @@ object SparkEntry {
           .stripMargin.replaceAll("\\s+", " ").trim,
 
       // the two-stage replay: unrestricted MaxSim top-10 vs the
-      // lead-token-prefiltered rerank, exact overlap counts
+      // lead-token- and sum-pooled-prefiltered reranks, exact overlap
+      // counts per strategy
       "maxsim_rerank_recall" ->
         ("""WITH qc AS (SELECT vec_id, vec_id // 4 AS grp,
            |  list_transform(embedding, v -> CAST(greatest(least(
@@ -5603,11 +5617,40 @@ object SparkEntry {
            |two AS (SELECT q_id, d_id FROM (SELECT s.q_id, s.d_id,
            |  row_number() OVER (PARTITION BY s.q_id
            |    ORDER BY s.score DESC, s.d_id) AS rk
-           |  FROM sc s JOIN cand USING (q_id, d_id)) WHERE rk <= 10)
-           |SELECT f.q_id, count(*) AS n_full,
+           |  FROM sc s JOIN cand USING (q_id, d_id)) WHERE rk <= 10),
+           |pool AS (SELECT grp, list(CAST(sv AS BIGINT) ORDER BY pos)
+           |    AS pv FROM (
+           |  SELECT grp, pos, sum(v) AS sv FROM (
+           |    SELECT grp, unnest(qv) AS v,
+           |      generate_subscripts(qv, 1) AS pos FROM qc)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |qpool AS (SELECT grp, list(CAST(sv AS BIGINT) ORDER BY pos)
+           |    AS pv FROM (
+           |  SELECT grp, pos, sum(v) AS sv FROM (
+           |    SELECT grp, unnest(qv) AS v,
+           |      generate_subscripts(qv, 1) AS pos FROM qc
+           |    WHERE vec_id < 16)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |candp AS (SELECT q_id, d_id FROM (
+           |  SELECT q.grp AS q_id, d.grp AS d_id,
+           |    row_number() OVER (PARTITION BY q.grp ORDER BY
+           |      CAST(list_dot_product(q.pv, d.pv) AS BIGINT) DESC,
+           |      d.grp) AS rn
+           |  FROM qpool q CROSS JOIN pool d WHERE d.grp <> q.grp)
+           |  WHERE rn <= 30),
+           |twop AS (SELECT q_id, d_id FROM (SELECT s.q_id, s.d_id,
+           |  row_number() OVER (PARTITION BY s.q_id
+           |    ORDER BY s.score DESC, s.d_id) AS rk
+           |  FROM sc s JOIN candp USING (q_id, d_id)) WHERE rk <= 10)
+           |SELECT f.q_id, 'lead' AS strategy, count(*) AS n_full,
            |  CAST(sum(CASE WHEN t.d_id IS NOT NULL THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_overlap
-           |FROM fl f LEFT JOIN two t USING (q_id, d_id) GROUP BY 1""")
+           |FROM fl f LEFT JOIN two t USING (q_id, d_id) GROUP BY 1
+           |UNION ALL
+           |SELECT f.q_id, 'pooled' AS strategy, count(*) AS n_full,
+           |  CAST(sum(CASE WHEN t.d_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_overlap
+           |FROM fl f LEFT JOIN twop t USING (q_id, d_id) GROUP BY 1""")
           .stripMargin.replaceAll("\\s+", " ").trim,
 
       // BM25 CTE chain + boolean-AND pseudo-qrels + the integer

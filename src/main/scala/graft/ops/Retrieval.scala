@@ -170,6 +170,29 @@ object Retrieval {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Element-wise SUM pooling of a group of integer code vectors —
+    * the single-vector proxy for a multi-vector document (mean
+    * pooling up to the constant factor, which ranking ignores):
+    * `dot(Σq, Σd) = Σ_qtok Σ_dtok dot(qt, dt)`, the all-pairs
+    * interaction total, a far better MaxSim surrogate than any single
+    * token. Input `(id, vec)` rows (one per token vector, `vec` an
+    * int code array); output `(id, pvec)` with `pvec` the positional
+    * sum as `array<int>` — exact integer arithmetic (int8 codes × the
+    * tokens-per-doc fan-in stay far inside int range).
+    *
+    * Scale shape: one posexplode + a map-side-combined per-(id, pos)
+    * sum + per-id ordered reassembly — a single corpus pass executed
+    * ONCE at index-build time; the rebuild HOF runs per document, not
+    * per pair.
+    */
+  def sumPool(toks: DataFrame, id: String, vec: String): DataFrame =
+    toks.select(col(id), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col(id), col("pos")).agg(sum(col("v")).as("sv"))
+      .groupBy(col(id))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sv")))),
+        x => x.getField("sv").cast("int")).as("pvec"))
+
   /** Boolean-AND relevance judgments: a document is relevant to a
     * query iff it contains EVERY query term (the deterministic qrel
     * set a pipeline can compute without human labels — the classic

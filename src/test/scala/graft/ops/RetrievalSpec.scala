@@ -157,6 +157,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sumPool: positional integer sums reassembled in order") {
+    val toks = Seq((1L, Seq(1, 2, 3)), (1L, Seq(10, 20, 30)),
+      (2L, Seq(5, -5, 0))).toDF("d_id", "dvec")
+    val got = Retrieval.sumPool(toks, "d_id", "dvec")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(1L -> Seq(11, 22, 33), 2L -> Seq(5, -5, 0)), got)
+    // the pooled-dot identity: dot(sum(q), sum(d)) == sum of all
+    // pairwise dots — the reason pooling is a MaxSim-correlated proxy
+    val q = Seq(Seq(1, 0, 2), Seq(0, 3, 1))
+    val d = Seq(Seq(2, 1, 0), Seq(1, 1, 1))
+    def dot(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val pooled = dot(q.transpose.map(_.sum), d.transpose.map(_.sum))
+    val allPairs = (for (a <- q; b <- d) yield dot(a, b)).sum
+    assert(pooled == allPairs)
+  }
+
   test("booleanAndQrels: relevant iff EVERY query term present; " +
       "duplicate query terms don't inflate the arity gate") {
     val q = Seq((1L, "apple"), (1L, "cherry"), (1L, "cherry"),
