@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Redaction, Sampling, TextAnalysis, TextDedup}
+import graft.ops.{Components, Redaction, Sampling, TextAnalysis, TextDedup}
 
 /** One-command corpus curation run — the 100 TB job this engine
   * exists for, end to end on real inputs: published quality gates
@@ -32,7 +32,8 @@ object RunCuration {
 
   private val Usage =
     "usage: RunCuration <documents.parquet> <destDir> " +
-      "[--shards N] [--no-redact] [--classifier] [--near-index DIR]"
+      "[--shards N] [--no-redact] [--classifier] [--near-index DIR] " +
+      "[--eval-rate R]"
 
   /** The pipeline as a function, for tests: returns (curated frame,
     * funnel thunk). The funnel is computed from the same gate columns
@@ -81,6 +82,37 @@ object RunCuration {
     (out, funnel)
   }
 
+  /** Leakage-safe train/eval partition of the curated corpus: MinHash
+    * banding proposes candidate pairs, exact Jaccard ≥ `threshold`
+    * verifies them into near-dup edges, connected components label the
+    * clusters, and [[Sampling.leakageSafeSplit]] assigns every member
+    * its cluster REPRESENTATIVE's hash-split label — so no near-dup
+    * pair ever straddles the eval boundary (the Lee et al. test-set-
+    * leakage fix, as a pipeline stage). Returns (train, eval) frames
+    * with the split column dropped.
+    *
+    * Scale shape: the candidate stage is the banded bucket join
+    * (skew-guarded, never all-pairs), verification touches candidates
+    * only, components run pointer-jumped rounds over the candidate
+    * edges, and the split itself is two doc_id equi-joins.
+    */
+  def splitFrames(
+      out: DataFrame,
+      evalRate: Double,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val edges = TextDedup.jaccardVerify(
+      TextDedup.minHashCandidates(out), out, threshold = threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = Components.connectedComponents(
+      edges, out.select(col("doc_id").as("node")))
+    val split = Sampling.leakageSafeSplit(out.select(col("doc_id"),
+        col("text")), comps, col("text"), evalRate)
+      .select(col("doc_id"), col("split"))
+    val labeled = out.join(split, Seq("doc_id"))
+    (labeled.filter(col("split") === "train").drop("split"),
+      labeled.filter(col("split") === "eval").drop("split"))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(Usage); sys.exit(2) }
     val src = args(0)
@@ -117,11 +149,29 @@ object RunCuration {
       case Some(idx) => RunDedupIndex.applyFrame(spark, curated, idx)
       case None => curated
     }
-    Sampling.writeTrainingShards(out, col("text"), dest, shards)
+    val evalRate = rest.sliding(2).collectFirst {
+      case Array("--eval-rate", r) => r.toDouble
+    }
+    val splitCounts = evalRate match {
+      case Some(r) =>
+        // leakage-safe split LAST: membership is keyed on the cluster
+        // rep's bytes, so it commutes with every upstream gate — but
+        // clustering the final survivors keeps the banding work to
+        // exactly the docs being shipped
+        val (train, evalD) = splitFrames(out, r)
+        Sampling.writeTrainingShards(train, col("text"),
+          s"$dest/train", shards)
+        Sampling.writeTrainingShards(evalD, col("text"),
+          s"$dest/eval", shards)
+        s""","n_train":${train.count()},"n_eval":${evalD.count()}"""
+      case None =>
+        Sampling.writeTrainingShards(out, col("text"), dest, shards)
+        ""
+    }
     val line = funnel()
     val extra = nearIndex
       .map(_ => s""","n_after_index":${out.count()}""").getOrElse("")
-    println(line.dropRight(1) + extra + "}")
+    println(line.dropRight(1) + extra + splitCounts + "}")
     spark.stop()
   }
 }

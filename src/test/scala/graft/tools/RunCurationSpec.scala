@@ -78,4 +78,35 @@ class RunCurationSpec extends SparkSpec {
     val plan = gated.queryExecution.executedPlan.toString
     assert(!plan.contains("/prior"), "prior corpus must not be scanned")
   }
+
+  test("splitFrames: exhaustive + disjoint, planted near-dups land " +
+      "on ONE side, singleton labels match the plain hash split") {
+    val base = (1 to 80)
+      .map(i => s"alpha beta gamma delta run $i ends here quietly.")
+      .mkString(" ")
+    // 24 pairwise-DISJOINT docs (per-doc vocabulary — no shared grams,
+    // so they stay singletons) + one near-dup pair (900, 901): same
+    // text with one word swapped, Jaccard far above the 0.5 threshold
+    val docs = ((0 until 24).map(i =>
+      (i.toLong, (1 to 40)
+        .map(j => s"t${i}x$j u${i}y$j v${i}z$j").mkString(" ")))
+      :+ (900L, base) :+ (901L, base.replace("quietly", "loudly")))
+      .toDF("doc_id", "text")
+    val (train, evalD) = RunCuration.splitFrames(docs, evalRate = 0.4)
+    val tIds = train.select("doc_id").as[Long].collect().toSet
+    val eIds = evalD.select("doc_id").as[Long].collect().toSet
+    assert((tIds ++ eIds).size == 26 && (tIds & eIds).isEmpty,
+      s"not a partition: ${tIds.size}+${eIds.size}")
+    assert(tIds.nonEmpty && eIds.nonEmpty, "degenerate split fixture")
+    // the planted pair must not straddle
+    assert(tIds(900L) == tIds(901L) && eIds(900L) == eIds(901L),
+      s"near-dup pair straddled: train=$tIds eval=$eIds")
+    // both wear the REPRESENTATIVE's (id 900) own-hash label, and
+    // every singleton keeps its plain hashSplit label
+    val naive = graft.ops.Sampling.hashSplit(docs, col("text"), 0.4)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(eIds(900L) == (naive(900L) == "eval"), "rep label broken")
+    for (i <- 0L until 24L)
+      assert(eIds(i) == (naive(i) == "eval"), s"singleton $i moved")
+  }
 }
