@@ -2829,19 +2829,28 @@ object SparkEntry {
         Retrieval.sumPool(qt.select(col("q_id"), col("qvec")),
           "q_id", "qvec")
           .select(col("q_id"), col("pvec").as("qv0")))
-      def census(cand: DataFrame, tag: String): DataFrame = {
-        val two = Retrieval.maxSimTopK(qt, dt, k = 10,
+      // ONE pass over the expensive full product: both rerank chains
+      // left-join it, both hit counts aggregate together, and stack()
+      // unpivots to per-strategy rows without a union (a union of two
+      // census branches would re-evaluate the full MaxSim product per
+      // branch — exchange reuse across union arms is best-effort, the
+      // single-aggregate shape doesn't need it)
+      def hits(cand: DataFrame, tag: String): DataFrame =
+        Retrieval.maxSimTopK(qt, dt, k = 10,
           candidates = Some(cand), excludeSelf = true)
-        full.select(col("q_id"), col("d_id"))
-          .join(two.select(col("q_id"), col("d_id"), lit(1).as("hit")),
-            Seq("q_id", "d_id"), "left")
-          .groupBy(col("q_id"))
-          .agg(count(lit(1)).as("n_full"),
-            sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
-          .select(col("q_id"), lit(tag).as("strategy"),
-            col("n_full"), col("n_overlap"))
-      }
-      census(leadCand, "lead").unionByName(census(pooledCand, "pooled"))
+          .select(col("q_id"), col("d_id"), lit(1).as(s"hit_$tag"))
+      full.select(col("q_id"), col("d_id"))
+        .join(hits(leadCand, "lead"), Seq("q_id", "d_id"), "left")
+        .join(hits(pooledCand, "pooled"), Seq("q_id", "d_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_full"),
+          sum(coalesce(col("hit_lead"), lit(0))).as("n_l"),
+          sum(coalesce(col("hit_pooled"), lit(0))).as("n_p"))
+        .select(col("q_id"),
+          expr("stack(2, 'lead', n_l, 'pooled', n_p)")
+            .as(Seq("strategy", "n_overlap")), col("n_full"))
+        .select(col("q_id"), col("strategy"), col("n_full"),
+          col("n_overlap"))
     }),
 
     // Retrieval eval harness: BM25 run vs deterministic boolean-AND
