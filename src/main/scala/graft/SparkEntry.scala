@@ -1757,6 +1757,15 @@ object SparkEntry {
       TextAnalysis.vocabGrowth(T(s, dir, "documents"), buckets = 10,
         n = 3)),
 
+    // Concat-and-chunk packing fragmentation: docs whose token span
+    // crosses a 512-block boundary, via the two-level scale-safe
+    // prefix-sum (bucket 64 here so the fixture exercises multi-
+    // bucket offset stitching — 500 docs → 8 buckets).
+    "packing_fragmentation" -> ((s, dir) =>
+      Sampling.packingFragmentation(T(s, dir, "documents"),
+        TextAnalysis.wordCount(col("text")),
+        blockSize = 512, bucketSize = 64)),
+
     // Padding-waste census: tokens billed under arrival-order batching
     // vs length-bucketed batching (batch 8, bucket width 16) — the
     // sequence-bucketing ROI number. Arrival side is doc_id
@@ -3901,6 +3910,24 @@ object SparkEntry {
            |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
            |    AS cum_terms FROM b"""
           .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the packing replay: one window prefix sum (the oracle CAN
+      // afford the global window; the engine side is the two-level
+      // decomposition it exists to verify)
+      "packing_fragmentation" ->
+        ("""WITH l AS (SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\s+'))
+           |    AS BIGINT) AS len FROM documents),
+           |p AS (SELECT doc_id, len, coalesce(sum(len) OVER (
+           |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |  1 PRECEDING), 0) AS prefix FROM l)
+           |SELECT count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN prefix % 512 + len > 512 THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_split,
+           |  CAST(ceil(CAST(sum(len) AS DOUBLE) / 512) AS BIGINT)
+           |    AS n_blocks,
+           |  CAST(sum(len) AS BIGINT) AS total_tokens FROM p""")
+          .stripMargin.replaceAll("\\s+", " ").trim,
 
       // both batching disciplines replayed: arrival = doc_id runs,
       // bucketed = (len, doc_id) order within width-16 length classes

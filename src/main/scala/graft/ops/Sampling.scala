@@ -541,6 +541,74 @@ object Sampling {
       .write.partitionBy("shard").mode("overwrite").parquet(dest)
   }
 
+  /** Scale-safe EXCLUSIVE prefix sums over a global order — the
+    * primitive behind concat-and-chunk packing offsets, byte-offset
+    * assignment, and any "where does my row start" question that a
+    * naive `sum() OVER (ORDER BY ...)` answers with a corpus-wide
+    * single-partition window. Two-level decomposition instead:
+    * rows bucket by `orderCol / bucketSize`, per-bucket totals
+    * aggregate map-side, the CUMULATIVE bucket offsets run on the
+    * tiny bucket frame (n/bucketSize rows — the only ordered window,
+    * one task; size `bucketSize` so that stays small, or recurse the
+    * same trick for >10⁹-bucket corpora), broadcast back, and each
+    * bucket's interior pays only a bucket-local window. Output: the
+    * input plus `prefix` = sum of `valueCol` over all rows with
+    * strictly smaller `orderCol`.
+    *
+    * `orderCol` must be unique per row (doc_id); value nulls are not
+    * allowed (sum semantics would silently skip them).
+    */
+  def prefixSums(
+      df: DataFrame,
+      orderCol: Column,
+      valueCol: Column,
+      bucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val b = df.withColumn("__pb",
+      floor(orderCol / bucketSize).cast("long"))
+      .withColumn("__pv", valueCol.cast("long"))
+    val offsets = b.groupBy(col("__pb"))
+      .agg(sum(col("__pv")).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(Window.orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pb"), col("__boff"))
+    val w = Window.partitionBy(col("__pb")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), Seq("__pb"))
+      .withColumn("prefix",
+        col("__boff") + coalesce(sum(col("__pv")).over(w), lit(0L)))
+      .drop("__pb", "__pv", "__boff")
+  }
+
+  /** Concat-and-chunk packing fragmentation census — the GPT-style
+    * pretraining packing (concatenate every document in order, cut
+    * fixed `blockSize`-token blocks) fragments documents across block
+    * boundaries; this reports how much: `(n_docs, n_split, n_blocks,
+    * total_tokens)`, where a doc is SPLIT iff its token span crosses a
+    * block boundary (`start % blockSize + len > blockSize`). All
+    * exact integers from one [[prefixSums]] pass + one map-side-
+    * combined aggregate — the number that decides between plain
+    * concat-chunk and boundary-respecting packing.
+    */
+  def packingFragmentation(
+      docs: DataFrame,
+      lenCol: Column,
+      blockSize: Int = 512,
+      bucketSize: Int = 4096): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    prefixSums(docs.select(col("doc_id"), lenCol.cast("long").as("len")),
+      col("doc_id"), col("len"), bucketSize)
+      .agg(count(lit(1)).as("n_docs"),
+        sum((pmod(col("prefix"), lit(blockSize.toLong)) + col("len") >
+          blockSize).cast("long")).as("n_split"),
+        sum(col("len")).as("total_tokens"))
+      .select(col("n_docs"), col("n_split"),
+        ceil(col("total_tokens").cast("double") / blockSize)
+          .cast("long").as("n_blocks"), col("total_tokens"))
+  }
+
   /** Padding-waste census — the sequence-bucketing ROI measurement: a
     * training batch pads every sequence to the batch max, so tokens
     * billed = Σ_batch n_in_batch · max_len. Compares two batching

@@ -243,6 +243,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(audit == ((3L, 0L)), s"audit: $audit")
   }
 
+  test("prefixSums: two-level decomposition equals the global window " +
+      "across bucket boundaries, sparse ids, and bucket sizes") {
+    val df = Seq((0L, 5L), (1L, 3L), (7L, 10L), (8L, 1L), (20L, 4L),
+      (21L, 2L), (35L, 7L)).toDF("doc_id", "len")
+    // reference: plain scala running sum in doc_id order
+    val rows = Seq((0L, 5L), (1L, 3L), (7L, 10L), (8L, 1L), (20L, 4L),
+      (21L, 2L), (35L, 7L))
+    val expect = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .sliding(2).map { case Seq((_, acc), (id, _)) => id -> acc }.toMap
+    for (bs <- Seq(1, 4, 8, 1000)) {
+      val got = Sampling.prefixSums(df, col("doc_id"), col("len"), bs)
+        .select("doc_id", "prefix").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"bucketSize=$bs: $got")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.prefixSums(df, col("doc_id"), col("len"), 0))
+  }
+
+  test("packingFragmentation: boundary-crossing docs counted exactly") {
+    // block 10: spans [0,4) [4,12)* [12,14) [14,24)* [24,30) —
+    // *crosses a multiple of 10; total 30 -> 3 blocks
+    val df = Seq((0L, 4L), (1L, 8L), (2L, 2L), (3L, 10L), (4L, 6L))
+      .toDF("doc_id", "len")
+    val got = Sampling.packingFragmentation(df, col("len"),
+      blockSize = 10, bucketSize = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((5L, 2L, 3L, 30L)), got.toString)
+    // a doc ENDING exactly on a boundary does not split; one starting
+    // on a boundary with len == blockSize doesn't either
+    val df2 = Seq((0L, 10L), (1L, 10L), (2L, 5L)).toDF("doc_id", "len")
+    val got2 = Sampling.packingFragmentation(df2, col("len"),
+      blockSize = 10, bucketSize = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got2 == ((3L, 0L, 3L, 25L)), got2.toString)
+  }
+
   test("paddingWasteCensus: arrival pays for length mixing, bucketed " +
       "pays only within a length class; partial batches count n, " +
       "not batchSize") {
