@@ -46,19 +46,21 @@ object Chunking {
     * pack_id = exclusive-running-token-sum div target. A document
     * larger than the budget gets its own pack(s) worth of span; chunk
     * first (see [[chunk]]) if hard caps matter.
+    *
+    * The running sum goes through the two-level
+    * [[graft.ops.Sampling.prefixSums]] decomposition scoped per
+    * source — a bare `Window.partitionBy(source)` funnels corpus/20
+    * rows through one task when sources are few and huge, which is
+    * exactly the 100 TB shape.
     */
   def packSequences(docs: DataFrame, targetTokens: Int = 2048): DataFrame = {
     require(targetTokens > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .withColumn("n_tokens",
-        size(split(TextDedup.normText(col("text")), " ")).cast("long"))
-      .withColumn("cum_excl",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val toks = docs.withColumn("n_tokens",
+      size(split(TextDedup.normText(col("text")), " ")).cast("long"))
+    graft.ops.Sampling.prefixSums(
+      toks.select(col("doc_id"), col("source"), col("n_tokens")),
+      col("doc_id"), col("n_tokens"), part = Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        (col("cum_excl") / targetTokens).cast("long").as("pack_id"))
+        (col("prefix") / targetTokens).cast("long").as("pack_id"))
   }
 }

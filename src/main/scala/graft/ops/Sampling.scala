@@ -556,27 +556,36 @@ object Sampling {
     * strictly smaller `orderCol`.
     *
     * `orderCol` must be unique per row (doc_id); value nulls are not
-    * allowed (sum semantics would silently skip them).
+    * allowed (sum semantics would silently skip them). `part` scopes
+    * the running sum PER GROUP (e.g. per source): every level of the
+    * decomposition partitions by the group columns too, so a 20-source
+    * corpus never funnels corpus/20 rows through one task — the
+    * failure mode of a bare `Window.partitionBy(source)` when groups
+    * are few and huge.
     */
   def prefixSums(
       df: DataFrame,
       orderCol: Column,
       valueCol: Column,
-      bucketSize: Int = 4096): DataFrame = {
+      bucketSize: Int = 4096,
+      part: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val partCols = part.map(col)
     val b = df.withColumn("__pb",
       floor(orderCol / bucketSize).cast("long"))
       .withColumn("__pv", valueCol.cast("long"))
-    val offsets = b.groupBy(col("__pb"))
+    val offsets = b.groupBy(partCols :+ col("__pb"): _*)
       .agg(sum(col("__pv")).as("__bt"))
       .withColumn("__boff", coalesce(
-        sum(col("__bt")).over(Window.orderBy(col("__pb"))
+        sum(col("__bt")).over(Window.partitionBy(partCols: _*)
+          .orderBy(col("__pb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pb"), col("__boff"))
-    val w = Window.partitionBy(col("__pb")).orderBy(orderCol)
+      .select(partCols :+ col("__pb") :+ col("__boff"): _*)
+    val w = Window.partitionBy(partCols :+ col("__pb"): _*)
+      .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.join(broadcast(offsets), Seq("__pb"))
+    b.join(broadcast(offsets), part :+ "__pb")
       .withColumn("prefix",
         col("__boff") + coalesce(sum(col("__pv")).over(w), lit(0L)))
       .drop("__pb", "__pv", "__boff")

@@ -260,6 +260,20 @@ class CurationOpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](
       Sampling.prefixSums(df, col("doc_id"), col("len"), 0))
+    // partitioned variant: running sums reset per group, decomposition
+    // still bucket-invariant
+    val g = Seq(("a", 0L, 5L), ("a", 3L, 2L), ("a", 9L, 1L),
+      ("b", 1L, 7L), ("b", 8L, 4L)).toDF("src", "doc_id", "len")
+    val expectG = Map(("a", 0L) -> 0L, ("a", 3L) -> 5L,
+      ("a", 9L) -> 7L, ("b", 1L) -> 0L, ("b", 8L) -> 7L)
+    for (bs <- Seq(1, 4, 1000)) {
+      val got = Sampling.prefixSums(g, col("doc_id"), col("len"), bs,
+        part = Seq("src"))
+        .select("src", "doc_id", "prefix")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == expectG, s"part bucketSize=$bs: $got")
+    }
   }
 
   test("packingFragmentation: boundary-crossing docs counted exactly") {
