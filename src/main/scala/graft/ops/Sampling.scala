@@ -477,12 +477,15 @@ object Sampling {
     * md5 folded to `nShards` (uniform by hash); `pos` is the rank of
     * the full hash within the shard.
     *
-    * Scale shape: ONE hash partitioning by `shard` and a per-shard
-    * sort — `nShards` independent sorts, each bounded by corpus/N
-    * (choose N so a shard fits an executor's spill budget), NEVER a
-    * global single-partition window. This is exactly the layout a
-    * `partitionBy(shard) sortWithinPartitions(hash)` parquet write
-    * produces; the query form exposes it for verification.
+    * Scale shape: position ranks come from the two-level prefix
+    * decomposition (hash-prefix buckets: map-side counts, cumulative
+    * offsets on the tiny per-shard bucket frames, windows only over
+    * corpus/65536-bounded (shard, bucket) groups) — NEVER one window
+    * per shard, whose corpus/nShards-row single-task sort grows
+    * linearly with the corpus at the capped shard count. The emitted
+    * (shard, pos) order is exactly the layout a `partitionBy(shard)
+    * sortWithinPartitions(hash)` parquet write produces; the query
+    * form exposes it for verification.
     *
     * `nShards` must be a power of two ≤ 256: the fold is a modulo on
     * the first two hex digits (256 values), and only a power of two
@@ -494,18 +497,50 @@ object Sampling {
       nShards: Int = 16): DataFrame = {
     require(nShards >= 1 && 256 % nShards == 0,
       s"nShards must divide 256, got $nShards")
-    val h = md5(key)
-    // first two hex chars -> 0..255 via ascii arithmetic (replayable
-    // in any engine; no hex-parse builtin needed): value(c) = c - 48
-    // for '0'-'9', c - 87 for 'a'-'f'
-    def nib(c: Column): Column =
-      when(ascii(c) < 58, ascii(c) - 48).otherwise(ascii(c) - 87)
-    val shard =
-      pmod(nib(substring(h, 1, 1)) * 16 + nib(substring(h, 2, 1)),
-        lit(nShards)).cast("int")
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    df.select(col("doc_id"), h.as("h"), shard.as("shard"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    // The md5 subtree must appear a BOUNDED number of times per row:
+    // CollapseProject happily duplicates deterministic expressions,
+    // so per-nibble ascii CASE arithmetic referencing a prior h
+    // column still inlines the full md5(normalize(text)) into every
+    // branch (~17 evaluations/row — measured 10× on the sf1 sweep).
+    // conv() parses the 4-hex-char prefix in ONE expression: 3 md5
+    // evaluations per row total (h, and one per derived key), fewer
+    // than the old ascii form's 5. The VALUES are identical to the
+    // ascii arithmetic the oracle replays.
+    val hb = conv(substring(md5(key), 1, 4), 16, 10).cast("int")
+    // pos via the two-level decomposition, not one window per shard
+    // (a per-shard window is corpus/nShards rows through ONE task's
+    // sort — nShards is capped at 256, so that arm grows linearly
+    // with the corpus). The sub-key is the numeric value of the first
+    // FOUR hex chars: a fixed-length prefix value is monotone in the
+    // string, so ordering by (bucket, h) == ordering by h, and the
+    // per-(shard, bucket) groups are corpus/65536-bounded. Bucket
+    // counts aggregate map-side; the cumulative offsets window runs
+    // on the ≤4096-row per-shard bucket frames and broadcasts back.
+    // shard = high byte of the prefix folded mod nShards (the same
+    // first-two-hex-chars value as before, via shiftright).
+    // Two passes over the source are inherent to two-phase ranking
+    // (the offsets branch is a count aggregate, and column pruning
+    // narrows its scan below any shared exchange, so ReuseExchange
+    // cannot unify the branches — the count side's rescan at least
+    // reads one pruned column). The A/B vs the old one-window form is
+    // in SCALE.md: ~2.3× dearer at sf1, in exchange for a plan whose
+    // widest single-task sort is corpus/65536, not corpus/nShards.
+    val shuffled = df.select(col("doc_id"), md5(key).as("h"),
+      pmod(shiftright(hb, 8), lit(nShards)).cast("int").as("shard"),
+      hb.as("__hb"))
+      .repartition(col("shard"), col("__hb"))
+    val offsets = shuffled.groupBy(col("shard"), col("__hb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col("shard"))
+          .orderBy(col("__hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__hb"), col("__off"))
+    val wLoc = Window.partitionBy(col("shard"), col("__hb"))
+      .orderBy(col("h"), col("doc_id"))
+    shuffled.join(broadcast(offsets), Seq("shard", "__hb"))
+      .withColumn("pos",
+        (col("__off") + row_number().over(wLoc)).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 

@@ -593,6 +593,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(sizes == List((1L, 3L, 1L)))
   }
 
+  test("shardLayout: two-level pos equals the plain md5-sort reference") {
+    // the decomposition (hash-prefix buckets + offsets) must agree
+    // with a direct per-shard sort rank for every nShards
+    val texts = (0 until 400).map(i => i.toLong -> s"fuzz body $i")
+    val df = texts.toDF("doc_id", "text")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for (n <- Seq(1, 4, 256)) {
+      val expect = texts
+        .map { case (id, t) => (id, md5hex(t)) }
+        .groupBy { case (_, h) =>
+          (Integer.parseInt(h.substring(0, 2), 16) % n) }
+        .flatMap { case (s, rows) =>
+          rows.sortBy { case (id, h) => (h, id) }.zipWithIndex
+            .map { case ((id, _), i) => id -> ((s, i + 1L)) } }
+      val got = Sampling.shardLayout(df, col("text"), n)
+        .as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect, s"nShards=$n")
+    }
+  }
+
   test("shardLayout: exhaustive, near-uniform, deterministic, dense ranks") {
     val df = (0 until 2048).map(i => (i.toLong, s"document body $i"))
       .toDF("doc_id", "text")
