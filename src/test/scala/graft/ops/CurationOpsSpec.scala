@@ -294,6 +294,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(got2 == ((3L, 0L, 3L, 25L)), got2.toString)
   }
 
+  test("padding/packing censuses match plain Scala models on fuzzed " +
+      "lengths") {
+    def lcg(seed: Long): Iterator[Long] = Iterator.iterate(seed)(s =>
+      s * 6364136223846793005L + 1442695040888963407L)
+    val lens = lcg(42).drop(1).take(300)
+      .map(v => ((v >>> 33) % 40) + 1).toSeq
+    val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "len")
+    // packingFragmentation vs running-sum model
+    val (bs, bkt) = (32, 16)
+    val prefixes = lens.scanLeft(0L)(_ + _).init
+    val nSplit = prefixes.zip(lens)
+      .count { case (p, l) => p % bs + l > bs }.toLong
+    val total = lens.sum
+    val gotP = Sampling.packingFragmentation(df, col("len"), bs, bkt)
+      .as[(Long, Long, Long, Long)].head()
+    assert(gotP == ((300L, nSplit,
+      math.ceil(total.toDouble / bs).toLong, total)), gotP.toString)
+    // paddingWasteCensus vs batch-max model (both strategies)
+    val (b, w) = (8, 16)
+    def billed(ordered: Seq[Long]): Long =
+      ordered.grouped(b).map(g => g.length * g.max).sum
+    val arrival = billed(lens)
+    val bucketed = lens.zipWithIndex
+      .groupBy { case (l, _) => l / w }.toSeq
+      .map { case (_, g) =>
+        billed(g.sortBy { case (l, i) => (l, i) }.map(_._1)) }
+      .sum
+    val gotW = Sampling.paddingWasteCensus(df, col("len"), b, w)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(gotW == Map("arrival" -> arrival, "bucketed" -> bucketed),
+      s"$gotW vs arrival=$arrival bucketed=$bucketed")
+  }
+
   test("paddingWasteCensus: arrival pays for length mixing, bucketed " +
       "pays only within a length class; partial batches count n, " +
       "not batchSize") {
