@@ -11,6 +11,35 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+
+
+def fetch_exact(cursor) -> pd.DataFrame:
+    """Fetch via Arrow, rendering DECIMAL columns as exact digit
+    strings instead of letting pandas collapse them to lossy float64
+    (the r15 blind spot: >int64 DECIMAL(38,0) values looked equal in
+    float64 but hashed differently at the driver). Also flags any wide
+    decimal surviving to a final schema — those are banned (cast to
+    string or rescale into BIGINT at the query edge)."""
+    tbl = cursor.arrow()
+    if isinstance(tbl, pa.RecordBatchReader):
+        tbl = tbl.read_all()
+    cols = []
+    for i, field in enumerate(tbl.schema):
+        col = tbl.column(i)
+        if pa.types.is_decimal(field.type):
+            if field.type.precision > 18:
+                # exact digit-string compare for the dangerous class
+                print(f"  [WIDE DECIMAL] column '{field.name}' is "
+                      f"{field.type} in a FINAL schema — driver hash "
+                      "hazard; cast to string on both engines")
+                col = col.cast(pa.string())
+            else:
+                # narrow decimals stay float64 (scale formatting may
+                # differ engine-to-engine; values are exact in float64)
+                col = col.cast(pa.float64())
+        cols.append(col)
+    return pa.table(dict(zip(tbl.schema.names, cols))).to_pandas()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -34,14 +63,14 @@ def main(out_dir: str, sf_dir: str) -> int:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+        spark_df = fetch_exact(con.execute(
+            f"SELECT * FROM '{qdir}/*.parquet'"))
         if name not in oracle:
             results[name] = f"rows_only rows={len(spark_df)}" + (
                 " EMPTY!" if len(spark_df) == 0 else "")
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            duck_df = fetch_exact(con.execute(oracle[name]))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {str(e)[:160]}"
             continue

@@ -3295,6 +3295,10 @@ object SparkEntry {
     // DECIMAL(38,0) (price·(10⁴−disc) scaled units — a double sum
     // would never replay). The fact-fact join shuffles; the dims ride
     // broadcasts (nation/region pinned, customer via AQE).
+    // revenue_num leaves the query as a canonical digit STRING: its
+    // exact value exceeds int64/exact-float64 range, and wide decimals
+    // in a final schema hash differently across engines (r15 gate
+    // fail) — the digit string is representation-free.
     "star_revenue" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").select(col("l_orderkey"),
         round(col("l_extendedprice") * 10000).cast("decimal(38,0)")
@@ -3314,7 +3318,7 @@ object SparkEntry {
         .groupBy(col("r_name"), col("o_year"))
         .agg(sum((col("__p") * (lit(10000) - col("__d")))
             .cast("decimal(38,0)")).cast("decimal(38,0)")
-            .as("revenue_num"),
+            .cast("string").as("revenue_num"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "o_year")
     }),
@@ -3358,10 +3362,15 @@ object SparkEntry {
     // Per-group OLS trend: slope of extended price on quantity per
     // return flag, carried as exact DECIMAL(38,0) numerator and
     // denominator plus their single IEEE division; zero-variance
-    // groups flag degenerate instead of emitting NULL.
+    // groups flag degenerate instead of emitting NULL. The exact
+    // num/den leave as canonical digit STRINGS (beyond int64 range —
+    // wide decimals in a final schema are hash-unstable across
+    // engines, the r15 gate lesson).
     "ols_trend" -> ((s, dir) =>
       Profiling.olsTrend(T(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")
+        .withColumn("slope_num", col("slope_num").cast("string"))
+        .withColumn("slope_den", col("slope_den").cast("string"))
         .orderBy("l_returnflag")),
 
     // Market-basket pair rules: exact support, directional
@@ -3468,10 +3477,13 @@ object SparkEntry {
     // Exact pairwise covariance (scaled fixed-point, DECIMAL(38,0)
     // throughout): the feature-correlation screen before training a
     // quality classifier — one map-side-combined pass computes every
-    // Σx/Σxy; a double sum would never replay across engines.
+    // Σx/Σxy; a double sum would never replay across engines. cov_num
+    // (up to ~e27) leaves as a canonical digit STRING — wide decimals
+    // in a final schema are hash-unstable across engines (r15 gate).
     "cov_matrix" -> ((s, dir) =>
       Profiling.covMatrix(T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .withColumn("cov_num", col("cov_num").cast("string"))
         .orderBy("x_col", "y_col")),
 
     // 2-D Pareto frontier (skyline) of parts under (min price, max
@@ -5923,14 +5935,15 @@ object SparkEntry {
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the same fixed-point revenue in HUGEINT; year cast to INT on
-      // both sides
+      // both sides; revenue_num as a canonical digit string (beyond
+      // int64 — wide decimals hash engine-dependently, r15)
       "star_revenue" ->
         ("""WITH li AS (SELECT l_orderkey,
            |  CAST(round(l_extendedprice * 10000.0) AS HUGEINT) AS p,
            |  CAST(round(l_discount * 10000.0) AS HUGEINT) AS d
            |  FROM lineitem)
            |SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           |  CAST(sum(p * (10000 - d)) AS DECIMAL(38,0))
+           |  CAST(sum(p * (10000 - d)) AS VARCHAR)
            |    AS revenue_num,
            |  CAST(count(*) AS BIGINT) AS n_items
            |FROM li JOIN orders ON l_orderkey = o_orderkey
@@ -6013,7 +6026,9 @@ object SparkEntry {
           .stripMargin.replaceAll("\\s+", " ").trim
       },
 
-      // the same fixed-point sums in HUGEINT; slope one division
+      // the same fixed-point sums in HUGEINT; slope one division;
+      // num/den as canonical digit strings (beyond int64 — wide
+      // decimals hash engine-dependently, r15)
       "ols_trend" ->
         ("""WITH s AS (SELECT l_returnflag,
            |  CAST(round(l_quantity * 10000.0) AS HUGEINT) AS x,
@@ -6023,8 +6038,8 @@ object SparkEntry {
            |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
            |  sum(x * y) AS sxy FROM s GROUP BY 1)
            |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-           |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+           |  CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+           |  CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
            |  (n * sxx - sx * sx) = 0 AS degenerate,
            |  CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
            |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
@@ -6256,7 +6271,9 @@ object SparkEntry {
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // fixed-point sums replayed in HUGEINT (DuckDB's 128-bit exact
-      // lane; Spark's is DECIMAL(38,0)), final cast to DECIMAL(38,0)
+      // lane; Spark's is DECIMAL(38,0)); cov_num leaves as a canonical
+      // digit string (up to ~e27 — wide decimals hash
+      // engine-dependently, r15)
       "cov_matrix" -> {
         val cs = Seq("l_quantity", "l_extendedprice", "l_discount",
           "l_tax")
@@ -6269,7 +6286,7 @@ object SparkEntry {
                          (y, j) <- cs.zipWithIndex if i <= j } yield
           s"SELECT '$x' AS x_col, '$y' AS y_col, " +
             "CAST(n AS BIGINT) AS n, " +
-            s"CAST(n * sxy_${x}__$y - s_$x * s_$y AS DECIMAL(38,0)) " +
+            s"CAST(n * sxy_${x}__$y - s_$x * s_$y AS VARCHAR) " +
             "AS cov_num FROM a"
         s"WITH s AS (SELECT $fx FROM lineitem), " +
           s"a AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
