@@ -74,6 +74,16 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
+        } finally {
+          // Queries are independent: any cache()/localCheckpoint blocks
+          // a rep leaves behind (iterative ops pin their FINAL frame;
+          // a failed rep may leak mid-loop state) are dead weight that
+          // crowds storage memory for every later query — the r15
+          // driver artifact measured 6-8× inflation on the late-
+          // alphabet graph queries from exactly this accumulation.
+          // Swept outside the timed section, non-blocking.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       (name, times.sorted)

@@ -27,6 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // queries are independent — drop any blocks this one pinned
+        // (iterative ops keep their final checkpoint; failures can
+        // leak mid-loop state) so the 188-query session stays flat
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

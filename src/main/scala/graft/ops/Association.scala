@@ -51,8 +51,16 @@ object Association {
       .crossJoin(broadcast(nOrders))
       .select(col("item_a"), col("item_b"), col("pair_cnt"),
         col("cnt_a"), col("cnt_b"), col("n_orders"),
-        ((col("pair_cnt") * col("n_orders")).cast("double") /
-          (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"),
+        // the lift products ride DECIMAL(38,0) internally (emitted as
+        // one double): at ~10¹³ orders `pair_cnt·n_orders` passes both
+        // 2^53 exact-double and 2^63 BIGINT range, while the exact
+        // decimal still converts to the one correctly-rounded IEEE
+        // double on any engine (DuckDB replays in HUGEINT) — the
+        // collocationsTopK PMI reasoning on the transaction universe
+        ((col("pair_cnt").cast("decimal(38,0)") * col("n_orders"))
+          .cast("double") /
+          (col("cnt_a").cast("decimal(38,0)") * col("cnt_b"))
+            .cast("double")).as("lift"),
         (col("pair_cnt").cast("double") / col("cnt_a").cast("double"))
           .as("conf_a_to_b"),
         (col("pair_cnt").cast("double") / col("cnt_b").cast("double"))

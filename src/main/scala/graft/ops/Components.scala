@@ -168,8 +168,17 @@ object Components {
       converged = prevSum.exists(_.compareTo(lblSum) == 0)
       prevSum = Some(lblSum)
       lastSums = (lblSum :: lastSums).take(2)
+      // `jumped` is fully materialized (the sum action computed every
+      // partition of the lazy checkpoint), so the round that now falls
+      // out of the (labels, prevLabels) retention window — kept two
+      // deep only for the exhaustion diagnostics below — can release
+      // its pinned blocks; without this the loop leaks one dead block
+      // set per round for the session's lifetime (r15: 6-8× bench
+      // inflation by query ~130).
+      val evicted = prevLabels
       prevLabels = labels
       labels = jumped
+      CheckpointUtil.free(evicted)
       iter += 1
     }
     // Exhaustion diagnostics (VERDICT r9): pointer jumping covers
@@ -184,6 +193,7 @@ object Components {
         else
           labels.join(prevLabels.withColumnRenamed("lbl", "prev"), "node")
             .filter(col("lbl") =!= col("prev")).count()
+      CheckpointUtil.free(prevLabels, labels, symSelf, symCk)
       throw new IllegalStateException(
         s"components did not converge in $maxIter round(s): $changed " +
           "edge-incident node(s) still changed label in the final round; " +
@@ -192,6 +202,12 @@ object Components {
           "suggests a pathological graph or a non-deterministic edge " +
           "source; raise maxIter only after ruling those out.")
     }
+    // The returned labeling is a self-contained checkpoint — consumers
+    // compute from ITS blocks, never from the loop scaffolding — so the
+    // edge checkpoints and the diagnostics-only previous round release
+    // here. Only the final frame stays pinned (callers done with it can
+    // CheckpointUtil.free the result).
+    CheckpointUtil.free(prevLabels, symSelf, symCk)
     labels.withColumnRenamed("lbl", "component")
   }
 

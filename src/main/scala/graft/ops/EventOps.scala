@@ -145,7 +145,18 @@ object EventOps {
     * A prior session can only merge with NEW events (later than its
     * end), never re-split: its internal gaps were already resolved
     * when it was built. That is what makes the one-pseudo-event
-    * compression lossless for the gap rule.
+    * compression lossless for the gap rule — and exactly why LATE
+    * data breaks it: a new event at or before a user's last prior
+    * `session_end` would have belonged INSIDE (or before) an
+    * already-compressed session, whose internal gap structure is
+    * gone, so the incremental result would silently diverge from the
+    * batch recompute. The monotonicity precondition is therefore
+    * ENFORCED, not assumed (ADVICE r15): every new event is checked
+    * against its user's max prior `session_end` via one join against
+    * the (state-table-sized, AQE-broadcastable) per-user aggregate,
+    * and a violation fails the job loudly with the offending user in
+    * the message. Callers with genuinely late feeds must re-run the
+    * batch [[sessionSummaries]] over the affected span instead.
     */
   def sessionsIncremental(
       priorSessions: DataFrame,
@@ -156,7 +167,22 @@ object EventOps {
       lit(Long.MinValue).as("event_id"), // sorts before same-ts events
       col("session_start").as("start0"),
       col("n_events").as("n0"))
-    val fresh = newEvents.select(col("user_id"), col("ts"),
+    val priorEnd = priorSessions.groupBy(col("user_id"))
+      .agg(max(col("session_end")).as("__prior_end"))
+    // assert_true evaluates per row; filtering on its (always-null)
+    // result forces the check into the executed plan
+    val guarded = newEvents.join(priorEnd, Seq("user_id"), "left")
+      .withColumn("__guard", assert_true(
+        col("__prior_end").isNull || col("ts") > col("__prior_end"),
+        concat(lit("sessionsIncremental: late event for user "),
+          col("user_id"),
+          lit(" at ts <= prior session_end "), col("__prior_end"),
+          lit(" crosses the snapshot boundary; the pseudo-event " +
+            "compression cannot replay it — batch-recompute the " +
+            "affected span"))))
+      .filter(col("__guard").isNull)
+      .drop("__prior_end", "__guard")
+    val fresh = guarded.select(col("user_id"), col("ts"),
       col("event_id"), col("ts").as("start0"), lit(1L).as("n0"))
     sessionize(pseudo.unionByName(fresh), gapNs)
       .groupBy(col("user_id"), col("session_idx"))

@@ -42,10 +42,17 @@ object KCore {
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
-      e = e
+      val next = e
         .join(keep.withColumnRenamed("node", "a"), "a")
         .join(keep.withColumnRenamed("node", "b"), "b")
         .localCheckpoint()
+      // the eager checkpoint above has materialized `next` from the
+      // previous round's blocks — release them now instead of leaking
+      // one dead block set per peel for the session's lifetime; only
+      // the final edge frame (what the returned degrees compute from)
+      // stays pinned
+      CheckpointUtil.free(e)
+      e = next
     }
     degrees(e)
   }

@@ -121,8 +121,14 @@ object KMeans {
     // ints — checkpointing it per round is the iterative-algorithm
     // contract (same reasoning as Components' single edge checkpoint),
     // and turns `iters` rounds into exactly `iters` corpus scans.
-    val fitted = (1 to iters).foldLeft(init)((c, _) =>
-      refine(assign(q, c), dims).localCheckpoint())
+    // superseded rounds release their pinned blocks as soon as the
+    // next round's (eager) checkpoint materializes — round 1's seed
+    // derives from the caller's frame, so only rounds >= 2 free one
+    val fitted = (1 to iters).foldLeft(init) { (c, round) =>
+      val next = refine(assign(q, c), dims).localCheckpoint()
+      if (round > 1) CheckpointUtil.free(c)
+      next
+    }
     assign(q, fitted)
       .select(col("vec_id"), col("embedding"), col("label"))
   }

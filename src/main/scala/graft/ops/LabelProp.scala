@@ -39,20 +39,28 @@ object LabelProp {
       .localCheckpoint()
     var labels = adj.select(col("n")).distinct()
       .withColumn("lbl", col("n"))
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val counts = adj
         .join(labels.select(col("n").as("m"), col("lbl")), "m")
         .groupBy(col("n"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc): labels are node ids >= 0,
       // so max over (c, -lbl) picks the largest count, smallest label
-      labels = counts
+      val next = counts
         .groupBy(col("n"))
         .agg(max(struct(col("c").as("c"), (-col("lbl")).as("neg")))
           .as("s"))
         .select(col("n"), (-col("s.neg")).as("lbl"))
         .localCheckpoint()
+      // `next` is materialized (eager checkpoint): the superseded
+      // round's blocks release now (round 1's seed labeling derives
+      // from `adj`, not a checkpoint of its own — nothing to free yet)
+      if (round > 1) CheckpointUtil.free(labels)
+      labels = next
     }
+    // the final labeling is a self-contained checkpoint (rounds >= 1
+    // is required above), so the adjacency scaffold releases here
+    CheckpointUtil.free(adj)
     labels.select(col("n").as("node"), col("lbl").as("label"))
   }
 }

@@ -60,18 +60,26 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
     val base = (100L - dampingPct) * scale
     var r = nodes.withColumn("r", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = e
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      r = nodes.join(inflow, Seq("node"), "left")
+      val next = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           expr(s"cast(($base + $dampingPct * coalesce(m, 0L)) div 100 " +
             "AS bigint)").as("r"))
         .localCheckpoint()
+      // `next` is materialized (eager checkpoint): the superseded
+      // round's blocks release now — round 1's seed derives from `e`,
+      // not a checkpoint of its own, so there is nothing to free yet
+      if (i > 1) CheckpointUtil.free(r)
+      r = next
     }
+    // the final rank frame is a self-contained checkpoint (or, for
+    // iters = 0, still derives from `e` — keep `e` pinned only then)
+    if (iters >= 1) CheckpointUtil.free(e)
     r
   }
 }

@@ -111,19 +111,56 @@ object Profiling {
     * columns, frontier rows only.
     *
     * Strict-dominance algebra without a self-join: group to the max y
-    * per distinct x, running-max that tiny frame in x-order — an x is
-    * on the frontier iff its best y beats every better-x best — and
-    * semi-join the winners back. The grouped frame has |distinct x|
-    * rows, so the window is trivial; the input is scanned twice but
-    * never self-joined (a NOT EXISTS formulation is O(n²) on ties).
+    * per distinct x — an x is on the frontier iff its best y beats
+    * every better-x best (a NOT EXISTS formulation is O(n²) on ties).
+    * The running max over x-order is decomposed two-level (the
+    * `Sampling.prefixSums` pattern) instead of one global ordered
+    * window: with a near-unique x (a continuous price) the grouped
+    * frame is corpus-sized and a bare `Window.orderBy(x)` funnels all
+    * of it through ONE task's sort. Here x buckets by VALUE RANGE off
+    * a broadcast (min, max) scalar — deterministic, order-preserving,
+    * and free of the range-sampling nondeterminism that could bucket
+    * the two consumers of the frame differently — each bucket pays a
+    * bucket-local window, and only the nBuckets-row bucket-maxima
+    * frame runs an ordered window on one task before broadcasting
+    * back. A value-skewed x degrades toward fewer effective buckets
+    * (worst case = the old single-task shape), never toward
+    * incorrectness.
     */
   def paretoFrontier(
-      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+      df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val best = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__best_y"))
-    val prev = Window.orderBy(col(xCol))
+    val stats = best.agg(
+      min(col(xCol)).cast("double").as("__xmin"),
+      max(col(xCol)).cast("double").as("__xmax"))
+    val bucketed = best.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        when(col("__xmax") === col("__xmin"), lit(0L))
+          .otherwise(least(
+            floor((col(xCol).cast("double") - col("__xmin")) * nBuckets /
+              (col("__xmax") - col("__xmin"))),
+            lit(nBuckets - 1L)).cast("long")))
+      .drop("__xmin", "__xmax")
+    // bucket-local exclusive running max; buckets are value-contiguous
+    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = best
-      .withColumn("__prev_best", max(col("__best_y")).over(prev))
+    val withPrev = bucketed
+      .withColumn("__prev_in", max(col("__best_y")).over(inBucket))
+    // exclusive running max ACROSS buckets: an ordered window over the
+    // nBuckets-row maxima frame only (one tiny task), broadcast back
+    val acrossBuckets = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrev = bucketed.groupBy(col("__bkt"))
+      .agg(max(col("__best_y")).as("__bmax"))
+      .withColumn("__prev_bkt", max(col("__bmax")).over(acrossBuckets))
+      .select(col("__bkt"), col("__prev_bkt"))
+    // greatest() ignores nulls (first bucket / first row in bucket), so
+    // the combined exclusive running max is null only at the global min
+    val frontier = withPrev.join(broadcast(bucketPrev), "__bkt")
+      .withColumn("__prev_best",
+        greatest(col("__prev_in"), col("__prev_bkt")))
       .filter(col("__prev_best").isNull ||
         col("__best_y") > col("__prev_best"))
       .select(col(xCol), col("__best_y").as(yCol))

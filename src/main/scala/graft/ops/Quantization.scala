@@ -224,8 +224,11 @@ object Quantization {
       iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val qv = codesDf.select(col("vec_id"), col("qv"))
+    // superseded per-round codebooks free their pinned blocks once the
+    // next round's eager checkpoint materializes (round 1's seed
+    // derives from the caller's frame — nothing of ours to free yet)
     (1 to iters).foldLeft(seededCodebookCodes(qv, kCode, m, subDim)) {
-      (cb, _) =>
+      (cb, round) =>
         val assigned = pqEncodeCodes(qv, cb, kCode, m, subDim)
           .select(col("vec_id"), col("codes"))
         val subSums = (0 until subDim).map(d =>
@@ -245,12 +248,15 @@ object Quantization {
         // densify: the previous codebook IS the full (s, j) grid (dense
         // by induction from the seeded one), so a left join + coalesce
         // carries empty cells' previous centroids forward
-        cb.select(col("s"), col("j"), col("cvec").as("prev_cvec"))
+        val next = cb
+          .select(col("s"), col("j"), col("cvec").as("prev_cvec"))
           .join(updated, Seq("s", "j"), "left")
           .select(col("s"), col("j"),
             coalesce(col("new_cvec"), col("prev_cvec")).as("cvec"))
           .withColumn("nb", intDot(col("cvec"), col("cvec")))
           .localCheckpoint()
+        if (round > 1) CheckpointUtil.free(cb)
+        next
     }
   }
 

@@ -597,30 +597,66 @@ object Sampling {
     * corpus never funnels corpus/20 rows through one task — the
     * failure mode of a bare `Window.partitionBy(source)` when groups
     * are few and huge.
+    *
+    * `levels` sizes the decomposition to the corpus (ADVICE r15 — the
+    * recursion is implemented, not a doc promise):
+    *  - `2` (default): one bucket level; the n/bucketSize-row bucket
+    *    frame pays the ordered window on one task and rides a
+    *    broadcast join back — right up to ~10⁹ ids at the default
+    *    bucketSize (≲10⁶ bucket rows, comfortably inside broadcast
+    *    and single-task-window range).
+    *  - `>= 3`: the bucket frame's own running sum recurses through
+    *    [[prefixSums]] (bucket the buckets), each level dividing rows
+    *    by bucketSize, and the join back is LEFT TO AQE instead of a
+    *    forced broadcast — a 4096²-fold reduction at levels = 3 covers
+    *    ~10¹³-id corpora without any level broadcasting or
+    *    single-task-sorting more than bucketSize² rows.
     */
   def prefixSums(
       df: DataFrame,
       orderCol: Column,
       valueCol: Column,
       bucketSize: Int = 4096,
-      part: Seq[String] = Nil): DataFrame = {
+      part: Seq[String] = Nil,
+      levels: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    require(levels >= 1, s"levels must be >= 1, got $levels")
     val partCols = part.map(col)
+    if (levels == 1) {
+      // terminal level: a plain per-group exclusive running sum — only
+      // ever reached on a frame already divided by bucketSize^(levels-1)
+      val w = Window.partitionBy(partCols: _*).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.withColumn("prefix",
+        coalesce(sum(valueCol.cast("long")).over(w), lit(0L)))
+    }
     val b = df.withColumn("__pb",
       floor(orderCol / bucketSize).cast("long"))
       .withColumn("__pv", valueCol.cast("long"))
-    val offsets = b.groupBy(partCols :+ col("__pb"): _*)
+    val totals = b.groupBy(partCols :+ col("__pb"): _*)
       .agg(sum(col("__pv")).as("__bt"))
-      .withColumn("__boff", coalesce(
-        sum(col("__bt")).over(Window.partitionBy(partCols: _*)
-          .orderBy(col("__pb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(partCols :+ col("__pb") :+ col("__boff"): _*)
+    val offsets =
+      if (levels == 2)
+        totals.withColumn("__boff", coalesce(
+          sum(col("__bt")).over(Window.partitionBy(partCols: _*)
+            .orderBy(col("__pb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(partCols :+ col("__pb") :+ col("__boff"): _*)
+      else
+        // recurse on the bucket frame (renamed so the inner level's
+        // own __pb cannot collide with this level's key)
+        prefixSums(totals.withColumnRenamed("__pb", "__opb"),
+          col("__opb"), col("__bt"), bucketSize, part, levels - 1)
+          .select(partCols :+ col("__opb").as("__pb") :+
+            col("prefix").as("__boff"): _*)
     val w = Window.partitionBy(partCols :+ col("__pb"): _*)
       .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.join(broadcast(offsets), part :+ "__pb")
+    val joined =
+      if (levels == 2) b.join(broadcast(offsets), part :+ "__pb")
+      else b.join(offsets, part :+ "__pb") // AQE picks at runtime size
+    joined
       .withColumn("prefix",
         col("__boff") + coalesce(sum(col("__pv")).over(w), lit(0L)))
       .drop("__pb", "__pv", "__boff")

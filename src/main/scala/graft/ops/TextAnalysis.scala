@@ -690,8 +690,12 @@ object TextAnalysis {
     * bit-identical double, so score AND membership of the top-k
     * replay exactly (ties broken by the pair text). `minCount` is the
     * standard low-frequency guard: a hapax pair has degenerate PMI.
-    * Integer products stay inside 2^53 up to ~10^9-token corpora;
-    * beyond that, cast the products to DECIMAL first.
+    * The integer products are carried in DECIMAL(38,0) (internal only
+    * — the emitted ratio is one double): at the 100 TB design point
+    * (~10¹³ tokens) `pair_cnt·N` reaches ~10²⁶, far past both 2^53
+    * exact-double and 2^63 BIGINT range, while the exact decimal
+    * product still converts to the ONE correctly-rounded IEEE double
+    * on any engine (DuckDB replays it in HUGEINT).
     *
     * Scale shape: one tokenize scan, two map-side-combinable
     * aggregates (pair counts, unigram counts), sketch-sized joins
@@ -726,8 +730,10 @@ object TextAnalysis {
       .join(uni.select(col("t").as("r"), col("c").as("c_r")), "r")
       .crossJoin(broadcast(nTok))
       .select(col("l"), col("r"), col("pair_cnt"),
-        ((col("pair_cnt") * col("n_tok")).cast("double") /
-          (col("c_l") * col("c_r")).cast("double")).as("pmi_ratio"))
+        ((col("pair_cnt").cast("decimal(38,0)") * col("n_tok"))
+          .cast("double") /
+          (col("c_l").cast("decimal(38,0)") * col("c_r"))
+            .cast("double")).as("pmi_ratio"))
       .orderBy(col("pmi_ratio").desc, col("l").asc, col("r").asc)
       .limit(k)
   }

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * from pure per-row string algebra (no UDF, fully codegen):
   *
   *  - fragment dropped, scheme and host lowercased,
-  *  - default ports `:443`/`:80` dropped,
+  *  - DEFAULT ports dropped scheme-dependently — `:443` only under
+  *    https, `:80` only under http (an `https://host:80` is a
+  *    non-default origin and must NOT collapse into `https://host`;
+  *    unconditional stripping over-merges distinct origins in the
+  *    dedup key — ADVICE r15),
   *  - trailing path slashes trimmed (bare root stays `/`),
   *  - tracking params (`utm_*`, `ref`) dropped, the rest SORTED —
   *    param order never distinguishes two URLs.
@@ -25,7 +29,11 @@ object UrlOps {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
     val hostPort = regexp_extract(rest, "^([^/?]+)", 1)
-    val host = lower(regexp_replace(hostPort, ":(443|80)$", ""))
+    // strip only the port that is DEFAULT for the url's own scheme
+    val defaultPort = when(scheme === "https", lit(":443$"))
+      .when(scheme === "http", lit(":80$"))
+      .otherwise(lit("$^")) // matches nothing: unknown scheme keeps port
+    val host = lower(regexp_replace(hostPort, defaultPort, lit("")))
     // everything after the authority — regex strip, no offset math
     val pathQ = regexp_replace(rest, "^[^/?]+", "")
     val path0 = regexp_replace(

@@ -63,6 +63,11 @@ object StreamAnomaly {
     import spark.implicits._
 
     events
+      // a null event_ts can never finalize into any bucket, and
+      // .getTime on it would NPE inside the stateful operator — drop
+      // before keying (the batch operator's null buckets are likewise
+      // meaningless; a monitored feed should not emit them)
+      .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", s"$maxLatenessMinutes minutes")
       .select(col("event_type"), col("event_ts"))
       .as[(String, Timestamp)]
@@ -76,7 +81,12 @@ object StreamAnomaly {
           // pure timeout tick, so this unifies both paths)
           val open = collection.mutable.Map.empty[Long, Long] ++ st.open
           evs.foreach { case (_, ts) =>
-            val b = Math.floorDiv(ts.getTime, bucketMs)
+            // truncate-toward-zero, NOT floorDiv: the batch operator
+            // buckets with SQL `div` (and its DuckDB oracle with `//`),
+            // both of which truncate — a floorDiv here would bucket
+            // pre-epoch timestamps one off and break the documented
+            // bit-parity with Anomaly.ewmaSpikes (ADVICE r15)
+            val b = ts.getTime / bucketMs
             open(b) = open.getOrElse(b, 0L) + 1L
           }
           val wm = state.getCurrentWatermarkMs()

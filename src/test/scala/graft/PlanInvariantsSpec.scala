@@ -58,7 +58,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "maxsim_rerank_recall", // same + lead-token × broadcast(4 queries)
     "retrieval_eval",  // BM25 scalars 1-row broadcast (bm25_topk shape)
     "split_leakage_audit", // × broadcast(two 1-row leak aggregates)
-    "vocab_growth")    // × broadcast(1-row id-range frame)
+    "vocab_growth",    // × broadcast(1-row id-range frame)
+    "pareto_frontier") // × broadcast(1-row x-range scalar for bucketing)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

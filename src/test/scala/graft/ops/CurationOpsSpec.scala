@@ -260,19 +260,32 @@ class CurationOpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](
       Sampling.prefixSums(df, col("doc_id"), col("len"), 0))
+    // the recursive levels (ADVICE r15: implemented, not a doc
+    // promise): every depth replays the same exclusive prefix sums —
+    // levels 3 with a tiny bucketSize forces genuine recursion (ids to
+    // 35 → two bucket levels at bs=4), levels 1 is the terminal plain
+    // window
+    for (lv <- Seq(1, 2, 3, 4); bs <- Seq(2, 4)) {
+      val got = Sampling.prefixSums(df, col("doc_id"), col("len"), bs,
+        levels = lv)
+        .select("doc_id", "prefix").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"levels=$lv bucketSize=$bs: $got")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.prefixSums(df, col("doc_id"), col("len"), 4, levels = 0))
     // partitioned variant: running sums reset per group, decomposition
     // still bucket-invariant
     val g = Seq(("a", 0L, 5L), ("a", 3L, 2L), ("a", 9L, 1L),
       ("b", 1L, 7L), ("b", 8L, 4L)).toDF("src", "doc_id", "len")
     val expectG = Map(("a", 0L) -> 0L, ("a", 3L) -> 5L,
       ("a", 9L) -> 7L, ("b", 1L) -> 0L, ("b", 8L) -> 7L)
-    for (bs <- Seq(1, 4, 1000)) {
+    for (bs <- Seq(1, 4, 1000); lv <- Seq(2, 3)) {
       val got = Sampling.prefixSums(g, col("doc_id"), col("len"), bs,
-        part = Seq("src"))
+        part = Seq("src"), levels = lv)
         .select("src", "doc_id", "prefix")
         .as[(String, Long, Long)].collect()
         .map(r => (r._1, r._2) -> r._3).toMap
-      assert(got == expectG, s"part bucketSize=$bs: $got")
+      assert(got == expectG, s"part bucketSize=$bs levels=$lv: $got")
     }
   }
 

@@ -64,4 +64,29 @@ class IncrementalSessionSpec extends SparkSpec {
     val (incAllNew, b2) = run(all, cutoff = 0L)
     assert(incAllNew == b2)
   }
+
+  test("late data crossing the snapshot boundary fails LOUDLY " +
+      "(ADVICE r15), never silently diverges from batch") {
+    // prior covers u1 up to ts=50; a 'new' event at ts=40 violates the
+    // monotonicity precondition the pseudo-event compression needs
+    val prior = EventOps.sessionSummaries(ev((1L, 10L), (1L, 50L)), Gap)
+    val late = ev((1L, 40L))
+    val e = intercept[Exception] {
+      EventOps.sessionsIncremental(prior, late, Gap)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("crosses the snapshot")),
+      s"unexpected failure: $e")
+    // the boundary itself is late too (ts == prior end was compressed)
+    val atBoundary = intercept[Exception] {
+      EventOps.sessionsIncremental(prior, ev((1L, 50L)), Gap).collect()
+    }
+    assert(messages(atBoundary).exists(_.contains("crosses the snapshot")))
+    // a different user is unaffected by u1's prior end
+    val ok = EventOps.sessionsIncremental(prior, ev((2L, 40L)), Gap)
+    assert(ok.count() == 2)
+  }
 }

@@ -50,6 +50,52 @@ class ProfilingSpec extends SparkSpec {
     assert(got == Set(10L, 13L, 14L), got.toString)
   }
 
+  test("paretoFrontier: dominance propagates ACROSS value-range buckets") {
+    // nBuckets = 3 over x in [1, 9] → buckets ~[1,3.67) [3.67,6.33)
+    // [6.33,9]. y strictly decreasing ⇒ only the global-min x
+    // survives; every later bucket's rows must die to __prev_bkt (their
+    // in-bucket prev is null or smaller). y strictly increasing ⇒ all
+    // survive (both prev maxima always smaller).
+    val dec = (1 to 9).map(i => (i.toLong, i.toDouble, 100 - i))
+      .toDF("id", "x", "y")
+    val gotDec = Profiling.paretoFrontier(dec, "x", "y", nBuckets = 3)
+      .select("id").as[Long].collect().toSet
+    assert(gotDec == Set(1L), gotDec.toString)
+    val inc = (1 to 9).map(i => (i.toLong, i.toDouble, i))
+      .toDF("id", "x", "y")
+    val gotInc = Profiling.paretoFrontier(inc, "x", "y", nBuckets = 3)
+      .select("id").as[Long].collect().toSet
+    assert(gotInc == (1L to 9L).toSet, gotInc.toString)
+    // equal-x ties at a bucket edge: max-y wins within x, both dupes kept
+    val ties = Seq((1L, 1.0, 5), (2L, 9.0, 9), (3L, 9.0, 9))
+      .toDF("id", "x", "y")
+    val gotTies = Profiling.paretoFrontier(ties, "x", "y", nBuckets = 3)
+      .select("id").as[Long].collect().toSet
+    assert(gotTies == Set(1L, 2L, 3L), gotTies.toString)
+  }
+
+  test("paretoFrontier plan: the only global ordered window runs on the " +
+      "bucket-maxima frame, never the corpus-sized distinct-x frame") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, i % 7))
+      .toDF("id", "x", "y")
+    val plan = Profiling.paretoFrontier(df, "x", "y")
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1,
+      s"expected exactly one unpartitioned window, got ${global.size}")
+    // its input subtree must aggregate by __bkt first — only the
+    // nBuckets-row maxima frame may pay a single-task sort
+    val bucketAggBelow = global.head.collect {
+      case a: HashAggregateExec
+          if a.groupingExpressions.exists(_.name == "__bkt") => a
+    }
+    assert(bucketAggBelow.nonEmpty,
+      "global window must consume the per-bucket maxima aggregate")
+  }
+
   test("waterfill: small groups capped, remainder dealt one token each") {
     // caps [2, 10, 10, 30] asc, total 52, budget 26
     // i=1: 2·4 = 8 <= 26 → capped. left 24 over 3 → fair 8 each

@@ -31,6 +31,18 @@ class UrlOpsSpec extends SparkSpec {
       Seq("http://h.com/x", "http://h.com:8080/x"))
   }
 
+  test("default-port stripping is SCHEME-dependent (ADVICE r15): " +
+      "https://h:80 and http://h:443 are distinct origins and keep " +
+      "their ports") {
+    assert(canon(
+      "https://h.com:80/x", "http://h.com:443/x",
+      "https://h.com:443/x", "http://h.com:80/x") ==
+      Seq("https://h.com:80/x", "http://h.com:443/x",
+        "https://h.com/x", "http://h.com/x"))
+    // unknown scheme: no port is default — keep whatever is there
+    assert(canon("ftp://h.com:80/x") == Seq("ftp://h.com:80/x"))
+  }
+
   test("all-tracking query strings vanish entirely") {
     assert(canon("https://h.com/p?utm_source=a&utm_medium=b&ref=x") ==
       Seq("https://h.com/p"))

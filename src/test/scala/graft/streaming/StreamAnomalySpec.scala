@@ -83,6 +83,50 @@ class StreamAnomalySpec extends SparkSpec {
   private def minuteBucket(m: Int): Long =
     Timestamp.valueOf(f"2024-01-01 10:$m%02d:00").getTime / 60000L
 
+  test("bucketing conventions align (truncate-toward-zero, ADVICE " +
+      "r15): pre-epoch events are watermark-dropped in streaming, " +
+      "batch buckets them with `div`, and null event_ts rows drop " +
+      "instead of NPEing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = StreamAnomaly.ewmaSpikes(
+      input.toDF(), bucketMs = 60000L, maxLatenessMinutes = 1)
+    val q = out.writeStream
+      .format("memory").queryName("spikes_preepoch_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-anom3-").toString)
+      .start()
+    try {
+      // -1,770,000 ms (23:30:30 before epoch). The stream's INITIAL
+      // watermark is 0, so a pre-epoch event is late data by
+      // definition and never reaches the stateful operator — it must
+      // neither crash nor emit a bucket. The null-ts row must filter
+      // out BEFORE keying (it would NPE in .getTime otherwise).
+      val preEpoch = new Timestamp(-1770000L)
+      input.addData(Ev("A", preEpoch), Ev("A", null),
+        Ev("A", new Timestamp(3600L * 1000L)))
+      q.processAllAvailable()
+      input.addData(Ev("A", new Timestamp(2 * 3600L * 1000L)))
+      q.processAllAvailable()
+      val rows = spark.table("spikes_preepoch_out").as[SpikeOut]
+        .collect()
+      assert(rows.map(_.bucket).toSeq == Seq(60L), rows.toSeq)
+      assert(rows.head.cnt == 1L) // neither dropped row contributed
+      // The batch operator CAN see pre-epoch events; its `div`
+      // truncates toward zero → bucket -29 (floorDiv would say -30,
+      // the divergence the aligned convention removes: the stream-side
+      // arithmetic is now ts.getTime / bucketMs, identical semantics)
+      assert(preEpoch.getTime / 60000L == -29L)
+      val batchBuckets = Anomaly.ewmaSpikes(
+          Seq(("A", preEpoch.getTime * 1000L),
+            ("A", 3600L * 1000000L)).toDF("event_type", "ts"),
+          bucketUs = 60000000L)
+        .select(col("bucket")).as[Long].collect().toSet
+      assert(batchBuckets.contains(-29L), batchBuckets.toString)
+    } finally q.stop()
+  }
+
   test("an empty bucket never enters the history (observation-indexed)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
