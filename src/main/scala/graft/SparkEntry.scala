@@ -200,6 +200,43 @@ object SparkEntry {
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+  /** The unrolled 3-round BPE-mining CTE chain (`w0` vocabulary,
+    * per-round pair counts `p1..p3` and winners `t1..t3`) shared by
+    * the bpe_encode / bpe_pack oracles — the same replay the
+    * bpe_merges oracle unrolls inline. Returns the comma-joined CTE
+    * definitions WITHOUT the leading `WITH`.
+    */
+  private def bpeMinedTopsCte: String = {
+    def pairs(src: String, out: String) =
+      s"$out AS (SELECT s.l AS l, s.r AS r, " +
+        "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
+        "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
+        "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
+        s"FROM $src) GROUP BY 1, 2)"
+    def top(src: String, out: String) =
+      s"$out AS (SELECT * FROM $src " +
+        "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
+    s"w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
+      s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
+      "FROM documents WHERE text IS NOT NULL) " +
+      "WHERE length(w) > 1 GROUP BY w), " +
+      s"${pairs("w0", "p1")}, ${top("p1", "t1")}, " +
+      "w1 AS (SELECT replace(w0.w, t1.l || t1.r, chr(1)) AS w, " +
+      "cnt FROM w0, t1), " +
+      s"${pairs("w1", "p2")}, ${top("p2", "t2")}, " +
+      "w2 AS (SELECT replace(w1.w, t2.l || t2.r, chr(2)) AS w, " +
+      "cnt FROM w1, t2), " +
+      s"${pairs("w2", "p3")}, ${top("p3", "t3")}"
+  }
+
+  /** The 3-round merge application every bpe_encode/bpe_pack oracle
+    * row replays per word (raw round symbols, rank order — round r's
+    * symbols are the post-round-(r-1) alphabet, like the trainer).
+    */
+  private val BpeApplySql =
+    "replace(replace(replace(w, t1.l || t1.r, chr(1)), " +
+      "t2.l || t2.r, chr(2)), t3.l || t3.r, chr(3))"
+
   /** Distinct 3-gram set over a `toks` token-list column — the DuckDB
     * replay of [[TextDedup.shingles]] (n = 3), including the
     * whole-text fallback for sub-3-token docs (the range degenerates
@@ -2263,6 +2300,17 @@ object SparkEntry {
         T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
         "doc_id", resizeTo = Some((5, 3)))),
 
+    // REAL audio-codec roundtrip (JDK javax.sound.sampled): planted
+    // square-wave WAVs whose length/period/amplitude derive from
+    // doc_id are encoded, decoded and sample-summed by actual WAV/PCM
+    // codec code; the oracle predicts every recovered statistic —
+    // including a position-weighted sample checksum — from doc_id
+    // alone. Green here means the SECOND modality is not a stub.
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.audioRoundtrip(
+        T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
+        "doc_id")),
+
     // Deterministic stratified sampling: content-keyed md5-bucket
     // predicate with per-language keep rates (rebalance the language
     // mix) — pure scan→filter, no shuffle at any scale. Thresholds are
@@ -3463,6 +3511,25 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       BpeMiner.topMerges(T(s, dir, "documents"), rounds = 3)),
 
+    // Tokenizer ENCODE under the mined merges: per-document token ids
+    // (code points; merged symbols ride their merge-rank placeholder
+    // codepoints) as a hash-friendly dump — the operator that feeds
+    // real tokenizer output to packing instead of whitespace counts.
+    // Mining is vocabulary-sized; the encode is a pure per-row
+    // expression chain (three 1-row broadcast merge joins, 0 shuffles).
+    "bpe_encode" -> ((s, dir) =>
+      BpeMiner.encode(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Sequence packing on ENCODED lengths: the bpe_encode token counts
+    // through the same two-level prefix-sum pack assignment as
+    // sequence_packing — "pack on what the tokenizer will actually
+    // emit", deterministic at any parallelism.
+    "bpe_pack" -> ((s, dir) =>
+      Chunking.packByLength(
+        BpeMiner.encodedLengths(T(s, dir, "documents")),
+        targetTokens = 512)
+        .orderBy("doc_id")),
+
     // First-order Markov transition matrix over per-user event
     // sequences: exact (from, to) counts off ONE sessionize-shaped
     // window shuffle, with P(to|from) as a single IEEE division of
@@ -4610,6 +4677,22 @@ object SparkEntry {
           "CAST(3 AS INTEGER) AS height, " +
           "doc_id * 7 % 256 AS mean_r, doc_id * 13 % 256 AS mean_g, " +
           "doc_id * 29 % 256 AS mean_b FROM documents WHERE doc_id < 200"),
+
+      // every statistic of the planted square wave predicted from the
+      // id: |s| == amp everywhere, and the weighted checksum replays
+      // the per-sample sign pattern via range() — the oracle decodes
+      // nothing
+      "mm_audio_features" ->
+        ("SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, " +
+          "CAST(1 AS INTEGER) AS channels, " +
+          "CAST(200 + doc_id % 50 AS BIGINT) AS n_samples, " +
+          "CAST(doc_id * 31 % 32768 AS BIGINT) AS peak_abs, " +
+          "CAST(doc_id * 31 % 32768 AS BIGINT) AS mean_abs, " +
+          "CAST((doc_id * 31 % 32768) * list_sum(list_transform(" +
+          "range(0, CAST(200 + doc_id % 50 AS BIGINT)), " +
+          "i -> CASE WHEN (i // (doc_id % 7 + 1)) % 2 = 0 " +
+          "THEN i % 17 + 1 ELSE -(i % 17 + 1) END)) AS BIGINT) AS wsum " +
+          "FROM documents WHERE doc_id < 200"),
 
       "time_window_agg" ->
         ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) " +
@@ -5824,8 +5907,8 @@ object SparkEntry {
            |pc AS (SELECT s.l AS l, s.r AS r, count(*) AS pair_cnt
            |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
            |SELECT pc.l, pc.r, CAST(pc.pair_cnt AS BIGINT) AS pair_cnt,
-           |  CAST(pc.pair_cnt * n.n_tok AS DOUBLE) /
-           |    CAST(ul.c * ur.c AS DOUBLE) AS pmi_ratio
+           |  CAST(CAST(pc.pair_cnt AS HUGEINT) * n.n_tok AS DOUBLE) /
+           |    CAST(CAST(ul.c AS HUGEINT) * ur.c AS DOUBLE) AS pmi_ratio
            |FROM pc JOIN uni ul ON ul.t = pc.l
            |JOIN uni ur ON ur.t = pc.r CROSS JOIN ntok n
            |ORDER BY pmi_ratio DESC, pc.l, pc.r LIMIT 50"""
@@ -5847,7 +5930,9 @@ object SparkEntry {
            |    '^[A-Za-z]+://', '') AS rest FROM u),
            |p AS (SELECT scheme,
            |  lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
-           |    ':(443|80)$', '')) AS host,
+           |    CASE WHEN scheme = 'https' THEN ':443$'
+           |      WHEN scheme = 'http' THEN ':80$' ELSE '$^' END, ''))
+           |    AS host,
            |  regexp_replace(rest, '^[^/?]+', '') AS pathq FROM st),
            |p2 AS (SELECT scheme, host,
            |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
@@ -6063,8 +6148,8 @@ object SparkEntry {
            |  GROUP BY 1, 2 HAVING count(*) >= 3)
            |SELECT p.item_a, p.item_b, p.pair_cnt, a.c AS cnt_a,
            |  b.c AS cnt_b, no.n_orders,
-           |  CAST(p.pair_cnt * no.n_orders AS DOUBLE) /
-           |    CAST(a.c * b.c AS DOUBLE) AS lift,
+           |  CAST(CAST(p.pair_cnt AS HUGEINT) * no.n_orders AS DOUBLE) /
+           |    CAST(CAST(a.c AS HUGEINT) * b.c AS DOUBLE) AS lift,
            |  CAST(p.pair_cnt AS DOUBLE) / CAST(a.c AS DOUBLE)
            |    AS conf_a_to_b,
            |  CAST(p.pair_cnt AS DOUBLE) / CAST(b.c AS DOUBLE)
@@ -6249,6 +6334,44 @@ object SparkEntry {
           "t1.l || t1.r), t3.pair_cnt FROM t3, t2, t1" +
           ") ORDER BY merge_rank"
       },
+
+      // the mined-merge CTE chain + per-word replace replay, ids as
+      // code points; the full sequence compared through its md5
+      "bpe_encode" ->
+        (s"WITH $bpeMinedTopsCte, " +
+          s"d AS (SELECT doc_id, source, " +
+          s"list_filter(string_split($NormTextSql, ' '), " +
+          "w -> length(w) > 0) AS wd " +
+          "FROM documents WHERE text IS NOT NULL), " +
+          "mw AS (SELECT doc_id, source, list_transform(wd, " +
+          s"w -> $BpeApplySql) AS mw FROM d, t1, t2, t3), " +
+          "tk AS (SELECT doc_id, source, " +
+          "flatten(list_transform(mw, w -> " +
+          "list_transform(range(1, length(w) + 1), " +
+          "i -> ascii(w[i:i])))) AS ids FROM mw) " +
+          "SELECT doc_id, source, CAST(len(ids) AS BIGINT) AS n_tokens, " +
+          "md5(array_to_string(ids, ',')) AS ids_hash, " +
+          "array_to_string(ids[1:8], ',') AS head_ids " +
+          "FROM tk ORDER BY doc_id"),
+
+      // encoded token counts through the exclusive-prefix-sum pack
+      // assignment (trunc division, both operands non-negative)
+      "bpe_pack" ->
+        (s"WITH $bpeMinedTopsCte, " +
+          s"d AS (SELECT doc_id, source, " +
+          s"list_filter(string_split($NormTextSql, ' '), " +
+          "w -> length(w) > 0) AS wd " +
+          "FROM documents WHERE text IS NOT NULL), " +
+          "n AS (SELECT doc_id, source, " +
+          "CAST(COALESCE(list_sum(list_transform(wd, " +
+          s"w -> length($BpeApplySql))), 0) AS BIGINT) AS n_tokens " +
+          "FROM d, t1, t2, t3), " +
+          "p AS (SELECT doc_id, source, n_tokens, " +
+          "COALESCE(sum(n_tokens) OVER (PARTITION BY source " +
+          "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "1 PRECEDING), 0) AS pre FROM n) " +
+          "SELECT doc_id, source, n_tokens, " +
+          "CAST(pre // 512 AS BIGINT) AS pack_id FROM p ORDER BY doc_id"),
 
       // lead-window transition replay; P(to|from) is one IEEE
       // division of two exact BIGINTs

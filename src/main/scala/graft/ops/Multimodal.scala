@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * exercised: schema (binary + struct), partition-parallel batch decode
   * (`mapPartitions`-free — a vectorizable UDF over the payload), byte
   * level ops as pure built-ins, and frame-sampling as `sequence` +
-  * `explode`. For IMAGES the codec path is REAL — JDK `javax.imageio`
-  * (PNG/BMP/JPEG/GIF, headless-safe): see [[ImageDecoderSession]],
-  * [[imageFeatures]] and the oracle-verified [[imageRoundtrip]]. For
-  * codecs the JVM lacks (video/audio: ffmpeg, JNI bindings),
-  * [[fakeDecodeFeatures]] keeps the boundary with a deterministic
-  * byte-histogram "embedding" of the exact signature a real decoder
-  * UDF would have (`Array[Byte] => Array[Float]`); swap the body, keep
-  * the plan.
+  * `explode`. Two of the three modalities decode with REAL JDK codecs:
+  * IMAGES via `javax.imageio` (PNG/BMP/JPEG/GIF, headless-safe — see
+  * [[ImageDecoderSession]], [[imageFeatures]], the oracle-verified
+  * [[imageRoundtrip]]) and AUDIO via `javax.sound.sampled` (WAV/PCM —
+  * see [[AudioDecoderSession]] and the oracle-verified
+  * [[audioRoundtrip]], where every recovered sample statistic is
+  * predicted arithmetically by the SQL oracle). Only VIDEO (ffmpeg,
+  * JNI bindings — codecs the JVM lacks) remains behind
+  * [[fakeDecodeFeatures]], a deterministic byte-histogram "embedding"
+  * with the exact signature a real decoder UDF would have
+  * (`Array[Byte] => Array[Float]`); swap the body, keep the plan.
   *
   * At 100 TB: payloads dominate I/O, so every operator here projects
   * the binary column once, derives small fixed-width outputs, and never
@@ -298,5 +301,152 @@ object Multimodal {
         col("d._1").as("width"), col("d._2").as("height"),
         col("d._3").as("mean_r"), col("d._4").as("mean_g"),
         col("d._5").as("mean_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec path (JDK javax.sound.sampled — WAV/PCM 16-bit).
+  // The JVM ships the WAV container + PCM codec, so the second
+  // modality needs no native dep either; compressed formats (mp3/ogg)
+  // would plug in behind the same session boundary.
+  // ------------------------------------------------------------------
+
+  /** Real audio decoder handle, one per executor JVM. */
+  final class AudioDecoderSession {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+
+    /** Deterministic square-wave WAV: PCM_SIGNED 16-bit little-endian
+      * mono at 8 kHz, `n` samples alternating ±`amp` every `period`
+      * samples — the planted payload whose every decoded statistic an
+      * external oracle predicts arithmetically.
+      */
+    def encodeSquareWav(n: Int, period: Int, amp: Int): Array[Byte] = {
+      require(n >= 0 && period >= 1 && amp >= 0 && amp <= 32767,
+        s"bad tone spec n=$n period=$period amp=$amp")
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = if ((i / period) % 2 == 0) amp else -amp
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** 16-bit PCM samples + format, or None if the bytes are not a
+      * JDK-decodable 16-bit signed-PCM stream.
+      */
+    def decodeSamples(
+        bytes: Array[Byte]): Option[(AudioFormat, Array[Int])] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            val samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (fmt.isBigEndian)
+                  (data(2 * i + 1) & 0xFF, data(2 * i).toInt)
+                else (data(2 * i) & 0xFF, data(2 * i + 1).toInt)
+              samples(i) = (hi << 8) | lo
+              i += 1
+            }
+            Some((fmt, samples))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Exact-integer sample statistics — `(sample_rate, channels,
+      * n_samples, peak_abs, mean_abs, wsum)` with `mean_abs` the
+      * integer floor of Σ|s|/n and `wsum` = Σ sᵢ·(i mod 17 + 1), a
+      * position-weighted checksum that any single-sample corruption
+      * breaks (so a green oracle row proves SAMPLE-accurate decode,
+      * not just header parsing). None for undecodable payloads.
+      */
+    def describe(
+        bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+      decodeSamples(bytes).map { case (fmt, ss) =>
+        var peak = 0L
+        var sumAbs = 0L
+        var wsum = 0L
+        var i = 0
+        while (i < ss.length) {
+          val v = ss(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumAbs += a
+          wsum += v * (i % 17 + 1)
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, fmt.getChannels, ss.length.toLong,
+          peak, if (ss.isEmpty) 0L else sumAbs / ss.length, wsum)
+      }
+  }
+
+  @transient private lazy val sharedAudioSession = new AudioDecoderSession
+
+  /** Real 16-dim audio feature: mean |sample| per 16th of the stream
+    * (integer floor — deterministic across JVMs) when the payload
+    * decodes as 16-bit PCM; byte-histogram fallback otherwise, so
+    * mixed corpora never fail mid-scan (the [[imageFeatures]]
+    * convention on the audio axis).
+    */
+  val audioFeatures = udf { bytes: Array[Byte] =>
+    sharedAudioSession.decodeSamples(bytes) match {
+      case None => sharedSession.decode(bytes)
+      case Some((_, ss)) =>
+        val sums = new Array[Long](16)
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < ss.length) {
+          val cell = math.min(i * 16 / math.max(ss.length, 1), 15)
+          sums(cell) += math.abs(ss(i).toLong); counts(cell) += 1
+          i += 1
+        }
+        Array.tabulate(16)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+    }
+  }
+
+  /** Planted-audio roundtrip: encode a square-wave WAV whose length,
+    * period and amplitude derive arithmetically from the id, push it
+    * through the REAL decode (`javax.sound.sampled`), and emit the
+    * recovered exact-integer statistics. The SQL oracle predicts every
+    * column from the id alone — a green row proves the actual WAV/PCM
+    * codec path round-trips sample-exactly, with the oracle never
+    * decoding anything (the [[imageRoundtrip]] contract, second
+    * modality).
+    */
+  def audioRoundtrip(ids: DataFrame, idCol: String): DataFrame = {
+    val mk = udf { id: Long =>
+      sharedAudioSession.encodeSquareWav(
+        (200 + id % 50).toInt, (id % 7 + 1).toInt,
+        (id * 31 % 32768).toInt)
+    }
+    val desc = udf { bytes: Array[Byte] =>
+      sharedAudioSession.describe(bytes).orNull
+    }
+    ids.select(col(idCol), mk(col(idCol)).as("payload"))
+      .select(col(idCol), desc(col("payload")).as("d"))
+      .select(col(idCol),
+        col("d._1").as("sample_rate"), col("d._2").as("channels"),
+        col("d._3").as("n_samples"), col("d._4").as("peak_abs"),
+        col("d._5").as("mean_abs"), col("d._6").as("wsum"))
   }
 }

@@ -39,6 +39,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "collocations_topk", // × broadcast(1-row token total)
     "bpe_merges",      // × broadcast(1-row per-round top merge)
     "bpe_compression", // same chain, one more 1-row apply + 1-row ratio
+    "bpe_encode",      // same 1-row merge broadcasts feeding the encode
+    "bpe_pack",        // same chain driving the encoded-length packing
     "basket_pairs",    // × broadcast(1-row order total)
     "mutual_top_match", // brute baseline: left × broadcast(right)
     "cosine_neardup_pairs",

@@ -59,4 +59,46 @@ class BpeMinerSpec extends SparkSpec {
     assert(merges(Seq("AB  ab"), rounds = 1) ==
       Seq((1L, "a", "b", 2L)))
   }
+
+  test("encode applies the mined merges and emits code-point ids " +
+      "(merged symbols ride their merge-rank placeholders)") {
+    // merges (hand-computed above): r1 (a,b)→chr(1), r2 (ab,ab)→chr(2),
+    // r3 (ab,c)→chr(3).
+    // doc 0 "abab abab": both words → chr(2)   → ids [2, 2]
+    // doc 1 "abc":       → chr(1)c → chr(3)    → ids [3]
+    val df = Seq((0L, "web", "abab abab"), (1L, "web", "abc"))
+      .toDF("doc_id", "source", "text")
+    val got = BpeMiner.encode(df, rounds = 3).orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect().toSeq
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (0L, "web", 2L, md5s("2,2"), "2,2"),
+      (1L, "web", 1L, md5s("3"), "3")), got.toString)
+    // unmerged characters encode as themselves: "xyz" has no mined
+    // pair applied twice ("xy" merges first round on its own corpus)
+    val plain = Seq((0L, "web", "qv"))
+      .toDF("doc_id", "source", "text")
+    val p = BpeMiner.encode(plain, rounds = 1)
+      .as[(Long, String, Long, String, String)].collect().head
+    assert(p._3 == 1L && p._5 == "1", p.toString) // q+v merged rank 1
+  }
+
+  test("encodedLengths matches encode's n_tokens and feeds packByLength") {
+    val df = Seq((0L, "web", "abab abab"), (1L, "web", "abc"),
+      (2L, "news", "abab abc abab"))
+      .toDF("doc_id", "source", "text")
+    val viaEncode = BpeMiner.encode(df, rounds = 3)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val viaLengths = BpeMiner.encodedLengths(df, rounds = 3)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(viaEncode == viaLengths, s"$viaEncode vs $viaLengths")
+    // pack on the encoded lengths: per-source exclusive prefix // target
+    val packed = Chunking.packByLength(
+      BpeMiner.encodedLengths(df, rounds = 3), targetTokens = 2)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // web: doc0 len 2 prefix 0 → pack 0; doc1 prefix 2 → pack 1
+    // news: doc2 prefix 0 → pack 0
+    assert(packed == Map(0L -> 0L, 1L -> 1L, 2L -> 0L), packed.toString)
+  }
 }

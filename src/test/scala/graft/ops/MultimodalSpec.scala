@@ -128,4 +128,57 @@ class MultimodalSpec extends SparkSpec {
         (id * 7 % 256, id * 13 % 256, id * 29 % 256), s"color of $id")
     }
   }
+
+  test("AudioDecoderSession: WAV encode/decode roundtrip is " +
+      "sample-exact (the REAL second modality)") {
+    val s = new Multimodal.AudioDecoderSession
+    // 10 samples, period 3, amp 1000: +,+,+,-,-,-,+,+,+,-
+    val wav = s.encodeSquareWav(n = 10, period = 3, amp = 1000)
+    // a real WAV container came back (RIFF....WAVE)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (fmt, ss) = s.decodeSamples(wav).get
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1)
+    assert(ss.toSeq == Seq(1000, 1000, 1000, -1000, -1000, -1000,
+      1000, 1000, 1000, -1000))
+    val (sr, ch, n, peak, meanAbs, wsum) = s.describe(wav).get
+    assert((sr, ch, n, peak, meanAbs) == ((8000, 1, 10L, 1000L, 1000L)))
+    // wsum = 1000·(1+2+3−4−5−6+7+8+9−10) = 5000
+    assert(wsum == 5000L, wsum.toString)
+    // garbage bytes are not silently decoded
+    assert(s.describe("not a wav".getBytes).isEmpty)
+    assert(s.describe(null).isEmpty && s.describe(Array.empty).isEmpty)
+  }
+
+  test("audioFeatures: decoded PCM pools |samples| per 16th; " +
+      "undecodable payloads fall back to the byte histogram") {
+    val s = new Multimodal.AudioDecoderSession
+    // 32 constant-amp samples (period >= n: never flips sign):
+    // every 16th holds 2 samples of |amp| = 700 → all cells 700
+    val wav = s.encodeSquareWav(n = 32, period = 64, amp = 700)
+    val df = Seq((1L, wav), (2L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    val feats = df.select(col("doc_id"),
+        Multimodal.audioFeatures(col("payload")).as("f"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats(1L) == Seq.fill(16)(700f), feats(1L).toString)
+    // the fallback is the shared byte-histogram stub (L1-normalized)
+    assert(math.abs(feats(2L).sum - 1f) < 1e-5, feats(2L).toString)
+  }
+
+  test("audioRoundtrip recovers every planted statistic arithmetically") {
+    val ids = spark.range(0, 40).select(col("id").as("doc_id"))
+    val got = Multimodal.audioRoundtrip(ids, "doc_id")
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (n, period, amp) = (200 + id % 50, id % 7 + 1, id * 31 % 32768)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1, s"format of $id")
+      assert(r.getLong(3) == n, s"n_samples of $id")
+      assert(r.getLong(4) == amp && r.getLong(5) == amp, s"amp of $id")
+      val wsum = amp * (0L until n).map(i =>
+        (if ((i / period) % 2 == 0) 1 else -1) * (i % 17 + 1)).sum
+      assert(r.getLong(6) == wsum, s"wsum of $id")
+    }
+  }
 }
