@@ -208,6 +208,31 @@ class SparkEntrySpec extends SparkSpec {
     } finally rep.unpersist()
   }
 
+  test("no final schema carries a >18-digit decimal (driver-hash hazard)") {
+    // The r15 gate failure class: values beyond int64/exact-float64
+    // range replay bit-identically yet Spark parquet DECIMAL(38,0) and
+    // DuckDB HUGEINT canonicalize differently under the driver's
+    // hasher. Exact wide arithmetic stays INTERNAL; a final schema
+    // must emit digit strings or BIGINT-range values. Schemas come
+    // from analysis only — nothing executes.
+    import org.apache.spark.sql.types._
+    def wide(dt: DataType, path: String): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case s: StructType =>
+        s.fields.flatMap(f => wide(f.dataType, s"$path.${f.name}")).toSeq
+      case a: ArrayType => wide(a.elementType, s"$path[]")
+      case m: MapType =>
+        wide(m.keyType, s"$path.key") ++ wide(m.valueType, s"$path.value")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, "/root/testdata/sf0.001").schema.fields
+          .flatMap(f => wide(f.dataType, s"$name.${f.name}"))
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
