@@ -2311,6 +2311,26 @@ object SparkEntry {
         T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
         "doc_id")),
 
+    // REAL video-codec roundtrip (JDK ImageIO, animated GIF — the
+    // JVM's one multi-frame container): planted GIFs whose geometry,
+    // frame count and per-frame colors derive from doc_id are encoded,
+    // frame-iterated and pixel-summed by actual codec code; the oracle
+    // predicts every recovered statistic — including a frame-ORDER-
+    // weighted checksum that dropped/reordered frames break — from
+    // doc_id alone. Green here means the THIRD modality is not a stub.
+    "mm_video_roundtrip" -> ((s, dir) =>
+      Multimodal.videoRoundtrip(
+        T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
+        "doc_id")),
+
+    // REAL frame sampling: keep every 2nd DECODED frame with its
+    // recovered channel means (mm_sample_frames' metadata expansion
+    // upgraded to actual decoded pixels).
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.videoFrameSample(
+        T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
+        "doc_id", everyN = 2)),
+
     // Deterministic stratified sampling: content-keyed md5-bucket
     // predicate with per-language keep rates (rebalance the language
     // mix) — pure scan→filter, no shuffle at any scale. Thresholds are
@@ -4693,6 +4713,27 @@ object SparkEntry {
           "i -> CASE WHEN (i // (doc_id % 7 + 1)) % 2 = 0 " +
           "THEN i % 17 + 1 ELSE -(i % 17 + 1) END)) AS BIGINT) AS wsum " +
           "FROM documents WHERE doc_id < 200"),
+
+      // the planted solid frames mean the per-frame channel means ARE
+      // the planted colors; the frame-order-weighted checksum replays
+      // the frame sequence via range() — the oracle decodes nothing
+      "mm_video_roundtrip" ->
+        ("SELECT doc_id, CAST(doc_id % 13 + 1 AS INTEGER) AS width, " +
+          "CAST(doc_id % 11 + 1 AS INTEGER) AS height, " +
+          "CAST(doc_id % 6 + 2 AS BIGINT) AS n_frames, " +
+          "CAST(list_sum(list_transform(range(0, doc_id % 6 + 2), " +
+          "f -> ((doc_id * 7 + f * 31) % 256 * 3 + " +
+          "(doc_id * 13 + f * 17) % 256 * 5 + " +
+          "(doc_id * 29 + f * 53) % 256 * 7) * (f + 1))) AS BIGINT) " +
+          "AS wsum FROM documents WHERE doc_id < 200"),
+
+      "mm_video_frames" ->
+        ("SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+          "(doc_id * 7 + f * 31) % 256 AS mean_r, " +
+          "(doc_id * 13 + f * 17) % 256 AS mean_g, " +
+          "(doc_id * 29 + f * 53) % 256 AS mean_b FROM (" +
+          "SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS f " +
+          "FROM documents WHERE doc_id < 200) WHERE f % 2 = 0"),
 
       "time_window_agg" ->
         ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) " +

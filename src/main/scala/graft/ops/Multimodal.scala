@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   * [[imageRoundtrip]]) and AUDIO via `javax.sound.sampled` (WAV/PCM —
   * see [[AudioDecoderSession]] and the oracle-verified
   * [[audioRoundtrip]], where every recovered sample statistic is
-  * predicted arithmetically by the SQL oracle). Only VIDEO (ffmpeg,
-  * JNI bindings — codecs the JVM lacks) remains behind
-  * [[fakeDecodeFeatures]], a deterministic byte-histogram "embedding"
-  * with the exact signature a real decoder UDF would have
-  * (`Array[Byte] => Array[Float]`); swap the body, keep the plan.
+  * predicted arithmetically by the SQL oracle). VIDEO decodes through
+  * the JDK's one multi-frame container — animated GIF via the same
+  * `javax.imageio` registry (see [[VideoDecoderSession]],
+  * [[videoRoundtrip]], [[videoFrameSample]]); modern codecs
+  * (H.264/VP9 — ffmpeg/JNI bindings the JVM lacks) would plug in
+  * behind the identical session boundary. [[fakeDecodeFeatures]], the
+  * deterministic byte-histogram "embedding" with the exact signature a
+  * real decoder UDF has (`Array[Byte] => Array[Float]`), remains as
+  * the undecodable-payload fallback and the mapInPandas-shape demo.
   *
   * At 100 TB: payloads dominate I/O, so every operator here projects
   * the binary column once, derives small fixed-width outputs, and never
@@ -448,5 +452,173 @@ object Multimodal {
         col("d._1").as("sample_rate"), col("d._2").as("channels"),
         col("d._3").as("n_samples"), col("d._4").as("peak_abs"),
         col("d._5").as("mean_abs"), col("d._6").as("wsum"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video codec path (JDK javax.imageio — animated GIF, the one
+  // multi-frame container the JVM ships). Frame iteration, per-frame
+  // pixel math and the temporal checksum below are real codec code;
+  // H.264/VP9 (ffmpeg/JNI deps) would plug in behind the same
+  // session boundary with the same per-frame contract.
+  // ------------------------------------------------------------------
+
+  /** Real video decoder handle, one per executor JVM (the ImageIO
+    * reader-registry scan plus per-stream reader setup is the
+    * construction/seek cost a real pipeline amortizes).
+    */
+  final class VideoDecoderSession {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+
+    /** Deterministic animated GIF: `colors(f)` = (r,g,b) of frame `f`,
+      * every frame solid at `w`x`h`. Each frame carries a one-entry
+      * exact palette (GIF is indexed color — an explicit
+      * IndexColorModel sidesteps writer-side quantization), so planted
+      * colors survive the container bit-exactly and an external oracle
+      * can predict every decoded statistic arithmetically.
+      */
+    def encodeSolidGif(w: Int, h: Int,
+        colors: Array[(Int, Int, Int)]): Array[Byte] = {
+      require(w > 0 && h > 0 && colors.nonEmpty,
+        s"bad gif spec ${w}x$h frames=${colors.length}")
+      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        colors.foreach { case (r, g, b) =>
+          val icm = new IndexColorModel(1, 1,
+            Array(r.toByte), Array(g.toByte), Array(b.toByte))
+          val img = new BufferedImage(
+            w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
+      bos.toByteArray
+    }
+
+    /** All frames decoded to (width, height, meanR, meanG, meanB) —
+      * integer-floor channel means per frame, oracle-safe for planted
+      * solid colors. None if the bytes are not a decodable GIF stream.
+      */
+    def decodeFrames(
+        bytes: Array[Byte]): Option[Vector[(Int, Int, Long, Long, Long)]] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val readers = ImageIO.getImageReadersBySuffix("gif")
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(ImageIO.createImageInputStream(
+              new ByteArrayInputStream(bytes)), false)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else Some(Vector.tabulate(n) { i =>
+              val img = reader.read(i)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (r, g, b) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val px = w.toLong * h
+              (w, h, r / px, g / px, b / px)
+            })
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => None }
+
+    /** Stream-level statistics — `(width, height, n_frames, wsum)`
+      * with `wsum` = Σ over frames of `(meanR·3 + meanG·5 + meanB·7)·
+      * (frameIdx+1)`, a frame-ORDER-weighted checksum that any dropped,
+      * duplicated or reordered frame breaks (so a green oracle row
+      * proves frame-accurate decode, not just header parsing). None
+      * for undecodable payloads.
+      */
+    def describe(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+      decodeFrames(bytes).map { frames =>
+        var wsum = 0L
+        var i = 0
+        while (i < frames.length) {
+          val (_, _, r, g, b) = frames(i)
+          wsum += (r * 3 + g * 5 + b * 7) * (i + 1)
+          i += 1
+        }
+        (frames.head._1, frames.head._2, frames.length.toLong, wsum)
+      }
+  }
+
+  @transient private lazy val sharedVideoSession = new VideoDecoderSession
+
+  /** Planted-video roundtrip: encode an animated GIF whose geometry,
+    * frame count and per-frame colors derive arithmetically from the
+    * id, push it through the REAL decode (`javax.imageio` frame
+    * iteration), and emit the recovered statistics. The SQL oracle
+    * predicts every column — including the frame-order-weighted
+    * checksum — from the id alone (the [[imageRoundtrip]] /
+    * [[audioRoundtrip]] contract, third modality).
+    */
+  def videoRoundtrip(ids: DataFrame, idCol: String): DataFrame = {
+    val mk = udf { id: Long => sharedVideoSession.encodeSolidGif(
+      (id % 13 + 1).toInt, (id % 11 + 1).toInt,
+      Array.tabulate((id % 6 + 2).toInt)(f => (
+        ((id * 7 + f * 31) % 256).toInt,
+        ((id * 13 + f * 17) % 256).toInt,
+        ((id * 29 + f * 53) % 256).toInt)))
+    }
+    val desc = udf { bytes: Array[Byte] =>
+      sharedVideoSession.describe(bytes).orNull
+    }
+    ids.select(col(idCol), mk(col(idCol)).as("payload"))
+      .select(col(idCol), desc(col("payload")).as("d"))
+      .select(col(idCol),
+        col("d._1").as("width"), col("d._2").as("height"),
+        col("d._3").as("n_frames"), col("d._4").as("wsum"))
+  }
+
+  /** REAL frame sampling: decode the planted GIF stream and keep every
+    * `everyN`-th frame with its recovered per-frame channel means —
+    * [[sampleFrames]]' metadata-only expansion upgraded to actual
+    * decoded frames. One row per kept frame; the payload is decoded
+    * once per row and never shuffled (the explode carries only the
+    * 5-int frame summary).
+    */
+  def videoFrameSample(ids: DataFrame, idCol: String,
+      everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val mk = udf { id: Long => sharedVideoSession.encodeSolidGif(
+      (id % 13 + 1).toInt, (id % 11 + 1).toInt,
+      Array.tabulate((id % 6 + 2).toInt)(f => (
+        ((id * 7 + f * 31) % 256).toInt,
+        ((id * 13 + f * 17) % 256).toInt,
+        ((id * 29 + f * 53) % 256).toInt)))
+    }
+    val sample = udf { bytes: Array[Byte] =>
+      sharedVideoSession.decodeFrames(bytes).map { frames =>
+        frames.zipWithIndex.collect {
+          case ((_, _, r, g, b), f) if f % everyN == 0 => (f, r, g, b)
+        }
+      }.orNull
+    }
+    ids.select(col(idCol), mk(col(idCol)).as("payload"))
+      .select(col(idCol),
+        explode(sample(col("payload"))).as("fr"))
+      .select(col(idCol),
+        col("fr._1").cast("long").as("frame_idx"),
+        col("fr._2").as("mean_r"), col("fr._3").as("mean_g"),
+        col("fr._4").as("mean_b"))
   }
 }

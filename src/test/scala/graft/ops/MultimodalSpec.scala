@@ -166,6 +166,66 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(2L).sum - 1f) < 1e-5, feats(2L).toString)
   }
 
+  test("VideoDecoderSession: animated-GIF encode/decode is frame-exact " +
+      "(the REAL third modality)") {
+    val s = new Multimodal.VideoDecoderSession
+    val colors = Array((10, 200, 37), (255, 0, 128), (1, 2, 3))
+    val gif = s.encodeSolidGif(7, 5, colors)
+    // a real GIF container came back
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val frames = s.decodeFrames(gif).get
+    assert(frames.length == 3)
+    frames.zipWithIndex.foreach { case ((w, h, r, g, b), i) =>
+      assert((w, h) == ((7, 5)), s"geometry of frame $i")
+      assert((r.toInt, g.toInt, b.toInt) == colors(i), s"color of frame $i")
+    }
+    val (w, h, n, wsum) = s.describe(gif).get
+    assert((w, h, n) == ((7, 5, 3L)))
+    // wsum = (10·3+200·5+37·7)·1 + (255·3+0·5+128·7)·2 + (1·3+2·5+3·7)·3
+    assert(wsum == (10 * 3 + 200 * 5 + 37 * 7) + 2 * (255 * 3 + 128 * 7) +
+      3 * (1 * 3 + 2 * 5 + 3 * 7), wsum.toString)
+    // garbage bytes are not silently decoded
+    assert(s.decodeFrames("not a gif".getBytes).isEmpty)
+    assert(s.describe(null).isEmpty && s.describe(Array.empty).isEmpty)
+  }
+
+  test("videoRoundtrip recovers planted geometry, frame count and " +
+      "frame-order checksum arithmetically") {
+    val ids = spark.range(0, 40).select(col("id").as("doc_id"))
+    val got = Multimodal.videoRoundtrip(ids, "doc_id")
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 13 + 1).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 11 + 1).toInt, s"height of $id")
+      val nf = id % 6 + 2
+      assert(r.getLong(3) == nf, s"n_frames of $id")
+      val wsum = (0L until nf).map(f =>
+        ((id * 7 + f * 31) % 256 * 3 + (id * 13 + f * 17) % 256 * 5 +
+          (id * 29 + f * 53) % 256 * 7) * (f + 1)).sum
+      assert(r.getLong(4) == wsum, s"wsum of $id")
+    }
+  }
+
+  test("videoFrameSample keeps every Nth decoded frame with its " +
+      "recovered channel means") {
+    val ids = spark.range(0, 30).select(col("id").as("doc_id"))
+    val got = Multimodal.videoFrameSample(ids, "doc_id", everyN = 2)
+      .collect().groupBy(_.getLong(0))
+    (0L until 30L).foreach { id =>
+      val nf = id % 6 + 2
+      val want = (0L until nf).filter(_ % 2 == 0)
+      val rows = got(id).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toSeq == want, s"frame idxs of $id")
+      rows.foreach { r =>
+        val f = r.getLong(1)
+        assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+          (((id * 7 + f * 31) % 256, (id * 13 + f * 17) % 256,
+            (id * 29 + f * 53) % 256)), s"color of $id/$f")
+      }
+    }
+  }
+
   test("audioRoundtrip recovers every planted statistic arithmetically") {
     val ids = spark.range(0, 40).select(col("id").as("doc_id"))
     val got = Multimodal.audioRoundtrip(ids, "doc_id")
