@@ -50,20 +50,24 @@ object PageRank {
     // distinct) edge list O(k) times — the loop was measured 2-3×
     // slower end-to-end without it. Per-round rank checkpoints keep
     // the plan depth constant (the KMeans.fitAssign reasoning).
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // Out-degree is folded INTO the edge frame here (one wider long
+    // per edge row) so the loop body never joins a degree table, and
+    // `nodes` (|V| rows) is checkpointed too: both used to be "cheap"
+    // per-round re-derivations, but each eager round checkpoint
+    // replayed nodes' union+distinct over 2|E| rows — three extra
+    // edge-scale shuffles at iters = 3 (measured ~25% of the loop).
+    val dedup = edges.select(col("src"), col("dst")).distinct()
+    val ed = dedup
+      .join(dedup.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
-    // deg and nodes are cheap derivations of the CHECKPOINTED e —
-    // re-deriving them per round costs a small aggregate, not a
-    // corpus re-scan, so they don't earn their own materialization
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val base = (100L - dampingPct) * scale
     var r = nodes.withColumn("r", lit(scale))
     for (i <- 1 to iters) {
-      val inflow = e
+      val inflow = ed
         .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
       val next = nodes.join(inflow, Seq("node"), "left")
@@ -72,14 +76,16 @@ object PageRank {
             "AS bigint)").as("r"))
         .localCheckpoint()
       // `next` is materialized (eager checkpoint): the superseded
-      // round's blocks release now — round 1's seed derives from `e`,
-      // not a checkpoint of its own, so there is nothing to free yet
+      // round's blocks release now — round 1's seed derives from
+      // `nodes`, not a checkpoint of its own, so nothing frees yet
       if (i > 1) CheckpointUtil.free(r)
       r = next
     }
-    // the final rank frame is a self-contained checkpoint (or, for
-    // iters = 0, still derives from `e` — keep `e` pinned only then)
-    if (iters >= 1) CheckpointUtil.free(e)
+    // the final rank frame is a self-contained checkpoint; the graph
+    // tables release on exit (iters = 0 returns the seed, which still
+    // derives from the checkpointed nodes frame — keep only that one)
+    CheckpointUtil.free(ed)
+    if (iters >= 1) CheckpointUtil.free(nodes)
     r
   }
 }
