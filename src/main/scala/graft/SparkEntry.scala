@@ -2997,6 +2997,45 @@ object SparkEntry {
         T(s, dir, "orders"), col("o_orderkey"),
         "lineitem_orderkey_contained")))),
 
+    // k-anonymity / l-diversity privacy audit: every (nation, market
+    // segment) quasi-identifier combination with its group size,
+    // distinct count of the sensitive balance-bucket, and both
+    // violation flags — one aggregate, all exact integers.
+    "k_anonymity" -> ((s, dir) =>
+      DataQuality.kAnonymity(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long"), k = 10L, l = 3L)),
+
+    // DPO/RLHF preference-pair construction: per prompt group the
+    // (chosen, rejected) extreme pair under a margin gate — chosen =
+    // top score (ties to the smallest id), rejected = bottom score
+    // (ties to the largest), both ends of ONE struct-extreme
+    // aggregate; no windows, no per-prompt sorts.
+    "preference_pairs" -> ((s, dir) =>
+      Alignment.preferencePairs(
+        T(s, dir, "documents").select(
+          pmod(col("doc_id"), lit(97)).as("prompt_id"),
+          col("doc_id").as("response_id"),
+          col("n_chars").as("score")),
+        minMargin = 5L)),
+
+    // Exact ROUGE-2 accounting over (candidate, reference) pairs: the
+    // planted every-50th-token-mutated copy against its original —
+    // clipped bigram overlap, candidate and reference totals, all
+    // exact integers (precision/recall are ratios of these three).
+    // Spark counts 8-byte gram hashes; the oracle recounts raw gram
+    // strings — the green row is also the collision audit.
+    "rouge_pair_counts" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      EvalMetrics.rougeNCounts(
+        plantedCopies(docs)
+          .select((col("doc_id") - PlantOffset).as("pair_id"),
+            col("text").as("cand_text"))
+          .join(docs.select(col("doc_id").as("pair_id"),
+            col("text").as("ref_text")), Seq("pair_id")),
+        n = 2)
+    }),
+
     // HOPPING (sliding) event-time windows in batch: 1-hour windows
     // every 30 minutes — each event lands in exactly two windows. The
     // oracle replays the expansion arithmetically (each event's two
@@ -5457,6 +5496,64 @@ object SparkEntry {
           "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
           "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) " +
           "= 0 AS INTEGER)"),
+
+      // floor-then-cast keeps the bucket integral before the cast, so
+      // DuckDB's round-on-cast and Spark's truncate agree by
+      // construction; the division itself is the same IEEE double op
+      // on both engines
+      "k_anonymity" ->
+        ("SELECT c_nationkey, c_mktsegment, count(*) AS grp_n, " +
+          "count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) " +
+          "AS n_sensitive, " +
+          "CAST(count(*) < 10 AS INTEGER) AS at_risk, " +
+          "CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) " +
+          "< 3 AS INTEGER) AS low_diversity " +
+          "FROM customer GROUP BY 1, 2"),
+
+      // the struct-extreme convention replayed as plain SQL: chosen =
+      // smallest id at the max score, rejected = largest id at the min
+      "preference_pairs" ->
+        ("WITH r AS (SELECT doc_id % 97 AS prompt_id, " +
+          "doc_id AS response_id, n_chars AS score FROM documents), " +
+          "g AS (SELECT prompt_id, count(*) AS n_candidates, " +
+          "max(score) AS mx, min(score) AS mn FROM r GROUP BY 1), " +
+          "ch AS (SELECT r.prompt_id, min(response_id) AS chosen_id " +
+          "FROM r JOIN g ON r.prompt_id = g.prompt_id " +
+          "AND r.score = g.mx GROUP BY 1), " +
+          "rj AS (SELECT r.prompt_id, max(response_id) AS rejected_id " +
+          "FROM r JOIN g ON r.prompt_id = g.prompt_id " +
+          "AND r.score = g.mn GROUP BY 1) " +
+          "SELECT prompt_id, chosen_id, rejected_id, " +
+          "mx - mn AS margin, n_candidates " +
+          "FROM g JOIN ch USING (prompt_id) JOIN rj USING (prompt_id) " +
+          "WHERE n_candidates >= 2 AND mx - mn >= 5"),
+
+      // clipped-count ROUGE-2 recounted on raw gram STRINGS (Spark
+      // counted 8-byte xxhash64 keys — the green row is the collision
+      // audit); the candidate side re-derives the planted mutation
+      "rouge_pair_counts" ->
+        (s"""WITH base AS (
+           |  SELECT doc_id, $NormTextSql AS nt FROM documents
+           |  WHERE doc_id % $PlantMod = 0
+           |    AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens),
+           |sides AS (
+           |  SELECT doc_id, 1 AS is_cand, string_split(regexp_replace(nt,
+           |    '((?:\\S+ ){49})\\S+', '\\1zzplantzz', 'g'), ' ') AS tk
+           |  FROM base
+           |  UNION ALL SELECT doc_id, 0, string_split(nt, ' ') FROM base),
+           |bg AS (SELECT doc_id, is_cand, unnest(list_transform(
+           |    range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+           |  FROM sides),
+           |gc AS (SELECT doc_id, g,
+           |    sum(CASE WHEN is_cand = 1 THEN 1 ELSE 0 END) AS c_cnt,
+           |    sum(CASE WHEN is_cand = 0 THEN 1 ELSE 0 END) AS r_cnt
+           |  FROM bg GROUP BY 1, 2)
+           |SELECT doc_id AS pair_id,
+           |  CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS overlap_ngrams,
+           |  CAST(sum(c_cnt) AS BIGINT) AS cand_ngrams,
+           |  CAST(sum(r_cnt) AS BIGINT) AS ref_ngrams
+           |FROM gc GROUP BY 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // hop expansion replayed arithmetically: an event at t belongs
       // to the two 30-min-aligned 1-hour windows starting at

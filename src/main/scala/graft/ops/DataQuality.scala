@@ -147,4 +147,39 @@ object DataQuality {
           lit(tolerancePct.toLong) * dec(col("prev_rows")) * dec(col("cur_rows")))
           .cast("int").as("within_pct"))
   }
+
+  /** Re-identification risk audit over quasi-identifier combinations —
+    * the k-anonymity / l-diversity screen a privacy review runs before
+    * a table (or a training corpus's metadata sidecar) ships: every
+    * distinct QI combination with its group size, the number of
+    * distinct sensitive values inside it, and the two violation flags.
+    * `at_risk` ⇔ fewer than `k` records share the combination (the
+    * group re-identifies its members); `low_diversity` ⇔ fewer than
+    * `l` distinct sensitive values (membership alone leaks the
+    * sensitive attribute even when the group is large).
+    *
+    * Scale shape: ONE aggregate over the QI grouping — group size and
+    * the exact distinct-sensitive count ride the same shuffle
+    * (count_distinct plans a two-phase partial under it, never a
+    * window), so the audit costs one pass however wide the table.
+    * Flags and counts are exact integers; the whole audit replays in
+    * external SQL.
+    */
+  def kAnonymity(
+      df: DataFrame,
+      quasiIdCols: Seq[String],
+      sensitive: Column,
+      k: Long,
+      l: Long = 2L): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("grp_n"),
+        count_distinct(sensitive).as("n_sensitive"))
+      .select(quasiIdCols.map(col) ++ Seq(
+        col("grp_n"), col("n_sensitive"),
+        (col("grp_n") < k).cast("int").as("at_risk"),
+        (col("n_sensitive") < l).cast("int").as("low_diversity")): _*)
+  }
 }

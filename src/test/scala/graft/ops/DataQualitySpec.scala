@@ -68,4 +68,34 @@ class DataQualitySpec extends SparkSpec {
     // median 2.0, deviations [0,0,0,0,0,0.5] -> MAD 0; 0.5 > 3*0
     assert(out == (("c", 6L, 1L, 2.0, 0.0)), out.toString)
   }
+
+  test("kAnonymity: group sizes, sensitive diversity and both flags") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // QI group (1, "a"): 3 members, sensitive {10, 20} -> safe at
+      // k=3, diverse at l=2
+      (1, "a", 10L), (1, "a", 20L), (1, "a", 10L),
+      // QI group (1, "b"): 2 members, all sensitive 30 -> at risk at
+      // k=3 AND low diversity at l=2
+      (1, "b", 30L), (1, "b", 30L),
+      // QI group (2, "a"): singleton
+      (2, "a", 40L)).toDF("region", "segment", "salary")
+    val out = DataQuality.kAnonymity(df, Seq("region", "segment"),
+        col("salary"), k = 3L, l = 2L)
+      .as[(Int, String, Long, Long, Int, Int)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1, "a", 3L, 2L, 0, 0),
+      (1, "b", 2L, 1L, 1, 1),
+      (2, "a", 1L, 1L, 1, 1)))
+  }
+
+  test("kAnonymity rejects empty QI lists and k/l < 1") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, 2L)).toDF("q", "s")
+    intercept[IllegalArgumentException](
+      DataQuality.kAnonymity(df, Seq.empty, col("s"), k = 3L))
+    intercept[IllegalArgumentException](
+      DataQuality.kAnonymity(df, Seq("q"), col("s"), k = 0L))
+  }
 }
