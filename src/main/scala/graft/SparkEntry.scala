@@ -3589,6 +3589,33 @@ object SparkEntry {
         targetTokens = 512)
         .orderBy("doc_id")),
 
+    // Tokenizer-fertility accounting per language: encoded tokens vs
+    // whitespace words vs normalized chars — the "how expensive is
+    // this tokenizer on each language" table a multilingual pipeline
+    // reads before setting mixture weights. Exact integer sums plus
+    // one guarded integer ratio; the learned merges replay through
+    // the shared unrolled-CTE chain.
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val words = docs.filter(col("text").isNotNull).select(
+        col("doc_id"), col("lang"),
+        size(filter(split(TextDedup.normText(col("text")), " "),
+          w => length(w) > 0)).cast("long").as("n_words"),
+        length(TextDedup.normText(col("text"))).cast("long")
+          .as("n_chars"))
+      words
+        .join(BpeMiner.encodedLengths(docs, rounds = 3)
+          .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("fertility_pct",
+          when(col("total_words") > 0,
+            expr("total_tokens * 100 div total_words")))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences: exact (from, to) counts off ONE sessionize-shaped
     // window shuffle, with P(to|from) as a single IEEE division of
@@ -6510,6 +6537,28 @@ object SparkEntry {
           "1 PRECEDING), 0) AS pre FROM n) " +
           "SELECT doc_id, source, n_tokens, " +
           "CAST(pre // 512 AS BIGINT) AS pack_id FROM p ORDER BY doc_id"),
+
+      // per-language fertility: the same encoded-length replay as
+      // bpe_pack, aggregated; the ratio is exact integer division of
+      // two exact sums, guarded like the Spark side
+      "bpe_fertility" ->
+        (s"WITH $bpeMinedTopsCte, " +
+          s"d AS (SELECT doc_id, lang, " +
+          s"list_filter(string_split($NormTextSql, ' '), " +
+          "w -> length(w) > 0) AS wd, " +
+          s"length($NormTextSql) AS nc " +
+          "FROM documents WHERE text IS NOT NULL), " +
+          "n AS (SELECT lang, nc, CAST(len(wd) AS BIGINT) AS n_words, " +
+          "CAST(COALESCE(list_sum(list_transform(wd, " +
+          s"w -> length($BpeApplySql))), 0) AS BIGINT) AS n_tokens " +
+          "FROM d, t1, t2, t3) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(n_words) AS BIGINT) AS total_words, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(nc) AS BIGINT) AS total_chars, " +
+          "CASE WHEN sum(n_words) > 0 THEN " +
+          "CAST(sum(n_tokens) * 100 // sum(n_words) AS BIGINT) END " +
+          "AS fertility_pct FROM n GROUP BY 1"),
 
       // lead-window transition replay; P(to|from) is one IEEE
       // division of two exact BIGINTs
