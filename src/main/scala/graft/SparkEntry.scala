@@ -3545,6 +3545,24 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // HyperBall neighborhood census over a deterministic ring+chord
+    // graph (doc_id % 400 with +1 and +7 edges): exact pairs-within-t
+    // per radius, plus the flag that the HLL-register BSP estimate
+    // (the path a 10^11-node graph would run — sparse per-node
+    // registers, one join + max-merge per hop, never a pair table)
+    // landed within 10%. The registers never reach the comparator;
+    // the audit flag does (the planted-recall convention).
+    "hyperball_reach" -> ((s, dir) => {
+      val nd = T(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(400)).as("v")).distinct()
+      val edges = nd.select(col("v").as("src"),
+          pmod(col("v") + 1, lit(400)).as("dst"))
+        .unionByName(nd.select(col("v").as("src"),
+          pmod(col("v") + 7, lit(400)).as("dst")))
+      HyperBall.auditedNeighborhood(edges, maxT = 3, p = 6, tolPct = 10)
+        .orderBy("t")
+    }),
+
     // Community detection by synchronous label propagation (3 rounds,
     // most-frequent-neighbor label, ties to the smallest) over the
     // supplier co-occurrence graph — one equi-join + one map-side-
@@ -5536,6 +5554,23 @@ object SparkEntry {
           "CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) " +
           "< 3 AS INTEGER) AS low_diversity " +
           "FROM customer GROUP BY 1, 2"),
+
+      // exact pairs-within-t replayed as a depth-bounded recursive
+      // CTE over the arithmetically re-derived ring+chord graph; the
+      // est_ok TRUEs assert Spark's register estimate held its 10%
+      "hyperball_reach" ->
+        ("WITH RECURSIVE " +
+          "nd AS (SELECT DISTINCT doc_id % 400 AS v FROM documents), " +
+          "e AS (SELECT v AS src, (v + 1) % 400 AS dst FROM nd " +
+          "UNION SELECT v, (v + 7) % 400 FROM nd), " +
+          "ns AS (SELECT src AS v FROM e UNION SELECT dst FROM e), " +
+          "r AS (SELECT v AS src, v AS dst, 0 AS d FROM ns " +
+          "UNION SELECT r.src, e2.dst, r.d + 1 FROM r " +
+          "JOIN e e2 ON e2.src = r.dst WHERE r.d < 3), " +
+          "mr AS (SELECT src, dst, min(d) AS d FROM r GROUP BY 1, 2), " +
+          "px AS (SELECT unnest([0, 1, 2, 3]) AS t) " +
+          "SELECT t, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "TRUE AS est_ok FROM mr JOIN px ON mr.d <= px.t GROUP BY t"),
 
       // the struct-extreme convention replayed as plain SQL: chosen =
       // smallest id at the max score, rejected = largest id at the min
