@@ -2997,6 +2997,16 @@ object SparkEntry {
         T(s, dir, "orders"), col("o_orderkey"),
         "lineitem_orderkey_contained")))),
 
+    // DSIR-style importance weighting toward the English slice as the
+    // target distribution: per doc the integer-exact bits score
+    // (source surprisal minus target surprisal over md5-hex-prefix
+    // hashed gram buckets — 256 buckets, broadcast both count tables,
+    // one explode -> broadcast-join -> doc aggregate; no floats).
+    "dsir_importance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dsir.importanceBits(docs, docs.filter(col("lang") === "en"))
+    }),
+
     // k-anonymity / l-diversity privacy audit: every (nation, market
     // segment) quasi-identifier combination with its group size,
     // distinct count of the sensitive balance-bucket, and both
@@ -5541,6 +5551,37 @@ object SparkEntry {
           "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
           "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) " +
           "= 0 AS INTEGER)"),
+
+      // per-gram importance bits replayed with the same integer
+      // bit-length idiom as the surprisal oracles; the md5-hex-prefix
+      // bucketing is computed identically by both engines
+      "dsir_importance" ->
+        (s"""WITH g AS (
+           |  SELECT doc_id, substring(md5(w), 1, 2) AS bk FROM (
+           |    SELECT doc_id, unnest(list_filter(
+           |      string_split($NormTextSql, ' '),
+           |      w -> length(w) > 0)) AS w
+           |    FROM documents WHERE text IS NOT NULL)),
+           |tg AS (
+           |  SELECT substring(md5(w), 1, 2) AS bk, count(*) AS t_cnt
+           |  FROM (
+           |    SELECT unnest(list_filter(
+           |      string_split($NormTextSql, ' '),
+           |      w -> length(w) > 0)) AS w
+           |    FROM documents WHERE text IS NOT NULL AND lang = 'en')
+           |  GROUP BY 1),
+           |sc AS (SELECT bk, count(*) AS s_cnt FROM g GROUP BY 1),
+           |st AS (SELECT CAST(sum(s_cnt) AS BIGINT) AS s_tot FROM sc),
+           |tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM tg)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(sum(length(bin(s_tot // s_cnt)) -
+           |    CASE WHEN t_cnt IS NULL THEN 20
+           |    ELSE length(bin(t_tot // t_cnt)) END) AS BIGINT)
+           |    AS score_bits
+           |FROM g JOIN sc USING (bk) LEFT JOIN tg USING (bk)
+           |CROSS JOIN st CROSS JOIN tt
+           |GROUP BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // floor-then-cast keeps the bucket integral before the cast, so
       // DuckDB's round-on-cast and Spark's truncate agree by

@@ -41,6 +41,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "bpe_compression", // same chain, one more 1-row apply + 1-row ratio
     "bpe_encode",      // same 1-row merge broadcasts feeding the encode
     "bpe_pack",        // same chain driving the encoded-length packing
+    "bpe_fertility",   // same chain feeding the per-language sums
+    "dsir_importance", // × broadcast(1-row source/target gram totals)
     "basket_pairs",    // × broadcast(1-row order total)
     "mutual_top_match", // brute baseline: left × broadcast(right)
     "cosine_neardup_pairs",
