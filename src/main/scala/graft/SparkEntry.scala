@@ -1603,6 +1603,14 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(T(s, dir, "documents"))),
 
+    // Kneser-Ney continuation counts: the exact integer tables a
+    // filtering/contamination bigram LM is estimated from — count,
+    // context total, context fan-out, the word's continuation count
+    // (KN's "francisco" insight) and the distinct-type total; top-50
+    // bigrams by count with a deterministic lexicographic tie-break.
+    "kn_continuation" -> ((s, dir) =>
+      TextAnalysis.knBigramCounts(T(s, dir, "documents"), topK = 50)),
+
     // Rank-normalized multi-signal quality blend: decile buckets of
     // classifier score + unigram surprisal via broadcast
     // percentile_disc cutoffs (never a corpus-wide rank window).
@@ -2996,6 +3004,21 @@ object SparkEntry {
         T(s, dir, "lineitem"), col("l_orderkey"),
         T(s, dir, "orders"), col("o_orderkey"),
         "lineitem_orderkey_contained")))),
+
+    // Join-blowup pre-flight audit: what would events ⨝ purchases on
+    // user_id produce — per-key multiplicities for the 10 hottest
+    // keys, total output rows, matched keys and the hottest key's
+    // share, computed from the two key-count aggregates alone (the
+    // skew audit you run BEFORE committing the shuffle; output-bound
+    // work never happens).
+    "join_blowup_audit" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Profiling.joinBlowupAudit(
+        ev.select(col("user_id").as("jk")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("jk")),
+        "jk", topK = 10)
+    }),
 
     // DSIR-style importance weighting toward the English slice as the
     // target distribution: per doc the integer-exact bits score
@@ -4727,6 +4750,29 @@ object SparkEntry {
            |GROUP BY doc_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
+      // the same bigram extraction CTE as bigram_surprisal, reduced to
+      // the four KN count tables; ORDER BY c_bw DESC with the
+      // (prev, w) tie-break keeps the top-50 SET deterministic
+      "kn_continuation" ->
+        (s"""WITH t AS (
+           |  SELECT doc_id, string_split($NormTextSql, ' ') AS tk
+           |  FROM documents),
+           |bgx AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, len(tk)), i -> {'prev': tk[i], 'w': tk[i+1]}))
+           |    AS s FROM t),
+           |bg AS (SELECT s.prev AS prev, s.w AS w FROM bgx),
+           |c AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_bw
+           |  FROM bg GROUP BY 1, 2),
+           |cp AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_prev,
+           |  count(*) AS n1p_right FROM c GROUP BY 1),
+           |cw AS (SELECT w, count(*) AS n1p_left FROM c GROUP BY 1),
+           |ty AS (SELECT count(*) AS bigram_types FROM c)
+           |SELECT prev, w, c_bw, c_prev, n1p_right, n1p_left,
+           |  bigram_types
+           |FROM c JOIN cp USING (prev) JOIN cw USING (w) CROSS JOIN ty
+           |ORDER BY c_bw DESC, prev, w LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       // Bigram list built like ngram_jaccard_pairs' but NOT dedup'd —
       // the duplicate fraction is the signal.
       "repetition_stats" ->
@@ -5551,6 +5597,25 @@ object SparkEntry {
           "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
           "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) " +
           "= 0 AS INTEGER)"),
+
+      // the audit replayed from the same two key-count aggregates;
+      // the desc/key tie-break makes the top-10 SET deterministic
+      "join_blowup_audit" ->
+        ("WITH l AS (SELECT user_id AS key FROM events " +
+          "WHERE user_id IS NOT NULL), " +
+          "r AS (SELECT user_id AS key FROM events " +
+          "WHERE user_id IS NOT NULL AND event_type = 'purchase'), " +
+          "lc AS (SELECT key, count(*) AS l_cnt FROM l GROUP BY 1), " +
+          "rc AS (SELECT key, count(*) AS r_cnt FROM r GROUP BY 1), " +
+          "per AS (SELECT key, l_cnt, r_cnt, " +
+          "l_cnt * r_cnt AS out_rows FROM lc JOIN rc USING (key)), " +
+          "t AS (SELECT CAST(sum(out_rows) AS BIGINT) " +
+          "AS total_out_rows, count(*) AS matched_keys, " +
+          "CAST(max(out_rows) AS BIGINT) AS mx FROM per) " +
+          "SELECT key, l_cnt, r_cnt, out_rows, total_out_rows, " +
+          "matched_keys, CAST(mx * 100 // total_out_rows AS BIGINT) " +
+          "AS top_share_pct FROM per CROSS JOIN t " +
+          "ORDER BY out_rows DESC, key LIMIT 10"),
 
       // per-gram importance bits replayed with the same integer
       // bit-length idiom as the surprisal oracles; the md5-hex-prefix

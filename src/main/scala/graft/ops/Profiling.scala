@@ -166,4 +166,49 @@ object Profiling {
       .select(col(xCol), col("__best_y").as(yCol))
     df.join(frontier, Seq(xCol, yCol), "left_semi")
   }
+
+  /** Join-blowup pre-flight: before running `left ⨝ right` on
+    * `keyCol`, compute EXACTLY what the join would produce — per-key
+    * output multiplicity `l_cnt · r_cnt` for the `topK` hottest keys
+    * plus, on every row, the total output rows, total matched keys,
+    * and the hottest key's share — from the two key-count aggregates
+    * alone, never the join itself. This is the skew audit a 100 TB
+    * pipeline runs before committing a shuffle: the count tables are
+    * KEY-space-sized (they join on the key, map-side-combined), so
+    * the audit costs two grouped counts and a key-keyed join of the
+    * counts — output-bound work never happens.
+    *
+    * Emits `(key, l_cnt, r_cnt, out_rows, total_out_rows,
+    * matched_keys, top_share_pct)` for the topK keys by `out_rows`
+    * (ties to the smallest key) — all exact integers.
+    */
+  def joinBlowupAudit(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lc = left.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("l_cnt"))
+    val rc = right.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val per = lc.join(rc, Seq("key"))
+      .select(col("key"), col("l_cnt"), col("r_cnt"),
+        (col("l_cnt") * col("r_cnt")).as("out_rows"))
+    val totals = per.agg(
+      sum(col("out_rows")).as("total_out_rows"),
+      count(lit(1)).as("matched_keys"),
+      max(col("out_rows")).as("__max_out"))
+    per
+      .crossJoin(broadcast(totals))
+      .withColumn("top_share_pct",
+        expr("__max_out * 100 div total_out_rows"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("l_cnt"), col("r_cnt"), col("out_rows"),
+        col("total_out_rows"), col("matched_keys"),
+        col("top_share_pct"))
+  }
 }

@@ -628,6 +628,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("s.prev").as("prev"), col("s.w").as("w"))
   }
 
+  /** Kneser-Ney continuation counts for bigram LM estimation — the
+    * exact integer tables an n-gram language model (the CCNet-style
+    * filtering LM, or a contamination scorer) is estimated from:
+    * per bigram its count `c_bw`, the context total `c_prev`, the
+    * context's fan-out `n1p_right` = |{w' : c(prev, w') > 0}| (KN's
+    * normalizer for the backoff weight), the word's continuation
+    * count `n1p_left` = |{p' : c(p', w) > 0}| (KN's unigram-backoff
+    * NUMERATOR — "in how many contexts does w complete a bigram",
+    * the insight that makes "francisco" rare despite "san francisco"
+    * being frequent), and the corpus-wide distinct-bigram-type total
+    * (its denominator). The discounted probabilities are ratios of
+    * these integers; consumers divide at the edge.
+    *
+    * Scale shape: one tokenize scan into the (prev, w) count table
+    * (bigram-TYPE-sized, not corpus-sized — map-side combined), then
+    * three aggregates of that table and joins keyed on prev / w —
+    * everything after the first aggregate is vocabulary-scale. The
+    * top-k cut plans as TakeOrdered (never a global sort), ties
+    * broken (prev, w)-lexicographically so the emitted SET is
+    * deterministic.
+    */
+  def knBigramCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val c = docBigrams(docs).groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("c_bw"))
+    val cp = c.groupBy(col("prev")).agg(
+      sum(col("c_bw")).as("c_prev"),
+      count(lit(1)).as("n1p_right"))
+    val cw = c.groupBy(col("w")).agg(count(lit(1)).as("n1p_left"))
+    val types = c.agg(count(lit(1)).as("bigram_types"))
+    c.join(cp, Seq("prev")).join(cw, Seq("w"))
+      .crossJoin(broadcast(types))
+      .orderBy(col("c_bw").desc, col("prev"), col("w"))
+      .limit(topK)
+      .select(col("prev"), col("w"), col("c_bw"), col("c_prev"),
+        col("n1p_right"), col("n1p_left"), col("bigram_types"))
+  }
+
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     val tf = docBigrams(docs).groupBy("doc_id", "prev", "w")
       .agg(count(lit(1)).as("tf"))

@@ -235,4 +235,32 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(got == Set(("A", "B"), ("B", "C")), got.toString)
   }
+
+  test("joinBlowupAudit: per-key products, totals and top share, " +
+      "hand-computed") {
+    val left = Seq(1L, 1L, 1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("jk")
+    val right = Seq(1L, 1L, 2L, 4L).map(Tuple1(_)).toDF("jk")
+    // matched keys: 1 -> 3*2 = 6, 2 -> 2*1 = 2 (3 and 4 unmatched);
+    // total 8, top share 6*100 div 8 = 75
+    val got = Profiling.joinBlowupAudit(left, right, "jk", topK = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 6L, 8L, 2L, 75L),
+      (2L, 2L, 1L, 2L, 8L, 2L, 75L)), got.toString)
+  }
+
+  test("joinBlowupAudit: topK cut is deterministic under ties and " +
+      "nulls never count") {
+    val left = Seq(Some(5L), Some(6L), Some(7L), None)
+      .map(Tuple1(_)).toDF("jk")
+    val right = Seq(Some(5L), Some(6L), Some(7L), None)
+      .map(Tuple1(_)).toDF("jk")
+    // all three matched keys tie at out_rows = 1 -> smallest keys win
+    val got = Profiling.joinBlowupAudit(left, right, "jk", topK = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(5L, 6L), got.toString)
+    assert(got.forall(g => g._5 == 3L && g._6 == 3L), got.toString)
+    intercept[IllegalArgumentException](
+      Profiling.joinBlowupAudit(left, right, "jk", topK = 0))
+  }
 }

@@ -887,4 +887,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._6 == 0, got(2L).toString)
     assert(got(3L)._2 == "und" && got(3L)._3 == 0L && got(3L)._6 == 0)
   }
+
+  test("knBigramCounts: the francisco property — continuation counts " +
+      "differ from raw counts, hand-computed") {
+    // "san francisco" is frequent but francisco follows ONLY san;
+    // "the" completes bigrams after many different words
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "in the of the on the at the")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramCounts(docs, topK = 50)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // (san, francisco): c = 3, c_prev(san) = 3, san fans out to 1
+    // word, francisco continues after ONLY 1 context
+    assert(got(("san", "francisco")) ==
+      (("san", "francisco", 3L, 3L, 1L, 1L, 9L)), got.toString)
+    // (of, the): c = 1 but "the" continues after 4 distinct contexts
+    // (in, of, on, at) — the KN numerator raw counts cannot see
+    assert(got(("of", "the")) ==
+      (("of", "the", 1L, 1L, 1L, 4L, 9L)), got.toString)
+    // (francisco, san): the wrap-around bigram inside doc 1, twice
+    assert(got(("francisco", "san"))._3 == 2L)
+    // bigram type total: doc1 {san francisco, francisco san} + doc2
+    // {in the, the of, of the, the on, on the, the at, at the} = 9
+    assert(got.size == 9, got.keys.toString)
+  }
+
+  test("knBigramCounts: topK ties break lexicographically") {
+    val docs = Seq((1L, "b c"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramCounts(docs, topK = 1)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    // both bigrams have c_bw = 1 -> (a, c) wins the tie
+    assert(got.toSeq.map(g => (g._1, g._2)) == Seq(("a", "c")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.knBigramCounts(docs, topK = 0))
+  }
 }
