@@ -39,4 +39,21 @@ class AlignmentSpec extends SparkSpec {
       minMargin = 0L)
     assert(got.toSeq == Seq((7L, 1L, 3L, 0L, 3L)))
   }
+
+  test("model-parity fuzz: Spark == the plain-Scala extreme rule on " +
+      "tie-heavy pseudo-random inputs (fixed seed)") {
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (0 until 600).map { i =>
+      // few prompts + tiny score range -> dense ties, the regime
+      // where a wrong tie-break hides from example tests
+      (rnd.nextInt(12).toLong, i.toLong, rnd.nextInt(5).toLong)
+    }
+    val model = rows.groupBy(_._1).collect {
+      case (p, g) if g.size >= 2 =>
+        val chosen = g.minBy(r => (-r._3, r._2))
+        val rejected = g.minBy(r => (r._3, -r._2))
+        (p, chosen._2, rejected._2, chosen._3 - rejected._3, g.size.toLong)
+    }.filter(_._4 >= 1L).toSeq.sortBy(_._1)
+    assert(pairs(rows, minMargin = 1L).toSeq == model, "parity broke")
+  }
 }

@@ -43,4 +43,29 @@ class EvalMetricsSpec extends SparkSpec {
     assert(counts(Seq((1L, "a a b z", "a b b c")), n = 1) ==
       Seq((1L, 2L, 4L, 4L))) // min(2,1) for a + min(1,2) for b
   }
+
+  test("model-parity fuzz: Spark == plain-Scala clipped counts on a " +
+      "tiny-vocab corpus (fixed seed)") {
+    // a 5-token alphabet makes repeated n-grams the NORM, so the
+    // min() clipping is exercised on nearly every gram
+    val rnd = new scala.util.Random(16L)
+    def text() = Seq.fill(rnd.nextInt(30))("abcde"(rnd.nextInt(5)))
+      .mkString(" ")
+    val rows = (0L until 80L).map(i => (i, text(), text()))
+    def grams(s: String, n: Int): Map[Seq[String], Int] = {
+      val tk = s.split(" ").filter(_.nonEmpty).toSeq
+      if (tk.length < n) Map.empty
+      else tk.sliding(n).map(_.toSeq).toSeq.groupBy(identity)
+        .map { case (g, o) => g -> o.size }
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val model = rows.map { case (id, c, r) =>
+        val (gc, gr) = (grams(c, n), grams(r, n))
+        val overlap = gc.map { case (g, k) =>
+          math.min(k, gr.getOrElse(g, 0)) }.sum.toLong
+        (id, overlap, gc.values.sum.toLong, gr.values.sum.toLong)
+      }
+      assert(counts(rows, n) == model, s"parity broke at n=$n")
+    }
+  }
 }
