@@ -3030,6 +3030,21 @@ object SparkEntry {
       Dsir.importanceBits(docs, docs.filter(col("lang") === "en"))
     }),
 
+    // The action form of the DSIR screen (the report/keep pairing
+    // every dedup family here follows): resample the corpus toward
+    // the target by keeping docs whose importance is non-negative,
+    // reported as per-language survivor counts + surviving grams —
+    // what actually changes in the training mixture.
+    "dsir_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dsir.importanceBits(docs, docs.filter(col("lang") === "en"))
+        .filter(col("score_bits") >= 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_grams")).as("kept_grams"))
+    }),
+
     // k-anonymity / l-diversity privacy audit: every (nation, market
     // segment) quasi-identifier combination with its group size,
     // distinct count of the sensitive balance-bucket, and both
@@ -4581,6 +4596,40 @@ object SparkEntry {
             |  coalesce(string_agg(line, chr(10) ORDER BY pos)
             |    FILTER (kept), '') AS clean_text
             |FROM k GROUP BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // same CTE chain, reduced to the keep action's per-language
+      // survivor accounting
+      "dsir_select" ->
+        (s"""WITH g AS (
+           |  SELECT doc_id, substring(md5(w), 1, 2) AS bk FROM (
+           |    SELECT doc_id, unnest(list_filter(
+           |      string_split($NormTextSql, ' '),
+           |      w -> length(w) > 0)) AS w
+           |    FROM documents WHERE text IS NOT NULL)),
+           |tg AS (
+           |  SELECT substring(md5(w), 1, 2) AS bk, count(*) AS t_cnt
+           |  FROM (
+           |    SELECT unnest(list_filter(
+           |      string_split($NormTextSql, ' '),
+           |      w -> length(w) > 0)) AS w
+           |    FROM documents WHERE text IS NOT NULL AND lang = 'en')
+           |  GROUP BY 1),
+           |sc AS (SELECT bk, count(*) AS s_cnt FROM g GROUP BY 1),
+           |st AS (SELECT CAST(sum(s_cnt) AS BIGINT) AS s_tot FROM sc),
+           |tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM tg),
+           |sw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |    CAST(sum(length(bin(s_tot // s_cnt)) -
+           |      CASE WHEN t_cnt IS NULL THEN 20
+           |      ELSE length(bin(t_tot // t_cnt)) END) AS BIGINT)
+           |      AS score_bits
+           |  FROM g JOIN sc USING (bk) LEFT JOIN tg USING (bk)
+           |  CROSS JOIN st CROSS JOIN tt
+           |  GROUP BY doc_id)
+           |SELECT lang, count(*) AS kept_docs,
+           |  CAST(sum(n_grams) AS BIGINT) AS kept_grams
+           |FROM sw JOIN documents USING (doc_id)
+           |WHERE score_bits >= 0 GROUP BY 1"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       "doc_fingerprint" ->

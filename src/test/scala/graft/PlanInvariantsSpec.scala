@@ -43,6 +43,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "bpe_pack",        // same chain driving the encoded-length packing
     "bpe_fertility",   // same chain feeding the per-language sums
     "dsir_importance", // × broadcast(1-row source/target gram totals)
+    "dsir_select",     // same chain under the keep filter
     "join_blowup_audit", // × broadcast(1-row blowup totals)
     "kn_continuation", // × broadcast(1-row bigram-type total)
     "basket_pairs",    // × broadcast(1-row order total)
