@@ -1019,6 +1019,69 @@ object SparkEntry {
       |  WHERE abs(len(l.l_name) - len(r.r_name)) <= 1)"""
       .stripMargin.replaceAll("\\s+", " ").trim
 
+  /** The BM25 run CTE chain (token stream → query-term postings →
+    * scored → top-10 `run`) shared by the retrieval_eval and
+    * graded_rank_eval oracles — one source of truth for the query
+    * set and the scoring formula. Pre-collapsed; interpolate after
+    * `WITH `.
+    */
+  private lazy val Bm25RunCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split($NormTextSql, ' '))
+       |    AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE len(term) > 0 GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks
+       |       WHERE len(term) > 0 GROUP BY doc_id),
+       |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+       |  (1, 'hash'), (1, 'join'), (2, 'column'), (2, 'scan'),
+       |  (3, 'filter'), (3, 'merge'), (3, 'small')) t(q_id, term)),
+       |qp AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+       |       FROM tf JOIN dl USING (doc_id)
+       |       WHERE tf.term IN (SELECT term FROM q)),
+       |dfq AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+       |scl AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |       (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |s AS (SELECT q.q_id, qp.doc_id,
+       |  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |    (tf * 2.2) / (tf + 1.2 *
+       |      (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+       |  FROM qp JOIN q USING (term) JOIN dfq USING (term)
+       |  CROSS JOIN scl GROUP BY q.q_id, qp.doc_id),
+       |run AS (SELECT q_id, doc_id, CAST(row_number() OVER (
+       |  PARTITION BY q_id
+       |  ORDER BY round(score, 4) DESC, doc_id ASC) AS INTEGER) AS rk
+       |  FROM s QUALIFY rk <= 10)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  /** HITS oracle rounds: one authority CTE (inflow of hub scores on
+    * dst) and one hub CTE (inflow of authority scores on src) per
+    * round, each left-joined back to the node table so zero-degree
+    * sides keep a 0 score.
+    */
+  private lazy val HitsSql: String = {
+    def authRound(hSrc: String, out: String) =
+      s"$out AS (SELECT nd.node, CAST(coalesce(x.m, 0) AS BIGINT) " +
+        "AS auth FROM nd LEFT JOIN (SELECT e.dst AS node, " +
+        s"sum(h.hub) AS m FROM pe e JOIN $hSrc h ON h.node = e.src " +
+        "GROUP BY 1) x ON x.node = nd.node)"
+    def hubRound(aSrc: String, out: String) =
+      s"$out AS (SELECT nd.node, CAST(coalesce(x.m, 0) AS BIGINT) " +
+        "AS hub FROM nd LEFT JOIN (SELECT e.src AS node, " +
+        s"sum(a.auth) AS m FROM pe e JOIN $aSrc a ON a.node = e.dst " +
+        "GROUP BY 1) x ON x.node = nd.node)"
+    "WITH pe AS (SELECT DISTINCT o_custkey AS src, " +
+      "l_suppkey + 1000000 AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "nd AS (SELECT DISTINCT node FROM " +
+      "(SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)), " +
+      "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nd), " +
+      s"${authRound("h0", "a1")}, ${hubRound("a1", "h1")}, " +
+      s"${authRound("h1", "a2")}, ${hubRound("a2", "h2")} " +
+      "SELECT h2.node, h2.hub, a2.auth FROM h2 " +
+      "JOIN a2 ON a2.node = h2.node"
+  }
+
   /** k-core oracle: the peel unrolled — per round a degree CTE, a
     * survivor filter at `k`, and the induced-subgraph edge CTE.
     */
@@ -3859,7 +3922,64 @@ object SparkEntry {
         .agg(
           max_by(col("o_orderkey"),
             struct(col("o_totalprice"), col("o_orderkey"))).as("top_orderkey"),
-          max(col("o_totalprice")).as("top_price"))))
+          max(col("o_totalprice")).as("top_price"))),
+
+    // Kneser-Ney-backoff bigram LM filter: reference partition
+    // (doc_id % 4 = 0, the ref_surprisal split) estimates the count /
+    // continuation tables; every other document pays integer bits per
+    // bigram — direct estimate when seen, continuation backoff when
+    // the word is a known completion, flat OOV otherwise — with a
+    // cross-multiplied avg-bits keep verdict.
+    "kn_perplexity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.knPerplexity(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0))
+    }),
+
+    // Flesch / Flesch-Kincaid readability in exact milli-units:
+    // sentence runs on the raw text, vowel-group "syllables" on the
+    // normalized text, both scores one cross-multiplied floor
+    // division — scan-shaped, no shuffle.
+    "readability_scores" -> ((s, dir) =>
+      TextAnalysis.readability(T(s, dir, "documents"))),
+
+    // Corpus-concentration audit: token-budget Gini off the
+    // counts-of-counts histogram + language-mix Herfindahl, both in
+    // exact ppm (DECIMAL-promoted products, integral div back).
+    "corpus_inequality" -> ((s, dir) =>
+      Profiling.corpusInequality(T(s, dir, "documents"))),
+
+    // Integer HITS over the directed customer→supplier purchase
+    // graph (the pagerank_fixed bipartite fixture, direction kept):
+    // hubs = customers who buy from authoritative suppliers,
+    // authorities = suppliers bought by strong hubs. 2 unrolled
+    // rounds, raw mutual-reinforcement sums — all BIGINT.
+    "hits_scores" -> ((s, dir) => {
+      val edges = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      Hits.hitsFixed(edges, rounds = 2)
+    }),
+
+    // Graded-relevance ranking eval (NDCG with the exact linear
+    // discount): BM25 run vs term-coverage graded qrels on the
+    // retrieval_eval query set; IDCG from per-grade COUNTS (never an
+    // ideal-ranking sort), all integer-scaled by lcm(2..11).
+    "graded_rank_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "column"), (2L, "scan"),
+        (3L, "filter"), (3L, "merge"), (3L, "small"))
+        .toDF("q_id", "term")
+      Retrieval.gradedRankEval(
+        Retrieval.bm25TopK(docs, queries, k = 10),
+        Retrieval.gradedQrels(docs, queries), k = 10)
+    }))
 
   // ------------------------------------------------------------- oracles
 
@@ -6142,32 +6262,7 @@ object SparkEntry {
       // BM25 CTE chain + boolean-AND pseudo-qrels + the integer
       // rank-quality census
       "retrieval_eval" ->
-        (s"""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split($NormTextSql, ' '))
-           |    AS term FROM documents),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-           |       WHERE len(term) > 0 GROUP BY doc_id, term),
-           |dl AS (SELECT doc_id, count(*) AS dl FROM toks
-           |       WHERE len(term) > 0 GROUP BY doc_id),
-           |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
-           |  (1, 'hash'), (1, 'join'), (2, 'column'), (2, 'scan'),
-           |  (3, 'filter'), (3, 'merge'), (3, 'small')) t(q_id, term)),
-           |qp AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
-           |       FROM tf JOIN dl USING (doc_id)
-           |       WHERE tf.term IN (SELECT term FROM q)),
-           |dfq AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
-           |scl AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-           |       (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
-           |s AS (SELECT q.q_id, qp.doc_id,
-           |  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
-           |    (tf * 2.2) / (tf + 1.2 *
-           |      (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
-           |  FROM qp JOIN q USING (term) JOIN dfq USING (term)
-           |  CROSS JOIN scl GROUP BY q.q_id, qp.doc_id),
-           |run AS (SELECT q_id, doc_id, CAST(row_number() OVER (
-           |  PARTITION BY q_id
-           |  ORDER BY round(score, 4) DESC, doc_id ASC) AS INTEGER) AS rk
-           |  FROM s QUALIFY rk <= 10),
+        (s"""WITH $Bm25RunCtes,
            |nq AS (SELECT q_id, count(*) AS n_terms FROM q GROUP BY 1),
            |relc AS (SELECT q.q_id, qp.doc_id, count(*) AS c
            |  FROM (SELECT DISTINCT doc_id, term FROM qp) qp
@@ -6995,6 +7090,153 @@ object SparkEntry {
         ("SELECT o_custkey, o_orderkey AS top_orderkey, " +
           "o_totalprice AS top_price FROM orders " +
           "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
-          "ORDER BY o_totalprice DESC, o_orderkey DESC) = 1"))
+          "ORDER BY o_totalprice DESC, o_orderkey DESC) = 1"),
+
+      // the KN tables from the % 4 = 0 reference partition, integer
+      // bits per target bigram: seen → ⌊log2(c_prev/c_bw)⌋+1 via
+      // length(bin(..)), backoff → continuation ratio + 2, OOV → 24
+      "kn_perplexity" ->
+        (s"""WITH t AS (
+           |  SELECT doc_id, string_split($NormTextSql, ' ') AS tk
+           |  FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, len(tk)), i -> {'prev': tk[i], 'w': tk[i+1]}))
+           |    AS s FROM t),
+           |p AS (SELECT doc_id, s.prev AS prev, s.w AS w FROM bg),
+           |c AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_bw
+           |      FROM p WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+           |cp AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_prev
+           |       FROM c GROUP BY 1),
+           |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1p_left
+           |       FROM c GROUP BY 1),
+           |ty AS (SELECT CAST(count(*) AS BIGINT) AS bigram_types
+           |       FROM c),
+           |tf AS (SELECT doc_id, prev, w, count(*) AS tf FROM p
+           |       WHERE doc_id % 4 <> 0 GROUP BY 1, 2, 3),
+           |j AS (SELECT doc_id, tf, c.c_bw, cw.n1p_left,
+           |  CASE WHEN c.c_bw IS NOT NULL
+           |       THEN length(bin(cp.c_prev // c.c_bw))
+           |       WHEN cw.n1p_left IS NOT NULL
+           |       THEN length(bin(ty.bigram_types // cw.n1p_left)) + 2
+           |       ELSE 24 END AS bits
+           |  FROM tf LEFT JOIN c USING (prev, w)
+           |  LEFT JOIN cp USING (prev) LEFT JOIN cw USING (w)
+           |  CROSS JOIN ty)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(CASE WHEN c_bw IS NOT NULL THEN tf ELSE 0 END)
+           |    AS BIGINT) AS known_bigrams,
+           |  CAST(sum(CASE WHEN c_bw IS NULL AND n1p_left IS NOT NULL
+           |    THEN tf ELSE 0 END) AS BIGINT) AS backoff_bigrams,
+           |  CAST(sum(CASE WHEN c_bw IS NULL AND n1p_left IS NULL
+           |    THEN tf ELSE 0 END) AS BIGINT) AS oov_bigrams,
+           |  CAST(sum(tf * bits) AS BIGINT) AS kn_bits,
+           |  CASE WHEN sum(tf * bits) * 10 <= 56 * sum(tf) THEN 1 ELSE 0
+           |    END AS keep
+           |FROM j GROUP BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // cross-multiplied Flesch / FK over the common denominator
+      // n_sents·n_words — floor division, milli-units
+      "readability_scores" ->
+        (s"""WITH b AS (SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           |    AS n_words,
+           |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           |    AS BIGINT) AS n_sents,
+           |  CAST(len(regexp_extract_all($NormTextSql, '[aeiouy]+'))
+           |    AS BIGINT) AS n_syll
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |m AS (SELECT doc_id, n_words, n_sents, n_syll,
+           |  206835 - (1015 * n_words * n_words +
+           |    84600 * n_syll * n_sents) // (n_sents * n_words)
+           |    AS flesch_milli,
+           |  (390 * n_words * n_words + 11800 * n_syll * n_sents)
+           |    // (n_sents * n_words) - 15590 AS fk_grade_milli
+           |  FROM b)
+           |SELECT doc_id, n_words, n_sents, n_syll, flesch_milli,
+           |  fk_grade_milli,
+           |  CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+           |       WHEN flesch_milli >= 70000 THEN 'easy'
+           |       WHEN flesch_milli >= 50000 THEN 'medium'
+           |       WHEN flesch_milli >= 30000 THEN 'hard'
+           |       ELSE 'very_hard' END AS band
+           |FROM m"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // Gini off the counts-of-counts histogram (HUGEINT products ≡
+      // the Spark side's DECIMAL(38,0) promotion), HHI off language
+      // counts; both floor ppm
+      "corpus_inequality" ->
+        (s"""WITH lens AS (SELECT lang,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           |    AS v FROM documents WHERE length(trim(text)) > 0),
+           |h AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM lens
+           |      GROUP BY v),
+           |cc AS (SELECT n, v,
+           |  coalesce(sum(n) OVER w, 0) AS cum_n,
+           |  coalesce(sum(n * v) OVER w, 0) AS cum_t
+           |  FROM h WINDOW w AS (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |g AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           |  CAST(sum(n * v) AS BIGINT) AS total_tokens,
+           |  CAST(count(*) AS BIGINT) AS n_lengths,
+           |  sum(CAST(n AS HUGEINT) * (v * cum_n - cum_t)) AS s
+           |  FROM cc),
+           |lc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lens
+           |       GROUP BY lang),
+           |hh AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+           |  sum(CAST(c AS HUGEINT) * c) AS sq,
+           |  CAST(sum(c) AS BIGINT) AS nn FROM lc)
+           |SELECT n_docs, total_tokens, n_lengths,
+           |  CAST((s * 1000000) //
+           |    (CAST(n_docs AS HUGEINT) * total_tokens) AS BIGINT)
+           |    AS gini_token_ppm,
+           |  n_langs,
+           |  CAST((sq * 1000000) // (CAST(nn AS HUGEINT) * nn)
+           |    AS BIGINT) AS hhi_lang_ppm
+           |FROM g CROSS JOIN hh"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "hits_scores" -> HitsSql,
+
+      // BM25 run (shared CTEs) vs term-coverage graded qrels; IDCG
+      // from per-grade counts against the position-discount prefix
+      // table (27720 = lcm(2..11); prefix(p) = Σ_{i<=p} 27720/(1+i))
+      "graded_rank_eval" ->
+        (s"""WITH $Bm25RunCtes,
+           |qr AS (SELECT q.q_id, qp.doc_id,
+           |  CAST(least(4, length(bin(sum(qp.tf)))) AS BIGINT)
+           |    AS grade
+           |  FROM qp JOIN q USING (term) GROUP BY 1, 2),
+           |pr AS (SELECT * FROM (VALUES (0, 0), (1, 13860), (2, 23100),
+           |  (3, 30030), (4, 35574), (5, 40194), (6, 44154),
+           |  (7, 47619), (8, 50699), (9, 53471), (10, 55991))
+           |  t(p, ps)),
+           |dcg AS (SELECT run.q_id,
+           |  CAST(sum(qr.grade * (27720 // (run.rk + 1))) AS BIGINT)
+           |    AS dcg_scaled
+           |  FROM run JOIN qr USING (q_id, doc_id)
+           |  WHERE run.rk <= 10 GROUP BY 1),
+           |gc AS (SELECT q_id, grade, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM qr GROUP BY 1, 2),
+           |cb AS (SELECT q_id, grade, cnt,
+           |  coalesce(sum(cnt) OVER (PARTITION BY q_id
+           |    ORDER BY grade DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS cb FROM gc),
+           |ic AS (SELECT cb.q_id,
+           |  CAST(sum(cb.grade * (ph.ps - pl.ps)) AS BIGINT)
+           |    AS idcg_scaled
+           |  FROM cb JOIN pr ph ON ph.p = least(cb.cb + cb.cnt, 10)
+           |  JOIN pr pl ON pl.p = least(cb.cb, 10) GROUP BY 1),
+           |ng AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_graded
+           |       FROM qr GROUP BY 1)
+           |SELECT ng.q_id, ng.n_graded,
+           |  CAST(coalesce(dcg.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+           |  ic.idcg_scaled,
+           |  CAST((coalesce(dcg.dcg_scaled, 0) * 1000000)
+           |    // ic.idcg_scaled AS BIGINT) AS ndcg_ppm
+           |FROM ng JOIN ic USING (q_id) LEFT JOIN dcg USING (q_id)"""
+          .stripMargin.replaceAll("\\s+", " ").trim))
   }
 }

@@ -211,4 +211,54 @@ object Profiling {
         col("total_out_rows"), col("matched_keys"),
         col("top_share_pct"))
   }
+
+  /** Corpus-concentration audit: the Gini coefficient of the per-doc
+    * token-length distribution (is the token budget spread out or
+    * held by a few giant documents?) and the Herfindahl index of the
+    * language mix (is the corpus effectively monolingual?) — the two
+    * one-number diagnostics a mixture-rebalancing pass reads first.
+    *
+    * Both are EXACT integer parts-per-million. Gini runs on the
+    * counts-of-counts HISTOGRAM, never the corpus: the mean absolute
+    * difference folds into `Σ_v n_v·(v·cumN_<v − cumT_<v)` over the
+    * distinct-length frame (bounded by the longest document, not the
+    * corpus), so the only corpus-scale work is one map-side-combined
+    * length count; the ordered window runs on the tiny histogram. The
+    * ppm divisions promote to DECIMAL(38,0) first (`1e6·S` passes
+    * 2^63 near ~1e9 docs) and come back via integral `div` — floor
+    * semantics on both engines, result ≤ 1e6 so the BIGINT cast is
+    * safe by construction.
+    */
+  def corpusInequality(docs: DataFrame): DataFrame = {
+    val lens = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), TextAnalysis.wordCount(col("text")).as("v"))
+    val hist = lens.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = hist
+      .withColumn("cum_n", coalesce(sum(col("n")).over(before), lit(0L)))
+      .withColumn("cum_t",
+        coalesce(sum(col("n") * col("v")).over(before), lit(0L)))
+      .select(col("n"), col("v"),
+        (col("n").cast("decimal(38,0)") *
+          (col("v") * col("cum_n") - col("cum_t"))).as("s"))
+    val gini = contrib.agg(
+      sum(col("n")).as("n_docs"),
+      sum(col("n") * col("v")).as("total_tokens"),
+      count(lit(1)).as("n_lengths"),
+      sum(col("s")).as("sum_abs_half"))
+      .select(col("n_docs"), col("total_tokens"), col("n_lengths"),
+        // SumAbs = 2·Σs; Gini = SumAbs / (2·N·T) — the 2s cancel
+        expr("(sum_abs_half * 1000000) div " +
+          "(CAST(n_docs AS DECIMAL(38,0)) * total_tokens)")
+          .cast("long").as("gini_token_ppm"))
+    val hhi = lens.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"),
+        sum(col("c")).as("nn"))
+      .select(col("n_langs"),
+        expr("(sq * 1000000) div (CAST(nn AS DECIMAL(38,0)) * nn)")
+          .cast("long").as("hhi_lang_ppm"))
+    gini.crossJoin(broadcast(hhi))
+  }
 }

@@ -234,6 +234,84 @@ object Retrieval {
     * Both inputs are query-bounded frames, so every join here is
     * trivially broadcastable — cost is independent of corpus size.
     */
+  /** Graded relevance judgments from matched-term frequency:
+    * grade = `min(4, ⌊log2(Σ tf of matched query terms)⌋+1)` — the
+    * deterministic stand-in for human 1-to-4-star qrels that keeps
+    * the whole eval oracle-replayable (`length(bin(x))` is the exact
+    * integer log2 both engines share). Raw-frequency grades
+    * deliberately DISAGREE with BM25's length-normalized ranking, so
+    * NDCG actually discriminates instead of saturating at 1. The
+    * token stream restricts to queried terms FIRST (broadcast
+    * semi-join), so the tf aggregate only touches queried-term
+    * postings.
+    */
+  def gradedQrels(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val qterms = queries.select(col("q_id"), col("term")).distinct()
+    tokens(docs)
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(least(lit(4L), length(bin(sum(col("tf")))).cast("long"))
+        .as("grade"))
+  }
+
+  /** NDCG-style graded ranking eval, integer-exact: DCG with the
+    * LINEAR discount `gain/(1+rank)` instead of `gain/log2(1+rank)` —
+    * the variant you pick when the verdict must replay bit-for-bit
+    * (log2 discounts force floats whose summation order differs
+    * across engines). Scores are pre-scaled by `lcm(2..k+1)` so every
+    * per-position term is an exact integer; `ndcg_ppm` is the floor
+    * ratio in parts-per-million.
+    *
+    * The IDEAL ranking never sorts documents: grades are small
+    * integers, so IDCG folds into per-(query, grade) COUNTS — the
+    * positions a grade occupies are `[cum_higher+1, cum_higher+cnt]`
+    * capped at k, and the position-discount prefix sums are a k-entry
+    * compile-time array. The only window runs over the tiny
+    * (query × grade) frame. Output per query:
+    * `(q_id, n_graded, dcg_scaled, idcg_scaled, ndcg_ppm)`.
+    */
+  def gradedRankEval(
+      run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1,20], got $k")
+    // lcm(2..k+1): every discount DiscScale/(1+rk) is an exact integer
+    val discScale = (2 to k + 1).map(BigInt(_))
+      .reduce((a, b) => a * b / a.gcd(b)).toLong
+    val prefix = (0 to k).scanLeft(0L) {
+      case (acc, p) => if (p == 0) acc else acc + discScale / (1 + p)
+    }.tail // prefix(p) = Σ_{i=1..p} DiscScale/(1+i), prefix(0) = 0
+    val prefixArr = array(prefix.map(lit): _*)
+    def prefixAt(pos: Column) = element_at(prefixArr, (pos + 1).cast("int"))
+    val dcg = run.filter(col("rk") <= k)
+      .join(qrels, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("grade") * expr(s"$discScale div (rk + 1)"))
+        .as("dcg_scaled"))
+    val gc = qrels.groupBy(col("q_id"), col("grade"))
+      .agg(count(lit(1)).as("cnt"))
+    val higher = Window.partitionBy(col("q_id"))
+      .orderBy(col("grade").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val idcg = gc
+      .withColumn("cb", coalesce(sum(col("cnt")).over(higher), lit(0L)))
+      .select(col("q_id"),
+        (col("grade") *
+          (prefixAt(least(col("cb") + col("cnt"), lit(k.toLong))) -
+            prefixAt(least(col("cb"), lit(k.toLong))))).as("c"))
+      .groupBy(col("q_id")).agg(sum(col("c")).as("idcg_scaled"))
+    qrels.groupBy(col("q_id")).agg(count(lit(1)).as("n_graded"))
+      .join(idcg, Seq("q_id"))
+      .join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_graded"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        col("idcg_scaled"),
+        expr("(coalesce(dcg_scaled, 0) * 1000000) div idcg_scaled")
+          .as("ndcg_ppm"))
+  }
+
   def rankEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val hits = run.filter(col("rk") <= k)

@@ -995,4 +995,107 @@ object TextAnalysis {
           Window.orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Kneser-Ney-backoff bigram LM scoring — the perplexity-filter
+    * shape (CCNet / DCLM keep docs whose LM cost per token is low)
+    * with the KN continuation insight: an unseen bigram backs off to
+    * how many DISTINCT contexts its word completes (`n1p_left`), not
+    * to the word's raw frequency, so "francisco" (frequent but only
+    * ever after "san") stays expensive out of context.
+    *
+    * Everything is integer bits so the verdict replays bit-exactly on
+    * any engine (the [[refBigramSurprisal]] convention): a seen bigram
+    * costs `⌊log2(c_prev / c_bw)⌋+1` bits (its within-context
+    * frequency ratio), an unseen bigram whose word is a known
+    * continuation costs `⌊log2(types / n1p_left)⌋+1 + penalty` bits,
+    * and a word never seen as a continuation costs flat `oovBits`.
+    * `keep` is the cross-multiplied average-bits-per-bigram verdict
+    * in tenth-bit units (never a float division) — the default 5.6
+    * bits/bigram sits inside the corpus's observed 5.2-6.0 spread, so
+    * the filter actually separates.
+    *
+    * Scale shape: the count/continuation tables are vocabulary²-
+    * bounded, NOT broadcast — they meet the per-doc bigram rows in
+    * shuffled equi-joins on (prev, w), (prev) and (w); only the 1-row
+    * type total broadcasts. One tokenize scan per side; the per-doc
+    * aggregate is map-side combinable.
+    */
+  def knPerplexity(
+      target: DataFrame,
+      reference: DataFrame,
+      backoffPenaltyBits: Int = 2,
+      oovBits: Int = 24,
+      maxAvgBitsX10: Int = 56): DataFrame = {
+    require(backoffPenaltyBits >= 0,
+      s"backoffPenaltyBits must be >= 0, got $backoffPenaltyBits")
+    require(oovBits >= 1, s"oovBits must be >= 1, got $oovBits")
+    require(maxAvgBitsX10 >= 1,
+      s"maxAvgBitsX10 must be >= 1, got $maxAvgBitsX10")
+    val refCnt = docBigrams(reference).groupBy("prev", "w")
+      .agg(count(lit(1)).as("c_bw"))
+    val refPrev = refCnt.groupBy("prev").agg(sum(col("c_bw")).as("c_prev"))
+    val refCont = refCnt.groupBy("w").agg(count(lit(1)).as("n1p_left"))
+    val types = refCnt.agg(count(lit(1)).as("bigram_types"))
+    val tf = docBigrams(target).groupBy("doc_id", "prev", "w")
+      .agg(count(lit(1)).as("tf"))
+    val bits = when(col("c_bw").isNotNull,
+        length(bin(expr("c_prev div c_bw"))).cast("long"))
+      .when(col("n1p_left").isNotNull,
+        length(bin(expr("bigram_types div n1p_left"))).cast("long") +
+          backoffPenaltyBits)
+      .otherwise(lit(oovBits.toLong))
+    tf.join(refCnt, Seq("prev", "w"), "left")
+      .join(refPrev, Seq("prev"), "left")
+      .join(refCont, Seq("w"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"), col("tf"), col("c_bw"), col("n1p_left"),
+        bits.as("bits"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(when(col("c_bw").isNotNull, col("tf")).otherwise(0L))
+          .as("known_bigrams"),
+        sum(when(col("c_bw").isNull && col("n1p_left").isNotNull,
+          col("tf")).otherwise(0L)).as("backoff_bigrams"),
+        sum(when(col("c_bw").isNull && col("n1p_left").isNull,
+          col("tf")).otherwise(0L)).as("oov_bigrams"),
+        sum(col("tf") * col("bits")).as("kn_bits"))
+      .withColumn("keep",
+        when(col("kn_bits") * 10L <=
+            lit(maxAvgBitsX10.toLong) * col("n_bigrams"),
+          lit(1)).otherwise(lit(0)))
+  }
+
+  /** Flesch / Flesch-Kincaid readability, integer-exact: sentences are
+    * terminal-punctuation runs on the RAW text (min 1), words the
+    * usual whitespace tokens, and "syllables" vowel-group runs on the
+    * normalized text — the standard automated approximation. The two
+    * scores come out in milli-units via one cross-multiplied floor
+    * division each (`flesch = 206.835 − 1.015·W/S − 84.6·Y/W` over the
+    * common denominator S·W), so there is no float anywhere and any
+    * engine replays the verdict bit-for-bit. Scan-shaped: zero
+    * shuffles, one WholeStageCodegen span.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = wordCount(col("text"))
+    val s = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val y = regexp_count(TextDedup.normText(col("text")), lit("[aeiouy]+"))
+      .cast("long")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sents"),
+        y.as("n_syll"))
+      .withColumn("flesch_milli",
+        lit(206835L) - expr(
+          "(1015 * n_words * n_words + 84600 * n_syll * n_sents) " +
+            "div (n_sents * n_words)"))
+      .withColumn("fk_grade_milli",
+        expr("(390 * n_words * n_words + 11800 * n_syll * n_sents) " +
+          "div (n_sents * n_words)") - lit(15590L))
+      .withColumn("band",
+        when(col("flesch_milli") >= 90000L, lit("very_easy"))
+          .when(col("flesch_milli") >= 70000L, lit("easy"))
+          .when(col("flesch_milli") >= 50000L, lit("medium"))
+          .when(col("flesch_milli") >= 30000L, lit("hard"))
+          .otherwise(lit("very_hard")))
+  }
 }

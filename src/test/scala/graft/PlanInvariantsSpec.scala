@@ -66,6 +66,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "retrieval_eval",  // BM25 scalars 1-row broadcast (bm25_topk shape)
     "split_leakage_audit", // × broadcast(two 1-row leak aggregates)
     "vocab_growth",    // × broadcast(1-row id-range frame)
+    "kn_perplexity",   // × broadcast(1-row bigram-type total)
+    "corpus_inequality", // × broadcast(1-row language-HHI frame)
+    "graded_rank_eval", // BM25 scalars 1-row broadcast (bm25_topk shape)
     "pareto_frontier") // × broadcast(1-row x-range scalar for bucketing)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {

@@ -263,4 +263,39 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.joinBlowupAudit(left, right, "jk", topK = 0))
   }
+
+  test("corpusInequality: hand-computed Gini and HHI on a two-doc " +
+      "corpus") {
+    // lengths 1 and 3: SumAbs/2 = 1·(3·1 − 1) = 2; Gini = 2/(2·4) =
+    // 0.25; two even languages: HHI = 2/4 = 0.5
+    val docs = Seq((1L, "a", "en"), (2L, "a b c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Profiling.corpusInequality(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((2L, 4L, 2L, 250000L, 2L, 500000L)), got.toString)
+  }
+
+  test("corpusInequality: equal lengths give Gini 0, a single " +
+      "language gives HHI 1e6, empty docs drop") {
+    val docs = Seq((1L, "a b", "en"), (2L, "c d", "en"),
+      (3L, "e f", "en"), (4L, "   ", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Profiling.corpusInequality(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 6L, 1L, 0L, 1L, 1000000L)), got.toString)
+  }
+
+  test("corpusInequality: skewed corpus approaches the closed-form " +
+      "(n-1)/n bound") {
+    // 9 docs of 1 token + 1 doc of 991 tokens: T = 1000.
+    // SumAbs/2 = 9·(991·9... wait — compute: v=1,n=9 contributes 0;
+    // v=991,n=1: cum_n=9, cum_t=9 -> s = 991·9 − 9 = 8910.
+    // Gini = 8910/(10·1000) = 0.891 -> 891000 ppm.
+    val one = (1L to 9L).map(i => (i, "t", "en"))
+    val big = Seq((10L, Seq.fill(991)("t").mkString(" "), "en"))
+    val docs = (one ++ big).toDF("doc_id", "text", "lang")
+    val got = Profiling.corpusInequality(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._4 == 891000L, got.toString)
+  }
 }

@@ -203,4 +203,49 @@ class RetrievalSpec extends SparkSpec {
     assert(got3 == Set((1L, 3L, 2L, 2), (2L, 1L, 0L, 0)), got3)
     intercept[IllegalArgumentException](Retrieval.rankEval(run, qrels, 0))
   }
+
+  test("gradedQrels: grade is the capped integer log2 of matched-term " +
+      "frequency") {
+    val d = Seq(
+      (1L, "apple"), // tf 1 -> len(bin(1)) = 1
+      (2L, "apple apple apple"), // tf 3 -> 2
+      (3L, "apple " * 20), // tf 20 -> len(bin(20)) = 5 -> capped 4
+      (4L, "pear")) // no match -> absent
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "apple")).toDF("q_id", "term")
+    val got = Retrieval.gradedQrels(d, q)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 4L), got.toString)
+  }
+
+  test("gradedRankEval: perfect ranking scores exactly 1e6 ppm, " +
+      "inverted ranking the hand-computed floor ratio") {
+    val qrels = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("q_id", "doc_id", "grade")
+    def run(order: Seq[Long]) = order.zipWithIndex
+      .map { case (d, i) => (1L, d, i + 1) }.toDF("q_id", "doc_id", "rk")
+    // ideal: 3·13860 + 2·9240 + 1·6930 = 66990
+    val perfect = Retrieval.gradedRankEval(
+      run(Seq(10L, 20L, 30L)), qrels)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(perfect == ((1L, 3L, 66990L, 66990L, 1000000L)),
+      perfect.toString)
+    // inverted: 1·13860 + 2·9240 + 3·6930 = 53130; ppm = ⌊53130e6/66990⌋
+    val inv = Retrieval.gradedRankEval(run(Seq(30L, 20L, 10L)), qrels)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(inv == ((1L, 3L, 53130L, 66990L, 793103L)), inv.toString)
+  }
+
+  test("gradedRankEval: ideal positions cap at k and a run that " +
+      "misses everything scores 0") {
+    // 12 grade-2 docs but only 10 ideal slots: idcg = 2·prefix(10)
+    val qrels = (1L to 12L).map(d => (7L, d, 2L))
+      .toDF("q_id", "doc_id", "grade")
+    val emptyRun = Seq((7L, 999L, 1)).toDF("q_id", "doc_id", "rk")
+    val got = Retrieval.gradedRankEval(emptyRun, qrels)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((7L, 12L, 0L, 111982L, 0L)), got.toString)
+    intercept[IllegalArgumentException](
+      Retrieval.gradedRankEval(emptyRun, qrels, k = 0))
+  }
 }

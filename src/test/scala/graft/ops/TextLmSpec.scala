@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the KN-backoff LM filter and the
+  * integer readability scores — every expected value derived on
+  * paper, every assertion exact.
+  */
+class TextLmSpec extends SparkSpec {
+  import graft.SparkTestSession.spark.implicits._
+
+  test("knPerplexity: seen / backoff / oov bigrams cost the " +
+      "documented exact bits") {
+    // reference "a b a b a c": counts (a,b)=2 (b,a)=2 (a,c)=1;
+    // c_prev a=3 b=2; n1p_left a=1 b=1 c=1; types=3
+    val ref = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "a b c a"), // (a,b) seen; (b,c),(c,a) backoff
+      (2L, "a z")) // (a,z): z never continues anything -> oov
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knPerplexity(tgt, ref)
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // (a,b): len(bin(3 div 2)) = 1; backoffs: len(bin(3 div 1)) + 2
+    // = 4 each -> kn_bits = 1 + 4 + 4 = 9; keep: 90 <= 56*3
+    assert(got(1L) == ((1L, 3L, 1L, 2L, 0L, 9L, 1)), got(1L).toString)
+    // oov: 24 bits on 1 bigram; keep: 240 > 56
+    assert(got(2L) == ((2L, 1L, 0L, 0L, 1L, 24L, 0)), got(2L).toString)
+  }
+
+  test("knPerplexity: a frequent in-context bigram is cheaper than a " +
+      "rare one under the same context") {
+    // "x a x a x a x b": (x,a)=3 (a,x)=3 (x,b)=1; c_prev x=4
+    val ref = Seq((0L, "x a x a x a x b")).toDF("doc_id", "text")
+    val tgt = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
+    val bits = TextAnalysis.knPerplexity(tgt, ref)
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._6).toMap
+    // (x,a): len(bin(4 div 3)) = 1; (x,b): len(bin(4 div 1)) = 3
+    assert(bits(1L) == 1L && bits(2L) == 3L, bits.toString)
+  }
+
+  test("readability: word / sentence / vowel-run counts and the two " +
+      "cross-multiplied milli scores") {
+    val docs = Seq((1L, "The cat sat. It ran fast!"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+    // W=6, S=2, Y=6: flesch = 206835 - (1015*36 + 84600*12) div 12 =
+    // 119190; fk = (390*36 + 11800*12) div 12 - 15590 = -2620
+    assert(got == ((1L, 6L, 2L, 6L, 119190L, -2620L, "very_easy")),
+      got.toString)
+  }
+
+  test("readability: no terminal punctuation floors sentences at 1; " +
+      "empty text drops") {
+    val docs = Seq((1L, "word soup with no end"), (2L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(got.length == 1 && got.head._3 == 1L, got.toList.toString)
+  }
+
+  test("readability: dense long-word text lands in a harder band " +
+      "than simple prose") {
+    val docs = Seq(
+      (1L, "I am ok. He is ok. We go up."),
+      (2L, "Extraordinarily sophisticated considerations " +
+        "notwithstanding, multidimensional organizational " +
+        "harmonization presupposes interdisciplinary convergence."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._7).toMap
+    assert(got(1L) == "very_easy" && got(2L) == "very_hard",
+      got.toString)
+  }
+}
