@@ -3979,7 +3979,73 @@ object SparkEntry {
       Retrieval.gradedRankEval(
         Retrieval.bm25TopK(docs, queries, k = 10),
         Retrieval.gradedQrels(docs, queries), k = 10)
-    }))
+    }),
+
+    // Benford first-digit audit over order totals: per digit 1-9 the
+    // observed count, floored per-mille share (cross-multiplied
+    // integer division, no float ratio), the log10(1+1/d) expectation
+    // and absolute deviation — the fabricated-data screen, all exact.
+    "benford_audit" -> ((s, dir) =>
+      DataQuality.benfordAudit(T(s, dir, "orders"), col("o_totalprice"))),
+
+    // Zipf rank-frequency census: vocabulary counts folded into
+    // doubling buckets (bit length of the term count) — types, token
+    // mass, min/max per bucket. The corpus-health screen; no rank
+    // sort, the bucket IS the rank structure.
+    "zipf_census" -> ((s, dir) =>
+      TextAnalysis.zipfCensus(T(s, dir, "documents"))),
+
+    // Degree histogram of the customer→supplier purchase graph in
+    // doubling buckets, both directions — the skew pre-flight the
+    // iterative graph ops key off. Node counts, degree mass, exact
+    // min/max per (side, bucket).
+    "degree_census" -> ((s, dir) => {
+      val edges = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      GraphCensus.degreeCensus(edges)
+    }),
+
+    // Reciprocity summary of the arithmetic functional graph
+    // k%1000 → (3k+2)%1000 (chosen so loops AND mutual pairs both
+    // exist): distinct non-loop edges, directed mutual count,
+    // self-loop count — one row, all BIGINT.
+    "graph_reciprocity" -> ((s, dir) =>
+      GraphCensus.reciprocity(
+        T(s, dir, "customer").select(
+          (col("c_custkey") % 1000).as("src"),
+          ((col("c_custkey") * 3 + 2) % 1000).as("dst")))),
+
+    // Inter-arrival burstiness census: per-user consecutive gaps (in
+    // epoch micros) folded into doubling buckets — gap counts, dwell
+    // sums, exact min/max per bucket; bucket 0 = exact timestamp
+    // ties. One sessionize-shaped shuffle, then a bounded aggregate.
+    "interarrival_census" -> ((s, dir) =>
+      EventOps.interarrivalCensus(
+        eventsMicros(s, dir).select(
+          col("event_id"), col("user_id"), col("ts")))),
+
+    // Exact Spearman moments between document char length and word
+    // count: histogram-decomposed doubled tie ranks (no global rank
+    // sort), one row of DECIMAL-exact Pearson-on-ranks numerators
+    // emitted as digit strings (r15 wide-decimal rule).
+    "rank_correlation" -> ((s, dir) =>
+      Profiling.spearmanMoments(T(s, dir, "documents"),
+        col("n_chars"), TextAnalysis.wordCount(col("text")))),
+
+    // Near-dup cluster size census over the Jaccard components:
+    // clusters per exact size with their doc mass — the "how much
+    // would dedup delete" summary on top of neardup_components;
+    // singletons included (every doc is a node).
+    "neardup_cluster_census" -> ((s, dir) =>
+      neardupLabeled(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))))
 
   // ------------------------------------------------------------- oracles
 
@@ -7237,6 +7303,128 @@ object SparkEntry {
            |  CAST((coalesce(dcg.dcg_scaled, 0) * 1000000)
            |    // ic.idcg_scaled AS BIGINT) AS ndcg_ppm
            |FROM ng JOIN ic USING (q_id) LEFT JOIN dcg USING (q_id)"""
-          .stripMargin.replaceAll("\\s+", " ").trim))
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // floor-then-cast leading digit (the one double→int path both
+      // engines agree on); per-mille by integer cross-multiplication;
+      // the Benford table as a 1-based list lookup, floored per-mille
+      "benford_audit" ->
+        ("""WITH g AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+           |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           |  count(*) AS n FROM orders WHERE o_totalprice >= 1
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+           |SELECT digit, CAST(n AS BIGINT) AS n,
+           |  n * 1000 // total AS obs_milli,
+           |  CAST([301, 176, 124, 96, 79, 66, 57, 51, 45][digit]
+           |    AS BIGINT) AS benford_milli,
+           |  abs(n * 1000 // total -
+           |    [301, 176, 124, 96, 79, 66, 57, 51, 45][digit])
+           |    AS dev_milli
+           |FROM g CROSS JOIN t"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the doubling bucket is length(bin(cnt)) on both engines —
+      // exact bit length, no float log anywhere
+      "zipf_census" ->
+        (s"""WITH c AS (SELECT tok, count(*) AS cnt FROM
+           |  (SELECT unnest(string_split($NormTextSql, ' ')) AS tok
+           |   FROM documents) GROUP BY tok)
+           |SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+           |  count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |  CAST(min(cnt) AS BIGINT) AS min_cnt,
+           |  CAST(max(cnt) AS BIGINT) AS max_cnt
+           |FROM c GROUP BY 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      "degree_census" ->
+        ("""WITH e AS (SELECT DISTINCT o_custkey AS src,
+           |  l_suppkey + 1000000 AS dst FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey),
+           |d AS (SELECT 'out' AS side, src AS node, count(*) AS deg
+           |      FROM e GROUP BY src
+           |      UNION ALL
+           |      SELECT 'in' AS side, dst AS node, count(*) AS deg
+           |      FROM e GROUP BY dst)
+           |SELECT side, CAST(length(bin(deg)) AS BIGINT) AS bucket,
+           |  count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS deg_sum,
+           |  CAST(min(deg) AS BIGINT) AS min_deg,
+           |  CAST(max(deg) AS BIGINT) AS max_deg
+           |FROM d GROUP BY 1, 2"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the left-join-reversed-edge formulation, replayed verbatim
+      "graph_reciprocity" ->
+        ("""WITH nd AS (SELECT DISTINCT c_custkey % 1000 AS src,
+           |  (c_custkey * 3 + 2) % 1000 AS dst FROM customer),
+           |pl AS (SELECT src, dst FROM nd WHERE src <> dst),
+           |rv AS (SELECT dst AS src, src AS dst, 1 AS rr FROM pl),
+           |lp AS (SELECT CAST(count(*) AS BIGINT) AS n_loops
+           |       FROM nd WHERE src = dst)
+           |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |  CAST(sum(coalesce(rr, 0)) AS BIGINT) AS n_mutual, n_loops
+           |FROM pl LEFT JOIN rv USING (src, dst) CROSS JOIN lp
+           |GROUP BY n_loops"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // gaps at micros on both sides (eventsMicros / epoch_us); the
+      // (ts, event_id) tiebreak fixes per-row order, though the gap
+      // multiset is already determined by the timestamps alone
+      "interarrival_census" ->
+        ("""WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |  PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |  AS gap FROM events)
+           |SELECT CASE WHEN gap = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket,
+           |  count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS gap_sum,
+           |  CAST(min(gap) AS BIGINT) AS min_gap,
+           |  CAST(max(gap) AS BIGINT) AS max_gap
+           |FROM g WHERE gap IS NOT NULL GROUP BY 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the histogram-rank decomposition replayed: doubled average tie
+      // ranks off each value histogram's exclusive prefix, moments in
+      // HUGEINT (int128 ≈ the Spark side's DECIMAL(38,0)), the wide
+      // numerators leaving as digit strings on both sides
+      "rank_correlation" ->
+        ("""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           |    AS y FROM documents),
+           |hx AS (SELECT x, count(*) AS c FROM d GROUP BY x),
+           |px AS (SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + c + 1 AS rx FROM hx),
+           |hy AS (SELECT y, count(*) AS c FROM d GROUP BY y),
+           |py AS (SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + c + 1 AS ry FROM hy),
+           |j AS (SELECT rx, ry FROM d JOIN px USING (x)
+           |      JOIN py USING (y)),
+           |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |  CAST(sum(rx) AS HUGEINT) AS sx,
+           |  CAST(sum(ry) AS HUGEINT) AS sy,
+           |  CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+           |  CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sx2,
+           |  CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS sy2
+           |  FROM j)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  CAST(n * sxy - sx * sy AS VARCHAR) AS num_str,
+           |  CAST(n * sx2 - sx * sx AS VARCHAR) AS denx_str,
+           |  CAST(n * sy2 - sy * sy AS VARCHAR) AS deny_str
+           |FROM m"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the same recursive reach set as neardup_components, folded
+      // twice: component sizes, then clusters-per-size
+      "neardup_cluster_census" ->
+        (NeardupReachCte +
+          ", lbl AS (SELECT node, min(lbl) AS component" +
+          "          FROM reach GROUP BY node), " +
+          "cs AS (SELECT component, count(*) AS cluster_size" +
+          "       FROM lbl GROUP BY component) " +
+          "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, " +
+          "count(*) AS n_clusters, " +
+          "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
+          "FROM cs GROUP BY cluster_size"))
   }
 }

@@ -148,6 +148,49 @@ object DataQuality {
           .cast("int").as("within_pct"))
   }
 
+  /** First-digit frequencies in per-mille, floored — log10(1 + 1/d)
+    * for d = 1..9. The floor convention is part of the contract (the
+    * row sum is 995, not 1000) so the audit replays value-exactly.
+    */
+  val BenfordMilli: Seq[Int] = Seq(301, 176, 124, 96, 79, 66, 57, 51, 45)
+
+  /** Benford's-law first-digit audit over a positive numeric column —
+    * the classic fabricated-data screen for organically-grown
+    * magnitudes (prices, populations, file sizes). One row per
+    * leading digit 1..9: observed count, observed per-mille, the
+    * Benford expectation, and the absolute deviation, all exact
+    * integers (per-mille shares by cross-multiplied floor division
+    * against the audited total, never a float ratio).
+    *
+    * The leading digit comes from `floor(value)` cast to BIGINT and
+    * rendered as a string — floor-then-cast is the one double→int
+    * path that agrees across engines (a bare double→BIGINT cast
+    * truncates in ANSI Spark but ROUNDS in DuckDB). Rows below 1 are
+    * excluded (no leading digit in this convention).
+    *
+    * Scale shape: one column-pruned scan into a 9-group map-side-
+    * combined aggregate; the audited total arrives by broadcast
+    * cross-join of the 1-row grand total (the repo's scalar-join
+    * idiom), so nothing beyond the scan grows with the table.
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val digit = substring(floor(value).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val grouped = df.filter(value >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = grouped.agg(sum(col("n")).as("__total"))
+    grouped
+      .crossJoin(broadcast(total))
+      .withColumn("obs_milli", expr("n * 1000 div __total"))
+      .withColumn("benford_milli",
+        element_at(array(BenfordMilli.map(lit): _*), col("digit"))
+          .cast("long"))
+      .withColumn("dev_milli",
+        abs(col("obs_milli") - col("benford_milli")))
+      .drop("__total")
+  }
+
   /** Re-identification risk audit over quasi-identifier combinations —
     * the k-anonymity / l-diversity screen a privacy review runs before
     * a table (or a training corpus's metadata sidecar) ships: every

@@ -265,6 +265,40 @@ object EventOps {
       .limit(k)
   }
 
+  /** Inter-arrival-time census in doubling buckets — the burstiness
+    * screen over an event stream: human activity piles gaps into the
+    * seconds-to-minutes doublings with a heavy daily-cycle tail,
+    * while bot traffic and replayed logs spike a single bucket.
+    * Every consecutive per-user gap (in the stream's BIGINT time
+    * unit; callers feed micros) lands in bucket `⌊log₂ gap⌋ + 1` via
+    * the `length(bin())` bit-length idiom (bucket 0 = exact ties);
+    * per bucket: the gap count, summed dwell time, and exact min/max.
+    * All BIGINT — gap sums are bounded by users × observed span, far
+    * inside int64 — so the census replays bit-for-bit in external
+    * SQL.
+    *
+    * Scale shape: the `lag` window is the sessionize shuffle (hash on
+    * user_id, sort within partitions — per-user sequences bounded),
+    * then a ~60-bucket map-side-combined aggregate; nothing after the
+    * window grows with the stream. The `(ts, event_id)` tiebreak
+    * makes the per-row order deterministic, though the gap MULTISET —
+    * all this census sees — is already fixed by the timestamps alone.
+    */
+  def interarrivalCensus(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(order))
+      .filter(col("gap").isNotNull)
+      .groupBy(when(col("gap") === 0, lit(0L))
+        .otherwise(length(bin(col("gap"))).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("gap_sum"),
+        min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for every consecutive `(event, next event)` pair in a
     * user's `(ts, event_id)` order, the exact transition count and the

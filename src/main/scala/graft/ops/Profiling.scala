@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,66 @@ object Profiling {
         col("__best_y") > col("__prev_best"))
       .select(col(xCol), col("__best_y").as(yCol))
     df.join(frontier, Seq(xCol, yCol), "left_semi")
+  }
+
+  /** Exact Spearman rank-correlation moments between two integer
+    * columns — the monotone-association screen (does document length
+    * track token count? does a quality score track surprisal?) that a
+    * float `corr()` answers irreproducibly. Ranks are DOUBLED average
+    * tie ranks (`2·below + ties + 1` — the average of a tied run
+    * times 2, so ranks stay integers under any tie pattern), and the
+    * output is ONE row of the exact Pearson-on-ranks building blocks:
+    * `n` plus `num = n·Σrxry − Σrx·Σry` and the two variance
+    * denominators, each carried in DECIMAL(38,0) and emitted as
+    * canonical digit STRINGS (the r15 rule: wide exact integers never
+    * ride a final schema as DECIMAL). ρ = num / √(denx·deny) at the
+    * caller's edge; num = denx = deny exactly ⟺ ρ = 1. Exact while
+    * n⁴ < 10³⁸ (n ≲ 3·10⁹ rows); past that, pre-bucket the values —
+    * Spearman on a monotone re-bucketing is the same statistic
+    * coarsened, and ANSI decimal overflow fails loudly, never
+    * silently.
+    *
+    * Scale shape: NO global rank sort. Each column ranks through its
+    * value HISTOGRAM — a map-side-combined count aggregate — whose
+    * exclusive prefix sums come from [[Sampling.prefixSums]] (the
+    * two-level decomposition; `levels` ≥ 3 for >10⁹ distinct values),
+    * so "count of rows below" never funnels the corpus through one
+    * task. Rows meet their ranks in two value-keyed equi-joins
+    * (histogram side is |distinct values|, AQE broadcasts when small)
+    * and the moments fold in one map-side-combined aggregate.
+    */
+  def spearmanMoments(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      bucketSize: Int = 4096,
+      levels: Int = 2): DataFrame = {
+    val base = df.select(xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"))
+    def withRank(d: DataFrame, v: String, r: String): DataFrame = {
+      val hist = d.groupBy(col(v)).agg(count(lit(1)).as("__c"))
+      val ranks = Sampling
+        .prefixSums(hist, col(v), col("__c"), bucketSize, Nil, levels)
+        .select(col(v),
+          (col("prefix") * 2 + col("__c") + 1).as(r))
+      d.join(ranks, v)
+    }
+    val ranked = withRank(withRank(base, "__x", "__rx"), "__y", "__ry")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ranked
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(dec(col("__rx"))).as("__sx"),
+        sum(dec(col("__ry"))).as("__sy"),
+        sum(dec(col("__rx")) * dec(col("__ry"))).as("__sxy"),
+        sum(dec(col("__rx")) * dec(col("__rx"))).as("__sx2"),
+        sum(dec(col("__ry")) * dec(col("__ry"))).as("__sy2"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("decimal(38,0)").cast("string").as("num_str"),
+        (col("__n") * col("__sx2") - col("__sx") * col("__sx"))
+          .cast("decimal(38,0)").cast("string").as("denx_str"),
+        (col("__n") * col("__sy2") - col("__sy") * col("__sy"))
+          .cast("decimal(38,0)").cast("string").as("deny_str"))
   }
 
   /** Join-blowup pre-flight: before running `left ⨝ right` on

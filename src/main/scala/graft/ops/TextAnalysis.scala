@@ -555,6 +555,34 @@ object TextAnalysis {
         min(col("char_len")).as("min_chars"),
         max(col("char_len")).as("max_chars"))
 
+  /** Zipf rank-frequency census in doubling count buckets — the
+    * corpus-health screen for tokenized text: a natural-language
+    * corpus puts roughly CONSTANT token mass in each doubling of term
+    * frequency (the integral of 1/r), while machine-generated or
+    * template-heavy corpora pile mass into a few buckets. One row per
+    * occupied bucket `⌊log₂ cnt⌋ + 1` (the `length(bin())` bit-length
+    * idiom — no float log): how many distinct types land there, their
+    * summed token mass, and the exact min/max counts. All BIGINT, so
+    * the census replays bit-for-bit in external SQL.
+    *
+    * Scale shape: one tokenize into a (term → count) aggregate (the
+    * vocabulary shuffle every corpus statistic pays — map-side
+    * combined, 8-byte-ish rows), then a ~40-bucket second aggregate
+    * over the vocabulary table. Nothing downstream of the term count
+    * grows with the corpus; no global sort, no rank window — the
+    * doubling bucket IS the rank structure, computed pointwise.
+    */
+  def zipfCensus(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(TextDedup.normText(col("text")), " "))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy(length(bin(col("cnt"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"))
+
   /** Per-document unigram surprisal — an integer-exact corpus-
     * statistics quality signal: each token occurrence contributes the
     * bit length of `n_total div cnt` (⌊log₂⌋+1 of its inverse corpus

@@ -69,7 +69,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "kn_perplexity",   // × broadcast(1-row bigram-type total)
     "corpus_inequality", // × broadcast(1-row language-HHI frame)
     "graded_rank_eval", // BM25 scalars 1-row broadcast (bm25_topk shape)
-    "pareto_frontier") // × broadcast(1-row x-range scalar for bucketing)
+    "pareto_frontier", // × broadcast(1-row x-range scalar for bucketing)
+    "benford_audit",   // × broadcast(1-row audited-total scalar)
+    "graph_reciprocity") // × broadcast(1-row self-loop count)
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -90,6 +90,28 @@ class DataQualitySpec extends SparkSpec {
       (2, "a", 1L, 1L, 1, 1)))
   }
 
+  test("benfordAudit: hand-computed digits, floored per-mille shares " +
+      "and deviations; sub-1 rows excluded") {
+    // digits: 1.2, 14.0, 180.5 -> 1 (n=3); 2.9 -> 2; 9.99, 950.0 -> 9;
+    // 0.4 excluded (below 1). total = 6.
+    val df = Seq(1.2, 14.0, 180.5, 2.9, 0.4, 9.99, 950.0).toDF("v")
+    val got = DataQuality.benfordAudit(df, col("v"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // (digit, n, n*1000 div 6, benford_milli, |obs - benford|)
+      (1, 3L, 500L, 301L, 199L),
+      (2, 1L, 166L, 176L, 10L),
+      (9, 2L, 333L, 45L, 288L)))
+  }
+
+  test("benfordAudit: value exactly 1 is included; negatives and " +
+      "zero are not") {
+    val df = Seq(1.0, -5.0, 0.0, 0.999).toDF("v")
+    val got = DataQuality.benfordAudit(df, col("v"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1, 1L, 1000L, 301L, 699L)))
+  }
+
   test("kAnonymity rejects empty QI lists and k/l < 1") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1, 2L)).toDF("q", "s")

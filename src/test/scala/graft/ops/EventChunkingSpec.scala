@@ -114,4 +114,27 @@ class EventChunkingSpec extends SparkSpec {
     // all three terms have df=2; ties break alphabetically
     assert(got == List(("apple", 2L), ("banana", 2L)))
   }
+  test("interarrivalCensus: gap buckets with a zero-gap tie bucket") {
+    // user 1 at ts 0,1,1,5 -> gaps 1 (bucket 1), 0 (bucket 0),
+    // 4 (bucket 3); user 2 single event contributes no gap
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 1L, 5L), (5L, 2L, 10L)).toDF("event_id", "user_id", "ts")
+    val got = EventOps.interarrivalCensus(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 0L, 0L, 0L),
+      (1L, 1L, 1L, 1L, 1L),
+      (3L, 1L, 4L, 4L, 4L)))
+  }
+
+  test("interarrivalCensus: gaps never cross users; shared-bucket " +
+      "stats are exact") {
+    // user 1 gaps 2, 3 (both bucket 2); user 2 gap 2 (bucket 2) —
+    // the cross-user 95 -> 100 jump must NOT appear as a gap
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 2L), (3L, 1L, 5L),
+      (4L, 2L, 100L), (5L, 2L, 102L)).toDF("event_id", "user_id", "ts")
+    val got = EventOps.interarrivalCensus(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L, 7L, 2L, 3L)))
+  }
 }

@@ -298,4 +298,37 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().head
     assert(got._4 == 891000L, got.toString)
   }
+
+test("spearmanMoments: hand-computed doubled tie ranks and exact " +
+      "moment strings") {
+    // (x, y): (1,10),(2,20),(2,30),(3,30)
+    // doubled x-ranks: 1->2, 2->5, 3->8; y-ranks: 10->2, 20->4, 30->7
+    // pairs (2,2),(5,4),(5,7),(8,7): n=4, Sx=Sy=20, Sxy=115,
+    // Sx2=Sy2=118 -> num = 4*115-400 = 60, den = 4*118-400 = 72
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 30L))
+      .toDF("x", "y")
+    val got = Profiling.spearmanMoments(df, col("x"), col("y"))
+      .as[(Long, String, String, String)].collect().head
+    assert(got == ((4L, "60", "72", "72")), got.toString)
+  }
+
+  test("spearmanMoments: a perfect monotone pairing makes num equal " +
+      "both denominators (rho = 1); reversal flips the sign") {
+    val up = Seq((1L, 5L), (2L, 9L), (3L, 11L)).toDF("x", "y")
+    val u = Profiling.spearmanMoments(up, col("x"), col("y"))
+      .as[(Long, String, String, String)].collect().head
+    assert(u._2 == u._3 && u._3 == u._4, u.toString)
+    val down = Seq((1L, 11L), (2L, 9L), (3L, 5L)).toDF("x", "y")
+    val d = Profiling.spearmanMoments(down, col("x"), col("y"))
+      .as[(Long, String, String, String)].collect().head
+    assert(d._2 == "-" + d._3 && d._3 == d._4, d.toString)
+  }
+
+  test("spearmanMoments: an all-tied column yields a zero " +
+      "denominator, never a crash") {
+    val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
+    val got = Profiling.spearmanMoments(df, col("x"), col("y"))
+      .as[(Long, String, String, String)].collect().head
+    assert(got._2 == "0" && got._3 == "0" && got._4 != "0", got.toString)
+  }
 }

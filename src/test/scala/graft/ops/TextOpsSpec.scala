@@ -922,4 +922,27 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.knBigramCounts(docs, topK = 0))
   }
+  test("zipfCensus: doubling buckets carry exact type and token " +
+      "tallies; normText case-folds before counting") {
+    // counts after normText: a=4 (bucket 3), b=2 (bucket 2),
+    // c=1 (bucket 1) — the capital A and B fold in
+    val docs = Seq((1L, "a a A a b"), (2L, "B c")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfCensus(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 1L, 1L),
+      (2L, 1L, 2L, 2L, 2L),
+      (3L, 1L, 4L, 4L, 4L)))
+  }
+
+  test("zipfCensus: types sharing a bucket report min/max and summed " +
+      "mass") {
+    // counts: x=2, y=3 share bucket 2; z=1 alone in bucket 1
+    val docs = Seq((1L, "x x y y y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfCensus(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 1L, 1L),
+      (2L, 2L, 5L, 2L, 3L)))
+  }
 }
