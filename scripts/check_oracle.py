@@ -34,9 +34,22 @@ def fetch_exact(cursor) -> pd.DataFrame:
                       f"{field.type} in a FINAL schema — driver hash "
                       "hazard; cast to string on both engines")
                 col = col.cast(pa.string())
+            elif field.type.precision > 15:
+                # 16-18 significant digits exceed float64's 2^53 exact
+                # integer range — two DIFFERENT values can collide in
+                # float64 and fake a PASS (ADVICE r16). Digit strings,
+                # canonicalized so engine scale differences (1.50 vs
+                # 1.500) don't fake a FAIL.
+                col = pa.compute.cast(col, pa.string())
+                # strip trailing FRACTIONAL zeros only (guard: a bare
+                # integer like "1500" must stay intact), then a bare dot
+                col = pa.compute.replace_substring_regex(
+                    col, r"^(-?\d+\.\d*?)0+$", r"\1")
+                col = pa.compute.replace_substring_regex(
+                    col, r"\.$", "")
             else:
-                # narrow decimals stay float64 (scale formatting may
-                # differ engine-to-engine; values are exact in float64)
+                # <=15-digit decimals stay float64 (exact there; scale
+                # formatting may differ engine-to-engine)
                 col = col.cast(pa.float64())
         cols.append(col)
     return pa.table(dict(zip(tbl.schema.names, cols))).to_pandas()

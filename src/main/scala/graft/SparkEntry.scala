@@ -7353,18 +7353,22 @@ object SparkEntry {
            |FROM d GROUP BY 1, 2"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
-      // the left-join-reversed-edge formulation, replayed verbatim
+      // the left-join-reversed-edge formulation, replayed verbatim;
+      // grand aggregate (no GROUP BY) + cross join so an edge list
+      // with zero non-loop edges still yields the one (0, 0, n_loops)
+      // row the Spark global agg emits (ADVICE r16)
       "graph_reciprocity" ->
         ("""WITH nd AS (SELECT DISTINCT c_custkey % 1000 AS src,
            |  (c_custkey * 3 + 2) % 1000 AS dst FROM customer),
            |pl AS (SELECT src, dst FROM nd WHERE src <> dst),
            |rv AS (SELECT dst AS src, src AS dst, 1 AS rr FROM pl),
            |lp AS (SELECT CAST(count(*) AS BIGINT) AS n_loops
-           |       FROM nd WHERE src = dst)
-           |SELECT CAST(count(*) AS BIGINT) AS n_edges,
-           |  CAST(sum(coalesce(rr, 0)) AS BIGINT) AS n_mutual, n_loops
-           |FROM pl LEFT JOIN rv USING (src, dst) CROSS JOIN lp
-           |GROUP BY n_loops"""
+           |       FROM nd WHERE src = dst),
+           |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |  CAST(coalesce(sum(coalesce(rr, 0)), 0) AS BIGINT)
+           |    AS n_mutual
+           |  FROM pl LEFT JOIN rv USING (src, dst))
+           |SELECT n_edges, n_mutual, n_loops FROM ag CROSS JOIN lp"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // gaps at micros on both sides (eventsMicros / epoch_us); the

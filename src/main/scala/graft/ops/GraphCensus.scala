@@ -67,7 +67,11 @@ object GraphCensus {
       .withColumn("__r", lit(1L))
     plain.join(rev, Seq("src", "dst"), "left")
       .agg(count(lit(1)).as("n_edges"),
-        sum(coalesce(col("__r"), lit(0L))).as("n_mutual"))
+        // sum over ZERO rows is NULL, not 0: without the outer
+        // coalesce an all-loop (or empty) edge list emits a NULL
+        // n_mutual that no external replay agrees on (ADVICE r16)
+        coalesce(sum(coalesce(col("__r"), lit(0L))), lit(0L))
+          .as("n_mutual"))
       .crossJoin(broadcast(loops))
   }
 }

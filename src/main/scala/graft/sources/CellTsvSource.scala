@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * On-disk layout: a directory of `page=N.cells` text files, one line
   * per table row: `table_id <TAB> page <TAB> row_idx <TAB> seq <TAB>
-  * cell1  cell2  …` (SOH-separated cells).
+  * cell1 \\x01 cell2 \\x01 …` (SOH-separated cells).
   *
   * The point of the exercise is PUSHDOWN: page predicates
   * (=, IN, <, <=, >, >=) are accepted in `pushFilters` and applied at

@@ -95,7 +95,7 @@ class CellTsvSourceSpec extends SparkSpec {
       // the SOH cell separator itself, plus lookalikes that must NOT
       // be confused with its \x01 escape: a raw SOH splitting a cell
       // would shift every later column
-      (0L, 1, 3, 3L, Seq("soh", "", "literal \\x01", "a\\b")))
+      (0L, 1, 3, 3L, Seq("so\u0001h", "\u0001", "literal \\x01", "a\\\u0001b")))
     val dir = Files.createTempDirectory("graft-cellsv-esc-").toString
     CellTsvSource.write(dir, gnarly)
     val direct = spark.read.format(Fmt).option("path", dir).load()
