@@ -23,6 +23,43 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Fixed, data-independent CPU probe: 1e8 xorshift64 steps on one
+    * thread. Its wall time depends ONLY on how much machine this
+    * process is actually getting — not on any query, cache, or data —
+    * so a series of these interleaved through the sweep localizes a
+    * contention episode INSIDE the artifact. Round 16's driver bench
+    * was inflated 7-55× in one alphabetical window by contention that
+    * `steal_pct` (hypervisor steal only) read as 1.26%: co-tenant
+    * memory-bandwidth pressure, cgroup throttling, and host IO are
+    * all invisible to /proc/stat steal ticks, but none of them can
+    * hide from a pinned spin.
+    */
+  private def spinProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    // data dependence so the JIT cannot dead-code the loop
+    if (x == 0L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The scheduler-path half of the canary: a tiny fixed Spark job
+    * (range → sum → noop) whose cost is dominated by task scheduling
+    * and executor-thread availability rather than data. Together with
+    * [[spinProbe]] it splits "the CPU itself is slow" from "the
+    * 32-thread pool can't get scheduled".
+    */
+  private def sparkProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // modulus keeps the exact sum ~2e13, far inside ANSI Long
+    spark.range(20000000L).selectExpr("sum(id % 1048576)")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,6 +100,22 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ticks0 = cpuTicks()
     val loadStart = load1()
+    // In-band calibration canary: probe before the first query and
+    // after every 20th, so a damaged window shows up as inflated
+    // canary readings bracketing the inflated queries (queries run in
+    // alphabetical order, so `i` maps directly onto the sorted name
+    // list). The canaries are NOT part of any query's time.
+    val canaryEvery = 20
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val canarySpins = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(done: Int): Unit = {
+      val sp = math.round(spinProbe() * 1000) / 1000.0
+      val sq = math.round(sparkProbe(spark) * 1000) / 1000.0
+      canarySpins += sp
+      canaries += s"""{"i":$done,"spin":$sp,"spark":$sq}"""
+    }
+    canary(0)
+    var qIdx = 0
     val results = selected.map { case (name, fn) =>
       // noop sink: materializes every column of every row (unlike
       // count(), which lets Catalyst prune the projections under test).
@@ -86,8 +139,12 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
         }
       }
+      qIdx += 1
+      if (qIdx % canaryEvery == 0) canary(qIdx)
       (name, times.sorted)
     }
+    // closing probe, so the last window is bracketed too
+    if (qIdx % canaryEvery != 0 || qIdx == 0) canary(qIdx)
     // Per-query spread, not just the median: when a driver-side median
     // diverges from a local one, {med,min,max} distinguishes
     // environment contention (min agrees, max blew out) from a real
@@ -117,11 +174,33 @@ object Bench {
         if t1 > t0)
       yield math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0)
       .getOrElse(-1.0)
+    // machine_factor: the canary series plus its worst-over-best spin
+    // ratio — a clean run sits near 1.0; r16's damaged window would
+    // have read >5 here and pointed at the exact query range.
+    val spins = canarySpins.filter(_ > 0)
+    val mfRatio =
+      if (spins.nonEmpty && spins.min > 0)
+        math.round(spins.max / spins.min * 100) / 100.0
+      else -1.0
     val env = s""""steal_pct":$stealPct,"load1_start":$loadStart,""" +
-      s""""load1_end":${load1()}"""
+      s""""load1_end":${load1()},""" +
+      s""""machine_factor":${canaries.mkString("[", ",", "]")},""" +
+      s""""mf_spin_ratio":$mfRatio"""
     // "schema" lets any consumer of the old flat-number format fail
     // loudly instead of silently misreading {med,min,max} objects.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v3","queries":$qs,"failed":$failed,"flaky":$flaky,$env,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","schema":"graft-bench-v4","queries":$qs,"failed":$failed,"flaky":$flaky,$env,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Persist the full line to a repo file as well: the round driver
+    // keeps only a ~2000-char tail of stdout, and round 16's forensic
+    // window (which queries inflated, by how much, min vs max) was
+    // lost to exactly that truncation. The file survives in the repo
+    // regardless of how stdout is clipped.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-json persist failed: ${e.getMessage}")
+    }
     // Truncation-proof summary, printed LAST: the round driver keeps
     // only the tail (~2000 chars) of this program's output, which in
     // round 8 cut the full line's head — losing the total and every
@@ -138,7 +217,7 @@ object Bench {
     // Distinct metric name so a metric-keyed parser can never
     // double-count the total or mistake the slowest-10 map for the
     // full per-query set (ADVICE r9).
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","schema":"graft-bench-v3-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","schema":"graft-bench-v4-compact","n_queries":${results.size},"slowest":$slowest,"failed":$failed,"flaky":$flaky,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
