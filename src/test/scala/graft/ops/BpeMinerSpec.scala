@@ -61,11 +61,11 @@ class BpeMinerSpec extends SparkSpec {
   }
 
   test("encode applies the mined merges and emits code-point ids " +
-      "(merged symbols ride their merge-rank placeholders)") {
-    // merges (hand-computed above): r1 (a,b)→chr(1), r2 (ab,ab)→chr(2),
-    // r3 (ab,c)→chr(3).
-    // doc 0 "abab abab": both words → chr(2)   → ids [2, 2]
-    // doc 1 "abc":       → chr(1)c → chr(3)    → ids [3]
+      "(merged symbols ride their merge-rank placeholders at U+E000+)") {
+    // merges (hand-computed above): r1 (a,b)→U+E000, r2 (ab,ab)→U+E001,
+    // r3 (ab,c)→U+E002.
+    // doc 0 "abab abab": both words → U+E001 → ids [57345, 57345]
+    // doc 1 "abc":       → U+E000 c → U+E002 → ids [57346]
     val df = Seq((0L, "web", "abab abab"), (1L, "web", "abc"))
       .toDF("doc_id", "source", "text")
     val got = BpeMiner.encode(df, rounds = 3).orderBy("doc_id")
@@ -73,15 +73,56 @@ class BpeMinerSpec extends SparkSpec {
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got == Seq(
-      (0L, "web", 2L, md5s("2,2"), "2,2"),
-      (1L, "web", 1L, md5s("3"), "3")), got.toString)
-    // unmerged characters encode as themselves: "xyz" has no mined
-    // pair applied twice ("xy" merges first round on its own corpus)
-    val plain = Seq((0L, "web", "qv"))
+      (0L, "web", 2L, md5s("57345,57345"), "57345,57345"),
+      (1L, "web", 1L, md5s("57346"), "57346")), got.toString)
+    // unmerged characters encode as their own code points; a merged
+    // pair rides 0xE000 + (rank - 1)
+    val plain = Seq((0L, "web", "qv xx"))
       .toDF("doc_id", "source", "text")
-    val p = BpeMiner.encode(plain, rounds = 1)
+    val p = BpeMiner.encode(plain, rounds = 1).orderBy("doc_id")
       .as[(Long, String, Long, String, String)].collect().head
-    assert(p._3 == 1L && p._5 == "1", p.toString) // q+v merged rank 1
+    // r1 pair counts: qv=1, xx=1 → (q,v) wins on byte order →
+    // "qv"→U+E000, "xx" stays x(120) x(120)
+    assert(p._3 == 3L && p._5 == "57344,120,120", p.toString)
+  }
+
+  test("native encode == composed-HOF encode (ladder parity)") {
+    // mixed shapes: repeated words, a 1-char word, an empty doc, a
+    // non-ASCII char (code point above 127), and a doc that is pure
+    // whitespace after normalization
+    val df = Seq(
+      (0L, "web", "abab abab abc"),
+      (1L, "web", "a"),
+      (2L, "news", ""),
+      (3L, "news", "   "),
+      (4L, "web", "abé abé x"))
+      .toDF("doc_id", "source", "text")
+    // rounds capped at 4: this corpus has exactly 4 mineable pair
+    // merges, and an empty round annihilates both paths identically
+    // (a trivial parity pass, not a useful one)
+    for (rounds <- Seq(1, 3, 4)) {
+      val native = BpeMiner.encode(df, rounds).orderBy("doc_id")
+        .collect().toSeq
+      val hof = BpeMiner.encodeHof(df, rounds).orderBy("doc_id")
+        .collect().toSeq
+      assert(native == hof, s"rounds=$rounds: $native vs $hof")
+    }
+  }
+
+  test("rounds beyond the old 4-placeholder cap mine real merges") {
+    // corpus engineered so 8 distinct pair merges exist: repeated
+    // multi-char words with disjoint alphabets
+    val texts = Seq.fill(4)("abcd efgh ijkl mnop qrst uvwx") ++
+      Seq("abcd abcd", "efgh", "zz")
+    val got = merges(texts, rounds = 8)
+    assert(got.size == 8, got.toString)
+    assert(got.map(_._1) == (1L to 8L), got.toString)
+    // every emitted symbol is fully expanded: no private-use
+    // placeholder may survive into the output
+    got.foreach { case (_, l, r, _) =>
+      assert(!(l + r).exists(c => c >= 0xE000.toChar && c <= 0xF8FF.toChar),
+        s"unexpanded placeholder in ($l, $r)")
+    }
   }
 
   test("encodedLengths matches encode's n_tokens and feeds packByLength") {
