@@ -200,6 +200,18 @@ object SparkEntry {
   private val NormTextSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+  /** DuckDB replay of [[TextAnalysis.wsTokOk]] — the whitespace-
+    * tokenization honesty flag (RE2 `\x{…}` spelling of the same
+    * space-free-script ranges; exact integer verdict).
+    */
+  private val WsTokOkSql = {
+    val cls = "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{0E00}-\\x{0E7F}]"
+    s"(2 * (length(replace($NormTextSql, ' ', '')) - " +
+      s"length(regexp_replace(replace($NormTextSql, ' ', ''), " +
+      s"'$cls', '', 'g'))) <= length(replace($NormTextSql, ' ', '')))"
+  }
+
   /** Merge depth of every bpe_* query AND its oracle — one constant so
     * the Spark side and the generated CTE replay cannot drift. 16 is
     * deep enough that the tokenizer family measures a real merge
@@ -3770,12 +3782,18 @@ object SparkEntry {
         size(filter(split(TextDedup.normText(col("text")), " "),
           w => length(w) > 0)).cast("long").as("n_words"),
         length(TextDedup.normText(col("text"))).cast("long")
-          .as("n_chars"))
+          .as("n_chars"),
+        TextAnalysis.wsTokOk(col("text")).as("ws_tok_ok"))
       words
         .join(BpeMiner.encodedLengths(docs, rounds = BpeRounds)
           .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
+          // the honesty census: fertility over a language whose docs
+          // are majority space-free-script is measuring word salad —
+          // the count of flagged docs rides the summary in-band
+          sum(when(!col("ws_tok_ok"), 1L).otherwise(0L))
+            .as("n_spacefree_docs"),
           sum(col("n_words")).as("total_words"),
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"))
@@ -4787,7 +4805,8 @@ object SparkEntry {
       // Gopher rules replayed with the same cross-multiplied integer
       // arithmetic (no float ratios cross the engine boundary)
       "gopher_quality" ->
-        (s"WITH s AS (SELECT doc_id, $GopherStatsSql " +
+        (s"WITH s AS (SELECT doc_id, $WsTokOkSql AS ws_tok_ok, " +
+          s"$GopherStatsSql " +
           "FROM documents WHERE length(trim(text)) > 0) " +
           s"SELECT *, $GopherRuleSql AS keep FROM s"),
 
@@ -6897,13 +6916,17 @@ object SparkEntry {
           s"d AS (SELECT doc_id, lang, " +
           s"list_filter(string_split($NormTextSql, ' '), " +
           "w -> length(w) > 0) AS wd, " +
-          s"length($NormTextSql) AS nc " +
+          s"length($NormTextSql) AS nc, " +
+          s"$WsTokOkSql AS ws_tok_ok " +
           "FROM documents WHERE text IS NOT NULL), " +
-          "n AS (SELECT lang, nc, CAST(len(wd) AS BIGINT) AS n_words, " +
+          "n AS (SELECT lang, nc, ws_tok_ok, " +
+          "CAST(len(wd) AS BIGINT) AS n_words, " +
           "CAST(COALESCE(list_sum(list_transform(wd, " +
           s"w -> length(${bpeApplySql(BpeRounds)}))), 0) AS BIGINT) " +
           s"AS n_tokens FROM d, ${bpeTopsFrom(BpeRounds)}) " +
           "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN NOT ws_tok_ok THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_spacefree_docs, " +
           "CAST(sum(n_words) AS BIGINT) AS total_words, " +
           "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
           "CAST(sum(nc) AS BIGINT) AS total_chars, " +
@@ -7162,7 +7185,9 @@ object SparkEntry {
       // bits per target bigram: seen → ⌊log2(c_prev/c_bw)⌋+1 via
       // length(bin(..)), backoff → continuation ratio + 2, OOV → 24
       "kn_perplexity" ->
-        (s"""WITH t AS (
+        (s"""WITH f AS (SELECT doc_id, $WsTokOkSql AS ws_tok_ok
+           |  FROM documents),
+           |t AS (
            |  SELECT doc_id, string_split($NormTextSql, ' ') AS tk
            |  FROM documents),
            |bg AS (SELECT doc_id, unnest(list_transform(
@@ -7188,7 +7213,8 @@ object SparkEntry {
            |  FROM tf LEFT JOIN c USING (prev, w)
            |  LEFT JOIN cp USING (prev) LEFT JOIN cw USING (w)
            |  CROSS JOIN ty)
-           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |SELECT doc_id, f.ws_tok_ok,
+           |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
            |  CAST(sum(CASE WHEN c_bw IS NOT NULL THEN tf ELSE 0 END)
            |    AS BIGINT) AS known_bigrams,
            |  CAST(sum(CASE WHEN c_bw IS NULL AND n1p_left IS NOT NULL
@@ -7198,13 +7224,13 @@ object SparkEntry {
            |  CAST(sum(tf * bits) AS BIGINT) AS kn_bits,
            |  CASE WHEN sum(tf * bits) * 10 <= 56 * sum(tf) THEN 1 ELSE 0
            |    END AS keep
-           |FROM j GROUP BY doc_id"""
+           |FROM j JOIN f USING (doc_id) GROUP BY doc_id, f.ws_tok_ok"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // cross-multiplied Flesch / FK over the common denominator
       // n_sents·n_words — floor division, milli-units
       "readability_scores" ->
-        (s"""WITH b AS (SELECT doc_id,
+        (s"""WITH b AS (SELECT doc_id, $WsTokOkSql AS ws_tok_ok,
            |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
            |    AS n_words,
            |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
@@ -7212,15 +7238,15 @@ object SparkEntry {
            |  CAST(len(regexp_extract_all($NormTextSql, '[aeiouy]+'))
            |    AS BIGINT) AS n_syll
            |  FROM documents WHERE length(trim(text)) > 0),
-           |m AS (SELECT doc_id, n_words, n_sents, n_syll,
+           |m AS (SELECT doc_id, ws_tok_ok, n_words, n_sents, n_syll,
            |  206835 - (1015 * n_words * n_words +
            |    84600 * n_syll * n_sents) // (n_sents * n_words)
            |    AS flesch_milli,
            |  (390 * n_words * n_words + 11800 * n_syll * n_sents)
            |    // (n_sents * n_words) - 15590 AS fk_grade_milli
            |  FROM b)
-           |SELECT doc_id, n_words, n_sents, n_syll, flesch_milli,
-           |  fk_grade_milli,
+           |SELECT doc_id, ws_tok_ok, n_words, n_sents, n_syll,
+           |  flesch_milli, fk_grade_milli,
            |  CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
            |       WHEN flesch_milli >= 70000 THEN 'easy'
            |       WHEN flesch_milli >= 50000 THEN 'medium'

@@ -33,6 +33,33 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
 
+  /** Character class of the major scripts written WITHOUT word
+    * spaces: kana, CJK ideographs (URO + extension A), hangul
+    * syllables, Thai. Java-regex escape form; the DuckDB replay uses
+    * the RE2 `\x{…}` spelling of the same ranges.
+    */
+  val SpacefreeScriptClass: String =
+    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF" +
+      "\\uAC00-\\uD7AF\\u0E00-\\u0E7F]"
+
+  /** Whitespace-tokenization honesty flag: TRUE when space-split
+    * tokens are a meaningful unit for this document, FALSE when the
+    * majority of its non-space characters belong to a space-free
+    * script — where every whitespace-token-based metric (word counts,
+    * fertility, bigram perplexity, Gopher word rules, syllable
+    * proxies) silently degenerates to per-document-1-token nonsense
+    * rather than failing loudly (VERDICT r16 "What's missing #2").
+    * Exact integer verdict: `2 · spacefree_chars <= nonspace_chars`
+    * over the normalized text, so every engine replays it
+    * bit-for-bit. Empty text is trivially TRUE.
+    */
+  def wsTokOk(text: Column): Column = {
+    val ns = replace(TextDedup.normText(text), lit(" "), lit(""))
+    val spacefree =
+      length(ns) - length(regexp_replace(ns, SpacefreeScriptClass, ""))
+    spacefree * 2 <= length(ns)
+  }
+
   /** Per-document length/shape statistics:
     * (doc_id, char_len, word_cnt, tokenish_cnt, punct_cnt, digit_cnt).
     * All counts are exact integers — safe for byte-exact oracles.
@@ -325,6 +352,9 @@ object TextAnalysis {
       .filter(length(trim(text)) > 0)
       .select(
         col("doc_id"),
+        // tokenizer-honesty flag FIRST-CLASS in the stats row: every
+        // word-count-based rule below is meaningless when false
+        wsTokOk(text).as("ws_tok_ok"),
         wordCount(text).as("word_cnt"),
         length(regexp_replace(text, "\\s", "")).cast("long")
           .as("nonws_chars"),
@@ -643,17 +673,23 @@ object TextAnalysis {
     * O(len²) per doc (measured 9.4 s → 2.7 s at sf0.1 from this
     * change alone). Materialize the token array once per row first.
     */
-  private def docBigrams(docs: DataFrame): DataFrame = {
-    val tk = docs.select(col("doc_id"),
-      split(TextDedup.normText(col("text")), " ").as("tk"))
+  private def docBigrams(
+      docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: per-document columns (functionally dependent on
+    // doc_id) riding through the explode — lets a consumer keep a
+    // doc-level flag in its aggregate keys without a corpus-sized
+    // re-join against the source
+    val keys = col("doc_id") +: carry.map(col)
+    val tk = docs.select(keys :+
+      split(TextDedup.normText(col("text")), " ").as("tk"): _*)
     val pairs = transform(sequence(lit(1), size(col("tk")) - 1), i =>
       struct(element_at(col("tk"), i).as("prev"),
         element_at(col("tk"), i + 1).as("w")))
-    tk.select(col("doc_id"),
+    tk.select(keys :+
         explode(when(size(col("tk")) >= 2, pairs)
           .otherwise(array().cast("array<struct<prev:string,w:string>>")))
-          .as("s"))
-      .select(col("doc_id"), col("s.prev").as("prev"), col("s.w").as("w"))
+          .as("s"): _*)
+      .select(keys ++ Seq(col("s.prev").as("prev"), col("s.w").as("w")): _*)
   }
 
   /** Kneser-Ney continuation counts for bigram LM estimation — the
@@ -1064,7 +1100,14 @@ object TextAnalysis {
     val refPrev = refCnt.groupBy("prev").agg(sum(col("c_bw")).as("c_prev"))
     val refCont = refCnt.groupBy("w").agg(count(lit(1)).as("n1p_left"))
     val types = refCnt.agg(count(lit(1)).as("bigram_types"))
-    val tf = docBigrams(target).groupBy("doc_id", "prev", "w")
+    // the honesty flag rides the aggregate keys (constant per doc —
+    // no re-join against the source): a space-free-script document's
+    // "bigrams" are word-salad, and its keep verdict must carry that
+    // caveat in-band
+    val tf = docBigrams(
+        target.withColumn("ws_tok_ok", wsTokOk(col("text"))),
+        carry = Seq("ws_tok_ok"))
+      .groupBy("doc_id", "ws_tok_ok", "prev", "w")
       .agg(count(lit(1)).as("tf"))
     val bits = when(col("c_bw").isNotNull,
         length(bin(expr("c_prev div c_bw"))).cast("long"))
@@ -1076,9 +1119,9 @@ object TextAnalysis {
       .join(refPrev, Seq("prev"), "left")
       .join(refCont, Seq("w"), "left")
       .crossJoin(broadcast(types))
-      .select(col("doc_id"), col("tf"), col("c_bw"), col("n1p_left"),
-        bits.as("bits"))
-      .groupBy("doc_id")
+      .select(col("doc_id"), col("ws_tok_ok"), col("tf"), col("c_bw"),
+        col("n1p_left"), bits.as("bits"))
+      .groupBy("doc_id", "ws_tok_ok")
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(when(col("c_bw").isNotNull, col("tf")).otherwise(0L))
           .as("known_bigrams"),
@@ -1110,8 +1153,8 @@ object TextAnalysis {
     val y = regexp_count(TextDedup.normText(col("text")), lit("[aeiouy]+"))
       .cast("long")
     docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), w.as("n_words"), s.as("n_sents"),
-        y.as("n_syll"))
+      .select(col("doc_id"), wsTokOk(col("text")).as("ws_tok_ok"),
+        w.as("n_words"), s.as("n_sents"), y.as("n_syll"))
       .withColumn("flesch_milli",
         lit(206835L) - expr(
           "(1015 * n_words * n_words + 84600 * n_syll * n_sents) " +

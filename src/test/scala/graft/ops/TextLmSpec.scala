@@ -19,13 +19,15 @@ class TextLmSpec extends SparkSpec {
       (2L, "a z")) // (a,z): z never continues anything -> oov
       .toDF("doc_id", "text")
     val got = TextAnalysis.knPerplexity(tgt, ref)
-      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
+      .as[(Long, Boolean, Long, Long, Long, Long, Long, Int)].collect()
       .map(r => r._1 -> r).toMap
     // (a,b): len(bin(3 div 2)) = 1; backoffs: len(bin(3 div 1)) + 2
     // = 4 each -> kn_bits = 1 + 4 + 4 = 9; keep: 90 <= 56*3
-    assert(got(1L) == ((1L, 3L, 1L, 2L, 0L, 9L, 1)), got(1L).toString)
+    assert(got(1L) == ((1L, true, 3L, 1L, 2L, 0L, 9L, 1)),
+      got(1L).toString)
     // oov: 24 bits on 1 bigram; keep: 240 > 56
-    assert(got(2L) == ((2L, 1L, 0L, 0L, 1L, 24L, 0)), got(2L).toString)
+    assert(got(2L) == ((2L, true, 1L, 0L, 0L, 1L, 24L, 0)),
+      got(2L).toString)
   }
 
   test("knPerplexity: a frequent in-context bigram is cheaper than a " +
@@ -34,8 +36,8 @@ class TextLmSpec extends SparkSpec {
     val ref = Seq((0L, "x a x a x a x b")).toDF("doc_id", "text")
     val tgt = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
     val bits = TextAnalysis.knPerplexity(tgt, ref)
-      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
-      .map(r => r._1 -> r._6).toMap
+      .as[(Long, Boolean, Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._7).toMap
     // (x,a): len(bin(4 div 3)) = 1; (x,b): len(bin(4 div 1)) = 3
     assert(bits(1L) == 1L && bits(2L) == 3L, bits.toString)
   }
@@ -45,10 +47,11 @@ class TextLmSpec extends SparkSpec {
     val docs = Seq((1L, "The cat sat. It ran fast!"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.readability(docs)
-      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+      .as[(Long, Boolean, Long, Long, Long, Long, Long, String)]
+      .collect().head
     // W=6, S=2, Y=6: flesch = 206835 - (1015*36 + 84600*12) div 12 =
     // 119190; fk = (390*36 + 11800*12) div 12 - 15590 = -2620
-    assert(got == ((1L, 6L, 2L, 6L, 119190L, -2620L, "very_easy")),
+    assert(got == ((1L, true, 6L, 2L, 6L, 119190L, -2620L, "very_easy")),
       got.toString)
   }
 
@@ -57,8 +60,8 @@ class TextLmSpec extends SparkSpec {
     val docs = Seq((1L, "word soup with no end"), (2L, "   "))
       .toDF("doc_id", "text")
     val got = TextAnalysis.readability(docs)
-      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
-    assert(got.length == 1 && got.head._3 == 1L, got.toList.toString)
+      .as[(Long, Boolean, Long, Long, Long, Long, Long, String)].collect()
+    assert(got.length == 1 && got.head._4 == 1L, got.toList.toString)
   }
 
   test("readability: dense long-word text lands in a harder band " +
@@ -70,9 +73,41 @@ class TextLmSpec extends SparkSpec {
         "harmonization presupposes interdisciplinary convergence."))
       .toDF("doc_id", "text")
     val got = TextAnalysis.readability(docs)
-      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
-      .map(r => r._1 -> r._7).toMap
+      .as[(Long, Boolean, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._8).toMap
     assert(got(1L) == "very_easy" && got(2L) == "very_hard",
       got.toString)
+  }
+
+  test("ws_tok_ok honesty flag: space-free-script documents are " +
+      "flagged instead of silently mis-scored") {
+    val docs = Seq(
+      // plain latin prose — whitespace tokens are meaningful
+      (1L, "the quick brown fox. it jumps over things!"),
+      // Japanese (kana + kanji, CJK-punct sentence marks): every
+      // whitespace-token metric would see ~1 giant "word" — flag it
+      (2L, "今日は良い天気です" +
+        "。 猫が好きです。"),
+      // Korean hangul — same degeneration, different block
+      (3L, "안녕하세요 세상."),
+      // minority CJK inside latin prose — still space-tokenizable
+      (4L, "mixed 中文 words with mostly latin text here."))
+      .toDF("doc_id", "text")
+    val expected = Map(1L -> true, 2L -> false, 3L -> false, 4L -> true)
+    val viaReadability = TextAnalysis.readability(docs)
+      .select("doc_id", "ws_tok_ok").as[(Long, Boolean)].collect().toMap
+    assert(viaReadability == expected, viaReadability.toString)
+    val viaGopher = TextAnalysis.gopherQualityFilter(docs)
+      .select("doc_id", "ws_tok_ok").as[(Long, Boolean)].collect().toMap
+    assert(viaGopher == expected, viaGopher.toString)
+    // knPerplexity groups by the flag without changing the counts:
+    // the two-token Japanese doc has ONE degenerate "bigram", and the
+    // row says so in-band
+    val viaKn = TextAnalysis.knPerplexity(docs, docs)
+      .select("doc_id", "ws_tok_ok", "n_bigrams")
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaKn(2L) == ((false, 1L)), viaKn.toString)
+    assert(viaKn(1L)._1 && viaKn(4L)._1, viaKn.toString)
   }
 }
