@@ -17,6 +17,7 @@ import graft.ops.{KMeans, Quantization}
   *   RunAnnIndex build <embeddings.parquet> <indexDir> [--cells K]
   *   RunAnnIndex update <indexDir> <new.parquet>
   *   RunAnnIndex compact <indexDir> [numFiles]
+  *   RunAnnIndex merge <indexDirA> <indexDirB> <destDir> [numFiles]
   *   RunAnnIndex query <indexDir> <queries.parquet> <outDir>
   *                [--k N] [--nprobe P] [--rerank R]
   *
@@ -44,6 +45,8 @@ object RunAnnIndex {
     "usage: RunAnnIndex build <embeddings.parquet> <indexDir> [--cells K]\n" +
       "       RunAnnIndex update <indexDir> <new.parquet>\n" +
       "       RunAnnIndex compact <indexDir> [numFiles]\n" +
+      "       RunAnnIndex merge <indexDirA> <indexDirB> <destDir> " +
+      "[numFiles]\n" +
       "       RunAnnIndex query <indexDir> <queries.parquet> <outDir> " +
       "[--k N] [--nprobe P] [--rerank R]"
 
@@ -142,6 +145,73 @@ object RunAnnIndex {
     }
   }
 
+  /** Merge TWO index snapshots encoded under the SAME frozen model
+    * into one tree — the cross-snapshot compaction that completes the
+    * index lifecycle (a central team trains the model once; regional
+    * or per-crawl encoders each build their own vectors table against
+    * it; the serving side wants ONE cell-partitioned tree).
+    *
+    * PQ codes are meaningless across models, so the merge is gated on
+    * a frozen-codebook compatibility check: the centroids and
+    * codebook tables of both snapshots must be row-identical
+    * (symmetric exceptAll — both are copies of one trained artifact,
+    * so bit-equality is the correct bar, not tolerance). A model
+    * mismatch REFUSES with the table deltas; re-encoding someone
+    * else's codes is a rebuild decision, not a merge side effect.
+    *
+    * Row semantics: exact duplicate rows (the same vector shipped in
+    * both snapshots — same model ⇒ identical encode) collapse to one;
+    * a vec_id carrying DIFFERENT codes in the two trees is corrupt
+    * input and refuses. Scale shape: everything runs on the ~72 B/row
+    * index tables, never the corpus embeddings — one union-distinct
+    * shuffle plus one conflict aggregate, then the same
+    * cell-partitioned, vec_id-sorted layout compact writes.
+    */
+  def mergeIndexes(
+      spark: SparkSession,
+      indexDirA: String,
+      indexDirB: String,
+      destDir: String,
+      numFiles: Int = 4): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    IndexUtil.healTorn(spark, s"$indexDirA/vectors")
+    IndexUtil.healTorn(spark, s"$indexDirB/vectors")
+    def modelDelta(table: String): Long = {
+      val a = spark.read.parquet(s"$indexDirA/$table")
+      val b = spark.read.parquet(s"$indexDirB/$table")
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    }
+    val centsDelta = modelDelta("centroids")
+    val cbDelta = modelDelta("codebook")
+    require(centsDelta == 0 && cbDelta == 0,
+      s"refusing to merge: frozen-model mismatch between $indexDirA " +
+        s"and $indexDirB (centroid row delta $centsDelta, codebook " +
+        s"row delta $cbDelta) — codes from different models share no " +
+        "space; rebuild one side instead")
+    val merged = spark.read.parquet(s"$indexDirA/vectors")
+      .unionByName(spark.read.parquet(s"$indexDirB/vectors"))
+      .distinct()
+    val conflicts = merged.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1L)
+    val nConflicts = conflicts.count()
+    require(nConflicts == 0,
+      s"refusing to merge: $nConflicts vec_ids carry different codes " +
+        "in the two snapshots (same model must encode a vector " +
+        "identically) — the inputs disagree about the data itself")
+    // dest is a FRESH tree (errorifexists): in-place folding is
+    // compact's job; a merge that half-overwrote one of its own
+    // inputs on failure would be the worst of both
+    spark.read.parquet(s"$indexDirA/centroids")
+      .write.mode("errorifexists").parquet(s"$destDir/centroids")
+    spark.read.parquet(s"$indexDirA/codebook")
+      .write.mode("errorifexists").parquet(s"$destDir/codebook")
+    merged
+      .repartition(numFiles, col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("errorifexists").partitionBy("cell")
+      .parquet(s"$destDir/vectors")
+  }
+
   /** Search the persisted index — the lazy frame reads ONLY the three
     * index tables (spec-pinned: the corpus embeddings path never
     * appears in the executed plan).
@@ -190,6 +260,11 @@ object RunAnnIndex {
         compactIndex(spark, args(1),
           numFiles = args.lift(2).map(_.toInt).getOrElse(4))
         println(s"""{"compacted":"${args(1)}"}""")
+      case "merge" =>
+        if (args.length < 4) usageExit()
+        mergeIndexes(spark, args(1), args(2), args(3),
+          numFiles = args.lift(4).map(_.toInt).getOrElse(4))
+        println(s"""{"merged":"${args(3)}"}""")
       case "query" =>
         if (args.length < 4) usageExit()
         val out = searchFrame(spark, args(1),

@@ -144,4 +144,60 @@ class RunAnnIndexSpec extends SparkSpec {
       .groupBy("q_id").count().as[(Long, Long)].collect().toMap
     assert(got.values.forall(_ == 5L), got.toString)
   }
+
+  test("merge of two same-model snapshots == the single-tree result; " +
+      "overlap dedupes; a cross-model merge refuses") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-mrg-").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // snapshot A: built (trains the model); snapshot B: the second
+    // crawl, encoded against A's FROZEN artifacts — the central-model
+    // / many-encoders pattern merge exists for. The two slices
+    // deliberately OVERLAP on [280, 300) to exercise the exact-dup
+    // collapse.
+    RunAnnIndex.buildIndex(all.filter(col("vec_id") < 300), s"$dir/a")
+    val cents = spark.read.parquet(s"$dir/a/centroids")
+    val cb = spark.read.parquet(s"$dir/a/codebook")
+    cents.write.parquet(s"$dir/b/centroids")
+    cb.write.parquet(s"$dir/b/codebook")
+    Quantization.ivfPqIndexRows(
+        all.filter(col("vec_id") >= 280), cents, cb)
+      .write.partitionBy("cell").parquet(s"$dir/b/vectors")
+
+    RunAnnIndex.mergeIndexes(spark, s"$dir/a", s"$dir/b", s"$dir/m")
+
+    // row accounting: union minus the 20-vector overlap, once each
+    val total = all.count()
+    val mergedRows = spark.read.parquet(s"$dir/m/vectors").count()
+    assert(mergedRows == total, s"expected $total rows, got $mergedRows")
+    val dupIds = spark.read.parquet(s"$dir/m/vectors")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dupIds == 0, s"$dupIds vec_ids duplicated after merge")
+
+    // search parity: the merged tree answers exactly like one tree
+    // holding the full corpus under the same model
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = RunAnnIndex.searchFrame(spark, s"$dir/m", queries,
+      topK = 5, nProbe = 2, rerank = 20)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val expect = Quantization.ivfPqSearchIndex(
+      Quantization.ivfPqIndexRows(all, cents, cb), cents, cb,
+      queries, topK = 5, nProbe = 2, rerank = 20)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == expect, s"merged search diverged:\n got=$got\n exp=$expect")
+
+    // a snapshot trained independently carries a DIFFERENT model —
+    // its codes share no space with A's, and the merge must refuse
+    // rather than mint a corrupt tree
+    RunAnnIndex.buildIndex(all.filter(col("vec_id") >= 300), s"$dir/c")
+    val err = intercept[IllegalArgumentException] {
+      RunAnnIndex.mergeIndexes(spark, s"$dir/a", s"$dir/c", s"$dir/x")
+    }
+    assert(err.getMessage.contains("frozen-model mismatch"),
+      err.getMessage)
+    assert(!new java.io.File(s"$dir/x/vectors").exists(),
+      "a refused merge must not write a partial tree")
+  }
 }
