@@ -204,13 +204,16 @@ object SparkEntry {
     * tokenization honesty flag (RE2 `\x{…}` spelling of the same
     * space-free-script ranges; exact integer verdict).
     */
-  private val WsTokOkSql = {
-    val cls = "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+  /** RE2 spelling of [[TextAnalysis.SpacefreeScriptClass]]. */
+  private val SpacefreeClassSql =
+    "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
       "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{0E00}-\\x{0E7F}]"
+
+  private val WsTokOkSql =
     s"(2 * (length(replace($NormTextSql, ' ', '')) - " +
       s"length(regexp_replace(replace($NormTextSql, ' ', ''), " +
-      s"'$cls', '', 'g'))) <= length(replace($NormTextSql, ' ', '')))"
-  }
+      s"'$SpacefreeClassSql', '', 'g'))) <= " +
+      s"length(replace($NormTextSql, ' ', '')))"
 
   /** Merge depth of every bpe_* query AND its oracle — one constant so
     * the Spark side and the generated CTE replay cannot drift. 16 is
@@ -3747,6 +3750,21 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       BpeMiner.topMerges(T(s, dir, "documents"), rounds = BpeRounds)),
 
+    // The merge-depth return curve: corpus symbol count after each
+    // successive merge vs the constant pre-merge total — "how many
+    // merges are worth their vocab slots". Every row is a bounded
+    // vocabulary aggregate; symbols_after is a true per-round recount
+    // (pair counts include overlaps, so no subtraction identity).
+    "bpe_merge_curve" -> ((s, dir) =>
+      BpeMiner.mergeCurve(T(s, dir, "documents"), rounds = BpeRounds)),
+
+    // Codepoint-class fallback tokenization census: spaced-script
+    // runs count one token each, space-free-script chars one token
+    // each — the honest budget column when ws_tok_ok is false, the
+    // exact whitespace count when text is latin prose. Scan-shaped.
+    "token_fallback_counts" -> ((s, dir) =>
+      TextAnalysis.fallbackTokenStats(T(s, dir, "documents"))),
+
     // Tokenizer ENCODE under the mined merges: per-document token ids
     // (code points; merged symbols ride their merge-rank placeholder
     // codepoints, U+E000+) as a hash-friendly dump — the operator
@@ -6868,6 +6886,47 @@ object SparkEntry {
           s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) " +
           "ORDER BY merge_rank"
       },
+
+      // the full mined chain INCLUDING w<rounds>; per round a 1-row
+      // weighted recount of the applied vocabulary against the
+      // constant w0 total
+      "bpe_merge_curve" -> {
+        val sums = (1 to BpeRounds).map(r =>
+          s"s$r AS MATERIALIZED (SELECT " +
+            "CAST(sum(cnt * length(w)) AS BIGINT) " +
+            s"AS symbols_after FROM w$r)").mkString(", ")
+        val branches = (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, t$r.pair_cnt, " +
+            s"bf.symbols_before, s$r.symbols_after FROM t$r, s$r, bf")
+        s"WITH ${bpeMinedTopsCte(BpeRounds, applyLast = true)}, $sums, " +
+          "bf AS (SELECT CAST(sum(cnt * length(w)) AS BIGINT) " +
+          "AS symbols_before FROM w0) " +
+          s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) " +
+          "ORDER BY merge_rank"
+      },
+
+      // the fallback decomposition replayed with the RE2 class: word
+      // pieces via regexp_extract_all, space-free chars via the
+      // replace-length delta, the verdict shared with ws_tok_ok
+      "token_fallback_counts" ->
+        (s"SELECT doc_id, lang, " +
+          s"CAST(len(list_filter(string_split($NormTextSql, ' '), " +
+          "w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens, " +
+          s"CAST(len(regexp_extract_all($NormTextSql, " +
+          s"'[^ ${SpacefreeClassSql.stripPrefix("[").stripSuffix("]")}]+'" +
+          ")) AS BIGINT) AS n_pieces, " +
+          s"CAST(length(replace($NormTextSql, ' ', '')) - " +
+          s"length(regexp_replace(replace($NormTextSql, ' ', ''), " +
+          s"'$SpacefreeClassSql', '', 'g')) AS BIGINT) " +
+          "AS n_spacefree_chars, " +
+          s"CAST(len(regexp_extract_all($NormTextSql, " +
+          s"'[^ ${SpacefreeClassSql.stripPrefix("[").stripSuffix("]")}]+'" +
+          s")) + (length(replace($NormTextSql, ' ', '')) - " +
+          s"length(regexp_replace(replace($NormTextSql, ' ', ''), " +
+          s"'$SpacefreeClassSql', '', 'g'))) AS BIGINT) " +
+          "AS n_tokens_fallback, " +
+          s"$WsTokOkSql AS ws_tok_ok " +
+          "FROM documents WHERE text IS NOT NULL"),
 
       // the mined-merge CTE chain + per-word replace replay, ids as
       // code points; the full sequence compared through its md5

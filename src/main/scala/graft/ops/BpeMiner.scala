@@ -53,14 +53,24 @@ object BpeMiner {
     */
   private[ops] def placeholder(r: Int): String = (0xE000 + r).toChar.toString
 
-  /** The shared mining loop: `(vocab, tops oldest-first, final
-    * vocabulary after ALL `rounds` merges applied)`. The vocabulary
-    * and per-round 1-row tops are checkpointed (plus the chain-cap
-    * checkpoints above); the final vocabulary is lazy, so a caller
-    * that ignores it pays nothing for it.
+  /** The shared mining loop: `(vocab, tops oldest-first, per-round
+    * applied vocabularies oldest-first — the last one is the final
+    * vocabulary after ALL `rounds` merges)`. The base vocabulary and
+    * per-round 1-row tops are checkpointed (plus the chain-cap
+    * checkpoints above); the per-round vocabularies are lazy, so a
+    * caller that ignores them pays nothing for them.
+    */
+  /** `keepRounds`: when true, superseded chain checkpoints are NOT
+    * freed — the intermediate per-round vocabularies read through
+    * them, so a caller that consumes more than the last entry of the
+    * returned list (the merge-curve census) needs every checkpoint
+    * alive until its one action runs. At most rounds/ChainCap pinned
+    * vocab-sized blocks, all dropped by the session's post-query
+    * sweep.
     */
   private def mineRounds(
-      docs: DataFrame, rounds: Int): (DataFrame, List[DataFrame], DataFrame) = {
+      docs: DataFrame, rounds: Int, keepRounds: Boolean = false)
+      : (DataFrame, List[DataFrame], List[DataFrame]) = {
     require(rounds >= 1 && rounds <= MaxRounds,
       s"rounds must be in [1, $MaxRounds], got $rounds")
     // the one corpus pass: normalized whitespace tokens → vocabulary
@@ -79,6 +89,7 @@ object BpeMiner {
     var cur = vocab
     var chainCkpt: DataFrame = null
     var tops = List.empty[DataFrame] // newest first, raw (unexpanded)
+    var curs = List.empty[DataFrame] // newest first, post-round vocab
     for (r <- 0 until rounds) {
       // length-1 words (fully merged symbols) must not reach the
       // sequence(): Spark's sequence(1, 0) generates DESCENDING [1,0]
@@ -103,14 +114,19 @@ object BpeMiner {
         // eager: materialized at the call, so the superseded chain
         // checkpoint (whose lineage the new one no longer reaches)
         // can be freed immediately — O(1) pinned vocab-sized blocks
-        // across the whole mine instead of O(rounds / ChainCap)
+        // across the whole mine instead of O(rounds / ChainCap).
+        // UNLESS the caller keeps the per-round vocabularies: the
+        // entries recorded since the PREVIOUS cap read through that
+        // superseded checkpoint, and a freed localCheckpoint cannot
+        // recompute (its lineage is truncated at its own blocks)
         val ck = cur.localCheckpoint()
-        if (chainCkpt != null) CheckpointUtil.free(chainCkpt)
+        if (chainCkpt != null && !keepRounds) CheckpointUtil.free(chainCkpt)
         chainCkpt = ck
         cur = ck
       }
+      curs ::= cur
     }
-    (vocab, tops.reverse, cur)
+    (vocab, tops.reverse, curs.reverse)
   }
 
   /** Cross-joins the `rounds` 1-row top-merge frames onto `base` as
@@ -261,14 +277,45 @@ object BpeMiner {
     * slots" accounting, off the same one corpus pass as [[topMerges]].
     */
   def compressionSummary(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val (vocab, _, fin) = mineRounds(docs, rounds)
+    val (vocab, _, curs) = mineRounds(docs, rounds)
     val before = vocab.agg(
       sum(col("cnt") * length(col("w"))).as("symbols_before"))
-    val after = fin.agg(
+    val after = curs.last.agg(
       sum(col("cnt") * length(col("w"))).as("symbols_after"))
     before.crossJoin(broadcast(after))
       .select(col("symbols_before"), col("symbols_after"),
         (col("symbols_before").cast("double") /
           col("symbols_after").cast("double")).as("compression_x"))
+  }
+
+  /** The merge-depth RETURN CURVE, one row per round: `(merge_rank,
+    * pair_cnt, symbols_before, symbols_after)` — the weighted corpus
+    * symbol count after each successive merge, against the constant
+    * pre-merge total. The "how many merges are worth their vocab
+    * slots" table: a Zipf corpus shows pair_cnt and the per-round
+    * symbol drop decaying geometrically, and the flattening point is
+    * the economic merge depth. NOTE `symbols_after` is a genuine
+    * per-round recount, NOT `symbols_before − Σ pair_cnt`: pair
+    * counts include OVERLAPPING adjacencies ("aaa" counts (a,a)
+    * twice) while the apply merges leftmost-non-overlapping, so the
+    * subtraction identity does not hold.
+    *
+    * Scale shape: every row is a bounded aggregate over the (chain-
+    * capped, checkpointed) vocabulary — `rounds` small vocab scans,
+    * zero corpus passes beyond the shared tokenize.
+    */
+  def mergeCurve(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (vocab, tops, curs) = mineRounds(docs, rounds, keepRounds = true)
+    val before = vocab.agg(
+      sum(col("cnt") * length(col("w"))).as("symbols_before"))
+    tops.zip(curs).zipWithIndex.map { case ((t, c), i) =>
+      t.select(lit(i + 1L).as("merge_rank"), col("pair_cnt"))
+        .crossJoin(broadcast(c.agg(
+          sum(col("cnt") * length(col("w"))).as("symbols_after"))))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(before))
+      .select(col("merge_rank"), col("pair_cnt"),
+        col("symbols_before"), col("symbols_after"))
+      .orderBy("merge_rank")
   }
 }

@@ -60,6 +60,43 @@ object TextAnalysis {
     spacefree * 2 <= length(ns)
   }
 
+  /** Codepoint-class FALLBACK tokenization census, per document:
+    * the token count a pipeline should budget with when whitespace
+    * splitting is dishonest — maximal runs of spaced-script
+    * characters count as one token each (ordinary words), and every
+    * space-free-script character counts as its own token (the
+    * standard char-level fallback for ideographic text; for latin
+    * prose this degenerates to exactly the whitespace count). Emits
+    * the decomposition alongside the verdict so the fallback is
+    * auditable: `(doc_id, lang, n_ws_tokens, n_pieces,
+    * n_spacefree_chars, n_tokens_fallback, ws_tok_ok)` with
+    * `n_tokens_fallback = n_pieces + n_spacefree_chars`. Pure
+    * per-row regex arithmetic — scan-shaped, zero shuffles.
+    */
+  def fallbackTokenStats(docs: DataFrame): DataFrame = {
+    val nt = TextDedup.normText(col("text"))
+    val ns = replace(nt, lit(" "), lit(""))
+    val spacefree =
+      (length(ns) - length(regexp_replace(ns, SpacefreeScriptClass, "")))
+        .cast("long")
+    // maximal runs of chars that are neither the separator nor
+    // space-free-script — the "ordinary word piece" unit
+    val pieceRegex =
+      "[^ " + SpacefreeScriptClass.stripPrefix("[").stripSuffix("]") + "]+"
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(nt, " "), w => length(w) > 0)).cast("long")
+          .as("n_ws_tokens"),
+        regexp_count(nt, lit(pieceRegex)).cast("long").as("n_pieces"),
+        spacefree.as("n_spacefree_chars"),
+        wsTokOk(col("text")).as("ws_tok_ok"))
+      .withColumn("n_tokens_fallback",
+        col("n_pieces") + col("n_spacefree_chars"))
+      .select(col("doc_id"), col("lang"), col("n_ws_tokens"),
+        col("n_pieces"), col("n_spacefree_chars"),
+        col("n_tokens_fallback"), col("ws_tok_ok"))
+  }
+
   /** Per-document length/shape statistics:
     * (doc_id, char_len, word_cnt, tokenish_cnt, punct_cnt, digit_cnt).
     * All counts are exact integers — safe for byte-exact oracles.

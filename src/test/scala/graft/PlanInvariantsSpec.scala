@@ -39,6 +39,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "collocations_topk", // × broadcast(1-row token total)
     "bpe_merges",      // × broadcast(1-row per-round top merge)
     "bpe_compression", // same chain, one more 1-row apply + 1-row ratio
+    "bpe_merge_curve", // per-round 1-row recounts × the 1-row w0 total
     "bpe_encode",      // same 1-row merge broadcasts feeding the encode
     "bpe_pack",        // same chain driving the encoded-length packing
     "bpe_fertility",   // same chain feeding the per-language sums

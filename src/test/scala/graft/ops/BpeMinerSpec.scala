@@ -125,6 +125,28 @@ class BpeMinerSpec extends SparkSpec {
     }
   }
 
+  test("mergeCurve: per-round recounts, NOT the pair-count subtraction " +
+      "(overlapping pairs make the identity false)") {
+    // vocab "aaaa"×1: r1 pair (a,a) counts 3 overlapping adjacencies,
+    // but the leftmost-non-overlapping apply gives P1P1 — symbols
+    // 4 → 2 (drop 2, not 3). r2 merges (aa,aa) count 1 → 1 symbol.
+    val df = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val got = BpeMiner.mergeCurve(df, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, 2L),
+      (2L, 1L, 4L, 1L)), got.toString)
+    // and the multi-word corpus agrees with compressionSummary's
+    // endpoint at the same depth
+    val df2 = Seq((1L, "abab abab"), (2L, "abc")).toDF("doc_id", "text")
+    val curve = BpeMiner.mergeCurve(df2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val summary = BpeMiner.compressionSummary(df2, rounds = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(curve.last._4 == summary._2 &&
+      curve.head._3 == summary._1, s"${curve.toSeq} vs $summary")
+  }
+
   test("encodedLengths matches encode's n_tokens and feeds packByLength") {
     val df = Seq((0L, "web", "abab abab"), (1L, "web", "abc"),
       (2L, "news", "abab abc abab"))

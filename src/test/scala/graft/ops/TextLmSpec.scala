@@ -110,4 +110,30 @@ class TextLmSpec extends SparkSpec {
     assert(viaKn(2L) == ((false, 1L)), viaKn.toString)
     assert(viaKn(1L)._1 && viaKn(4L)._1, viaKn.toString)
   }
+
+  test("fallbackTokenStats: char-level for ideographs, word-level " +
+      "elsewhere, and latin prose degenerates to the whitespace count") {
+    val docs = Seq(
+      (1L, "en", "plain latin words here."),
+      // 2 ws "tokens", but 9 kana/kanji chars + 2 CJK periods...
+      // the periods 。 (U+3002) are OUTSIDE the ranges → they join
+      // pieces; chars inside ranges count individually
+      (2L, "ja", "今日は良い 天気です。"),
+      // mixed: "ab中cd" → pieces "ab","cd" + 1 ideograph = 3
+      (3L, "mix", "ab中cd plus words"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.fallbackTokenStats(docs)
+      .as[(Long, String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // latin: pieces == ws tokens, zero class chars, fallback == ws
+    assert(got(1L) == ((1L, "en", 4L, 4L, 0L, 4L, true)),
+      got(1L).toString)
+    // ja: ws tokens 2; class chars: 今日は良い(5) + 天気です(4) = 9;
+    // pieces: the lone '。' after です = 1; fallback = 10; flagged
+    assert(got(2L) == ((2L, "ja", 2L, 1L, 9L, 10L, false)),
+      got(2L).toString)
+    // mixed: ws 3; pieces ab,cd,plus,words = 4; class chars 1 → 5
+    assert(got(3L) == ((3L, "mix", 3L, 4L, 1L, 5L, true)),
+      got(3L).toString)
+  }
 }
