@@ -1618,6 +1618,21 @@ object SparkEntry {
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(T(s, dir, "documents"))),
 
+    // Encoding-damage census (mojibake screen): every 7th doc gets a
+    // planted UTF-8-read-as-Latin-1 suffix ("caffè"→"caffÃ¨",
+    // "—"→"â€”") plus one U+FFFD; the census counts each telltale by
+    // exact literal-substring occurrences (length difference — no
+    // regex dialect to diverge on) and flags the disjunction. The
+    // plant is rendered codepoint-for-codepoint in the oracle.
+    "mojibake_census" -> ((s, dir) => {
+      val planted = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" caffÃ¨ â€” �")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.encodingDamage(planted).orderBy("doc_id")
+    }),
+
     // Stopword-marker language identification.
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -2058,6 +2073,29 @@ object SparkEntry {
     "ann_lsh_buckets" -> ((s, dir) =>
       Similarity.withBuckets(T(s, dir, "embeddings"), numBits = 12)
         .select(col("vec_id"), col("label"), col("bucket"))),
+
+    // Embedding-distribution drift census between two snapshots —
+    // the "rebuild the frozen ANN model?" pre-flight. Old = even
+    // vec_ids; new = odd vec_ids with every 11th vector scaled ×3
+    // (planted drift: scaling CANNOT flip a sign-LSH bucket, so the
+    // plant moves int8 means without any hyperplane-boundary float
+    // hazard). Exact integers: cross-multiplied L1 mean shift per
+    // deterministic LSH bucket, count asymmetries, threshold verdict,
+    // and the in-band low_mass honesty column (at this SF every
+    // bucket is below judgment mass and says so; the drifted
+    // semantics at mass are spec-pinned on constructed fixtures).
+    "embedding_drift" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val newSnap = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          when(col("vec_id") % 11 === 0,
+            transform(col("embedding"),
+              v => (v * lit(3.0f)).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Similarity.driftCensus(
+        emb.filter(col("vec_id") % 2 === 0), newSnap, numBits = 6)
+        .orderBy("bucket")
+    }),
 
     // IVF-style ANN: coarse-quantize into cells (broadcast argmin),
     // probe the query's nearest cells only. Centroids here are the 8
@@ -3349,6 +3387,42 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // FRACTIONAL decontamination (the published large-model practice:
+    // drop a training doc when a big share of its n-grams appears in
+    // the benchmark UNION, not on any single shared gram): per train
+    // doc the exact (grams_total, grams_known) pair plus the
+    // cross-multiplied keep verdict at 20%.
+    "decontaminate_frac" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextDedup.ngramNovelty(
+        docs.filter(col("doc_id") < 480),
+        docs.filter(col("doc_id") >= 480), n = 3)
+        .withColumn("keep",
+          col("grams_known") * 100 < col("grams_total") * 20)
+    }),
+
+    // Contamination PROVENANCE: per benchmark doc, how many training
+    // docs share grams with it, the total leakage mass, and the
+    // single worst offender (group-wise argmax via the max-struct
+    // idiom, ties to the smaller doc_id) — the table an eval owner
+    // reads to decide whether the benchmark or the corpus moves.
+    "contamination_report" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextDedup.contaminationHits(
+          docs.filter(col("doc_id") < 480),
+          docs.filter(col("doc_id") >= 480), n = 3)
+        .groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_contaminated_train"),
+          sum(col("shared_ngrams")).as("total_shared"),
+          max(struct(col("shared_ngrams"), (-col("doc_id")).as("nd")))
+            .as("s"))
+        .select(col("eval_id"), col("n_contaminated_train"),
+          col("total_shared"),
+          (-col("s.nd")).as("top_train_doc"),
+          col("s.shared_ngrams").as("top_shared"))
+        .orderBy("eval_id")
+    }),
+
     // Bloom-pruned join (the runtime-filter pattern as a first-class
     // operator): fact rows that can't match the filtered dim die at
     // the scan, BEFORE the join shuffle; the exact join over survivors
@@ -4083,6 +4157,40 @@ object SparkEntry {
       GraphCensus.degreeCensus(edges)
     }),
 
+    // Strongly connected components of a directed arithmetic graph
+    // (doubling map + a chord family — cycles with DAG periphery):
+    // trim + forward/backward min-label peel, never a reachability
+    // pair table. The oracle recomputes mutual reachability by
+    // recursive closure on the bounded fixture — result parity
+    // without replaying the algorithm.
+    "scc_labels" -> ((s, dir) => {
+      val nd = T(s, dir, "customer")
+        .select((col("c_custkey") % 120).as("v")).distinct()
+      val e1 = nd.select(col("v").as("src"),
+        ((col("v") * 2 + 1) % 120).as("dst"))
+      val e2 = nd.filter(col("v") % 4 === 0)
+        .select(col("v").as("src"), ((col("v") + 30) % 120).as("dst"))
+      Scc.stronglyConnected(e1.unionByName(e2)).orderBy("node")
+    }),
+
+    // The SCC condensation census over the same fixture graph —
+    // per component: member count, condensation out-degree, and the
+    // LONGEST-path topological layer (the dependency-screen table:
+    // n_nodes>1 rows ARE the cycles, layer is evaluation-order
+    // depth). Layers by iterated relaxation on component-sized
+    // frames; the oracle recomputes everything from the recursive
+    // mutual-reach closure plus a recursive longest-path walk on the
+    // (acyclic) condensation — ground truth by definition.
+    "scc_condensation" -> ((s, dir) => {
+      val nd = T(s, dir, "customer")
+        .select((col("c_custkey") % 120).as("v")).distinct()
+      val e1 = nd.select(col("v").as("src"),
+        ((col("v") * 2 + 1) % 120).as("dst"))
+      val e2 = nd.filter(col("v") % 4 === 0)
+        .select(col("v").as("src"), ((col("v") + 30) % 120).as("dst"))
+      Scc.condensation(e1.unionByName(e2)).orderBy("scc_id")
+    }),
+
     // Reciprocity summary of the arithmetic functional graph
     // k%1000 → (3k+2)%1000 (chosen so loops AND mutual pairs both
     // exist): distinct non-loop edges, directed mutual count,
@@ -4765,6 +4873,32 @@ object SparkEntry {
           "CAST(l[1] > 0 AND l[1] - l[2] >= 2 AS INTEGER) AS confident " +
           "FROM h2"),
 
+      // the plant rendered codepoint-for-codepoint via chr(); each
+      // telltale counted by the same length-difference arithmetic
+      // (// = DuckDB integer division; the diffs are exact multiples)
+      "mojibake_census" ->
+        ("""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0 THEN text || ' caff' ||
+           |    chr(195) || chr(168) || ' ' || chr(226) || chr(8364) ||
+           |    chr(8221) || ' ' || chr(65533)
+           |  ELSE text END AS text FROM documents)
+           |SELECT doc_id,
+           |  CAST(length(text) - length(replace(text, chr(65533), ''))
+           |    AS BIGINT) AS n_replacement,
+           |  CAST(length(text) - length(replace(text, chr(195), ''))
+           |    AS BIGINT) AS n_latin1_utf8,
+           |  CAST((length(text) -
+           |    length(replace(text, chr(226) || chr(8364), ''))) // 2
+           |    AS BIGINT) AS n_punct_mojibake,
+           |  CAST(CASE WHEN
+           |    (length(text) - length(replace(text, chr(65533), ''))) +
+           |    (length(text) - length(replace(text, chr(195), ''))) +
+           |    (length(text) -
+           |     length(replace(text, chr(226) || chr(8364), ''))) > 0
+           |    THEN 1 ELSE 0 END AS INTEGER) AS damaged
+           |FROM d ORDER BY doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       "lang_id" ->
         (s"WITH h AS (SELECT doc_id, lang, ${hitCols.mkString(", ")} FROM documents) " +
           s"SELECT doc_id, lang, CASE WHEN $great = 0 THEN 'und' " +
@@ -5212,6 +5346,60 @@ object SparkEntry {
           }.mkString(" + ")
         s"SELECT vec_id, label, CAST($bucket AS INTEGER) AS bucket " +
           "FROM embeddings"
+      },
+
+      // 6-bit plane-literal replay (same seed draws the 12-bit set's
+      // prefix); ×3 plant rendered with the literal FLOAT cast so the
+      // multiply rounds once in f32 like Spark's; int8 sums, counts
+      // and the cross-multiplied L1 all exact BIGINTs
+      "embedding_drift" -> {
+        val bucket = graft.ops.Similarity.hyperplanes(numBits = 6, dims = 64)
+          .zipWithIndex.map { case (p, j) =>
+            val lst = p.map(v => if (v > 0) "1.0" else "-1.0")
+              .mkString("[", ", ", "]")
+            s"(CASE WHEN list_dot_product(embedding, $lst) >= 0 " +
+              s"THEN ${1 << j} ELSE 0 END)"
+          }.mkString(" + ")
+        val q8 = "list_transform(embedding, v -> CAST(greatest(least(" +
+          "floor(CAST(v AS DOUBLE) * 64), 127), -128) AS BIGINT))"
+        s"""WITH oldv AS (SELECT embedding FROM embeddings
+           |  WHERE vec_id % 2 = 0),
+           |newv AS (SELECT CASE WHEN vec_id % 11 = 0
+           |    THEN list_transform(embedding,
+           |      v -> CAST(v * CAST(3.0 AS FLOAT) AS FLOAT))
+           |    ELSE embedding END AS embedding
+           |  FROM embeddings WHERE vec_id % 2 = 1),
+           |bo AS (SELECT CAST($bucket AS INTEGER) AS bucket, $q8 AS q8
+           |  FROM oldv),
+           |bn AS (SELECT CAST($bucket AS INTEGER) AS bucket, $q8 AS q8
+           |  FROM newv),
+           |co AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old
+           |  FROM bo GROUP BY 1),
+           |cn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+           |  FROM bn GROUP BY 1),
+           |so AS (SELECT bucket, pos, CAST(sum(v) AS BIGINT) AS s_old
+           |  FROM (SELECT bucket, unnest(q8) AS v,
+           |    generate_subscripts(q8, 1) AS pos FROM bo) GROUP BY 1, 2),
+           |sn AS (SELECT bucket, pos, CAST(sum(v) AS BIGINT) AS s_new
+           |  FROM (SELECT bucket, unnest(q8) AS v,
+           |    generate_subscripts(q8, 1) AS pos FROM bn) GROUP BY 1, 2),
+           |cc AS (SELECT coalesce(co.bucket, cn.bucket) AS bucket,
+           |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+           |  FROM co FULL JOIN cn ON co.bucket = cn.bucket),
+           |l1 AS (SELECT bucket, CAST(sum(abs(
+           |    coalesce(s_new, 0) * n_old - coalesce(s_old, 0) * n_new))
+           |    AS BIGINT) AS l1_num
+           |  FROM (SELECT coalesce(so.bucket, sn.bucket) AS bucket,
+           |      s_old, s_new FROM so FULL JOIN sn
+           |      ON so.bucket = sn.bucket AND so.pos = sn.pos) j
+           |  JOIN cc USING (bucket) GROUP BY bucket)
+           |SELECT cc.bucket, n_old, n_new,
+           |  coalesce(l1_num, 0) AS l1_num,
+           |  (n_old = 0 OR n_new = 0 OR
+           |   coalesce(l1_num, 0) > 256 * n_old * n_new) AS drifted,
+           |  (n_old < 100 OR n_new < 100) AS low_mass
+           |FROM cc LEFT JOIN l1 USING (bucket) ORDER BY cc.bucket"""
+          .stripMargin.replaceAll("\\s+", " ").trim
       },
 
       // Same plane-literal replay as ann_lsh_buckets, 8-bit planes
@@ -6187,6 +6375,56 @@ object SparkEntry {
            |WHERE t.doc_id < 480 AND NOT EXISTS (
            |  SELECT 1 FROM sh e WHERE e.doc_id >= 480
            |    AND len(list_intersect(t.sh, e.sh)) > 0)"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the ngram_novelty replay restricted to the train/eval split,
+      // plus the cross-multiplied 20% verdict
+      "decontaminate_frac" ->
+        (s"""WITH g AS (SELECT doc_id,
+           |    unnest(list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents) WHERE doc_id < 480),
+           |r AS (SELECT DISTINCT
+           |    unnest(list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents) WHERE doc_id >= 480)
+           |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS grams_total,
+           |  CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS grams_known,
+           |  (CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 100 < CAST(count(*) AS BIGINT) * 20) AS keep
+           |FROM g LEFT JOIN r ON g.gram = r.gram GROUP BY g.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the decontaminate pair replay aggregated per eval doc; the
+      // worst offender via row_number (shared DESC, doc_id ASC)
+      "contamination_report" ->
+        (s"""WITH sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split($NormTextSql, ' ') AS toks
+           |        FROM documents)),
+           |h AS (SELECT t.doc_id AS doc_id, e.doc_id AS eval_id,
+           |    CAST(len(list_intersect(t.sh, e.sh)) AS BIGINT) AS shared
+           |  FROM sh t JOIN sh e
+           |    ON t.doc_id < 480 AND e.doc_id >= 480
+           |   AND len(list_intersect(t.sh, e.sh)) > 0),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY eval_id
+           |    ORDER BY shared DESC, doc_id ASC) AS rn FROM h),
+           |ag AS (SELECT eval_id,
+           |    CAST(count(*) AS BIGINT) AS n_contaminated_train,
+           |    CAST(sum(shared) AS BIGINT) AS total_shared
+           |  FROM h GROUP BY eval_id)
+           |SELECT ag.eval_id, ag.n_contaminated_train, ag.total_shared,
+           |  rk.doc_id AS top_train_doc, rk.shared AS top_shared
+           |FROM ag JOIN rk ON rk.eval_id = ag.eval_id AND rk.rn = 1
+           |ORDER BY ag.eval_id"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // The bloom pass is a pure shuffle-thinner (no false negatives +
@@ -7436,6 +7674,54 @@ object SparkEntry {
            |  CAST(min(deg) AS BIGINT) AS min_deg,
            |  CAST(max(deg) AS BIGINT) AS max_deg
            |FROM d GROUP BY 1, 2"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // ground truth by definition, not by algorithm replay: the
+      // recursive reach closure on the bounded fixture, SCC = mutual
+      // reachability, id = min member
+      "scc_labels" ->
+        ("""WITH RECURSIVE nd AS (
+           |  SELECT DISTINCT c_custkey % 120 AS v FROM customer),
+           |e AS (SELECT v AS src, (v * 2 + 1) % 120 AS dst FROM nd
+           |  UNION SELECT v, (v + 30) % 120 FROM nd WHERE v % 4 = 0),
+           |r(a, b) AS (SELECT v, v FROM nd
+           |  UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b)
+           |SELECT r1.a AS node, CAST(min(r1.b) AS BIGINT) AS scc_id
+           |FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+           |GROUP BY 1 ORDER BY 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // the same mutual-reach closure, then sizes / condensation
+      // out-degree directly, and LAYER by a recursive longest-path
+      // walk over the (acyclic) condensation — every piece recomputed
+      // from the definition, nothing replaying the relaxation loop
+      "scc_condensation" ->
+        ("""WITH RECURSIVE nd AS (
+           |  SELECT DISTINCT c_custkey % 120 AS v FROM customer),
+           |e AS (SELECT v AS src, (v * 2 + 1) % 120 AS dst FROM nd
+           |  UNION SELECT v, (v + 30) % 120 FROM nd WHERE v % 4 = 0),
+           |r(a, b) AS (SELECT v, v FROM nd
+           |  UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+           |scc AS (SELECT r1.a AS node, min(r1.b) AS scc_id
+           |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+           |  GROUP BY 1),
+           |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes
+           |  FROM scc GROUP BY 1),
+           |ce AS (SELECT DISTINCT s.scc_id AS s_scc, d.scc_id AS d_scc
+           |  FROM e JOIN scc s ON s.node = e.src
+           |  JOIN scc d ON d.node = e.dst
+           |  WHERE s.scc_id <> d.scc_id),
+           |od AS (SELECT s_scc AS scc_id,
+           |  CAST(count(*) AS BIGINT) AS n_out FROM ce GROUP BY 1),
+           |lp(scc_id, d) AS (SELECT scc_id, 0 FROM sz
+           |  UNION SELECT ce.d_scc, lp.d + 1
+           |  FROM lp JOIN ce ON ce.s_scc = lp.scc_id),
+           |ly AS (SELECT scc_id, CAST(max(d) AS BIGINT) AS layer
+           |  FROM lp GROUP BY 1)
+           |SELECT CAST(sz.scc_id AS BIGINT) AS scc_id, sz.n_nodes,
+           |  CAST(coalesce(od.n_out, 0) AS BIGINT) AS n_out, ly.layer
+           |FROM sz LEFT JOIN od USING (scc_id) JOIN ly USING (scc_id)
+           |ORDER BY 1"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the left-join-reversed-edge formulation, replayed verbatim;

@@ -1,0 +1,299 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components of a DIRECTED edge list — the
+  * link-graph structure census [[Components]] cannot answer (it
+  * symmetrizes): mutual-reachability classes, the unit of web-graph
+  * bowtie analysis, spam-farm detection (dense reciprocal link
+  * clusters), and dependency-cycle screening.
+  *
+  * Algorithm: iterative trim + forward/backward min-label peel —
+  * the FW-BW family (Fleischer et al. 2000; McLendon et al.'s trim
+  * refinement) in DataFrame form:
+  *
+  *  1. TRIM to fixpoint: a node with no in-edges or no out-edges in
+  *     the active graph is a singleton SCC; removing it exposes the
+  *     next layer, so the whole DAG periphery (trees hanging off
+  *     cycles) drains in one outer round's trim loop.
+  *  2. PEEL: `fwd(v)` = min node that reaches v (ancestors ∪ self),
+  *     `bwd(v)` = min node v reaches (descendants ∪ self), each by
+  *     min-label propagation WITH pointer jumping (a label is itself
+  *     an ancestor, so `lbl ← lbl(lbl)` substitutes a valid, smaller
+  *     ancestor — the [[Components]] doubling trick is sound for
+  *     directed ancestor-min too). `fwd(v) == bwd(v) == m` ⇔ m
+  *     reaches v and v reaches m ⇔ v ∈ SCC(m), and m is that SCC's
+  *     minimum — those nodes retire with `scc_id = m`. At minimum the
+  *     active-global-min's SCC peels every round (its members' min
+  *     ancestor AND min descendant are both the global min), so the
+  *     loop always progresses.
+  *  3. Remove peeled nodes, repeat.
+  *
+  * Scale shape: every step is an equi-join/aggregate on 8-byte node
+  * keys — no reachability pair table ever materializes (the oracle's
+  * recursive closure is the small-fixture replay, not the plan).
+  * Outer rounds scale with the SCC-DAG's peel depth after trimming;
+  * a web-shaped graph (one giant SCC, shallow in/out periphery —
+  * the bowtie) needs very few. Per-round state is node-sized,
+  * checkpointed, and superseded rounds free their blocks
+  * ([[CheckpointUtil]] lifecycle).
+  */
+object Scc {
+
+  /** `(node, scc_id)` for every edge-incident node, `scc_id` = the
+    * minimum member of the node's strongly connected component.
+    */
+  def stronglyConnected(
+      edges: DataFrame,
+      maxOuter: Int = 16,
+      maxInner: Int = 30): DataFrame = {
+    require(maxOuter >= 1, s"maxOuter must be >= 1, got $maxOuter")
+    require(maxInner >= 1, s"maxInner must be >= 1, got $maxInner")
+    var active = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    // the active NODE universe rides alongside the edges: removing a
+    // retired node's edges can leave its neighbors edge-less, and an
+    // edge-only loop would silently DROP those isolated nodes instead
+    // of assigning them their singleton SCC
+    var nodes = active.select(col("src").as("node"))
+      .unionByName(active.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    var done = List.empty[DataFrame]
+    var outer = 0
+    var exhausted = false
+    while (!exhausted && outer < maxOuter && !isEmpty(nodes)) {
+      // ---- 1. trim the DAG periphery to fixpoint ----
+      var trimming = true
+      var trimRounds = 0
+      while (trimming && trimRounds < maxInner && !isEmpty(nodes)) {
+        val srcs = active.select(col("src").as("node")).distinct()
+        val dsts = active.select(col("dst").as("node")).distinct()
+        // no in-edges (a source), no out-edges (a sink), or no edges
+        // at all (isolated) ⇒ on no cycle ⇒ singleton SCC
+        val dead = nodes.join(dsts, Seq("node"), "left_anti")
+          .unionByName(nodes.join(srcs, Seq("node"), "left_anti"))
+          .distinct()
+          .localCheckpoint(false)
+        if (isEmpty(dead)) {
+          CheckpointUtil.free(dead)
+          trimming = false
+        } else {
+          done ::= dead.select(col("node"), col("node").as("scc_id"))
+            .localCheckpoint() // eager: survives dead's free below
+          val nextNodes = nodes.join(dead, Seq("node"), "left_anti")
+            .localCheckpoint()
+          val next = active
+            .join(dead.select(col("node").as("src")), Seq("src"),
+              "left_anti")
+            .join(dead.select(col("node").as("dst")), Seq("dst"),
+              "left_anti")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+          CheckpointUtil.free(active, nodes, dead)
+          active = next
+          nodes = nextNodes
+        }
+        trimRounds += 1
+      }
+      if (!isEmpty(nodes)) {
+        // ---- 2. peel completed SCCs by matching min labels ----
+        val fwd = minLabels(active, maxInner)
+        val bwd = minLabels(
+          active.select(col("dst").as("src"), col("src").as("dst")),
+          maxInner)
+        val peeled = fwd.withColumnRenamed("lbl", "fmin")
+          .join(bwd.withColumnRenamed("lbl", "bmin"), "node")
+          .filter(col("fmin") === col("bmin"))
+          .select(col("node"), col("fmin").as("scc_id"))
+          .localCheckpoint()
+        CheckpointUtil.free(fwd, bwd)
+        if (isEmpty(peeled)) {
+          // provably impossible while nodes remain after a trim
+          // fixpoint (the global min's SCC always matches) — reaching
+          // here means the edge source is non-deterministic across
+          // re-evaluations
+          CheckpointUtil.free(peeled)
+          exhausted = true
+        } else {
+          done ::= peeled
+          val nextNodes = nodes.join(peeled.select(col("node")),
+              Seq("node"), "left_anti")
+            .localCheckpoint()
+          val next = active
+            .join(peeled.select(col("node").as("src")), Seq("src"),
+              "left_anti")
+            .join(peeled.select(col("node").as("dst")), Seq("dst"),
+              "left_anti")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+          CheckpointUtil.free(active, nodes)
+          active = next
+          nodes = nextNodes
+        }
+      }
+      outer += 1
+    }
+    if (exhausted || !isEmpty(nodes)) {
+      val remaining = nodes.count()
+      CheckpointUtil.free(active :: nodes :: done: _*)
+      throw new IllegalStateException(
+        s"scc did not converge in $maxOuter outer round(s): $remaining " +
+          "active node(s) remain. Outer rounds scale with the SCC-DAG " +
+          "peel depth; raise maxOuter only after ruling out a " +
+          "non-deterministic edge source.")
+    }
+    CheckpointUtil.free(active, nodes)
+    if (done.isEmpty)
+      edges.select(col("src").as("node"), col("src").as("scc_id"))
+        .limit(0)
+    else done.reduce(_.unionByName(_))
+  }
+
+  /** The SCC condensation census — per component: member count,
+    * condensation out-degree, and the LONGEST-path topological layer
+    * (0 = a source of the condensation DAG). This is the table a
+    * dependency-cycle screen actually reads: `n_nodes > 1` rows ARE
+    * the cycles, `layer` is build/evaluation order depth, and
+    * `n_out = 0` marks the sinks everything drains into (the web
+    * bowtie's OUT side).
+    *
+    * Layer is computed by iterated relaxation on the CONDENSATION
+    * (`layer(v) = max over in-edges (layer(u) + 1)`, all starting 0)
+    * — monotone and bounded by the DAG depth, so the exact integer
+    * sum of layers is a convergence certificate. Iterations scale
+    * with condensation depth, NOT node count; each round is one
+    * equi-join + max-aggregate on component-sized frames (the
+    * condensation of a web-shaped graph is orders of magnitude
+    * smaller than the graph). `maxDepth` bounds the loop — a
+    * condensation deeper than that throws rather than returning a
+    * silently-truncated layer column.
+    */
+  def condensation(
+      edges: DataFrame,
+      maxOuter: Int = 16,
+      maxInner: Int = 30,
+      maxDepth: Int = 60): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val labels = stronglyConnected(edges, maxOuter, maxInner)
+    // eager checkpoints: sizes and the component edges materialize off
+    // labels' live blocks BEFORE those blocks are freed
+    val sizes = labels.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    // component-level edges: every cross-component edge collapses to
+    // one (s_scc, d_scc) pair; within-component edges vanish
+    val ce = edges.select(col("src"), col("dst")).distinct()
+      .join(labels.select(col("node").as("src"),
+        col("scc_id").as("s_scc")), "src")
+      .join(labels.select(col("node").as("dst"),
+        col("scc_id").as("d_scc")), "dst")
+      .filter(col("s_scc") =!= col("d_scc"))
+      .select(col("s_scc"), col("d_scc")).distinct()
+      .localCheckpoint()
+    CheckpointUtil.free(labels)
+    val outDeg = ce.groupBy(col("s_scc").as("scc_id"))
+      .agg(count(lit(1)).as("n_out"))
+    var layer = sizes.select(col("scc_id"), lit(0L).as("layer"))
+      .localCheckpoint()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxDepth) {
+      val relaxed = ce
+        .join(layer.withColumnRenamed("scc_id", "s_scc"), "s_scc")
+        .groupBy(col("d_scc").as("scc_id"))
+        .agg(max(col("layer") + 1L).as("in_layer"))
+      val stepped = layer.select(col("scc_id"))
+        .join(relaxed, Seq("scc_id"), "left")
+        .select(col("scc_id"),
+          coalesce(col("in_layer"), lit(0L)).as("layer"))
+        .localCheckpoint()
+      val sumRow = stepped
+        .agg(sum(col("layer").cast("decimal(38,0)"))).head()
+      val laySum = Option(sumRow.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      converged = prevSum.exists(_.compareTo(laySum) == 0)
+      prevSum = Some(laySum)
+      val evicted = layer
+      layer = stepped
+      CheckpointUtil.free(evicted)
+      iter += 1
+    }
+    if (!converged) {
+      CheckpointUtil.free(layer, sizes, ce)
+      throw new IllegalStateException(
+        s"condensation layers did not converge in $maxDepth round(s) " +
+          "— the condensation DAG is deeper than maxDepth (or the " +
+          "edge source is non-deterministic); raise maxDepth")
+    }
+    val out = sizes
+      .join(outDeg, Seq("scc_id"), "left")
+      .join(layer, Seq("scc_id"))
+      .select(col("scc_id"), col("n_nodes"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"), col("layer"))
+      .localCheckpoint()
+    CheckpointUtil.free(ce, sizes, layer)
+    out
+  }
+
+  /** Min label over (ancestors ∪ self) along edge direction, to the
+    * exact sum fixpoint — [[Components.edgeComponents]]'s inner loop
+    * without the symmetrization. Returns `(node, lbl)` for every
+    * edge-incident node.
+    */
+  private def minLabels(edges: DataFrame, maxInner: Int): DataFrame = {
+    // self-loops make every node a dst (the aggregate's key set) and
+    // fold "∪ self" into one closed min; pre-partition on the static
+    // join key once
+    val withSelf = edges
+      .unionByName(edges.select(col("src"), col("src").as("dst")))
+      .unionByName(edges.select(col("dst").as("src"), col("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var labels: DataFrame = null
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxInner) {
+      val stepped =
+        if (labels == null)
+          withSelf.groupBy(col("dst").as("node"))
+            .agg(min(col("src")).as("lbl"))
+        else
+          withSelf
+            .join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(min(col("lbl")).as("lbl"))
+      // pointer jump: lbl(v) is an ancestor of v, and lbl(lbl(v)) an
+      // ancestor of THAT — transitivity makes the substitution sound
+      val jumped = stepped.as("a")
+        .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
+        .localCheckpoint(false)
+      val sumRow = jumped.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      val lblSum = Option(sumRow.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      converged = prevSum.exists(_.compareTo(lblSum) == 0)
+      prevSum = Some(lblSum)
+      val evicted = labels
+      labels = jumped
+      CheckpointUtil.free(evicted)
+      iter += 1
+    }
+    if (!converged) {
+      CheckpointUtil.free(labels, withSelf)
+      throw new IllegalStateException(
+        s"ancestor-min propagation did not converge in $maxInner " +
+          "round(s) — diameter beyond 2^rounds or a non-deterministic " +
+          "edge source")
+    }
+    CheckpointUtil.free(withSelf)
+    labels
+  }
+
+  /** One cheap emptiness action on a checkpointed frame. */
+  private def isEmpty(df: DataFrame): Boolean = df.limit(1).count() == 0L
+}

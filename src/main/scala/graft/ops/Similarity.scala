@@ -369,4 +369,81 @@ object Similarity {
     bestAb.join(bestBa, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("score"))
   }
+
+  /** Embedding-distribution DRIFT census between two snapshots — the
+    * "has the corpus moved enough to rebuild the ANN model" pre-flight
+    * the frozen-model lifecycle needs (`RunAnnIndex update`/`merge`
+    * deliberately never retrain; SOMETHING has to say when a rebuild
+    * is due). Space is partitioned by the deterministic sign-LSH
+    * buckets (so the census itself needs no trained model), and per
+    * bucket the census emits exact integers:
+    * `(bucket, n_old, n_new, l1_num, drifted)` where `l1_num` =
+    * Σ_d |s_new[d]·n_old − s_old[d]·n_new| over int8-code sums — the
+    * cross-multiplied L1 distance between the two mean vectors, never
+    * a float division — and `drifted` fires when a bucket appeared,
+    * vanished, or its mean moved more than `thresholdInt8` int8 units
+    * per dimension on average (`l1_num > threshold·dims·n_old·n_new`).
+    *
+    * The absolute threshold presumes production bucket masses: the
+    * sampling noise of an int8 mean scales ~σ/√n, so under ~100
+    * vectors a side the shift estimate is mostly noise and `drifted`
+    * would fire on sampling error. `low_mass` says exactly that,
+    * in-band (the ws_tok_ok honesty convention): consumers read
+    * `drifted` only where `low_mass` is false, and a census that is
+    * all-low-mass is reporting "not enough data to judge", not "no
+    * drift".
+    *
+    * Scale shape: one scan per snapshot; counts aggregate on the
+    * bucket key and code sums on (bucket, dim) — both map-side
+    * combinable 8-byte-key aggregates; everything after runs on
+    * bucket-sized frames (2^numBits rows). Magnitudes stay exact in
+    * BIGINT out to ~10⁷ vectors per bucket per snapshot.
+    */
+  def driftCensus(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      numBits: Int = 6,
+      dims: Int = 64,
+      thresholdInt8: Int = 4,
+      minMass: Long = 100L,
+      logScale: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    require(numBits >= 1 && numBits <= 20,
+      s"numBits must be in [1, 20], got $numBits")
+    val planes = hyperplanes(numBits, dims, seed)
+    def side(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val b = df.select(
+        lshBucket(col("embedding"), planes).as("bucket"),
+        graft.ops.Quantization.int8Codes(col("embedding"), logScale)
+          .as("q8"))
+      val counts = b.groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+      val sums = b
+        .select(col("bucket"), posexplode(col("q8")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(sum(col("v")).as(s"s_$tag"))
+      (counts, sums)
+    }
+    val (co, so) = side(oldSnap, "old")
+    val (cn, sn) = side(newSnap, "new")
+    val counts = co.join(cn, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val l1 = so.join(sn, Seq("bucket", "pos"), "full_outer")
+      .join(counts, Seq("bucket"))
+      .select(col("bucket"),
+        abs(coalesce(col("s_new"), lit(0L)) * col("n_old") -
+          coalesce(col("s_old"), lit(0L)) * col("n_new")).as("term"))
+      .groupBy(col("bucket")).agg(sum(col("term")).as("l1_num"))
+    counts.join(l1, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        coalesce(col("l1_num"), lit(0L)).as("l1_num"))
+      .withColumn("drifted",
+        col("n_old") === 0L || col("n_new") === 0L ||
+          col("l1_num") > lit(thresholdInt8.toLong * dims) *
+            col("n_old") * col("n_new"))
+      .withColumn("low_mass",
+        col("n_old") < minMass || col("n_new") < minMass)
+  }
 }

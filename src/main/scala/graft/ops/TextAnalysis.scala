@@ -195,6 +195,37 @@ object TextAnalysis {
       lit(needle.length)).cast("long")
   }
 
+  /** Encoding-damage census — the corpus-hygiene screen for text that
+    * survived a broken decode step (web crawls are full of it; CCNet/
+    * C4-class pipelines drop or repair these rows before anything
+    * trains on them). Three exact per-document counters, each a
+    * telltale of a specific failure:
+    *
+    *  - `n_replacement`: U+FFFD chars — a decoder already gave up;
+    *  - `n_latin1_utf8`: 'Ã' (U+00C3) chars — UTF-8 bytes re-decoded
+    *    as Latin-1 put Ã in front of every accented letter
+    *    ("caffè" → "caffÃ¨");
+    *  - `n_punct_mojibake`: "â€" (U+00E2 U+20AC) pairs — the same
+    *    corruption applied to smart punctuation ("—" → "â€”",
+    *    curly quotes → "â€œ"/"â€").
+    *
+    * All three are literal-substring counts via [[occurrences]]
+    * (length difference — no regex, so no engine dialect to diverge
+    * on), and `damaged` is their disjunction. Scale shape: pure
+    * per-row expression work over one column-pruned scan — the 100 TB
+    * plan is scan → project, no shuffle.
+    */
+  def encodingDamage(docs: DataFrame): DataFrame = {
+    val repl = occurrences(col("text"), "�")
+    val latin = occurrences(col("text"), "Ã")
+    val punct = occurrences(col("text"), "â€")
+    docs.select(col("doc_id"),
+      repl.as("n_replacement"),
+      latin.as("n_latin1_utf8"),
+      punct.as("n_punct_mojibake"),
+      ((repl + latin + punct) > 0L).cast("int").as("damaged"))
+  }
+
   // Stopword marker lists per language. Tiny, deterministic, and chosen
   // from high-frequency function words; padded with spaces so matches
   // are word-bounded. A production system would use a trained n-gram

@@ -193,4 +193,41 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 10L, 2L)), got.toString)
   }
+
+  test("driftCensus: stable at mass, planted shift drifts, " +
+      "appear/vanish drift, small buckets say low_mass") {
+    def vecs(n: Int, v: Float) =
+      Seq.fill(n)(Seq.fill(4)(v)).toDF("embedding")
+    def census(old: org.apache.spark.sql.DataFrame,
+        nw: org.apache.spark.sql.DataFrame) =
+      Similarity.driftCensus(old, nw, numBits = 2, dims = 4)
+        .as[(Int, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+
+    // identical 200-vector snapshots: one bucket, zero shift, judged
+    val same = census(vecs(200, 0.5f), vecs(200, 0.5f))
+    assert(same.size == 1, same.toString)
+    assert(same.head._2 == 200L && same.head._4 == 0L &&
+      !same.head._5 && !same.head._6, same.toString)
+
+    // 0.5 → 0.9 per dim: int8 codes 32 → 57, mean shift 25 int8
+    // units per dim, far over the 4-unit threshold — and scaling
+    // both by the same sign keeps the bucket, so it is ONE judged row
+    val shifted = census(vecs(200, 0.5f), vecs(200, 0.9f))
+    assert(shifted.size == 1 && shifted.head._5 && !shifted.head._6,
+      shifted.toString)
+    // l1_num = 25 * 4 dims * 200 * 200 exactly
+    assert(shifted.head._4 == 25L * 4 * 200 * 200, shifted.toString)
+
+    // a bucket the new snapshot no longer populates drifts on count
+    // asymmetry alone, whatever the means say
+    val vanished = census(vecs(200, 0.5f), vecs(200, 0.5f).limit(0))
+    assert(vanished.size == 1 && vanished.head._3 == 0L &&
+      vanished.head._5, vanished.toString)
+
+    // below judgment mass: the verdict column still computes, but
+    // low_mass says not to read it
+    val small = census(vecs(5, 0.5f), vecs(5, 0.5f))
+    assert(small.size == 1 && small.head._6 && !small.head._5,
+      small.toString)
+  }
 }

@@ -945,4 +945,23 @@ class TextOpsSpec extends SparkSpec {
       (1L, 1L, 1L, 1L, 1L),
       (2L, 2L, 5L, 2L, 3L)))
   }
+
+  test("encodingDamage: each telltale counted exactly, clean text " +
+      "all-zero, overlapping damage accumulates") {
+    val docs = Seq(
+      (1L, "clean prose, nothing wrong here"),
+      (2L, "broken � twice �"),                 // 2 U+FFFD
+      (3L, "caffÃ¨ and naÃ¯ve"),      // 2 Ã
+      (4L, "a â€” dash â€œquote"), // 2 â€
+      (5L, "all: � Ã© â€”") // one each
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingDamage(docs)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L, 0),
+      (2L, 2L, 0L, 0L, 1),
+      (3L, 0L, 2L, 0L, 1),
+      (4L, 0L, 0L, 2L, 1),
+      (5L, 1L, 1L, 1L, 1)), got.toString)
+  }
 }
