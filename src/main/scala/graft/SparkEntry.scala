@@ -4191,6 +4191,29 @@ object SparkEntry {
       Scc.condensation(e1.unionByName(e2)).orderBy("scc_id")
     }),
 
+    // Bowtie census (Broder et al. 2000) on a constructed four-region
+    // graph: a 60-cycle core (gcd(7,60)=1 ⇒ one orbit), 40 IN
+    // tendrils, 40 OUT tendrils, and a disconnected 10-cycle island.
+    // Everything after the SCC runs on the condensation; the two
+    // reach sets grow by BFS with exact set-size certificates. The
+    // oracle classifies from the full recursive closure — reach-to- /
+    // reach-from-core by definition.
+    "bowtie_regions" -> ((s, dir) => {
+      val nd = T(s, dir, "customer")
+        .select((col("c_custkey") % 150).as("v")).distinct()
+      val core = nd.filter(col("v") < 60)
+        .select(col("v").as("src"), ((col("v") + 7) % 60).as("dst"))
+      val inT = nd.filter(col("v") >= 60 && col("v") < 100)
+        .select(col("v").as("src"), (col("v") - 60).as("dst"))
+      val outT = nd.filter(col("v") >= 100 && col("v") < 140)
+        .select((col("v") - 100).as("src"), col("v").as("dst"))
+      val isl = nd.filter(col("v") >= 140)
+        .select(col("v").as("src"),
+          (lit(140) + ((col("v") - 140 + 1) % 10)).as("dst"))
+      Scc.bowtie(core.unionByName(inT).unionByName(outT)
+        .unionByName(isl)).orderBy("node")
+    }),
+
     // Reciprocity summary of the arithmetic functional graph
     // k%1000 → (3k+2)%1000 (chosen so loops AND mutual pairs both
     // exist): distinct non-loop edges, directed mutual count,
@@ -7722,6 +7745,39 @@ object SparkEntry {
            |  CAST(coalesce(od.n_out, 0) AS BIGINT) AS n_out, ly.layer
            |FROM sz LEFT JOIN od USING (scc_id) JOIN ly USING (scc_id)
            |ORDER BY 1"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
+      // region from the full recursive closure by definition: core =
+      // largest SCC (ties → smaller id), in = closure row into a core
+      // node, out = closure row from a core node, other = neither
+      "bowtie_regions" ->
+        ("""WITH RECURSIVE nd AS (
+           |  SELECT DISTINCT c_custkey % 150 AS v FROM customer),
+           |e AS (SELECT v AS src, (v + 7) % 60 AS dst FROM nd
+           |    WHERE v < 60
+           |  UNION SELECT v, v - 60 FROM nd WHERE v >= 60 AND v < 100
+           |  UNION SELECT v - 100, v FROM nd
+           |    WHERE v >= 100 AND v < 140
+           |  UNION SELECT v, 140 + ((v - 140 + 1) % 10) FROM nd
+           |    WHERE v >= 140),
+           |r(a, b) AS (SELECT v, v FROM nd
+           |  UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+           |scc AS (SELECT r1.a AS node, min(r1.b) AS scc_id
+           |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+           |  GROUP BY 1),
+           |sz AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1),
+           |g AS (SELECT scc_id FROM sz ORDER BY n DESC, scc_id ASC
+           |  LIMIT 1),
+           |cn AS (SELECT node FROM scc
+           |  WHERE scc_id = (SELECT scc_id FROM g))
+           |SELECT CAST(scc.node AS BIGINT) AS node,
+           |  CASE WHEN scc.scc_id = (SELECT scc_id FROM g) THEN 'core'
+           |    WHEN EXISTS (SELECT 1 FROM r JOIN cn ON cn.node = r.b
+           |      WHERE r.a = scc.node) THEN 'in'
+           |    WHEN EXISTS (SELECT 1 FROM r JOIN cn ON cn.node = r.a
+           |      WHERE r.b = scc.node) THEN 'out'
+           |    ELSE 'other' END AS region
+           |FROM scc ORDER BY scc.node"""
           .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the left-join-reversed-edge formulation, replayed verbatim;

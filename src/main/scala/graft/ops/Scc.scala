@@ -238,6 +238,96 @@ object Scc {
     out
   }
 
+  /** The bowtie census (Broder et al. 2000, "Graph structure in the
+    * web"): classify every node by its relation to the GIANT strongly
+    * connected component — `core` (in it), `in` (reaches it), `out`
+    * (reachable from it), `other` (tendrils, tubes, disconnected
+    * islands — everything with no core path either way). The
+    * giant component is the largest SCC, ties to the smaller scc_id.
+    *
+    * `in` and `out` are provably disjoint: a component both reaching
+    * and reached from the giant would close a cycle through it in the
+    * condensation DAG, i.e. BE the giant.
+    *
+    * Scale shape: everything after [[stronglyConnected]] runs on the
+    * CONDENSATION — component-count-sized frames, orders of magnitude
+    * below the graph. The two reach sets grow by BFS on condensation
+    * edges with an exact set-size convergence certificate; iterations
+    * scale with the condensation's depth (shallow for web-shaped
+    * graphs), bounded by `maxDepth`.
+    */
+  def bowtie(
+      edges: DataFrame,
+      maxOuter: Int = 16,
+      maxInner: Int = 30,
+      maxDepth: Int = 60): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val labels = stronglyConnected(edges, maxOuter, maxInner)
+    val sizes = labels.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    // largest component, ties to the smaller id — the max-struct
+    // argmax idiom (negate the id so max() prefers the smaller)
+    val giant = sizes
+      .select(max(struct(col("n_nodes"), (-col("scc_id")).as("ng")))
+        .as("s"))
+      .select((-col("s.ng")).as("scc_id"))
+      .localCheckpoint()
+    val ce = edges.select(col("src"), col("dst")).distinct()
+      .join(labels.select(col("node").as("src"),
+        col("scc_id").as("s_scc")), "src")
+      .join(labels.select(col("node").as("dst"),
+        col("scc_id").as("d_scc")), "dst")
+      .filter(col("s_scc") =!= col("d_scc"))
+      .select(col("s_scc"), col("d_scc")).distinct()
+      .localCheckpoint()
+    // components with a path to the seed along (s_scc → d_scc),
+    // seed included: BFS with an exact set-size certificate
+    def reaches(edgesC: DataFrame): DataFrame = {
+      var r = giant.select(col("scc_id")).localCheckpoint()
+      var prevN = -1L
+      var n = r.count()
+      var iter = 0
+      while (n != prevN && iter < maxDepth) {
+        val grown = r.unionByName(
+          edgesC.join(r.withColumnRenamed("scc_id", "d_scc"), "d_scc")
+            .select(col("s_scc").as("scc_id")))
+          .distinct()
+          .localCheckpoint()
+        prevN = n
+        n = grown.count()
+        CheckpointUtil.free(r)
+        r = grown
+        iter += 1
+      }
+      if (n != prevN) {
+        CheckpointUtil.free(r, sizes, giant, ce, labels)
+        throw new IllegalStateException(
+          s"bowtie reach set still growing after $maxDepth round(s) — " +
+            "condensation deeper than maxDepth; raise it")
+      }
+      r
+    }
+    val inSet = reaches(ce)
+    val outSet = reaches(
+      ce.select(col("d_scc").as("s_scc"), col("s_scc").as("d_scc")))
+    val regionByComp = sizes.select(col("scc_id"))
+      .join(giant.select(col("scc_id"), lit(1).as("__g")),
+        Seq("scc_id"), "left")
+      .join(inSet.withColumn("__i", lit(1)), Seq("scc_id"), "left")
+      .join(outSet.withColumn("__o", lit(1)), Seq("scc_id"), "left")
+      .select(col("scc_id"),
+        when(col("__g").isNotNull, "core")
+          .when(col("__i").isNotNull, "in")
+          .when(col("__o").isNotNull, "out")
+          .otherwise("other").as("region"))
+    val out = labels.join(regionByComp, "scc_id")
+      .select(col("node"), col("region"))
+      .localCheckpoint()
+    CheckpointUtil.free(labels, sizes, giant, ce, inSet, outSet)
+    out
+  }
+
   /** Min label over (ancestors ∪ self) along edge direction, to the
     * exact sum fixpoint — [[Components.edgeComponents]]'s inner loop
     * without the symmetrization. Returns `(node, lbl)` for every

@@ -74,6 +74,28 @@ class SccSpec extends SparkSpec {
       (3L, 1L, 1L, 2L), (4L, 1L, 0L, 3L)), got.toString)
   }
 
+  test("bowtie: core/in/out/other on a hand fixture with a tendril " +
+      "and a disconnected island") {
+    // core {1,2}; 3 → core (in); core → 4 (out); island cycle {5,6};
+    // 3 → 7 tendril (reaches IN but never core's row — other)
+    val edges = Seq(1L -> 2L, 2L -> 1L, 3L -> 1L, 2L -> 4L,
+      5L -> 6L, 6L -> 5L, 3L -> 7L).toDF("src", "dst")
+    val got = Scc.bowtie(edges)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "core", 2L -> "core", 3L -> "in",
+      4L -> "out", 5L -> "other", 6L -> "other", 7L -> "other"),
+      got.toString)
+  }
+
+  test("bowtie: giant ties break to the smaller scc_id") {
+    // two 2-cycles, no path between: {1,2} wins the tie over {3,4}
+    val edges = Seq(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L)
+      .toDF("src", "dst")
+    val got = Scc.bowtie(edges).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "core", 2L -> "core",
+      3L -> "other", 4L -> "other"), got.toString)
+  }
+
   test("brute-force parity on a deterministic mixed graph") {
     // the registry fixture shape at a smaller modulus: doubling map
     // + chords over 0..39
