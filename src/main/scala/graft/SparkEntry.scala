@@ -1648,6 +1648,21 @@ object SparkEntry {
     "quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(T(s, dir, "documents"))),
 
+    // Inter-rater agreement between the heuristic quality gate and
+    // the linear classifier gate over the same non-empty universe —
+    // Cohen's kappa as the exact integers it is a ratio of (the N²
+    // terms in DECIMAL(38,0), shipped as digit strings per the
+    // wide-decimal convention) plus the cross-multiplied κ > 0.4
+    // Landis–Koch verdict. One map-side-combined global aggregate.
+    "annotator_agreement" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      EvalMetrics.cohenKappa(docs,
+        (TextAnalysis.qualityVerdict(col("text")) === "good")
+          .cast("int"),
+        TextAnalysis.classifierKeep(col("text")).cast("int"))
+    }),
+
     // Classifier-vs-gate calibration: integer score bins × Gopher
     // verdict counts — the report that places a classifier threshold
     // before it gates a corpus. Runs over the synthesized curation
@@ -4939,6 +4954,39 @@ object SparkEntry {
           "WHEN punct_cnt * 5 > char_len THEN 'punct_noise' " +
           "WHEN digit_cnt * 5 > char_len THEN 'digit_noise' " +
           "WHEN stop_hits = 0 THEN 'no_stopwords' ELSE 'good' END AS quality FROM s"),
+
+      // both raters replayed from the same generated fragments the
+      // Spark side folds (quality when-chain + classifier score);
+      // kappa pieces in HUGEINT, wide values shipped as VARCHAR
+      "annotator_agreement" ->
+        (s"""WITH s AS (SELECT doc_id, $statsCols,
+           |    ${hitsSql(allMarkers)} AS stop_hits,
+           |    $ClassifierScoreSql AS cscore
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |t AS (SELECT
+           |    CASE WHEN char_len < 64 THEN 0
+           |      WHEN punct_cnt * 5 > char_len THEN 0
+           |      WHEN digit_cnt * 5 > char_len THEN 0
+           |      WHEN stop_hits = 0 THEN 0 ELSE 1 END AS a,
+           |    CASE WHEN cscore >= 0 THEN 1 ELSE 0 END AS b FROM s),
+           |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT)
+           |      AS n_agree,
+           |    CAST(sum(a) AS HUGEINT) AS a_pos,
+           |    CAST(sum(b) AS HUGEINT) AS b_pos FROM t)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  CAST(n_agree AS BIGINT) AS n_agree,
+           |  CAST(a_pos AS BIGINT) AS a_pos,
+           |  CAST(b_pos AS BIGINT) AS b_pos,
+           |  CAST(n * n_agree - (a_pos * b_pos + (n - a_pos) *
+           |    (n - b_pos)) AS VARCHAR) AS kappa_num,
+           |  CAST(n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))
+           |    AS VARCHAR) AS kappa_den,
+           |  ((n * n_agree - (a_pos * b_pos + (n - a_pos) *
+           |    (n - b_pos))) * 5 > (n * n - (a_pos * b_pos +
+           |    (n - a_pos) * (n - b_pos))) * 2) AS substantial
+           |FROM g"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       // the linear classifier replay, GENERATED from the same feature
       // fragments and weight constants the Spark side folds — the two

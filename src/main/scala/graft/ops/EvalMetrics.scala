@@ -72,4 +72,45 @@ object EvalMetrics {
         sum(col("c_cnt")).as("cand_ngrams"),
         sum(col("r_cnt")).as("ref_ngrams"))
   }
+
+  /** Inter-rater agreement (Cohen's κ) between two 0/1 raters over
+    * the same row universe — the eval-ops screen for "do these two
+    * labeling sources agree beyond chance" (human vs model judge, two
+    * quality classifiers, annotator pairs). κ = (p_o − p_e)/(1 − p_e);
+    * this emits the exact integer pieces it is a ratio of, never the
+    * float: with N rows, A = n_agree, and marginal positives a⁺/b⁺,
+    *
+    *   kappa_num = N·A − (a⁺·b⁺ + (N−a⁺)(N−b⁺))
+    *   kappa_den = N² − (a⁺·b⁺ + (N−a⁺)(N−b⁺))
+    *
+    * Both carry N² terms, which pass int64 around N ≈ 3·10⁹ — well
+    * inside a corpus-scale run — so the arithmetic is DECIMAL(38,0)
+    * and the two wide values ship as canonical digit STRINGS (the
+    * repo's wide-decimal convention; exact out to N ≈ 10¹⁹).
+    * `substantial` is the Landis–Koch "moderate or better" verdict
+    * κ > 0.4 by cross-multiplication (5·num > 2·den — valid since
+    * den > 0 whenever either rater is non-constant).
+    *
+    * Scale shape: ONE map-side-combined global aggregate over the
+    * scan; everything after runs on a 1-row frame.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum((a === b).cast("long")).cast("decimal(38,0)").as("n_agree"),
+      sum(a.cast("long")).cast("decimal(38,0)").as("a_pos"),
+      sum(b.cast("long")).cast("decimal(38,0)").as("b_pos"))
+    val chance = col("a_pos") * col("b_pos") +
+      (col("n") - col("a_pos")) * (col("n") - col("b_pos"))
+    val num = col("n") * col("n_agree") - chance
+    val den = col("n") * col("n") - chance
+    agg.select(
+      col("n").cast("long").as("n"),
+      col("n_agree").cast("long").as("n_agree"),
+      col("a_pos").cast("long").as("a_pos"),
+      col("b_pos").cast("long").as("b_pos"),
+      num.cast("string").as("kappa_num"),
+      den.cast("string").as("kappa_den"),
+      (num * 5 > den * 2).as("substantial"))
+  }
 }

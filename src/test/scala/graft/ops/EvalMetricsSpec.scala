@@ -68,4 +68,32 @@ class EvalMetricsSpec extends SparkSpec {
       assert(counts(rows, n) == model, s"parity broke at n=$n")
     }
   }
+
+  test("cohenKappa: hand-computed pieces; kappa exactly 0.4 is NOT " +
+      "substantial (strict); degenerate raters give 0/0 and false") {
+    import org.apache.spark.sql.functions.col
+    def kappa(ab: (Int, Int)*) =
+      EvalMetrics.cohenKappa(ab.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long, Long, Long, String, String, Boolean)]
+        .head()
+
+    // 4×(1,1), 3×(0,0), 2×(1,0), 1×(0,1): N=10, agree=7, a+=6, b+=5
+    // chance = 6·5 + 4·5 = 50; num = 70−50 = 20; den = 100−50 = 50
+    // κ = 0.4 exactly → NOT substantial under the strict inequality
+    val boundary = kappa(Seq.fill(4)((1, 1)) ++ Seq.fill(3)((0, 0)) ++
+      Seq.fill(2)((1, 0)) ++ Seq((0, 1)): _*)
+    assert(boundary == (10L, 7L, 6L, 5L, "20", "50", false),
+      boundary.toString)
+
+    // 5×(1,1), 4×(0,0), 1×(1,0): agree=9 → num=40, den=50, κ=0.8
+    val strong = kappa(Seq.fill(5)((1, 1)) ++ Seq.fill(4)((0, 0)) ++
+      Seq((1, 0)): _*)
+    assert(strong == (10L, 9L, 6L, 5L, "40", "50", true),
+      strong.toString)
+
+    // both raters constant: p_e = 1, num = den = 0 — κ undefined,
+    // verdict stays false rather than erroring
+    val degen = kappa((1, 1), (1, 1), (1, 1))
+    assert(degen == (3L, 3L, 3L, 3L, "0", "0", false), degen.toString)
+  }
 }
