@@ -3971,6 +3971,14 @@ object SparkEntry {
     "mad_outliers" -> ((s, dir) =>
       DataQuality.madOutliers(T(s, dir, "events"), "event_type", "value")),
 
+    // Per-group winsorized summary: nearest-rank [p5, p95] bounds
+    // (actual data values), clamp counts per side, and the exact
+    // winsorized sum over the integer-valued quantity column — the
+    // robust-mean companion to mad_outliers.
+    "winsorized_stats" -> ((s, dir) =>
+      DataQuality.winsorizedStats(
+        T(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
+
     // Per-group discrete percentiles: the selected values are ACTUAL
     // data values (no interpolation), so doubles pass through exact
     // and both engines pick the identical element.
@@ -7514,6 +7522,33 @@ object SparkEntry {
       // per-group form of the explicit nearest-rank replay (see
       // quantile_filter): p ∈ {1/2, 9/10, 99/100} as integer
       // cross-multiplications against the group rank/size
+      // same nearest-rank replay as group_quantiles, then the clamp
+      // census; quantities are integer-valued so the winsorized sum
+      // is exact in BIGINT on both engines
+      "winsorized_stats" ->
+        ("""WITH v AS (SELECT l_returnflag,
+           |    CAST(l_quantity AS BIGINT) AS v FROM lineitem
+           |  WHERE l_quantity IS NOT NULL),
+           |r AS (SELECT l_returnflag, v,
+           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+           |      AS rn,
+           |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM v),
+           |b AS (SELECT l_returnflag,
+           |    min(v) FILTER (WHERE rn * 100 >= n * 5) AS lo,
+           |    min(v) FILTER (WHERE rn * 100 >= n * 95) AS hi
+           |  FROM r GROUP BY 1)
+           |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(max(b.lo) AS BIGINT) AS lo,
+           |  CAST(max(b.hi) AS BIGINT) AS hi,
+           |  CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clamped_lo,
+           |  CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clamped_hi,
+           |  CAST(sum(greatest(least(v.v, b.hi), b.lo)) AS BIGINT)
+           |    AS winsorized_sum
+           |FROM v JOIN b USING (l_returnflag) GROUP BY l_returnflag"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       "group_quantiles" ->
         ("WITH r AS (SELECT event_type, value, " +
           "row_number() OVER (PARTITION BY event_type ORDER BY value) " +

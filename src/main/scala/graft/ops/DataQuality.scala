@@ -105,6 +105,62 @@ object DataQuality {
         first(col("med")).as("med"), first(col("mad")).as("mad"))
   }
 
+  /** Per-group winsorized summary — the robust-mean companion to
+    * [[madOutliers]]: clamp each value into the group's
+    * [p_lo, p_hi] nearest-rank band and report the EXACT pieces a
+    * trimmed-tail dashboard reads — band bounds (actual data values),
+    * clamp counts per side, and the winsorized sum over an
+    * integer-valued column (so the sum replays exactly; float
+    * accumulation is the cross-engine hazard the whole repo avoids).
+    * Both cutoffs use the explicit integer nearest-rank rule
+    * (`rank·100 >= n·p`, smallest such value).
+    *
+    * Output: `(group, n_rows, lo, hi, n_clamped_lo, n_clamped_hi,
+    * winsorized_sum)`.
+    *
+    * Scale shape: same caveat as [[madOutliers]] — ONE rank window
+    * partitioned by the group (per-group single-task sort; fine for
+    * bounded dashboard-sized groups, use
+    * [[Sketches.histogramMergeQuantiles]] cutoffs for a
+    * million-group corpus screen); the clamp + census is one
+    * map-side-combinable aggregate after a broadcast-sized bounds
+    * join.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLoPct: Int = 5,
+      pHiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 < pLoPct && pLoPct < pHiPct && pHiPct < 100,
+      s"need 0 < pLo < pHi < 100, got $pLoPct/$pHiPct")
+    val w = Window.partitionBy(col(groupCol))
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val bounds = v
+      .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__rn") * 100 >= col("__n") * pLoPct, col("__v")))
+          .as("lo"),
+        min(when(col("__rn") * 100 >= col("__n") * pHiPct, col("__v")))
+          .as("hi"))
+    v.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(when(col("__v") < col("lo"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L))
+          .as("n_clamped_hi"),
+        sum(greatest(least(col("__v"), col("hi")), col("lo")))
+          .as("winsorized_sum"))
+  }
+
   /** Snapshot-drift report — the data-contract check between two runs
     * of the same table (yesterday's corpus vs today's): per tracked
     * column, row counts and NULL counts on both sides plus an in-band

@@ -120,4 +120,23 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DataQuality.kAnonymity(df, Seq("q"), col("s"), k = 0L))
   }
+
+  test("winsorizedStats: hand-computed nearest-rank bounds, clamp " +
+      "counts and exact winsorized sum; custom percentiles") {
+    // g: 1..20 → p05 rank 1 ⇒ lo=1, p95 rank 19 ⇒ hi=19; only the
+    // 20 clamps down, sum = (1+..+19) + 19 = 209
+    val df = (1L to 20L).map(("g", _)).toDF("grp", "v")
+    val got = DataQuality.winsorizedStats(df, "grp", "v")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (("g", 20L, 1L, 19L, 0L, 1L, 209L)), got.toString)
+
+    // heavy tail with p25/p75: [1,1,1,1,100] → lo = 2nd smallest = 1,
+    // hi = 4th smallest = 1 → the 100 clamps to 1, sum = 5
+    val skew = Seq(("s", 1L), ("s", 1L), ("s", 1L), ("s", 1L),
+      ("s", 100L)).toDF("grp", "v")
+    val got2 = DataQuality.winsorizedStats(skew, "grp", "v",
+        pLoPct = 25, pHiPct = 75)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(got2 == (("s", 5L, 1L, 1L, 0L, 1L, 5L)), got2.toString)
+  }
 }
