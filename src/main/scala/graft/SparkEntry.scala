@@ -3964,6 +3964,24 @@ object SparkEntry {
       Sketches.hllIntersectChecked(T(s, dir, "events"),
         "event_type", "user_id", "click", "view")),
 
+    // KMV set-DIFFERENCE estimate with the exact anti-join count and
+    // the in-band bound audit — the question HLL inclusion-exclusion
+    // can't answer without stacking its error twice; sketches are
+    // k-row and mergeable. The fixture overlaps two event_id ranges
+    // (60%/60%, 20% shared) so BOTH sides exceed k — the
+    // (k−1)·H/m_k path, the union-membership Jaccard and a genuine
+    // nonzero difference all get exercised (the user_id universe at
+    // this SF is 150 ids dense in every type — any type pair
+    // degenerates to 0).
+    "sketch_kmv_diff" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val facts = e.filter(col("event_id") % 10 < 6)
+        .select(lit("a").as("part"), col("event_id").as("k"))
+        .unionByName(e.filter(col("event_id") % 10 >= 4)
+          .select(lit("b").as("part"), col("event_id").as("k")))
+      Sketches.kmvDiffChecked(facts, "part", "k", "a", "b")
+    }),
+
     // Robust per-group outlier census: median/MAD flags with both
     // medians under the explicit integer nearest-rank rule — every
     // reported number replays exactly (no percentile-convention
@@ -7416,6 +7434,17 @@ object SparkEntry {
           "WHERE event_type = 'click') a JOIN " +
           "(SELECT DISTINCT user_id FROM events " +
           "WHERE event_type = 'view') b USING (user_id)"),
+
+      // exact replay of the difference; the KMV estimate is
+      // hash-derived, so the oracle asserts the in-band bound flag
+      "sketch_kmv_diff" ->
+        ("SELECT CAST(count(*) AS BIGINT) AS exact_diff, " +
+          "TRUE AS within_bound FROM " +
+          "(SELECT DISTINCT event_id FROM events " +
+          "WHERE event_id % 10 < 6) a " +
+          "ANTI JOIN (SELECT DISTINCT event_id FROM events " +
+          "WHERE event_id % 10 >= 4) b " +
+          "USING (event_id)"),
 
       // median and MAD via the explicit nearest-rank rule (2·rank>=n,
       // smallest value), deviations and the k·MAD comparison exact —

@@ -224,6 +224,78 @@ object Sketches {
           col("exact_intersection") * errPct).as("within_bound"))
   }
 
+  /** Set-DIFFERENCE estimation from K-minimum-values sketches — the
+    * "how many users clicked but never viewed" question
+    * [[hllIntersectChecked]]'s inclusion–exclusion cannot answer
+    * without stacking its amplification twice. KMV (Bar-Yossef et
+    * al. 2002; Beyer et al. 2007) keeps the k smallest key-hash
+    * values per set: the kth minimum estimates cardinality
+    * ((k−1)·H / m_k over hash space H = 2⁶³−1 after masking the sign
+    * bit), the union sketch's members that land in BOTH input
+    * sketches estimate the Jaccard ratio ρ, and
+    * |A\B| ≈ |A| − ρ·|A∪B|. A side with fewer than k distinct keys
+    * IS its sketch, so its estimate is exact. Emits the exact
+    * difference (computed alongside) plus the in-band audit flag —
+    * the [[hllIntersectChecked]] convention (estimates are
+    * hash-derived and can't replay externally; the exact value and
+    * the bound verdict can).
+    *
+    * Scale shape: each side is one distinct + per-partition top-k
+    * (TakeOrderedAndProject — k·partitions rows move, never a global
+    * sort); the two k-row sketches checkpoint and every downstream
+    * step runs on ≤ 3k rows. The exact anti-join rides the same two
+    * distinct exchanges. Sketches are mergeable (k smallest of the
+    * concatenation), so per-shard states union across a fleet.
+    */
+  def kmvDiffChecked(
+      facts: DataFrame,
+      setCol: String,
+      keyCol: String,
+      setA: String,
+      setB: String,
+      k: Int = 256,
+      errPct: Int = 20): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    val in = facts.filter(col(setCol).isin(setA, setB) &&
+      col(keyCol).isNotNull)
+    val H = lit(Long.MaxValue).cast("decimal(38,0)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def sketch(s: String): DataFrame = in
+      .filter(col(setCol) === s)
+      .select(col(keyCol)).distinct()
+      .select(xxhash64(col(keyCol)).bitwiseAND(Long.MaxValue).as("h"))
+      .orderBy(col("h")).limit(k)
+      .localCheckpoint(false)
+    def estimate(sk: DataFrame, as: String): DataFrame = sk
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("mk"))
+      .select(when(col("cnt") < k, dec(col("cnt")))
+        .otherwise(dec(dec(lit(k - 1)) * H / dec(col("mk"))))
+        .as(as))
+    val skA = sketch(setA)
+    val skB = sketch(setB)
+    val skU = skA.unionByName(skB).distinct()
+      .orderBy(col("h")).limit(k)
+      .localCheckpoint(false)
+    val common = skU.join(skA, "h").join(skB, "h")
+      .agg(count(lit(1)).as("m_common"))
+    val kPrime = skU.agg(count(lit(1)).as("k_prime"))
+    val exact = in.filter(col(setCol) === setA)
+      .select(col(keyCol)).distinct()
+      .join(in.filter(col(setCol) === setB)
+        .select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .agg(count(lit(1)).as("exact_diff"))
+    estimate(skA, "est_a")
+      .crossJoin(estimate(skU, "est_union"))
+      .crossJoin(common)
+      .crossJoin(kPrime)
+      .crossJoin(exact)
+      .select(col("exact_diff"),
+        (abs(col("est_a") -
+          dec(col("m_common")) * col("est_union") / dec(col("k_prime")) -
+          dec(col("exact_diff"))) * 100 <=
+          dec(col("exact_diff")) * errPct).as("within_bound"))
+  }
+
   /** Equi-width histogram sketch state: `(group, bucket, cnt)` with
     * `bucket = floor(value / width)` — the trivially-mergeable
     * quantile state (merge = per-bucket SUM) with a PROVABLE rank

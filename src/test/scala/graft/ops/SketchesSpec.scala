@@ -204,4 +204,23 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().head
     assert(out2 == ((0L, true)), out2.toString)
   }
+
+  test("kmvDiffChecked: sub-k sides are exact; the k-th-minimum " +
+      "path stays in bound on a 2000-vs-2001-key difference") {
+    // both sides under k = 256: sketches ARE the sets, estimate exact
+    val small = ((1 to 40).map(i => ("a", i.toLong)) ++
+      (30 to 60).map(i => ("b", i.toLong))).toDF("s", "k")
+    val out = Sketches.kmvDiffChecked(small, "s", "k", "a", "b")
+      .as[(Long, Boolean)].collect().head
+    assert(out == ((29L, true)), out.toString) // 1..29 in a only
+
+    // a = 1..2000, b = 1000..3000 → exact diff 999; both sides beyond
+    // k, so the estimate takes the (k−1)·H/m_k path; deterministic
+    // hashes ⇒ the 20% bound verdict is stable
+    val big = ((1 to 2000).map(i => ("a", i.toLong)) ++
+      (1000 to 3000).map(i => ("b", i.toLong))).toDF("s", "k")
+    val out2 = Sketches.kmvDiffChecked(big, "s", "k", "a", "b")
+      .as[(Long, Boolean)].collect().head
+    assert(out2 == ((999L, true)), out2.toString)
+  }
 }
