@@ -183,6 +183,53 @@ object BpeMiner {
     out.reduce(_.unionByName(_)).orderBy("merge_rank")
   }
 
+  /** The mined merge table in RAW (placeholder-bearing) form — the
+    * PERSISTABLE model artifact of the train-once / encode-many
+    * lifecycle ([[graft.tools.RunBpe]]): `(merge_rank, l, r,
+    * pair_cnt)` where `l`/`r` may contain earlier rounds' U+E000
+    * placeholders, so replaying rank order with
+    * `replace(text, l || r, placeholder(rank−1))` reproduces the
+    * trainer exactly — no expansion table needed ([[topMerges]] is
+    * the human-readable expanded view; THIS is the machine form).
+    */
+  def rawMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, tops, _) = mineRounds(docs, rounds)
+    tops.zipWithIndex.map { case (t, i) =>
+      t.select(lit(i + 1L).as("merge_rank"), col("l"), col("r"),
+        col("pair_cnt"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[encode]] against a PERSISTED merge table instead of an inline
+    * mine — the apply half of the lifecycle. The merge table is
+    * MODEL-sized (≤ [[MaxRounds]] rows), so it collects to the driver
+    * and folds into the replace chain as string literals: the corpus
+    * plan is a pure scan → codegen'd replace chain → native
+    * code-point walk, with no joins at all (the inline path's 1-row
+    * broadcast joins exist only because its merges are frames).
+    * Output schema is identical to [[encode]] and spec-pinned equal
+    * given `merges = rawMerges(docs, rounds)`.
+    */
+  def encodeWithMerges(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val m = merges.orderBy(col("merge_rank"))
+      .select(col("l").cast("string"), col("r").cast("string"))
+      .collect().map(row => (row.getString(0), row.getString(1)))
+    require(m.length >= 1 && m.length <= MaxRounds,
+      s"merge table must have 1..$MaxRounds rows, got ${m.length}")
+    val merged = m.zipWithIndex.foldLeft(
+      TextDedup.normText(col("text"))) {
+      case (acc, ((l, r), i)) =>
+        replace(acc, lit(l + r), lit(placeholder(i)))
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        BpeExprs.codepointsDump(merged).as("d"))
+      .select(col("doc_id"), col("source"),
+        col("d.n_tokens").as("n_tokens"),
+        md5(col("d.ids_csv")).as("ids_hash"),
+        col("d.head_ids").as("head_ids"))
+  }
+
   /** Apply the mined merges as a TOKENIZER-ENCODE pass: re-run the
     * `rounds` learned merges over every document (the same leftmost
     * non-overlapping `replace` convention the trainer used on the

@@ -36,6 +36,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "ann_ivfsq8_topk", // corpus × broadcast(centroids) assignment
     "triangle_count",  // × broadcast(1-row count aggregates)
     "sketch_hll_intersect", // × broadcast(1-row sketch + exact-count rows)
+    "sketch_kmv_diff", // × broadcast(1-row estimate/common/exact rows)
     "collocations_topk", // × broadcast(1-row token total)
     "bpe_merges",      // × broadcast(1-row per-round top merge)
     "bpe_compression", // same chain, one more 1-row apply + 1-row ratio

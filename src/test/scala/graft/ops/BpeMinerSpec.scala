@@ -164,4 +164,36 @@ class BpeMinerSpec extends SparkSpec {
     // news: doc2 prefix 0 → pack 0
     assert(packed == Map(0L -> 0L, 1L -> 1L, 2L -> 0L), packed.toString)
   }
+
+  test("encodeWithMerges == inline encode given rawMerges, including " +
+      "through a parquet round-trip (the RunBpe lifecycle)") {
+    val df = Seq((0L, "web", "abab abab"), (1L, "web", "abc"),
+      (2L, "news", "xy abc zq zq"), (3L, "web", ""))
+      .toDF("doc_id", "source", "text")
+    val inline = BpeMiner.encode(df, rounds = 3).orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect().toSeq
+
+    val raw = BpeMiner.rawMerges(df, rounds = 3)
+    val direct = BpeMiner.encodeWithMerges(df, raw).orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect().toSeq
+    assert(direct == inline, s"direct=$direct inline=$inline")
+
+    // the persisted form: write the model, read it back, encode
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_model").toString
+    raw.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    val loaded = graft.SparkTestSession.spark.read
+      .parquet(s"$dir/merges")
+    val roundTrip = BpeMiner.encodeWithMerges(df, loaded)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect().toSeq
+    assert(roundTrip == inline, s"roundTrip=$roundTrip")
+
+    // raw form really is placeholder-bearing past round 1 (the model
+    // is the machine form, not the expanded human view)
+    val rawRows = raw.orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect()
+    assert(rawRows(2)._2 == "\uE000" && rawRows(2)._3 == "c",
+      rawRows.toSeq.toString)
+  }
 }
