@@ -3989,6 +3989,18 @@ object SparkEntry {
     "mad_outliers" -> ((s, dir) =>
       DataQuality.madOutliers(T(s, dir, "events"), "event_type", "value")),
 
+    // Functional-dependency audit over declared candidates: exact
+    // distinct counts both sides, the holds verdict and the violation
+    // magnitude, all candidate pairs riding ONE aggregate pass —
+    // o_orderkey determines custkey/totalprice (it's the key);
+    // o_custkey does not determine o_orderstatus.
+    "fd_audit" -> ((s, dir) =>
+      DataQuality.fdAudit(T(s, dir, "orders"), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_orderkey" -> "o_totalprice",
+        "o_custkey" -> "o_orderstatus"))
+        .orderBy("determinant", "dependent")),
+
     // Per-group winsorized summary: nearest-rank [p5, p95] bounds
     // (actual data values), clamp counts per side, and the exact
     // winsorized sum over the integer-valued quantity column — the
@@ -7551,6 +7563,29 @@ object SparkEntry {
       // per-group form of the explicit nearest-rank replay (see
       // quantile_filter): p ∈ {1/2, 9/10, 99/100} as integer
       // cross-multiplications against the group rank/size
+      // per-pair distinct counts replayed directly; same row shape
+      "fd_audit" ->
+        ("""WITH g AS (SELECT
+           |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d0,
+           |  CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
+           |    AS p0,
+           |  CAST(count(DISTINCT (o_orderkey, o_totalprice)) AS BIGINT)
+           |    AS p1,
+           |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
+           |  CAST(count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT)
+           |    AS p2
+           |  FROM orders)
+           |SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+           |  d0 AS n_det, p0 AS n_pairs,
+           |  CAST(p0 = d0 AS INTEGER) AS holds, p0 - d0 AS violations
+           |  FROM g
+           |UNION ALL SELECT 'o_orderkey', 'o_totalprice', d0, p1,
+           |  CAST(p1 = d0 AS INTEGER), p1 - d0 FROM g
+           |UNION ALL SELECT 'o_custkey', 'o_orderstatus', d2, p2,
+           |  CAST(p2 = d2 AS INTEGER), p2 - d2 FROM g
+           |ORDER BY determinant, dependent"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
+
       // same nearest-rank replay as group_quantiles, then the clamp
       // census; quantities are integer-valued so the winsorized sum
       // is exact in BIGINT on both engines

@@ -105,6 +105,37 @@ object DataQuality {
         first(col("med")).as("med"), first(col("mad")).as("mad"))
   }
 
+  /** Functional-dependency audit over declared candidate pairs — the
+    * schema-profiling question "does A determine B in the data"
+    * (key discovery, denormalization safety, upstream-contract
+    * checks): A → B holds iff `count_distinct(A) ==
+    * count_distinct(A, B)`, and the audit emits both exact counts
+    * plus the violation magnitude (`n_pairs − n_det` = how many
+    * extra B values the worst offenders carry in total) so a almost-
+    * FD is distinguishable from a wildly false one.
+    *
+    * Scale shape: ALL candidate pairs ride ONE aggregate over one
+    * scan (2·P distinct aggregates — Catalyst plans the multi-
+    * distinct Expand with map-side partials); the per-pair rows are
+    * a P-way union of 1-row projections of that single aggregate
+    * result. P is the declared candidate list, not a schema
+    * cross-product — mining candidates is the caller's policy.
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(count_distinct(col(a)).as(s"d_$i"),
+        count_distinct(struct(col(a), col(b))).as(s"p_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      one.select(lit(a).as("determinant"), lit(b).as("dependent"),
+        col(s"d_$i").as("n_det"), col(s"p_$i").as("n_pairs"),
+        (col(s"p_$i") === col(s"d_$i")).cast("int").as("holds"),
+        (col(s"p_$i") - col(s"d_$i")).as("violations"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-group winsorized summary — the robust-mean companion to
     * [[madOutliers]]: clamp each value into the group's
     * [p_lo, p_hi] nearest-rank band and report the EXACT pieces a

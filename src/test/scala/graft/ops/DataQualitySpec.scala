@@ -121,6 +121,19 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.kAnonymity(df, Seq("q"), col("s"), k = 0L))
   }
 
+  test("fdAudit: holding and violated dependencies with exact " +
+      "violation magnitude; one row per declared pair") {
+    // a → b holds; b → c violated twice (b=1 carries c∈{x,y},
+    // b=2 carries c∈{x,z}: 4 distinct pairs vs 2 distinct b)
+    val df = Seq((1L, 1L, "x"), (2L, 1L, "y"), (3L, 2L, "x"),
+      (4L, 2L, "z"), (5L, 2L, "z")).toDF("a", "b", "c")
+    val got = DataQuality.fdAudit(df, Seq("a" -> "b", "b" -> "c"))
+      .as[(String, String, Long, Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 5L, 5L, 1, 0L),
+      ("b", "c", 2L, 4L, 0, 2L)), got.toString)
+  }
+
   test("winsorizedStats: hand-computed nearest-rank bounds, clamp " +
       "counts and exact winsorized sum; custom percentiles") {
     // g: 1..20 → p05 rank 1 ⇒ lo=1, p95 rank 19 ⇒ hi=19; only the
