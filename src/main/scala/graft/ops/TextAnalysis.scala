@@ -226,6 +226,14 @@ object TextAnalysis {
       ((repl + latin + punct) > 0L).cast("int").as("damaged"))
   }
 
+  /** The [[encodingDamage]] verdict as a composable per-row Column —
+    * the gate form ([[gopherKeep]]/[[c4PageKeep]] convention) for
+    * curation predicates and ingest-time streams.
+    */
+  def encodingDamaged(text: Column): Column =
+    (occurrences(text, "�") + occurrences(text, "Ã") +
+      occurrences(text, "â€")) > 0L
+
   // Stopword marker lists per language. Tiny, deterministic, and chosen
   // from high-frequency function words; padded with spaces so matches
   // are word-bounded. A production system would use a trained n-gram

@@ -24,16 +24,25 @@ object StreamCuration {
   /** Gate + clean + watermark-dedup + redact a document stream with
     * (ingest_ts TIMESTAMP, doc_id BIGINT, text STRING). Returns
     * (ingest_ts, doc_id, text) survivors with PII redacted.
+    * `dropDamaged` prepends the encoding-damage gate (mojibake /
+    * U+FFFD telltales, [[TextAnalysis.encodingDamaged]]) — the
+    * CCNet-style ordering where decode casualties die before any
+    * quality heuristic wastes cycles scoring them; stateless like
+    * every other gate, so it adds nothing to the query's state.
     */
   def curateStream(
       docs: DataFrame,
       maxLateness: String = "10 minutes",
-      classifier: Boolean = false): DataFrame = {
+      classifier: Boolean = false,
+      dropDamaged: Boolean = false): DataFrame = {
     val gk = TextAnalysis.gopherKeep(col("text"))
     val pk = TextAnalysis.c4PageKeep(col("text"))
-    val keep = if (classifier)
+    val base = if (classifier)
       gk && pk && TextAnalysis.classifierKeep(col("text"))
     else gk && pk
+    val keep = if (dropDamaged)
+      !TextAnalysis.encodingDamaged(col("text")) && base
+    else base
     val cleaned = docs
       .filter(keep)
       .withColumn("text", TextAnalysis.c4LineClean(col("text")))

@@ -284,6 +284,36 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream dropDamaged: a mojibake doc that passes every " +
+      "quality gate dies at the encoding gate; off by default") {
+    implicit val sqlCtx = spark.sqlContext
+    val prose = (1 to 60)
+      .map(i => s"the data and model run $i goes to the set with care.")
+      .mkString("\n")
+    // passes gopher + c4 (long, stopwords, terminal periods) but
+    // carries the UTF-8-as-Latin-1 telltale
+    val damaged = prose + "\nthe caffÃ¨ story ends here."
+    for ((flag, expect) <- Seq(
+        (true, Set(90L)), (false, Set(90L, 91L)))) {
+      val input = MemoryStream[Doc]
+      val out = StreamCuration.curateStream(input.toDF(),
+        dropDamaged = flag)
+      val name = s"sd_damaged_$flag"
+      val q = out.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sddm-").toString)
+        .start()
+      try {
+        input.addData(Doc(ts(1), 90L, prose), Doc(ts(2), 91L, damaged))
+        q.processAllAvailable()
+        val kept = spark.table(name)
+          .select("doc_id").as[Long].collect().toSet
+        assert(kept == expect, s"dropDamaged=$flag kept $kept")
+      } finally q.stop()
+    }
+  }
+
   test("within-doc line dedup runs unchanged on a stream (pure projection)") {
     // lineDedupWithinDoc has no corpus-wide stage at all, so the same
     // operator body streams as a stateless projection.
