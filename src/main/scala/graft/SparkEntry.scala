@@ -1637,6 +1637,16 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
 
+    // The language-ID CONFUSION MATRIX against the ground-truth lang
+    // column — the table a langid owner reads before trusting the
+    // gate: per (truth, guess) cell the exact doc count. One
+    // aggregate over the per-row guess projection.
+    "langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(T(s, dir, "documents"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")),
+
     // Quality scoring with categorical verdict.
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(T(s, dir, "documents"))),
@@ -4982,6 +4992,16 @@ object SparkEntry {
           s"WHEN fr_hits = $great THEN 'fr' WHEN es_hits = $great THEN 'es' " +
           "ELSE 'zh' END AS lang_guess, " +
           "en_hits, de_hits, fr_hits, es_hits, zh_hits FROM h"),
+
+      // the same generated guess CASE, folded to the confusion cells
+      "langid_confusion" ->
+        (s"WITH h AS (SELECT lang, ${hitCols.mkString(", ")} FROM documents), " +
+          s"g AS (SELECT lang, CASE WHEN $great = 0 THEN 'und' " +
+          s"WHEN en_hits = $great THEN 'en' WHEN de_hits = $great THEN 'de' " +
+          s"WHEN fr_hits = $great THEN 'fr' WHEN es_hits = $great THEN 'es' " +
+          "ELSE 'zh' END AS lang_guess FROM h) " +
+          "SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n " +
+          "FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
 
       "quality_score" ->
         (s"WITH s AS (SELECT doc_id, $statsCols, " +
