@@ -3137,6 +3137,17 @@ object SparkEntry {
     // micros on both sides (eventsMicros / epoch_us): micros is the
     // finest precision DuckDB reads from either parquet timestamp
     // layout, and the sf0.01 stream is collision-free at micros.
+    // Islands-and-gaps interval coverage: every event carries a
+    // 15-minute interval; overlapping/touching intervals merge per
+    // user (running-MAX end, not lag — nested intervals stay
+    // correct) and the census is all exact epoch-micros BIGINTs.
+    "interval_coverage" -> ((s, dir) =>
+      EventOps.intervalCoverage(
+        eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+          col("ts")),
+        durUs = 900L * 1000000L)
+        .orderBy("user_id")),
+
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(
         eventsMicros(s, dir).select(col("event_id"), col("user_id"),
@@ -6152,6 +6163,31 @@ object SparkEntry {
           "c AS (SELECT min(n_chars) AS cut FROM r WHERE rn * 10 >= n * 9) " +
           "SELECT doc_id, n_chars FROM documents CROSS JOIN c " +
           "WHERE n_chars <= cut"),
+
+      // the same running-max island rule over epoch micros; island
+      // coverage = max(t)+dur − min(t), contiguous by construction
+      "interval_coverage" ->
+        ("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+           |  FROM events),
+           |w AS (SELECT user_id, event_id, t,
+           |  max(t + 900000000) OVER (PARTITION BY user_id
+           |    ORDER BY t, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    AS pme FROM e),
+           |i AS (SELECT user_id, t,
+           |  sum(CASE WHEN pme IS NULL OR t > pme THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY user_id ORDER BY t, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS island FROM w),
+           |g AS (SELECT user_id, island,
+           |    CAST(count(*) AS BIGINT) AS n_events,
+           |    max(t) + 900000000 - min(t) AS covered
+           |  FROM i GROUP BY 1, 2)
+           |SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+           |  CAST(count(*) AS BIGINT) AS n_islands,
+           |  CAST(sum(covered) AS BIGINT) AS covered_us,
+           |  CAST(max(covered) AS BIGINT) AS longest_island_us
+           |FROM g GROUP BY user_id ORDER BY user_id"""
+          .stripMargin.replaceAll("\\s+", " ").trim),
 
       "sessionize" ->
         (s"""SELECT event_id, user_id,

@@ -40,6 +40,47 @@ object EventOps {
           order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Interval-coverage census (the islands-and-gaps merge): give
+    * every event a fixed-duration interval `[ts, ts + durUs)`, merge
+    * overlapping/touching intervals per user into islands, and emit
+    * per user the exact integers a capacity/engagement dashboard
+    * reads: event count, island count, total covered micros, and the
+    * longest single island. Everything is epoch-micros BIGINT
+    * arithmetic, so it replays exactly.
+    *
+    * An island BREAKS where an event starts strictly after the
+    * running max end of everything earlier (the running max — not
+    * `lag(end)` — is what makes nested intervals correct: a long
+    * interval can outlast several later short ones).
+    *
+    * Scale shape: one rank window per user (the [[sessionize]]
+    * caveat: per-user single-task sort, fine while no single user
+    * carries an executor-sized event history) and one two-level
+    * aggregate (island → user), both map-side combinable.
+    */
+  def intervalCoverage(events: DataFrame, durUs: Long): DataFrame = {
+    require(durUs > 0, s"durUs must be positive, got $durUs")
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevMaxEnd = max(col("ts") + durUs)
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val boundary =
+      when(prevMaxEnd.isNull || col("ts") > prevMaxEnd, 1L)
+        .otherwise(0L)
+    events
+      .withColumn("island",
+        sum(boundary).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")) + durUs - min(col("ts"))).as("covered"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("covered")).as("covered_us"),
+        max(col("covered")).as("longest_island_us"))
+  }
+
   /** One week in epoch micros — the default cohort bucket. */
   val WeekUs: Long = 7L * 86400L * 1000000L
 

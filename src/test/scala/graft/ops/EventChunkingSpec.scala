@@ -30,6 +30,24 @@ class EventChunkingSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L), "> gap splits, == gap does not")
   }
 
+  test("intervalCoverage: overlap and touch merge, a nested interval " +
+      "does not split the island (running max, not lag)") {
+    // dur 10: user 1 = [0,10) [5,15) [15,25) one island (touch at 15
+    // merges), then [40,50) a second; user 2 = [0,10) [2,12) [11,21)
+    // — the SHORT middle interval ends before the first does not
+    // matter, 11 < running max end 12 so one island of span 21
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 5L), (3L, 1L, 15L), (4L, 1L, 40L),
+      (5L, 2L, 0L), (6L, 2L, 2L), (7L, 2L, 11L))
+      .toDF("event_id", "user_id", "ts")
+    val got = EventOps.intervalCoverage(ev, durUs = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 35L, 25L)),
+      2L -> ((3L, 1L, 21L, 21L))), got.toString)
+  }
+
   // -------------------------------------------------------------- as-of
 
   test("withAsofTs carries the latest match at-or-before each row") {
