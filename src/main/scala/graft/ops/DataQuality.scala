@@ -127,7 +127,12 @@ object DataQuality {
       Seq(count_distinct(col(a)).as(s"d_$i"),
         count_distinct(struct(col(a), col(b))).as(s"p_$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // the lazy checkpoint is the cache barrier that makes "one pass"
+    // TRUE in the physical plan: without it, column pruning pushes
+    // into each union branch and re-executes the aggregate (and the
+    // scan) once per pair — the 1-row result computes once and every
+    // per-pair projection reads it
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
     pairs.zipWithIndex.map { case ((a, b), i) =>
       one.select(lit(a).as("determinant"), lit(b).as("dependent"),
         col(s"d_$i").as("n_det"), col(s"p_$i").as("n_pairs"),
