@@ -114,11 +114,14 @@ object DataQuality {
     * extra B values the worst offenders carry in total) so a almost-
     * FD is distinguishable from a wildly false one.
     *
-    * Scale shape: ALL candidate pairs ride ONE aggregate over one
-    * scan (2·P distinct aggregates — Catalyst plans the multi-
-    * distinct Expand with map-side partials); the per-pair rows are
-    * a P-way union of 1-row projections of that single aggregate
-    * result. P is the declared candidate list, not a schema
+    * Scale shape: Catalyst splits the P-way union of per-pair
+    * projections into P column-PRUNED scans, each feeding a plain
+    * two-phase distinct aggregate — MEASURED FASTER than forcing the
+    * single multi-distinct pass with a cache barrier (1.14 vs 1.85 s
+    * at sf0.1; 3.09 vs 5.46 s at sf1), because the fused plan's
+    * Expand multiplies every scan row 2·P× into the partial
+    * aggregate while the split plans read only each pair's two
+    * columns. P is the declared candidate list, not a schema
     * cross-product — mining candidates is the caller's policy.
     */
   def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
@@ -127,12 +130,10 @@ object DataQuality {
       Seq(count_distinct(col(a)).as(s"d_$i"),
         count_distinct(struct(col(a), col(b))).as(s"p_$i"))
     }
-    // the lazy checkpoint is the cache barrier that makes "one pass"
-    // TRUE in the physical plan: without it, column pruning pushes
-    // into each union branch and re-executes the aggregate (and the
-    // scan) once per pair — the 1-row result computes once and every
-    // per-pair projection reads it
-    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+    // deliberately NO cache barrier: letting column pruning split the
+    // union into per-pair pruned scans measured ~40% faster than one
+    // Expand-based multi-distinct pass (see the scaladoc numbers)
+    val one = df.agg(aggs.head, aggs.tail: _*)
     pairs.zipWithIndex.map { case ((a, b), i) =>
       one.select(lit(a).as("determinant"), lit(b).as("dependent"),
         col(s"d_$i").as("n_det"), col(s"p_$i").as("n_pairs"),
