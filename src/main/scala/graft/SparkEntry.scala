@@ -2595,6 +2595,24 @@ object SparkEntry {
     "pii_redact" -> ((s, dir) =>
       Redaction.piiScrub(Redaction.withFakePii(T(s, dir, "documents")))),
 
+    // Per-source PII exposure census — the privacy-report rollup a
+    // corpus owner reads BEFORE deciding what to redact: per source
+    // the exact match counts per category and how many docs carry any
+    // PII at all. Counts inherit piiScrub's exact token-difference
+    // arithmetic; source rides the scrub projection (no self-join).
+    "pii_census" -> ((s, dir) =>
+      Redaction.piiScrub(Redaction.withFakePii(T(s, dir, "documents")),
+          carryCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_url")).as("n_url"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_ip")).as("n_ip"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(((col("n_url") + col("n_email") + col("n_ip") +
+            col("n_phone")) > 0).cast("long")).as("n_docs_with_pii"))
+        .orderBy("source")),
+
     // Unicode NFC normalization (no Spark built-in — native JDK
     // Normalizer expression) over text with injected combining-mark
     // sequences; DuckDB's nfc_normalize implements the same standard
@@ -5836,6 +5854,32 @@ object SparkEntry {
         s"WITH p AS (SELECT doc_id, $inj AS t FROM documents), " +
           s"r AS (SELECT doc_id, t, $redacted AS redacted FROM p) " +
           s"SELECT doc_id, ${countCols.mkString(", ")}, redacted FROM r"
+      },
+
+      // the same injected scrub replay, rolled up per source
+      "pii_census" -> {
+        val inj = PiiInjSql
+        def occ(src: String, tok: String) =
+          s"(len($src) - len(replace($src, '$tok', ''))) // ${tok.length}"
+        val countCols = Redaction.Patterns.map { case (cat, _, tok) =>
+          s"CAST(${occ("redacted", tok)} - ${occ("t", tok)} " +
+            s"AS BIGINT) AS n_$cat"
+        }
+        val redacted = Redaction.Patterns.foldLeft("t") {
+          case (acc, (_, pat, tok)) =>
+            s"regexp_replace($acc, '$pat', '$tok', 'g')"
+        }
+        s"WITH p AS (SELECT source, $inj AS t FROM documents), " +
+          s"r AS (SELECT source, t, $redacted AS redacted FROM p), " +
+          s"c AS (SELECT source, ${countCols.mkString(", ")} FROM r) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_url) AS BIGINT) AS n_url, " +
+          "CAST(sum(n_email) AS BIGINT) AS n_email, " +
+          "CAST(sum(n_ip) AS BIGINT) AS n_ip, " +
+          "CAST(sum(n_phone) AS BIGINT) AS n_phone, " +
+          "CAST(sum(CASE WHEN n_url + n_email + n_ip + n_phone > 0 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii " +
+          "FROM c GROUP BY source ORDER BY source"
       },
 
       // Min reachable doc_id per node via a recursive CTE over the

@@ -75,14 +75,16 @@ object Redaction {
     * exactly, and the difference is the true match count.
     */
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val counts = Patterns.map { case (cat, _, tok) =>
       (tokenCount(col("redacted"), tok) - tokenCount(col("__raw"), tok))
         .as(s"n_$cat")
     }
-    docs.select(col(idCol), col(textCol).as("__raw"),
-        redact(col(textCol)).as("redacted"))
-      .select((col(idCol) +: counts) :+ col("redacted"): _*)
+    val keys = col(idCol) +: carryCols.map(col)
+    docs.select(keys ++ Seq(col(textCol).as("__raw"),
+        redact(col(textCol)).as("redacted")): _*)
+      .select(keys ++ counts :+ col("redacted"): _*)
   }
 
   /** Deterministic synthetic-PII injector for the test tables (the
