@@ -132,10 +132,20 @@ object Scc {
       }
       if (nodeCnt > 0) {
         // ---- 2. peel completed SCCs by matching min labels ----
-        val fwd = minLabels(active, maxInner)
-        val bwd = minLabels(
+        // the two propagations are independent (disjoint state, both
+        // reading the same checkpointed edge frame), so their
+        // per-round jobs interleave on the scheduler instead of
+        // serializing — the peel's wall-clock is max(fwd, bwd), not
+        // the sum (Spark job submission is thread-safe)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fwdF = Future(minLabels(active, maxInner))
+        val bwdF = Future(minLabels(
           active.select(col("dst").as("src"), col("src").as("dst")),
-          maxInner)
+          maxInner))
+        val fwd = Await.result(fwdF, Duration.Inf)
+        val bwd = Await.result(bwdF, Duration.Inf)
         // same one-action shape as the trim layer: nextNodes' count
         // materializes peeled's blocks, and the peel count falls out
         // as nodeCnt − nextCnt
@@ -370,9 +380,16 @@ object Scc {
       }
       r
     }
-    val inSet = reaches(ce)
-    val outSet = reaches(
-      ce.select(col("d_scc").as("s_scc"), col("s_scc").as("d_scc")))
+    // the two BFS closures are independent — interleave their jobs
+    // (same reasoning as the fwd/bwd peel propagations)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val inF = Future(reaches(ce))
+    val outF = Future(reaches(
+      ce.select(col("d_scc").as("s_scc"), col("s_scc").as("d_scc"))))
+    val inSet = Await.result(inF, Duration.Inf)
+    val outSet = Await.result(outF, Duration.Inf)
     val regionByComp = sizes.select(col("scc_id"))
       .join(giant.select(col("scc_id"), lit(1).as("__g")),
         Seq("scc_id"), "left")
