@@ -1651,6 +1651,32 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(T(s, dir, "documents"))),
 
+    // Leave-one-source-out ablation table — the mixture-design
+    // question "what does the corpus look like WITHOUT this source":
+    // per source its own doc/token/good-doc mass AND the
+    // corpus-minus-source complements, all exact integers off ONE
+    // per-source aggregate + a broadcast grand total (the complement
+    // is subtraction, never a second scan per source).
+    "source_ablation" -> ((s, dir) => {
+      val docsF = T(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      val per = docsF.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.wordCount(col("text"))).as("n_tokens"),
+        sum((TextAnalysis.qualityVerdict(col("text")) === "good")
+          .cast("long")).as("n_good"))
+      val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+        sum(col("n_tokens")).as("t_tokens"),
+        sum(col("n_good")).as("t_good"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_good"),
+          (col("t_docs") - col("n_docs")).as("docs_without"),
+          (col("t_tokens") - col("n_tokens")).as("tokens_without"),
+          (col("t_good") - col("n_good")).as("good_without"))
+        .orderBy("source")
+    }),
+
     // Model-based quality filtering: linear classifier score over the
     // named integer feature set with the default integer weights —
     // the trained-classifier gate shape (fastText/DCLM) as a pure
@@ -5031,6 +5057,26 @@ object SparkEntry {
           "ELSE 'zh' END AS lang_guess FROM h) " +
           "SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n " +
           "FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+
+      // per-source masses from the same generated quality fragments;
+      // complements by subtraction from the grand total
+      "source_ablation" ->
+        (s"WITH s AS (SELECT source, $statsCols, " +
+          s"${hitsSql(allMarkers)} AS stop_hits " +
+          "FROM documents WHERE length(trim(text)) > 0), " +
+          "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(word_cnt) AS BIGINT) AS n_tokens, " +
+          "CAST(sum(CASE WHEN char_len >= 64 " +
+          "AND punct_cnt * 5 <= char_len AND digit_cnt * 5 <= char_len " +
+          "AND stop_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good " +
+          "FROM s GROUP BY source), " +
+          "t AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens, " +
+          "sum(n_good) AS t_good FROM g) " +
+          "SELECT source, n_docs, n_tokens, n_good, " +
+          "CAST(t_docs - n_docs AS BIGINT) AS docs_without, " +
+          "CAST(t_tokens - n_tokens AS BIGINT) AS tokens_without, " +
+          "CAST(t_good - n_good AS BIGINT) AS good_without " +
+          "FROM g CROSS JOIN t ORDER BY source"),
 
       "quality_score" ->
         (s"WITH s AS (SELECT doc_id, $statsCols, " +
