@@ -37,6 +37,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "triangle_count",  // × broadcast(1-row count aggregates)
     "sketch_hll_intersect", // × broadcast(1-row sketch + exact-count rows)
     "sketch_kmv_diff", // × broadcast(1-row estimate/common/exact rows)
+    "source_ablation", // × broadcast(1-row grand-total complement base)
     "collocations_topk", // × broadcast(1-row token total)
     "bpe_merges",      // × broadcast(1-row per-round top merge)
     "bpe_compression", // same chain, one more 1-row apply + 1-row ratio
