@@ -195,10 +195,38 @@ object Bench {
     // window (which queries inflated, by how much, min vs max) was
     // lost to exactly that truncation. The file survives in the repo
     // regardless of how stdout is clipped.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    //
+    // Two disciplines (ADVICE r17 + VERDICT r17 #5):
+    //  - the artifact directory resolves from SPARK_GRAFT_BENCH_DIR,
+    //    else the nearest ancestor of the cwd containing build.sbt
+    //    (the repo root), else the cwd — a Bench launched from
+    //    anywhere still lands the forensic file in the repo;
+    //  - BENCH_FULL_LATEST.json is the ROUND-CLOSE artifact and only a
+    //    CLEAN run (mf_spin_ratio <= 1.05, i.e. the canary saw no
+    //    contention window) may overwrite an existing one. A contended
+    //    run writes BENCH_FULL_CONTENDED.json instead, so a late
+    //    noisy re-run can never clobber the committed idle-machine
+    //    numbers (exactly what happened at the r17 close).
+    try {
+      val dir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+        .map(java.nio.file.Paths.get(_))
+        .orElse {
+          Iterator.iterate(
+              java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+            .takeWhile(_ != null).take(8)
+            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        }
+        .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+      val latest = dir.resolve("BENCH_FULL_LATEST.json")
+      val clean = mfRatio >= 0 && mfRatio <= 1.05
+      val target =
+        if (clean || !java.nio.file.Files.exists(latest)) latest
+        else dir.resolve("BENCH_FULL_CONTENDED.json")
+      if (target != latest)
+        System.err.println(s"[bench] mf_spin_ratio=$mfRatio > 1.05 — " +
+          s"contended run; keeping existing $latest, writing $target")
+      java.nio.file.Files.write(target, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] full-json persist failed: ${e.getMessage}")
     }
     // Truncation-proof summary, printed LAST: the round driver keeps

@@ -5016,7 +5016,10 @@ object SparkEntry {
 
       // the plant rendered codepoint-for-codepoint via chr(); each
       // telltale counted by the same length-difference arithmetic
-      // (// = DuckDB integer division; the diffs are exact multiples)
+      // (// = DuckDB integer division; the diffs are exact multiples).
+      // The Latin-1 telltale is the ANCHORED two-char class (chr(195)
+      // + continuation range, \x{..} is RE2's codepoint escape) —
+      // bare chr(195) also occurs in legitimate text (ADVICE r17)
       "mojibake_census" ->
         ("""WITH d AS (SELECT doc_id,
            |  CASE WHEN doc_id % 7 = 0 THEN text || ' caff' ||
@@ -5026,14 +5029,16 @@ object SparkEntry {
            |SELECT doc_id,
            |  CAST(length(text) - length(replace(text, chr(65533), ''))
            |    AS BIGINT) AS n_replacement,
-           |  CAST(length(text) - length(replace(text, chr(195), ''))
+           |  CAST((length(text) - length(regexp_replace(text,
+           |    chr(195) || '[\x{80}-\x{BF}]', '', 'g'))) // 2
            |    AS BIGINT) AS n_latin1_utf8,
            |  CAST((length(text) -
            |    length(replace(text, chr(226) || chr(8364), ''))) // 2
            |    AS BIGINT) AS n_punct_mojibake,
            |  CAST(CASE WHEN
            |    (length(text) - length(replace(text, chr(65533), ''))) +
-           |    (length(text) - length(replace(text, chr(195), ''))) +
+           |    ((length(text) - length(regexp_replace(text,
+           |      chr(195) || '[\x{80}-\x{BF}]', '', 'g'))) // 2) +
            |    (length(text) -
            |     length(replace(text, chr(226) || chr(8364), ''))) > 0
            |    THEN 1 ELSE 0 END AS INTEGER) AS damaged
@@ -7709,17 +7714,19 @@ object SparkEntry {
       // per-group form of the explicit nearest-rank replay (see
       // quantile_filter): p ∈ {1/2, 9/10, 99/100} as integer
       // cross-multiplications against the group rank/size
-      // per-pair distinct counts replayed directly; same row shape
+      // per-pair distinct counts replayed directly (pair structs
+      // nulled when the determinant is NULL, matching the Spark
+      // side's NULL-determinant discipline — ADVICE r17); same shape
       "fd_audit" ->
         ("""WITH g AS (SELECT
            |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d0,
-           |  CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
-           |    AS p0,
-           |  CAST(count(DISTINCT (o_orderkey, o_totalprice)) AS BIGINT)
-           |    AS p1,
+           |  CAST(count(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+           |    THEN (o_orderkey, o_custkey) END) AS BIGINT) AS p0,
+           |  CAST(count(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+           |    THEN (o_orderkey, o_totalprice) END) AS BIGINT) AS p1,
            |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
-           |  CAST(count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT)
-           |    AS p2
+           |  CAST(count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+           |    THEN (o_custkey, o_orderstatus) END) AS BIGINT) AS p2
            |  FROM orders)
            |SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
            |  d0 AS n_det, p0 AS n_pairs,

@@ -66,7 +66,11 @@ object BpeMiner {
     * returned list (the merge-curve census) needs every checkpoint
     * alive until its one action runs. At most rounds/ChainCap pinned
     * vocab-sized blocks, all dropped by the session's post-query
-    * sweep.
+    * sweep. When FALSE, the returned vocabulary list carries ONLY the
+    * final post-all-rounds frame: earlier entries would read through
+    * chain checkpoints this mode has already freed, and a
+    * documented-only hazard is one future caller away from a
+    * missing-block crash (ADVICE r17).
     */
   private def mineRounds(
       docs: DataFrame, rounds: Int, keepRounds: Boolean = false)
@@ -124,9 +128,12 @@ object BpeMiner {
         chainCkpt = ck
         cur = ck
       }
-      curs ::= cur
+      if (keepRounds) curs ::= cur
     }
-    (vocab, tops.reverse, curs.reverse)
+    // keepRounds=false: only the FINAL vocabulary is safe to read
+    // (earlier per-round frames reach through freed chain
+    // checkpoints) — so that is all this mode returns
+    (vocab, tops.reverse, if (keepRounds) curs.reverse else List(cur))
   }
 
   /** Cross-joins the `rounds` 1-row top-merge frames onto `base` as

@@ -126,9 +126,17 @@ object DataQuality {
     */
   def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one candidate pair")
+    // NULL-determinant discipline (ADVICE r17): count_distinct(a)
+    // skips NULLs but count_distinct(struct(a, b)) would count them
+    // (a struct with null fields is itself non-null), inflating
+    // n_pairs vs n_det and failing an FD that holds over every
+    // non-null determinant. Nulling the struct when a is NULL makes
+    // both counts range over the same rows: the audit is about
+    // non-null determinants on both sides.
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq(count_distinct(col(a)).as(s"d_$i"),
-        count_distinct(struct(col(a), col(b))).as(s"p_$i"))
+        count_distinct(when(col(a).isNotNull, struct(col(a), col(b))))
+          .as(s"p_$i"))
     }
     // deliberately NO cache barrier: letting column pruning split the
     // union into per-pair pruned scans measured ~40% faster than one

@@ -260,10 +260,17 @@ object Sketches {
       col(keyCol).isNotNull)
     val H = lit(Long.MaxValue).cast("decimal(38,0)")
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // distinct on the HASH, not the key: a 64-bit collision between
+    // two keys inside the k-minimum window would otherwise yield
+    // duplicate h rows that multiply through the membership joins
+    // below (m_common inflated, k_prime deflated) with no in-band
+    // audit signal (ADVICE r17). Collapsing collisions
+    // deterministically is also exactly the KMV estimator's model —
+    // it estimates distinct HASH values. One shuffle either way.
     def sketch(s: String): DataFrame = in
       .filter(col(setCol) === s)
-      .select(col(keyCol)).distinct()
       .select(xxhash64(col(keyCol)).bitwiseAND(Long.MaxValue).as("h"))
+      .distinct()
       .orderBy(col("h")).limit(k)
       .localCheckpoint(false)
     def estimate(sk: DataFrame, as: String): DataFrame = sk

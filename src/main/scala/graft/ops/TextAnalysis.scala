@@ -195,6 +195,31 @@ object TextAnalysis {
       lit(needle.length)).cast("long")
   }
 
+  /** Number of non-overlapping matches of `pattern`, each match
+    * exactly `matchChars` chars long, via the same length-difference
+    * arithmetic as [[occurrences]] — for telltales that need a
+    * character CLASS, not a literal. The quotient is an exact small
+    * integer (every match removes exactly `matchChars` chars), so the
+    * double division is lossless and the result oracle-safe. Keep
+    * patterns to constructs Java regex and RE2 read identically
+    * (plain codepoint classes — no lookaround, no backreferences).
+    */
+  def patternOccurrences(
+      text: Column, pattern: String, matchChars: Int): Column = {
+    require(matchChars >= 1, s"matchChars must be >= 1, got $matchChars")
+    ((length(text) - length(regexp_replace(text, pattern, ""))) /
+      lit(matchChars)).cast("long")
+  }
+
+  /** The anchored Latin-1-mojibake telltale: 'Ã' followed by a char
+    * in the Latin-1 CONTINUATION range U+0080–U+00BF (what a UTF-8
+    * continuation byte decodes to under Latin-1) — shared by
+    * [[encodingDamage]] and [[encodingDamaged]] so census and gate
+    * can never drift. A bare 'Ã' is NOT damage by itself: legitimate
+    * text ("SÃO PAULO") puts an ASCII letter after it (ADVICE r17).
+    */
+  private val Latin1MojibakePattern = "\u00C3[\u0080-\u00BF]"
+
   /** Encoding-damage census — the corpus-hygiene screen for text that
     * survived a broken decode step (web crawls are full of it; CCNet/
     * C4-class pipelines drop or repair these rows before anything
@@ -202,23 +227,30 @@ object TextAnalysis {
     * telltale of a specific failure:
     *
     *  - `n_replacement`: U+FFFD chars — a decoder already gave up;
-    *  - `n_latin1_utf8`: 'Ã' (U+00C3) chars — UTF-8 bytes re-decoded
-    *    as Latin-1 put Ã in front of every accented letter
-    *    ("caffè" → "caffÃ¨");
+    *  - `n_latin1_utf8`: 'Ã' (U+00C3) followed by a Latin-1
+    *    continuation char (U+0080–U+00BF) — UTF-8 bytes re-decoded as
+    *    Latin-1 put exactly that two-char pair in front of every
+    *    corrupted U+0080–U+07FF codepoint ("caffè" → "caffÃ¨"). The
+    *    class anchor is load-bearing: counting BARE 'Ã' flagged
+    *    legitimate all-caps Portuguese ("SÃO PAULO" — next char an
+    *    ASCII letter) as damaged, and a `dropDamaged` gate silently
+    *    dropped those docs (ADVICE r17);
     *  - `n_punct_mojibake`: "â€" (U+00E2 U+20AC) pairs — the same
     *    corruption applied to smart punctuation ("—" → "â€”",
-    *    curly quotes → "â€œ"/"â€").
+    *    curly quotes pick up the same prefix).
     *
-    * All three are literal-substring counts via [[occurrences]]
-    * (length difference — no regex, so no engine dialect to diverge
-    * on), and `damaged` is their disjunction. Scale shape: pure
-    * per-row expression work over one column-pruned scan — the 100 TB
-    * plan is scan → project, no shuffle.
+    * The literal telltales count via [[occurrences]] (length
+    * difference — no regex); the anchored one via
+    * [[patternOccurrences]] with a plain two-codepoint class pattern
+    * Java regex and RE2 interpret identically. `damaged` is their
+    * disjunction. Scale shape: pure per-row expression work over one
+    * column-pruned scan — the 100 TB plan is scan → project, no
+    * shuffle.
     */
   def encodingDamage(docs: DataFrame): DataFrame = {
-    val repl = occurrences(col("text"), "�")
-    val latin = occurrences(col("text"), "Ã")
-    val punct = occurrences(col("text"), "â€")
+    val repl = occurrences(col("text"), "\uFFFD")
+    val latin = patternOccurrences(col("text"), Latin1MojibakePattern, 2)
+    val punct = occurrences(col("text"), "\u00E2\u20AC")
     docs.select(col("doc_id"),
       repl.as("n_replacement"),
       latin.as("n_latin1_utf8"),
@@ -231,8 +263,9 @@ object TextAnalysis {
     * curation predicates and ingest-time streams.
     */
   def encodingDamaged(text: Column): Column =
-    (occurrences(text, "�") + occurrences(text, "Ã") +
-      occurrences(text, "â€")) > 0L
+    (occurrences(text, "\uFFFD") +
+      patternOccurrences(text, Latin1MojibakePattern, 2) +
+      occurrences(text, "\u00E2\u20AC")) > 0L
 
   // Stopword marker lists per language. Tiny, deterministic, and chosen
   // from high-frequency function words; padded with spaces so matches

@@ -953,7 +953,10 @@ class TextOpsSpec extends SparkSpec {
       (2L, "broken � twice �"),                 // 2 U+FFFD
       (3L, "caffÃ¨ and naÃ¯ve"),      // 2 Ã
       (4L, "a â€” dash â€œquote"), // 2 â€
-      (5L, "all: � Ã© â€”") // one each
+      (5L, "all: � Ã© â€”"), // one each
+      // ANCHORED telltale (ADVICE r17): bare Ã before an ASCII letter
+      // is legitimate text (all-caps Portuguese), NOT mojibake
+      (6L, "SÃO PAULO is clean; trÃ¨s is not")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.encodingDamage(docs)
       .as[(Long, Long, Long, Long, Int)].collect().toSet
@@ -962,6 +965,7 @@ class TextOpsSpec extends SparkSpec {
       (2L, 2L, 0L, 0L, 1),
       (3L, 0L, 2L, 0L, 1),
       (4L, 0L, 0L, 2L, 1),
-      (5L, 1L, 1L, 1L, 1)), got.toString)
+      (5L, 1L, 1L, 1L, 1),
+      (6L, 0L, 1L, 0L, 1)), got.toString)
   }
 }
