@@ -571,6 +571,10 @@ object SparkEntry {
   private val AnnIvfRecallFloorPct = 80
   private val AnnIvfPqRecallFloorPct = 80
   private val AnnMatryoshkaRecallFloorPct = 80
+  // image near-dup on 8x8 pooled-pixel thumbs: recall is deterministic
+  // on this data (integer LSH projections, min |proj| measured far
+  // above the +-1 planted shift) — floor kept at 90 by convention
+  private val MmImageRecallFloorPct = 90
   // fuzzy-join blocking recall on planted 1-substitution typos:
   // measured 100% at sf0.01 AND sf0.1 (the substitution kills <= q
   // grams; the rarest-2 prefix re-selects from the untouched ones)
@@ -2593,6 +2597,48 @@ object SparkEntry {
       Multimodal.videoFrameSample(
         T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
         "doc_id", everyN = 2)),
+
+    // IMAGE near-dup on REAL pooled pixels (VERDICT r17 #4): every
+    // PlantMod-th doc gets a planted near-duplicate image — the same
+    // deterministic 32×32 pattern PNG with ONE 4×4 block brightened
+    // by exactly +1 — and both go through the REAL javax.imageio
+    // decode → 8×8 integer-mean grayscale thumbnail → CENTERING →
+    // the SAME sign-LSH cosine near-dup operator the text embeddings
+    // use, with L=2 hash tables.
+    //
+    // Centering (−127.5, the generator's expected pixel mean) is
+    // LOAD-BEARING at scale: raw thumbs are all-positive and
+    // concentrated, so origin sign-LSH put nearly EVERYTHING in a
+    // few buckets (measured 14.5M bucket pairs at sf0.1 — quadratic)
+    // and squeezed unplanted cosines up to 0.998. Centered, buckets
+    // spread (49k bucket pairs) and the gap is a chasm: planted sim
+    // ≥ 0.99985 vs max unplanted 0.63 at sf0.1 (threshold 0.9 has
+    // ~0.27 margin BOTH sides). Recall per single table measured
+    // 92%/95% (a ±1 projection shift flips a plane when |proj| < 1);
+    // two independent tables multiply the miss rates away —
+    // measured 97.4%/99.7% at sf0.01/sf0.1, zero false positives at
+    // either scale, floor 90.
+    "mm_image_neardup" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").select(col("doc_id"))
+      val eligible = ids.filter(col("doc_id") % PlantMod === 0)
+      val payloads = ids.select(col("doc_id"),
+          Multimodal.patternPng(col("doc_id"), lit(false)).as("payload"))
+        .unionByName(eligible.select(
+          (col("doc_id") + PlantOffset).as("doc_id"),
+          Multimodal.patternPng(col("doc_id"), lit(true)).as("payload")))
+      val vecs = payloads
+        .select(col("doc_id"),
+          Multimodal.imageThumbFeatures(col("payload")).as("thumb"))
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(thumb, x -> CAST(x - 127.5 AS FLOAT))")
+            .as("embedding"))
+      val cands = Seq(42L, 1042L).map(seed =>
+          Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+            numBits = 8, dims = 64, seed = seed)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .reduce(_.unionByName(_)).distinct()
+      plantedRecall(cands, eligible, MmImageRecallFloorPct)
+    }),
 
     // Deterministic stratified sampling: content-keyed md5-bucket
     // predicate with per-language keep rates (rebalance the language
@@ -4832,6 +4878,14 @@ object SparkEntry {
         (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
           s"FROM documents WHERE doc_id % $PlantMod = 0 " +
           s"AND len(string_split($NormTextSql, ' ')) >= $PlantMinTokens"),
+
+      // image near-dup: the eligibility predicate is id-arithmetic
+      // only (every PlantMod-th doc plants a perturbed image); the
+      // flag asserts the planted pairs surfaced through the real
+      // decode -> thumb -> LSH pipeline
+      "mm_image_neardup" ->
+        (s"SELECT count(*) AS planted_total, TRUE AS recall_ok " +
+          s"FROM documents WHERE doc_id % $PlantMod = 0"),
 
       // the full exact-join answer, brute-forced: every pair the
       // prefix filter may return, none it may not

@@ -241,4 +241,49 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(6) == wsum, s"wsum of $id")
     }
   }
+
+  test("grayThumb: pooled-PIXEL features off the real decode — solid " +
+      "color pools to itself, the pattern bump moves exactly one " +
+      "cell by exactly one") {
+    val session = new Multimodal.ImageDecoderSession
+    // solid 32x32 gray(90): every 8x8 cell mean is exactly 90
+    val solid = session.encodeSolidPng(32, 32, 90, 90, 90)
+    val st = session.grayThumb(solid, 8)
+    assert(st.length == 64 && st.forall(_ == 90f), st.toSeq.toString)
+    // pattern vs bumped pattern: cell 0 differs by exactly 1 (the +1
+    // on all 16 pixels of the top-left 4x4 block), all others equal
+    val base = session.grayThumb(session.encodePatternPng(7L, bump = false), 8)
+    val dup = session.grayThumb(session.encodePatternPng(7L, bump = true), 8)
+    assert(dup(0) == base(0) + 1f, s"${base(0)} vs ${dup(0)}")
+    (1 until 64).foreach(i => assert(dup(i) == base(i), s"cell $i"))
+    // pixel values live in [64, 191]: pooling can never clamp
+    assert(base.forall(v => v >= 64f && v <= 191f))
+    // undecodable payload -> null (callers filter)
+    assert(session.grayThumb(Array[Byte](1, 2, 3), 8) == null)
+  }
+
+  test("centered-thumb near-dup: the planted bumped image pairs with " +
+      "its base and nothing else") {
+    import org.apache.spark.sql.functions.expr
+    val ids = spark.range(0, 60).select(col("id").as("doc_id"))
+    val payloads = ids.select(col("doc_id"),
+        Multimodal.patternPng(col("doc_id"), lit(false)).as("payload"))
+      .unionByName(ids.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          Multimodal.patternPng(col("doc_id"), lit(true)).as("payload")))
+    val vecs = payloads
+      .select(col("doc_id"),
+        Multimodal.imageThumbFeatures(col("payload")).as("thumb"))
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(thumb, x -> CAST(x - 127.5 AS FLOAT))")
+          .as("embedding"))
+    val pairs = Seq(42L, 1042L).map(seed =>
+        Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+          numBits = 8, dims = 64, seed = seed)
+          .select(col("id_a"), col("id_b")))
+      .reduce(_.unionByName(_)).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1000L), (20L, 1020L), (40L, 1040L)),
+      pairs.toString)
+  }
 }
