@@ -111,8 +111,22 @@ object KMeans {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val q = vectors.select(col("vec_id"), col("embedding"),
       Quantization.int8Codes(col("embedding"), logScale).as("qvec"))
-    val init = q.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"), col("qvec").as("cvec"))
+    // Seed from the k SMALLEST vec_ids BY RANK, cells numbered
+    // 0..k-1 — identical to the old `vec_id < k` rule on a dense
+    // 0-based id space (every gate corpus and its SQL replays), but
+    // id-shift-proof: `vec_id < k` on a corpus slice whose ids start
+    // above k matched NOTHING and silently trained an EMPTY model,
+    // which poisoned every downstream artifact with 0 rows and only
+    // ERRORED when AQE happened to build the dense-codebook check's
+    // broadcast before empty-relation propagation elided it — the
+    // r17 RunAnnIndexSpec flake's actual root cause (VERDICT #6; the
+    // suspected shared-session state was innocent).
+    val init = q.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("qvec"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cell"), col("qvec").as("cvec"))
     // Materialize the k-row centroid state after every round: a lazy
     // centroid frame embeds the FULL corpus scan of all prior rounds
     // in its lineage, and each downstream reference (the next round's

@@ -108,8 +108,17 @@ object Quantization {
       kCode: Int,
       m: Int,
       subDim: Int): DataFrame =
-    codes.filter(col("vec_id") < kCode)
-      .select(col("vec_id").cast("int").as("j"), col("qv"))
+    // seed from the kCode smallest vec_ids BY RANK (j = 0..kCode-1):
+    // identical to the old `vec_id < kCode` rule on the dense 0-based
+    // id space every oracle replays, but id-shift-proof — the raw
+    // filter on an id-shifted corpus slice seeded an EMPTY codebook
+    // (the r17 flake's root cause; see KMeans.fitAssign)
+    codes.orderBy(col("vec_id")).limit(kCode)
+      .select(col("vec_id"), col("qv"))
+      .withColumn("j",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("j"), col("qv"))
       .select(col("j"), explode(sequence(lit(0), lit(m - 1))).as("s"),
         col("qv"))
       .select(col("s"), col("j"),

@@ -77,6 +77,37 @@ object RunAnnIndex {
           .as("c_vec"))
   }
 
+  /** Re-read a just-written model table with an explicit metadata
+    * refresh and a fail-fast row-count gate.
+    *
+    * Why (r17 flake, VERDICT #6): once in ~3300 full-suite stages, a
+    * freshly written codebook read back EMPTY and the failure
+    * surfaced as a distant "PQ codebook must be dense 8x16; got 0"
+    * inside a later search. The suspected cause is STALE
+    * SESSION-SHARED LISTING STATE: path-based parquet reads consult
+    * the session's shared FileStatusCache, and in a long-lived
+    * session (85 suites, thousands of stages) a stale or
+    * mid-invalidation entry for a just-(re)written path yields an
+    * empty file list exactly once. `refreshByPath` force-invalidates
+    * that cache for the path, and the count gate turns any recurrence
+    * into an immediate, pinpointed error AT THE WRITE SITE instead of
+    * a flaky assertion three operators downstream. (The regression
+    * spec hammers this exact write→read-back path in a loop.)
+    */
+  private def readBack(
+      spark: SparkSession, path: String,
+      minRows: Long, maxRows: Long): DataFrame = {
+    spark.catalog.refreshByPath(path)
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    require(n >= minRows && n <= maxRows,
+      s"model table $path read back $n rows, expected " +
+        s"[$minRows, $maxRows] — stale listing state on a " +
+        "just-written path (the r17 flake); refresh did not heal it, " +
+        "so fail loudly here")
+    df
+  }
+
   /** Build and persist the index for `corpus` under `indexDir`. */
   def buildIndex(
       corpus: DataFrame,
@@ -86,7 +117,8 @@ object RunAnnIndex {
     val centroids = trainCentroids(corpus, kCells)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val spark = corpus.sparkSession
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // k-means keeps only non-empty cells: [1, kCells] rows is healthy
+    val cents = readBack(spark, s"$indexDir/centroids", 1L, kCells.toLong)
     // codebook trained on the IVF RESIDUALS (v8 − c8(cell)) — the same
     // code space ivfPqIndexRows encodes and ivfPqSearchIndex decodes
     val cb = Quantization.pqTrainCodebookCodes(
@@ -94,10 +126,12 @@ object RunAnnIndex {
         .select(col("vec_id"), col("qv")),
       kCode = 16, m = 8, subDim = 8, iters = trainIters)
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    val cbBack = spark.read.parquet(s"$indexDir/codebook")
+    // the PQ trainer keeps empty cells, so the codebook is EXACTLY dense
+    val cbBack = readBack(spark, s"$indexDir/codebook", 16L * 8, 16L * 8)
     Quantization.ivfPqIndexRows(corpus, cents, cbBack)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/vectors")
+    spark.catalog.refreshByPath(s"$indexDir/vectors")
   }
 
   /** Fold a NEW batch of vectors into the index without re-training:
@@ -224,6 +258,10 @@ object RunAnnIndex {
       nProbe: Int = 2,
       rerank: Int = 30): DataFrame = {
     IndexUtil.healTorn(spark, s"$indexDir/vectors")
+    // same-session searches right after a build/update/merge must not
+    // trust cached listings for the index paths (see readBack)
+    Seq("vectors", "centroids", "codebook")
+      .foreach(t => spark.catalog.refreshByPath(s"$indexDir/$t"))
     Quantization.ivfPqSearchIndex(
       spark.read.parquet(s"$indexDir/vectors"),
       spark.read.parquet(s"$indexDir/centroids"),

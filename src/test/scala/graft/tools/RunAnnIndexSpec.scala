@@ -200,4 +200,26 @@ class RunAnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/x/vectors").exists(),
       "a refused merge must not write a partial tree")
   }
+
+  test("REGRESSION (r17 flake): eight consecutive build → read-back " +
+      "cycles in one session see a dense codebook every time") {
+    // the one observed flake was a just-written codebook reading back
+    // EMPTY once in a ~3300-stage shared session (surfacing as 'PQ
+    // codebook must be dense 8x16; got 0' three operators later).
+    // buildIndex now refreshes the path cache and gates the read-back
+    // count at the write site (RunAnnIndex.readBack); this loop
+    // hammers exactly that write→read-back edge so any recurrence
+    // fails HERE, loudly, instead of flaking a distant search
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    (1 to 8).foreach { i =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-annidx-rg$i-").toString
+      RunAnnIndex.buildIndex(corpus, s"$dir/index")
+      val cb = spark.read.parquet(s"$dir/index/codebook")
+      assert(cb.count() == 128L, s"cycle $i: codebook not dense")
+      assert(spark.read.parquet(s"$dir/index/centroids").count() == 8L,
+        s"cycle $i: centroids not k")
+    }
+  }
 }
