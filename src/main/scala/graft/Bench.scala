@@ -109,7 +109,15 @@ object Bench {
     val canaries = scala.collection.mutable.ArrayBuffer.empty[String]
     val canarySpins = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canary(done: Int): Unit = {
-      val sp = math.round(spinProbe() * 1000) / 1000.0
+      // median of 3 spins per point: a single 0.2 s spin carries ±10%
+      // scheduler-slice jitter even on an idle machine (the r18 close
+      // measured a flat 0.19 series with one 0.211 blip = mf 1.13),
+      // which is noise, not contention — the median keeps the probe
+      // sensitive to SUSTAINED contention while one stolen slice
+      // can no longer poison the close-artifact immutability gate
+      val sp = math.round(
+        Seq(spinProbe(), spinProbe(), spinProbe()).sorted.apply(1)
+          * 1000) / 1000.0
       val sq = math.round(sparkProbe(spark) * 1000) / 1000.0
       canarySpins += sp
       canaries += s"""{"i":$done,"spin":$sp,"spark":$sq}"""
