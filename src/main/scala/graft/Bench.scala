@@ -226,13 +226,22 @@ object Bench {
         }
         .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
       val latest = dir.resolve("BENCH_FULL_LATEST.json")
+      // ADVICE r18: a non-clean run NEVER writes LATEST — not even to
+      // seed a missing one (a first-run-on-a-noisy-box artifact would
+      // masquerade as the committed idle-machine numbers). mfRatio < 0
+      // means the canary PROBE failed (no samples), which is an
+      // instrumentation gap, not measured contention — say which.
       val clean = mfRatio >= 0 && mfRatio <= 1.05
       val target =
-        if (clean || !java.nio.file.Files.exists(latest)) latest
-        else dir.resolve("BENCH_FULL_CONTENDED.json")
-      if (target != latest)
-        System.err.println(s"[bench] mf_spin_ratio=$mfRatio > 1.05 — " +
-          s"contended run; keeping existing $latest, writing $target")
+        if (clean) latest else dir.resolve("BENCH_FULL_CONTENDED.json")
+      if (!clean) {
+        val why =
+          if (mfRatio < 0) s"canary probe failed (mf_spin_ratio=$mfRatio" +
+            ", no usable spin samples) — treat as UNVERIFIED, not contended"
+          else s"mf_spin_ratio=$mfRatio > 1.05 — measured contention"
+        System.err.println(s"[bench] $why; NOT touching $latest, " +
+          s"writing $target")
+      }
       java.nio.file.Files.write(target, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-json persist failed: ${e.getMessage}")

@@ -211,6 +211,14 @@ final class BpeMergeTable(
     n
   }
 
+  /** Priority-merge an arbitrary symbol-id span `ids[0, n)` IN PLACE
+    * and return the merged symbol count — the entry point for
+    * pre-tokenizers that segment text themselves (the GPT-2
+    * byte-level path feeds one byte-mapped pretoken at a time; the
+    * space-split paths below stay on their own word loops).
+    */
+  def mergeSpan(ids: Array[Int], n: Int): Int = mergeWord(ids, 0, n)
+
   /** One pass over normalized text: codepoints in, space-delimited
     * words priority-merged in place, merged ids appended to the csv /
     * head / count — the flat-table equivalent of replaying the merge

@@ -52,6 +52,16 @@ object BpeMiner {
     */
   val TrainMaxRounds = 6400
 
+  /** Hard cap on the (word, count) rows [[trainMergesLocal]] may
+    * collect to the driver (ADVICE r18): 2²² ≈ 4.2M rows ≈ a few
+    * hundred MB with counts — comfortably above any Zipf-plausible
+    * above-`minCount` vocabulary (English web text plateaus around
+    * 10⁶–10⁷ distinct words TOTAL, most of them hapax), far below
+    * driver heap. Exceeding it throws with remediation guidance
+    * rather than OOMing mid-collect.
+    */
+  val TrainMaxVocab: Int = 1 << 22
+
   /** The single placeholder character minted by merge round `r`
     * (0-based). Its code point IS the token id the encode emits, so
     * `id - 0xE000` recovers the merge rank with no assignment table.
@@ -240,26 +250,54 @@ object BpeMiner {
     *
     * Why driver-side is the right 100 TB shape for TRAINING: the
     * vocabulary is Zipf-bounded (~10⁷ distinct words in a 100 TB web
-    * corpus ≈ a few hundred MB of (word, count) pairs — add a
-    * `cnt >= minCount` floor upstream if a pathological corpus blows
-    * past that), while the distributed loop pays 2 Spark jobs per
-    * round — 512+ driver-synchronized jobs at rounds=256 for
-    * aggregates over kilobyte-scale frames. In memory the whole
-    * 256-round loop is milliseconds. Mining-census operators
-    * ([[topMerges]], [[mergeCurve]], [[compressionSummary]]) keep the
-    * distributed loop: their OUTPUT is the per-round vocabulary
-    * recount itself.
+    * corpus ≈ a few hundred MB of (word, count) pairs), while the
+    * distributed loop pays 2 Spark jobs per round — 512+
+    * driver-synchronized jobs at rounds=256 for aggregates over
+    * kilobyte-scale frames. In memory the whole 256-round loop is
+    * milliseconds. Mining-census operators ([[topMerges]],
+    * [[mergeCurve]], [[compressionSummary]]) keep the distributed
+    * loop: their OUTPUT is the per-round vocabulary recount itself.
+    *
+    * The Zipf assumption is ENFORCED, not hoped for (ADVICE r18): the
+    * collect is guarded by a `cnt >= minCount` floor (the
+    * HF-tokenizers / SentencePiece `min_frequency` knob — a 100 TB
+    * web corpus's distinct-"word" tail of URLs/hashes/typos is
+    * unbounded, but words above any fixed count floor are not) and a
+    * hard [[TrainMaxVocab]] row cap that FAILS LOUDLY instead of
+    * silently OOMing the driver. Error bound of the floor: a dropped
+    * word contributes at most its own count (< minCount) to any pair
+    * statistic, so every surviving pair count is exact-to-within
+    * (minCount − 1) × (dropped words containing that pair) — and at
+    * minCount=2 on web text the dropped mass is hapax noise no real
+    * trainer wants in its merges anyway. Callers over pathological
+    * corpora either raise minCount or fall back to
+    * [[rawMergesViaMine]] (fully distributed, no driver state).
     */
   def trainMergesLocal(
-      docs: DataFrame, rounds: Int): Array[(String, String, Long)] = {
+      docs: DataFrame,
+      rounds: Int,
+      minCount: Long = 1L,
+      maxVocab: Int = TrainMaxVocab): Array[(String, String, Long)] = {
     require(rounds >= 1 && rounds <= TrainMaxRounds,
       s"rounds must be in [1, $TrainMaxRounds], got $rounds")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val rows = docs.filter(col("text").isNotNull)
       .select(explode(split(TextDedup.normText(col("text")), " "))
         .as("w"))
       .filter(length(col("w")) > 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      // limit(cap+1), not count(): one job proves the bound AND
+      // fetches the vocabulary; a row count would re-run the
+      // aggregation just to ask permission
+      .limit(maxVocab + 1)
       .collect()
+    require(rows.length <= maxVocab,
+      s"trainMergesLocal: distinct-word vocabulary exceeds " +
+        s"maxVocab=$maxVocab at minCount=$minCount — raise minCount " +
+        s"(each dropped word perturbs pair counts by < minCount) or " +
+        s"use rawMergesViaMine (fully distributed trainer)")
     // words as codepoint arrays, merged IN PLACE (lengths shrink);
     // codepoint order == UTF-8 byte order == both engines' binary
     // string collation, so integer compares reproduce the tie-break
@@ -444,6 +482,32 @@ object BpeMiner {
   def encodeWithImportedMerges(
       docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     encodeWithTable(docs, BpeMergeTable.fromSymbolMerges(merges))
+
+  /** [[encodedLengthsFlat]] under an IMPORTED symbol-dialect merge
+    * table: `(doc_id, n_tokens)` via the count-only native kernel —
+    * the fertility-accounting input for a published tokenizer. Same
+    * flat one-expression plan as the self-mined path.
+    */
+  def encodedLengthsWithImportedMerges(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.BpeExprs
+          .encodeCount(TextDedup.normText(col("text")),
+            BpeMergeTable.fromSymbolMerges(merges))
+          .as("n_tokens"))
+
+  /** Load a `merges.txt` resource from the classpath (the committed
+    * fixture lives at `/graft/merges_fixture.txt`) through
+    * [[parseMergesTxt]].
+    */
+  def loadMergesResource(path: String): Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"merges resource not found: $path")
+    try parseMergesTxt(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
 
   /** Parse GPT-2-format `merges.txt` content: one `left right` pair
     * per line, rank = line order; `#`-prefixed header lines and blank

@@ -42,10 +42,20 @@ object KCore {
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
-      val next = e
-        .join(keep.withColumnRenamed("node", "a"), "a")
-        .join(keep.withColumnRenamed("node", "b"), "b")
-        .localCheckpoint()
+      // freshStatsFrame on the carried edge frame (r19, the Scc
+      // lesson applied preventively): `keep` DERIVES from `e`, so
+      // the two semi-joins reference e's inherited size estimate
+      // THREE times — localCheckpoint copies it forward and the next
+      // round cubes it again (digits ×3 per peel, the exponential
+      // stats-blowup class; Scc's self-join squared, this one cubes).
+      // Invisible at rounds=3; a deep data-driven peel would park the
+      // driver in BigInteger.multiply. Resetting stats per round pins
+      // the estimate flat; AQE runtime stats govern the actual plan.
+      val next = org.apache.spark.sql.graftbridge.ColumnBridge
+        .freshStatsFrame(e
+          .join(keep.withColumnRenamed("node", "a"), "a")
+          .join(keep.withColumnRenamed("node", "b"), "b")
+          .localCheckpoint())
       // the eager checkpoint above has materialized `next` from the
       // previous round's blocks — release them now instead of leaking
       // one dead block set per peel for the session's lifetime; only

@@ -55,6 +55,14 @@ object LabelProp {
       // `next` is materialized (eager checkpoint): the superseded
       // round's blocks release now (round 1's seed labeling derives
       // from `adj`, not a checkpoint of its own — nothing to free yet)
+      //
+      // Stats-blowup audit (r19, the Scc/KCore class): this loop
+      // does NOT need freshStatsFrame — each round joins the
+      // FIXED-stats `adj` checkpoint against the evolving labels
+      // exactly once, so the inherited size estimate grows
+      // ADDITIVELY in digits per round (digits(next) = digits(adj) +
+      // digits(labels)), never multiplicatively against itself;
+      // bounded-rounds LPA stays far from BigInteger territory.
       if (round > 1) CheckpointUtil.free(labels)
       labels = next
     }

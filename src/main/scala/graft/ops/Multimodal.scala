@@ -426,6 +426,63 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Deterministic pseudo-random PATTERN WAV for `seed`: 3072
+      * PCM_SIGNED 16-bit mono samples, each a mixed hash of
+      * (seed, i) confined to [-2048, 2047] — two different seeds
+      * give statistically independent pooled features — while `bump`
+      * adds EXACTLY +1 to the first 48 samples (one pooled bin's
+      * worth at 64 bins), the planted near-duplicate whose 64-bin
+      * feature differs in exactly one bin by exactly 1 (the
+      * [[ImageDecoderSession.encodePatternPng]] construction, audio
+      * axis).
+      */
+    def encodePatternWav(seed: Long, bump: Boolean): Array[Byte] = {
+      val n = 3072
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        var z = seed * 0x9E3779B97F4A7C15L + i * 2654435761L
+        z ^= z >>> 27; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 33
+        var s = ((z & 0xFFF) - 2048).toInt
+        if (bump && i < 48) s += 1
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Pooled-PCM near-dup feature: SIGNED integer mean sample per
+      * `g`-th of the stream ([[ImageDecoderSession.grayThumb]]'s
+      * audio analog; `Math.floorDiv` so negative bins floor
+      * identically on every JVM). Unlike pixel lumas, signed PCM
+      * bins are near-zero-centered by construction, so the vector
+      * feeds sign-LSH directly — no centering shift needed (the
+      * load-bearing lesson from the image path, pre-applied). null
+      * for undecodable payloads.
+      */
+    def pooledPcm(bytes: Array[Byte], g: Int): Array[Float] =
+      decodeSamples(bytes).map { case (_, ss) =>
+        val sums = new Array[Long](g)
+        val counts = new Array[Long](g)
+        var i = 0
+        while (i < ss.length) {
+          val cell = math.min(i * g / math.max(ss.length, 1), g - 1)
+          sums(cell) += ss(i)
+          counts(cell) += 1
+          i += 1
+        }
+        Array.tabulate(g)(i =>
+          if (counts(i) == 0) 0f
+          else Math.floorDiv(sums(i), counts(i)).toFloat)
+      }.orNull
+
     /** 16-bit PCM samples + format, or None if the bytes are not a
       * JDK-decodable 16-bit signed-PCM stream.
       */
@@ -507,6 +564,21 @@ object Multimodal {
         Array.tabulate(16)(i =>
           if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
     }
+  }
+
+  /** Deterministic pattern-WAV generator column — the planted-audio
+    * corpus for the near-dup gate (`bump` = the +1-on-one-bin
+    * perturbation). The [[patternPng]] convention, audio axis.
+    */
+  val patternWav = udf { (seed: Long, bump: Boolean) =>
+    sharedAudioSession.encodePatternWav(seed, bump)
+  }
+
+  /** 64-bin pooled-PCM feature column for near-dup bucketing; NULL
+    * for undecodable payloads (the [[imageThumbFeatures]] contract).
+    */
+  val audioPooledFeatures = udf { bytes: Array[Byte] =>
+    sharedAudioSession.pooledPcm(bytes, 64)
   }
 
   /** Planted-audio roundtrip: encode a square-wave WAV whose length,

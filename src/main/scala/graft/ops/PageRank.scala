@@ -78,6 +78,12 @@ object PageRank {
       // `next` is materialized (eager checkpoint): the superseded
       // round's blocks release now — round 1's seed derives from
       // `nodes`, not a checkpoint of its own, so nothing frees yet
+      //
+      // Stats-blowup audit (r19, the Scc/KCore class): no
+      // freshStatsFrame needed — each round joins the fixed-stats
+      // `ed`/`nodes` checkpoints against the evolving rank frame
+      // once each, so the inherited estimate's digit count grows
+      // additively per round, never by self-multiplication.
       if (i > 1) CheckpointUtil.free(r)
       r = next
     }

@@ -83,6 +83,19 @@ object RunBpe {
         val m = importedMerges(mergesTxt)
         statsLine(BpeMiner.encodeWithImportedMerges(
           spark.read.parquet(docs), m), m.size.toLong)
+      // byte-level pre-tokenization (GPT-2 regex split + byte→unicode
+      // map + per-pretoken priority merge): counts tokens the way the
+      // merges.txt PUBLISHER does — Ġ-prefixed and bare occurrences
+      // of a word are different symbols
+      case "stats" :: docs :: "--merges-bytelevel" :: mergesTxt :: Nil =>
+        val m = importedMerges(mergesTxt)
+        val table = graft.functions.BpeMergeTable.fromSymbolMerges(m)
+        val enc = spark.read.parquet(docs)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.functions.Gpt2ByteLevel.count(col("text"), table)
+              .as("n_tokens"))
+        statsLine(enc, m.size.toLong)
       case "stats" :: docs :: modelDir :: Nil =>
         val merges = spark.read.parquet(s"$modelDir/merges")
         statsLine(BpeMiner.encodeWithMerges(
@@ -118,7 +131,8 @@ object RunBpe {
         System.err.println(
           "usage: RunBpe train <docs> <modelDir> [rounds] | " +
             "encode <docs> (<modelDir>|--merges <merges.txt>) <outDir> | " +
-            "stats <docs> (<modelDir>|--merges <merges.txt>) | " +
+            "stats <docs> (<modelDir>|--merges <merges.txt>" +
+            "|--merges-bytelevel <merges.txt>) | " +
             s"depthbench <docs> <rounds,...> (got: ${other.mkString(" ")})")
         sys.exit(2)
     }

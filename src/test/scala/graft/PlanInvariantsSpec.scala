@@ -74,7 +74,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "graded_rank_eval", // BM25 scalars 1-row broadcast (bm25_topk shape)
     "pareto_frontier", // × broadcast(1-row x-range scalar for bucketing)
     "benford_audit",   // × broadcast(1-row audited-total scalar)
-    "graph_reciprocity") // × broadcast(1-row self-loop count)
+    "graph_reciprocity", // × broadcast(1-row self-loop count)
+    "mm_image_neardup", // recall 1-row × broadcast(1-row fp count)
+    "mm_audio_neardup") // same plantedRecallFp two-aggregate shape
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

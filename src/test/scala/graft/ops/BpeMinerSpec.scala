@@ -227,6 +227,52 @@ class BpeMinerSpec extends SparkSpec {
     assert(local == mined, s"local=$local\nmined=$mined")
   }
 
+  test("trainMergesLocal vocab bound (ADVICE r18): rank-parity at " +
+      "the exact cap, loud failure below it, minCount floor drops " +
+      "exactly the hapax tail") {
+    import org.apache.spark.sql.functions._
+    val vocabSize = realDocs.filter(col("text").isNotNull)
+      .select(explode(split(
+        graft.ops.TextDedup.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 1)
+      .select(col("w")).distinct().count().toInt
+    val unbounded = BpeMiner.trainMergesLocal(realDocs, rounds = 8).toSeq
+    // cap == actual vocabulary: identical merges, rank for rank
+    val atCap = BpeMiner.trainMergesLocal(realDocs, rounds = 8,
+      maxVocab = vocabSize).toSeq
+    assert(atCap == unbounded)
+    // cap one below: the hard gate throws with remediation guidance
+    // instead of silently truncating (or OOMing at scale)
+    val e = intercept[IllegalArgumentException] {
+      BpeMiner.trainMergesLocal(realDocs, rounds = 8,
+        maxVocab = vocabSize - 1)
+    }
+    assert(e.getMessage.contains("raise minCount") &&
+      e.getMessage.contains("rawMergesViaMine"), e.getMessage)
+    // minCount=2 drops exactly the count-1 tail: the planted one-per-
+    // doc pseudo-words (the deep-gate corpus shape the r18 ADVICE
+    // flagged as breaking the Zipf justification) vanish, leaving
+    // training identical to the unplanted corpus at the same floor
+    val floored = BpeMiner.trainMergesLocal(plantedDocs, rounds = 8,
+      minCount = 2L).toSeq
+    val base = BpeMiner.trainMergesLocal(realDocs, rounds = 8,
+      minCount = 2L).toSeq
+    assert(floored == base)
+  }
+
+  test("committed merges fixture: imported-dialect token counts " +
+      "match the hand derivations written in the fixture header") {
+    val merges = BpeMiner.loadMergesResource("/graft/merges_fixture.txt")
+    assert(merges == Seq(("t", "h"), ("th", "e"), ("q", "x"),
+      ("qx", "z"), ("a", "b"), ("ab", "ab")), merges.toString)
+    val docs = Seq((1L, "the qxz ababab zzz thethe"))
+      .toDF("doc_id", "text")
+    val got = BpeMiner.encodedLengthsWithImportedMerges(docs, merges)
+      .as[(Long, Long)].collect().head
+    // hand counts: the=1, qxz=1, ababab=2, zzz=3, thethe=2
+    assert(got == ((1L, 9L)), got.toString)
+  }
+
   test("encodeFlat == chain encode and encodedLengthsFlat == " +
       "encodedLengths at rounds=16 on the real corpus") {
     val chain = BpeMiner.encode(realDocs, rounds = 16).orderBy("doc_id")

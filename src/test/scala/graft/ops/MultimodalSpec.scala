@@ -286,4 +286,47 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1000L), (20L, 1020L), (40L, 1040L)),
       pairs.toString)
   }
+
+  test("pooledPcm: pattern-WAV bump shifts EXACTLY bin 0 by EXACTLY " +
+      "+1 through the real WAV/PCM decode; different seeds decorrelate") {
+    val s = new Multimodal.AudioDecoderSession
+    val base = s.pooledPcm(s.encodePatternWav(7L, bump = false), 64)
+    val bumped = s.pooledPcm(s.encodePatternWav(7L, bump = true), 64)
+    assert(base.length == 64 && bumped.length == 64)
+    // first 48 samples = bin 0 at 3072/64; integer mean rises by 1
+    assert(bumped(0) == base(0) + 1f, s"${base(0)} vs ${bumped(0)}")
+    assert((1 until 64).forall(i => base(i) == bumped(i)))
+    // signed bins are near-zero-centered by construction (no -127.5
+    // analog needed): mean magnitude well under the bin std ~170
+    val mean = base.map(_.toDouble).sum / 64
+    assert(math.abs(mean) < 60, s"bin mean $mean not near zero")
+    // and an unrelated seed is far in cosine
+    val other = s.pooledPcm(s.encodePatternWav(8L, bump = false), 64)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val cos = dot(base, other) /
+      math.sqrt(dot(base, base) * dot(other, other))
+    assert(math.abs(cos) < 0.5, s"unrelated-seed cosine $cos")
+  }
+
+  test("pooled-PCM near-dup: planted bumped clips pair ONLY with " +
+      "their originals through decode -> 64-bin pool -> sign-LSH") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 60).select(col("id").as("doc_id"))
+    val payloads = ids.select(col("doc_id"),
+        Multimodal.patternWav(col("doc_id"), lit(false)).as("payload"))
+      .unionByName(ids.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          Multimodal.patternWav(col("doc_id"), lit(true)).as("payload")))
+    val vecs = payloads.select(col("doc_id").as("vec_id"),
+      Multimodal.audioPooledFeatures(col("payload")).as("embedding"))
+    val pairs = Seq(42L, 1042L).map(seed =>
+        Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+          numBits = 8, dims = 64, seed = seed)
+          .select(col("id_a"), col("id_b")))
+      .reduce(_.unionByName(_)).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1000L), (20L, 1020L), (40L, 1040L)),
+      pairs.toString)
+  }
 }

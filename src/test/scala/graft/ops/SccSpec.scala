@@ -137,7 +137,13 @@ class SccSpec extends SparkSpec {
       .parquet("/root/testdata/sf0.001/events.parquet")
       .filter(org.apache.spark.sql.functions.col("event_id") % 4 === 0)
     val edges = EventOps.segmentCycleGraph(events, q)
-    val (labels, stats) = Scc.stronglyConnectedWithStats(edges)
+    // explicit maxInner with headroom (ADVICE r18): minLabels
+    // converges in O(segment diameter), and the %4 thinning keeps
+    // diameters ~5 TODAY — but the bound must not depend on that
+    // fixture accident; 256 matches RunGraphScale and survives a
+    // regenerated, heavier events table
+    val (labels, stats) = Scc.stronglyConnectedWithStats(
+      edges, maxInner = 256)
     val got = labels.as[(Long, Long)].collect().toMap
     CheckpointUtil.free(labels)
     // independent prediction: node -> min node of its (user, seg),
@@ -164,7 +170,7 @@ class SccSpec extends SparkSpec {
       stats.outerRounds == q, stats.toString)
     // and the q dial moves the round count 1:1 (peel-depth scaling)
     val (l7, s7) = Scc.stronglyConnectedWithStats(
-      EventOps.segmentCycleGraph(events, 7))
+      EventOps.segmentCycleGraph(events, 7), maxInner = 256)
     CheckpointUtil.free(l7)
     assert(s7.peelRounds == 7 && s7.outerRounds == 7, s7.toString)
   }
