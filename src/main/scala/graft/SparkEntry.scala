@@ -4198,15 +4198,19 @@ object SparkEntry {
     // SQL rendering.
     "bpe_fertility_imported" -> ((s, dir) => {
       val docs = importedFertilityDocs(T(s, dir, "documents"))
-      val merges =
-        BpeMiner.loadMergesResource("/graft/merges_fixture.txt")
-      docs.select(col("doc_id"), col("lang"),
+      val table = graft.functions.BpeMergeTable.fromSymbolMerges(
+        BpeMiner.loadMergesResource("/graft/merges_fixture.txt"))
+      // unlike bpe_fertility (whose encode hangs off the mined-merge
+      // chain), the imported count is a pure expression — words,
+      // chars and tokens all come off ONE scan, zero joins
+      docs.select(col("lang"),
           size(filter(split(TextDedup.normText(col("text")), " "),
             w => length(w) > 0)).cast("long").as("n_words"),
           length(TextDedup.normText(col("text"))).cast("long")
-            .as("n_chars"))
-        .join(BpeMiner.encodedLengthsWithImportedMerges(docs, merges),
-          Seq("doc_id"))
+            .as("n_chars"),
+          graft.functions.BpeExprs
+            .encodeCount(TextDedup.normText(col("text")), table)
+            .as("n_tokens"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"),
