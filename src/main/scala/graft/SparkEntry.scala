@@ -2704,12 +2704,17 @@ object SparkEntry {
         .unionByName(eligible.select(
           (col("doc_id") + PlantOffset).as("doc_id"),
           Multimodal.patternPng(col("doc_id"), lit(true)).as("payload")))
+      // checkpoint the decoded features: the two LSH tables each
+      // self-join this frame, so the lazy form re-decodes every PNG
+      // 4x (2 seeds x 2 join sides) — the decode is the dominant
+      // cost and the frame is tiny (64 floats/doc)
       val vecs = payloads
         .select(col("doc_id"),
           Multimodal.imageThumbFeatures(col("payload")).as("thumb"))
         .select(col("doc_id").as("vec_id"),
           expr("transform(thumb, x -> CAST(x - 127.5 AS FLOAT))")
             .as("embedding"))
+        .localCheckpoint()
       val cands = Seq(42L, 1042L).map(seed =>
           Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
             numBits = 8, dims = 64, seed = seed)
@@ -2739,9 +2744,11 @@ object SparkEntry {
         .unionByName(eligible.select(
           (col("doc_id") + PlantOffset).as("doc_id"),
           Multimodal.patternWav(col("doc_id"), lit(true)).as("payload")))
+      // same checkpoint-the-decode reasoning as mm_image_neardup
       val vecs = payloads
         .select(col("doc_id").as("vec_id"),
           Multimodal.audioPooledFeatures(col("payload")).as("embedding"))
+        .localCheckpoint()
       val cands = Seq(42L, 1042L).map(seed =>
           Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
             numBits = 8, dims = 64, seed = seed)
