@@ -610,6 +610,10 @@ object SparkEntry {
   // explicit -127.5 shift; PCM is already bipolar), planted +1 shift
   // vs bin-mean spread ~170 — same two-table sign-LSH, same floor
   private val MmAudioRecallFloorPct = 90
+  // video near-dup on 16-frame RGB-mean pooled features: exact-palette
+  // solid frames make the feature integer-exact; same planted +1 vs
+  // per-dim spread ~37, same two-table LSH, same floor
+  private val MmVideoRecallFloorPct = 90
   // fuzzy-join blocking recall on planted 1-substitution typos:
   // measured 100% at sf0.01 AND sf0.1 (the substitution kills <= q
   // grams; the rarest-2 prefix re-selects from the untouched ones)
@@ -2755,6 +2759,40 @@ object SparkEntry {
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
         .reduce(_.unionByName(_)).distinct()
       plantedRecallFp(cands, eligible, MmAudioRecallFloorPct)
+    }),
+
+    // VIDEO near-dup on REAL decoded frames — the third modality
+    // through the SAME shared sign-LSH near-dup operator: every
+    // PlantMod-th doc gets a planted near-duplicate clip (the same
+    // 16-frame pattern GIF with frame 0's red channel +1), both go
+    // through the real javax.imageio frame iteration → 48-dim
+    // frame-ordered RGB-mean pooled feature → centering at the
+    // generator's expected channel mean (95.5: channels are uniform
+    // on [32, 159] — all-positive like pixels, so centering IS
+    // load-bearing here, unlike signed PCM) → L=2 LSH tables.
+    // Recall floor 90, fp_pairs gated to exactly 0.
+    "mm_video_neardup" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").select(col("doc_id"))
+      val eligible = ids.filter(col("doc_id") % PlantMod === 0)
+      val payloads = ids.select(col("doc_id"),
+          Multimodal.patternGif(col("doc_id"), lit(false)).as("payload"))
+        .unionByName(eligible.select(
+          (col("doc_id") + PlantOffset).as("doc_id"),
+          Multimodal.patternGif(col("doc_id"), lit(true)).as("payload")))
+      // checkpoint-the-decode, as in the image/audio gates
+      val vecs = payloads
+        .select(col("doc_id"),
+          Multimodal.videoPooledFeatures(col("payload")).as("f"))
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(f, x -> CAST(x - 95.5 AS FLOAT))")
+            .as("embedding"))
+        .localCheckpoint()
+      val cands = Seq(42L, 1042L).map(seed =>
+          Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+            numBits = 8, dims = 48, seed = seed)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .reduce(_.unionByName(_)).distinct()
+      plantedRecallFp(cands, eligible, MmVideoRecallFloorPct)
     }),
 
     // Deterministic stratified sampling: content-keyed md5-bucket
@@ -5073,6 +5111,14 @@ object SparkEntry {
       // assert the planted clips surfaced through the real WAV/PCM
       // decode -> pooled-bin -> LSH pipeline and that NOTHING else did
       "mm_audio_neardup" ->
+        (s"SELECT count(*) AS planted_total, TRUE AS recall_ok, " +
+          s"CAST(0 AS BIGINT) AS fp_pairs " +
+          s"FROM documents WHERE doc_id % $PlantMod = 0"),
+
+      // video near-dup: same convention, third modality — flags
+      // assert the planted clips surfaced through the real GIF frame
+      // decode -> pooled RGB means -> LSH pipeline and nothing else
+      "mm_video_neardup" ->
         (s"SELECT count(*) AS planted_total, TRUE AS recall_ok, " +
           s"CAST(0 AS BIGINT) AS fp_pairs " +
           s"FROM documents WHERE doc_id % $PlantMod = 0"),

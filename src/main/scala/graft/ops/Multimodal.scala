@@ -716,6 +716,48 @@ object Multimodal {
 
   @transient private lazy val sharedVideoSession = new VideoDecoderSession
 
+  /** Deterministic pattern-GIF generator column — the planted-video
+    * corpus for the near-dup gate: 16 solid 8×8 frames whose colors
+    * are mixed hashes of (seed, frame) confined to [32, 159] (exact
+    * one-entry palettes, so they survive the container bit-exactly);
+    * `bump` adds EXACTLY +1 to frame 0's red channel. The
+    * [[patternPng]]/[[patternWav]] convention, third modality.
+    */
+  val patternGif = udf { (seed: Long, bump: Boolean) =>
+    val colors = Array.tabulate(16) { f =>
+      var z = seed * 0x9E3779B97F4A7C15L + f * 2654435761L
+      z ^= z >>> 27; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 33
+      var r = 32 + (z & 0x7F).toInt
+      val g = 32 + ((z >>> 8) & 0x7F).toInt
+      val b = 32 + ((z >>> 16) & 0x7F).toInt
+      if (bump && f == 0) r += 1
+      (r, g, b)
+    }
+    sharedVideoSession.encodeSolidGif(8, 8, colors)
+  }
+
+  /** 48-dim pooled video feature: the first 16 decoded frames' RGB
+    * channel means in frame order (missing frames stay 0) — the
+    * grayThumb/pooledPcm analog on the temporal axis, through the
+    * REAL GIF frame iteration. NULL for undecodable payloads.
+    */
+  val videoPooledFeatures = udf { bytes: Array[Byte] =>
+    sharedVideoSession.decodeFrames(bytes) match {
+      case Some(frames) if frames.nonEmpty =>
+        val out = new Array[Float](48)
+        var f = 0
+        while (f < 16 && f < frames.length) {
+          val (_, _, r, g, b) = frames(f)
+          out(3 * f) = r.toFloat
+          out(3 * f + 1) = g.toFloat
+          out(3 * f + 2) = b.toFloat
+          f += 1
+        }
+        out
+      case _ => null
+    }
+  }
+
   /** Planted-video roundtrip: encode an animated GIF whose geometry,
     * frame count and per-frame colors derive arithmetically from the
     * id, push it through the REAL decode (`javax.imageio` frame

@@ -76,7 +76,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "benford_audit",   // × broadcast(1-row audited-total scalar)
     "graph_reciprocity", // × broadcast(1-row self-loop count)
     "mm_image_neardup", // recall 1-row × broadcast(1-row fp count)
-    "mm_audio_neardup") // same plantedRecallFp two-aggregate shape
+    "mm_audio_neardup", // same plantedRecallFp two-aggregate shape
+    "mm_video_neardup") // same shape, third modality
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

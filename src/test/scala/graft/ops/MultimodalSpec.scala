@@ -329,4 +329,53 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1000L), (20L, 1020L), (40L, 1040L)),
       pairs.toString)
   }
+
+  test("videoPooledFeatures: pattern-GIF bump shifts EXACTLY dim 0 " +
+      "by EXACTLY +1 through the real frame decode") {
+    import org.apache.spark.sql.functions._
+    val got = Seq((7L, false), (7L, true), (8L, false))
+      .toDF("seed", "bump")
+      .select(col("seed"), col("bump"),
+        Multimodal.videoPooledFeatures(
+          Multimodal.patternGif(col("seed"), col("bump"))).as("f"))
+      .as[(Long, Boolean, Array[Float])].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val base = got((7L, false)); val bumped = got((7L, true))
+    val other = got((8L, false))
+    assert(base.length == 48)
+    // solid exact-palette frames: channel means are the colors exactly
+    assert(bumped(0) == base(0) + 1f, s"${base(0)} vs ${bumped(0)}")
+    assert((1 until 48).forall(i => base(i) == bumped(i)))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - 95.5) * (y.toDouble - 95.5) }.sum
+    val cos = dot(base, other) /
+      math.sqrt(dot(base, base) * dot(other, other))
+    assert(math.abs(cos) < 0.5, s"unrelated-seed centered cosine $cos")
+  }
+
+  test("pooled-video near-dup: planted bumped clips pair ONLY with " +
+      "their originals through decode -> RGB pool -> sign-LSH") {
+    import org.apache.spark.sql.functions.expr
+    val ids = spark.range(0, 60).select(col("id").as("doc_id"))
+    val payloads = ids.select(col("doc_id"),
+        Multimodal.patternGif(col("doc_id"), lit(false)).as("payload"))
+      .unionByName(ids.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          Multimodal.patternGif(col("doc_id"), lit(true)).as("payload")))
+    val vecs = payloads
+      .select(col("doc_id"),
+        Multimodal.videoPooledFeatures(col("payload")).as("f"))
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(f, x -> CAST(x - 95.5 AS FLOAT))")
+          .as("embedding"))
+    val pairs = Seq(42L, 1042L).map(seed =>
+        Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+          numBits = 8, dims = 48, seed = seed)
+          .select(col("id_a"), col("id_b")))
+      .reduce(_.unionByName(_)).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1000L), (20L, 1020L), (40L, 1040L)),
+      pairs.toString)
+  }
 }
