@@ -243,14 +243,24 @@ object Bench {
       // means the canary PROBE failed (no samples), which is an
       // instrumentation gap, not measured contention — say which.
       // 1.15 on max/median: measured clean-idle runs sit at 1.00-1.06
-      // (frequency wobble only), real contention reads 1.5-5x+
-      val clean = mfRatio >= 0 && mfRatio <= 1.15
+      // (frequency wobble only), real contention reads 1.5-5x+.
+      // steal_pct <= 1 additionally (r19): a run with 3% hypervisor
+      // steal passed the spin canary (steal hits the 32 Spark threads
+      // and the driver scheduling path far harder than one pinned
+      // spin thread — driver-sync-heavy queries inflated 4x) — steal
+      // is measured in-band anyway, so gate on it; -1 (probe failed,
+      // e.g. no /proc/stat) stays non-disqualifying like the old
+      // behavior, it is an instrumentation gap, not measured steal.
+      val clean = mfRatio >= 0 && mfRatio <= 1.15 &&
+        (stealPct < 0 || stealPct <= 1.0)
       val target =
         if (clean) latest else dir.resolve("BENCH_FULL_CONTENDED.json")
       if (!clean) {
         val why =
           if (mfRatio < 0) s"canary probe failed (mf_spin_ratio=$mfRatio" +
             ", no usable spin samples) — treat as UNVERIFIED, not contended"
+          else if (stealPct > 1.0)
+            s"steal_pct=$stealPct > 1 — hypervisor contention"
           else s"mf_spin_ratio=$mfRatio > 1.15 — measured contention"
         System.err.println(s"[bench] $why; NOT touching $latest, " +
           s"writing $target")

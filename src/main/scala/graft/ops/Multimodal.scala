@@ -176,11 +176,29 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
+    import javax.imageio.stream.MemoryCacheImageInputStream
 
-    /** Null iff the bytes are not a JDK-decodable image. */
+    /** Null iff the bytes are not a JDK-decodable image.
+      * MemoryCache stream, not `ImageIO.read(InputStream)`: the
+      * convenience overload wraps the bytes in ImageIO's default
+      * DISK-backed stream cache — a temp file per in-memory decode
+      * (the CodecBench r19 finding on the GIF path; same class here).
+      */
     def decode(bytes: Array[Byte]): BufferedImage =
       if (bytes == null || bytes.isEmpty) null
-      else ImageIO.read(new ByteArrayInputStream(bytes))
+      else try ImageIO.read(new MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => null }
+
+    /** PNG-encode through a MEMORY-cached ImageIO stream (the write
+      * convenience overload uses the disk-backed default cache — same
+      * fix as [[decode]], write side).
+      */
+    private def writePng(img: BufferedImage,
+        buf: ByteArrayOutputStream): Unit = {
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+      try ImageIO.write(img, "png", ios) finally ios.close()
+    }
 
     /** (width, height, meanR, meanG, meanB) over the decoded pixels;
       * means are exact integer floors — oracle-safe for planted solid
@@ -218,7 +236,7 @@ object Multimodal {
         g2.drawImage(img, 0, 0, w, h, null)
         g2.dispose()
         val buf = new ByteArrayOutputStream()
-        ImageIO.write(out, "png", buf)
+        writePng(out, buf)
         buf.toByteArray
       }.orNull
 
@@ -284,7 +302,7 @@ object Multimodal {
         y += 1
       }
       val buf = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", buf)
+      writePng(img, buf)
       buf.toByteArray
     }
 
@@ -298,7 +316,7 @@ object Multimodal {
         y += 1
       }
       val buf = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", buf)
+      writePng(img, buf)
       buf.toByteArray
     }
   }
@@ -623,6 +641,21 @@ object Multimodal {
     import java.awt.image.{BufferedImage, IndexColorModel}
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.{IIOImage, ImageIO}
+    import javax.imageio.stream.{MemoryCacheImageInputStream,
+      MemoryCacheImageOutputStream}
+
+    // Per-payload cost audit (CodecBench, r19): the obvious
+    // `ImageIO.getImageReadersBySuffix` + `createImageInputStream`
+    // per call pays (a) a SYNCHRONIZED registry scan — 32 executor
+    // threads serialize on the IIORegistry lock — and (b) a
+    // FileCache stream: ImageIO's default stream cache is DISK-backed,
+    // so every in-memory byte[] decode was writing a temp file. Cache
+    // the codec SPIs once per session and wrap the byte arrays in
+    // MemoryCache streams; the codecs themselves are unchanged.
+    @transient private lazy val gifReaderSpi =
+      ImageIO.getImageReadersBySuffix("gif").next().getOriginatingProvider
+    @transient private lazy val gifWriterSpi =
+      ImageIO.getImageWritersBySuffix("gif").next().getOriginatingProvider
 
     /** Deterministic animated GIF: `colors(f)` = (r,g,b) of frame `f`,
       * every frame solid at `w`x`h`. Each frame carries a one-entry
@@ -635,9 +668,9 @@ object Multimodal {
         colors: Array[(Int, Int, Int)]): Array[Byte] = {
       require(w > 0 && h > 0 && colors.nonEmpty,
         s"bad gif spec ${w}x$h frames=${colors.length}")
-      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val writer = gifWriterSpi.createWriterInstance()
       val bos = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
+      val ios = new MemoryCacheImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
@@ -664,12 +697,10 @@ object Multimodal {
         bytes: Array[Byte]): Option[Vector[(Int, Int, Long, Long, Long)]] =
       if (bytes == null || bytes.isEmpty) None
       else try {
-        val readers = ImageIO.getImageReadersBySuffix("gif")
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
+        {
+          val reader = gifReaderSpi.createReaderInstance()
           try {
-            reader.setInput(ImageIO.createImageInputStream(
+            reader.setInput(new MemoryCacheImageInputStream(
               new ByteArrayInputStream(bytes)), false)
             val n = reader.getNumImages(true)
             if (n <= 0) None
