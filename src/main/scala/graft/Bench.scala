@@ -251,7 +251,14 @@ object Bench {
       // is measured in-band anyway, so gate on it; -1 (probe failed,
       // e.g. no /proc/stat) stays non-disqualifying like the old
       // behavior, it is an instrumentation gap, not measured steal.
+      // ADVICE r19: with 1-2 spin samples the sorted upper-median IS
+      // the max, so max/median degenerates to exactly 1.0 and the
+      // canary is blind. A run qualifying as clean needs enough
+      // samples for the ratio to mean something; fewer is the same
+      // "probe failed / UNVERIFIED" class as no samples at all.
+      val minSpinSamples = 4
       val clean = mfRatio >= 0 && mfRatio <= 1.15 &&
+        spins.size >= minSpinSamples &&
         (stealPct < 0 || stealPct <= 1.0)
       val target =
         if (clean) latest else dir.resolve("BENCH_FULL_CONTENDED.json")
@@ -259,6 +266,10 @@ object Bench {
         val why =
           if (mfRatio < 0) s"canary probe failed (mf_spin_ratio=$mfRatio" +
             ", no usable spin samples) — treat as UNVERIFIED, not contended"
+          else if (spins.size < minSpinSamples)
+            s"only ${spins.size} spin samples (< $minSpinSamples) — " +
+              "max/median is degenerate at this count; " +
+              "treat as UNVERIFIED, not contended"
           else if (stealPct > 1.0)
             s"steal_pct=$stealPct > 1 — hypervisor contention"
           else s"mf_spin_ratio=$mfRatio > 1.15 — measured contention"

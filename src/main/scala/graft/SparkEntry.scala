@@ -1051,6 +1051,37 @@ object SparkEntry {
         coalesce(col("sem_dup"), lit(0)).as("sem_dup"))
   }
 
+  /** Memoized, eagerly localCheckpointed verdict frame shared by
+    * `dedup_report` and `dedup_report_summary` (VERDICT r19 #8): the
+    * five detector pipelines are by far the pair's cost, and a user
+    * running both (the designed workflow — review the per-doc table,
+    * then the corpus accounting) was paying the build twice. Keyed
+    * per (session, sf dir) so Verify/Bench runs over different dirs
+    * never cross-contaminate; the checkpoint is ~500 verdict rows —
+    * bytes, not data — so pinning it for the session is free. At
+    * scale the same pattern holds: checkpoint the verdict frame once,
+    * derive every downstream report from it.
+    */
+  private val dedupReportMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private def dedupReportShared(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val cached = dedupReportMemo.get(key)
+    // Self-healing: an external sweep (Verify unpersists every
+    // persistent RDD between queries) can drop the checkpoint blocks
+    // out from under the memo — probe one partition and rebuild on
+    // failure instead of crashing the second consumer.
+    val live = cached != null &&
+      scala.util.Try(cached.take(1)).isSuccess
+    if (live) cached
+    else {
+      val fresh = dedupReportFrame(s, dir).localCheckpoint(true)
+      dedupReportMemo.put(key, fresh)
+      fresh
+    }
+  }
+
   /** Docs that get a planted near-dup copy: a deterministic 1-in-13
     * slice, long enough (≥ 50 tokens) that every copy gets at least
     * one real mutation while Jaccard stays high. The predicate is
@@ -3186,7 +3217,7 @@ object SparkEntry {
     // plus the cross-detector flag count — the table a curation run
     // reviews before committing drops. See dedupReportFrame.
     "dedup_report" -> ((s, dir) =>
-      dedupReportFrame(s, dir)
+      dedupReportShared(s, dir)
         .withColumn("n_flags",
           (col("exact_dup") + col("line_dup") + col("substr_dup") +
             col("neardup_dup") + col("sem_dup")).cast("int"))),
@@ -3196,7 +3227,7 @@ object SparkEntry {
     "dedup_report_summary" -> ((s, dir) => {
       val nf = col("exact_dup") + col("line_dup") + col("substr_dup") +
         col("neardup_dup") + col("sem_dup")
-      dedupReportFrame(s, dir).agg(
+      dedupReportShared(s, dir).agg(
         count(lit(1)).as("n_docs"),
         sum(col("exact_dup")).as("exact_dups"),
         sum(col("line_dup")).as("line_dups"),
@@ -4280,6 +4311,35 @@ object SparkEntry {
       val table = graft.functions.BpeMergeTable.fromSymbolMerges(
         BpeMiner.loadMergesResource(
           "/graft/merges_fixture_bytelevel.txt"))
+      docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          graft.functions.Gpt2ByteLevel.count(col("text"), table)
+            .as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .withColumn("fertility_pct",
+          when(col("total_words") > 0,
+            expr("total_tokens * 100 div total_words")))
+    }),
+
+    // Byte-level TRAINED fertility (VERDICT r19 #3): the full
+    // train→encode→fertility lifecycle at byte level, in-engine. The
+    // trainer (BpeMiner.trainByteLevelMergesLocal) learns 8
+    // GPT-2-dialect merges from the planted corpus restricted to
+    // doc_id < 500 — exactly the sf0.01 corpus, so the learned table
+    // is IDENTICAL at every sf >= 0.01 and the oracle's hand table
+    // stays valid under the bench's sf0.1 run. The hand table (and
+    // the rank-parity spec's naive reference) derive the full merge
+    // sequence: (h,e) 2397 → (t,he) 2397 → (a,b) 2394 → (z,z) 1598 →
+    // (ab,ab) 1596 → (Ġ,the) 1398 → (q,x) 799 → (qx,z) 799 — the
+    // last two winning a four-way 799 tie on (l ASC, r ASC)
+    // codepoint order, which pins the tie-break contract itself.
+    "bpe_bytelevel_trained_fertility" -> ((s, dir) => {
+      val docs = importedFertilityDocs(T(s, dir, "documents"))
+      val table = BpeMiner.byteLevelTableFor(
+        docs.filter(col("doc_id") < 500), rounds = 8)
       docs.select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_words"),
           graft.functions.Gpt2ByteLevel.count(col("text"), table)
@@ -7880,6 +7940,43 @@ object SparkEntry {
           "(1, 'qxz', CAST(1 AS BIGINT), CAST(2 AS BIGINT)), " +
           "(2, 'ababab', CAST(2 AS BIGINT), CAST(3 AS BIGINT)), " +
           "(3, 'zzz', CAST(3 AS BIGINT), CAST(4 AS BIGINT)), " +
+          "(4, 'thethe', CAST(2 AS BIGINT), CAST(2 AS BIGINT))" +
+          ") AS t(i, w, tok_first, tok_rest)), " +
+          "d AS (SELECT doc_id, lang, 5 + doc_id % 7 AS n " +
+          "FROM documents), " +
+          "j AS (SELECT doc_id, lang, unnest(range(0, n)) AS jj " +
+          "FROM d), " +
+          "wj AS (SELECT j.doc_id, j.lang, " +
+          "CASE WHEN j.jj = 0 THEN v.tok_first ELSE v.tok_rest END " +
+          "AS tok FROM j " +
+          "JOIN v ON v.i = (j.doc_id + j.jj) % 5), " +
+          "per AS (SELECT doc_id, lang, " +
+          "CAST(count(*) AS BIGINT) AS n_words, " +
+          "CAST(sum(tok) AS BIGINT) AS n_tokens " +
+          "FROM wj GROUP BY 1, 2) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(n_words) AS BIGINT) AS total_words, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+          "CASE WHEN sum(n_words) > 0 THEN " +
+          "CAST(sum(n_tokens) * 100 // sum(n_words) AS BIGINT) END " +
+          "AS fertility_pct FROM per GROUP BY 1"),
+
+      // byte-level TRAINED fertility: the corpus replay is identical
+      // to bpe_bytelevel_fertility; the position-sensitive hand
+      // table carries each word's token count under the table the
+      // trainer LEARNS from docs 0..499 (merge sequence derived in
+      // the registry comment and independently re-derived by
+      // BpeByteLevelTrainSpec's naive reference): final
+      // segmentations are the→[the], Ġthe→[Ġthe], qxz→[qxz],
+      // Ġqxz→[Ġ,qxz], ababab→[abab,ab], Ġababab→[Ġ,abab,ab],
+      // zzz→[zz,z], Ġzzz→[Ġ,zz,z], thethe→[the,the],
+      // Ġthethe→[Ġthe,the].
+      "bpe_bytelevel_trained_fertility" ->
+        ("WITH v AS (SELECT * FROM (VALUES " +
+          "(0, 'the', CAST(1 AS BIGINT), CAST(1 AS BIGINT)), " +
+          "(1, 'qxz', CAST(1 AS BIGINT), CAST(2 AS BIGINT)), " +
+          "(2, 'ababab', CAST(2 AS BIGINT), CAST(3 AS BIGINT)), " +
+          "(3, 'zzz', CAST(2 AS BIGINT), CAST(3 AS BIGINT)), " +
           "(4, 'thethe', CAST(2 AS BIGINT), CAST(2 AS BIGINT))" +
           ") AS t(i, w, tok_first, tok_rest)), " +
           "d AS (SELECT doc_id, lang, 5 + doc_id % 7 AS n " +

@@ -57,6 +57,15 @@ object Gpt2ByteLevel {
     * space). `UNICODE_CHARACTER_CLASS` makes `\p{L}`/`\p{N}`/`\s`
     * match the Unicode categories the published Python `regex`
     * pattern uses.
+    *
+    * Known divergence (ADVICE r19): Java's
+    * `UNICODE_CHARACTER_CLASS` APPROXIMATES the Python `regex`
+    * module's category semantics — they disagree on a handful of
+    * codepoints (notably edges of the `\s` category such as
+    * U+0085 NEL and some format/separator characters), so token
+    * counts on non-ASCII corpora can differ slightly from the
+    * publisher's tokenizer. The gated ASCII corpus is exact; treat
+    * non-ASCII parity as approximate rather than bit-for-bit.
     */
   private val SplitPattern = java.util.regex.Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +

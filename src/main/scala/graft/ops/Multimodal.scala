@@ -491,7 +491,12 @@ object Multimodal {
         val counts = new Array[Long](g)
         var i = 0
         while (i < ss.length) {
-          val cell = math.min(i * g / math.max(ss.length, 1), g - 1)
+          // Long arithmetic: i * g overflows Int past ~33.5M samples
+          // (a ~12-min 44.1kHz WAV at g=64) and a negative index
+          // would fail the task instead of honoring the
+          // null-for-undecodable contract.
+          val cell = math.min(
+            (i.toLong * g / math.max(ss.length, 1)).toInt, g - 1)
           sums(cell) += ss(i)
           counts(cell) += 1
           i += 1
@@ -575,7 +580,8 @@ object Multimodal {
         val counts = new Array[Long](16)
         var i = 0
         while (i < ss.length) {
-          val cell = math.min(i * 16 / math.max(ss.length, 1), 15)
+          val cell = math.min(
+            (i.toLong * 16 / math.max(ss.length, 1)).toInt, 15)
           sums(cell) += math.abs(ss(i).toLong); counts(cell) += 1
           i += 1
         }

@@ -125,14 +125,19 @@ object RunGraphScale {
       (out, (System.nanoTime() - t0) / 1e9)
     }
     roundsList.foreach { r =>
-      val runs: Seq[(String, () => Long)] = Seq(
-        ("label_propagation", () => {
+      // HITS caps its own rounds (power iteration converges on this
+      // fixture well before r=10); the evidence line must report the
+      // rounds that actually RAN, not the requested r — a scale-
+      // evidence tool with a silent cap would overstate itself.
+      val hitsRounds = math.min(r, 4)
+      val runs: Seq[(String, Int, () => Long)] = Seq(
+        ("label_propagation", r, () => {
           val l = LabelProp.propagate(bidir, rounds = r)
           val n = l.count()
           graft.ops.CheckpointUtil.free(l)
           n
         }),
-        ("pagerank_fixed", () => {
+        ("pagerank_fixed", r, () => {
           val p = PageRank.pagerankFixed(bidir, iters = r)
           val n = p.count()
           graft.ops.CheckpointUtil.free(p)
@@ -140,15 +145,16 @@ object RunGraphScale {
         }),
         // k=4 keeps a nontrivial bipartite core (orders carry ~4-7
         // distinct suppliers; k=30 would peel every order in round 1)
-        ("kcore_peel", () =>
+        ("kcore_peel", r, () =>
           KCore.kcorePeel(directed, k = 4, rounds = r).count()),
-        ("hits_scores", () =>
-          Hits.hitsFixed(directed, rounds = math.min(r, 4)).count()))
-      runs.foreach { case (name, body) =>
+        ("hits_scores", hitsRounds, () =>
+          Hits.hitsFixed(directed, rounds = hitsRounds).count()))
+      runs.foreach { case (name, effRounds, body) =>
         val (rows, s) = timeWarm(body)
         // scalastyle:off println
         println(f"""{"op": "$name", "sf_dir": "$sfDir", """ +
-          f""""rounds": $r, "nodes": $nNodes, "edges": $nEdges, """ +
+          f""""rounds": $effRounds, "requested_rounds": $r, """ +
+          f""""nodes": $nNodes, "edges": $nEdges, """ +
           f""""out_rows": $rows, "warm_s": $s%.2f}""")
         // scalastyle:on println
       }
