@@ -4353,6 +4353,47 @@ object SparkEntry {
             expr("total_tokens * 100 div total_words")))
     }),
 
+    // Unigram-LM (SentencePiece-family) fertility + the BPE-vs-unigram
+    // comparison (VERDICT r19 #6): the unigram trainer
+    // (UnigramLm.trainLocal — substring seed, hard-EM, count prune,
+    // all exact integers) learns its model from docs 0..499 (the
+    // sf-stable slice, the byte-level-trainer convention), Viterbi
+    // encode runs as one codegen'd expression, and the same scan
+    // carries the imported word-level BPE count — so the
+    // tokenizer-choice comparison a tokenizer team actually makes is
+    // ONE query. Hand-derivable model: the seed's top multi-char
+    // pieces keep {the, qxz, ab, abab, zz, ...}; EM segments
+    // the→[the], qxz→[qxz], ababab→[ab,abab] (equal-probability tie
+    // → longer LAST piece), zzz→[z,zz] ('zzz' loses the 16-piece
+    // seed cut to alphabetically-earlier 799-count peers — the seed
+    // tie-break pinned), thethe→[the,the].
+    "unigram_fertility" -> ((s, dir) => {
+      val docs = importedFertilityDocs(T(s, dir, "documents"))
+      val model = graft.ops.UnigramLm.trainLocal(
+        docs.filter(col("doc_id") < 500))
+      val bpeTable = graft.functions.BpeMergeTable.fromSymbolMerges(
+        BpeMiner.loadMergesResource("/graft/merges_fixture.txt"))
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          graft.functions.UnigramExprs
+            .countTokens(TextDedup.normText(col("text")), model)
+            .as("n_tok_unigram"),
+          graft.functions.BpeExprs
+            .encodeCount(TextDedup.normText(col("text")), bpeTable)
+            .as("n_tok_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_tok_unigram")).as("total_tokens_unigram"),
+          sum(col("n_tok_bpe")).as("total_tokens_bpe"))
+        .withColumn("fertility_unigram_pct",
+          when(col("total_words") > 0,
+            expr("total_tokens_unigram * 100 div total_words")))
+        .withColumn("fertility_bpe_pct",
+          when(col("total_words") > 0,
+            expr("total_tokens_bpe * 100 div total_words")))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences: exact (from, to) counts off ONE sessionize-shaped
     // window shuffle, with P(to|from) as a single IEEE division of
@@ -7997,6 +8038,42 @@ object SparkEntry {
           "CASE WHEN sum(n_words) > 0 THEN " +
           "CAST(sum(n_tokens) * 100 // sum(n_words) AS BIGINT) END " +
           "AS fertility_pct FROM per GROUP BY 1"),
+
+      // unigram-vs-BPE fertility: corpus replay as in the other
+      // fertility oracles; the hand table carries each word's token
+      // count under BOTH trained/imported tokenizers — unigram from
+      // the Viterbi segmentations derived in the registry comment
+      // (and re-derived by UnigramLmSpec's naive reference), BPE from
+      // the merges_fixture.txt hand derivations
+      "unigram_fertility" ->
+        ("WITH v AS (SELECT * FROM (VALUES " +
+          "(0, 'the', CAST(1 AS BIGINT), CAST(1 AS BIGINT)), " +
+          "(1, 'qxz', CAST(1 AS BIGINT), CAST(1 AS BIGINT)), " +
+          "(2, 'ababab', CAST(2 AS BIGINT), CAST(2 AS BIGINT)), " +
+          "(3, 'zzz', CAST(2 AS BIGINT), CAST(3 AS BIGINT)), " +
+          "(4, 'thethe', CAST(2 AS BIGINT), CAST(2 AS BIGINT))" +
+          ") AS t(i, w, tok_uni, tok_bpe)), " +
+          "d AS (SELECT doc_id, lang, 5 + doc_id % 7 AS n " +
+          "FROM documents), " +
+          "j AS (SELECT doc_id, lang, unnest(range(0, n)) AS jj " +
+          "FROM d), " +
+          "wj AS (SELECT j.doc_id, j.lang, v.tok_uni, v.tok_bpe " +
+          "FROM j JOIN v ON v.i = (j.doc_id + j.jj) % 5), " +
+          "per AS (SELECT doc_id, lang, " +
+          "CAST(count(*) AS BIGINT) AS n_words, " +
+          "CAST(sum(tok_uni) AS BIGINT) AS n_uni, " +
+          "CAST(sum(tok_bpe) AS BIGINT) AS n_bpe " +
+          "FROM wj GROUP BY 1, 2) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(n_words) AS BIGINT) AS total_words, " +
+          "CAST(sum(n_uni) AS BIGINT) AS total_tokens_unigram, " +
+          "CAST(sum(n_bpe) AS BIGINT) AS total_tokens_bpe, " +
+          "CASE WHEN sum(n_words) > 0 THEN " +
+          "CAST(sum(n_uni) * 100 // sum(n_words) AS BIGINT) END " +
+          "AS fertility_unigram_pct, " +
+          "CASE WHEN sum(n_words) > 0 THEN " +
+          "CAST(sum(n_bpe) * 100 // sum(n_words) AS BIGINT) END " +
+          "AS fertility_bpe_pct FROM per GROUP BY 1"),
 
       // lead-window transition replay; P(to|from) is one IEEE
       // division of two exact BIGINTs
