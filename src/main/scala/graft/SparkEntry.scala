@@ -2711,6 +2711,41 @@ object SparkEntry {
         T(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200),
         "doc_id", everyN = 2)),
 
+    // Corrupt binary payload QUARANTINE census (VERDICT r19 #4): the
+    // readJsonl quarantine+triage convention extended to the three
+    // modality decoders. A planted mixed-modality corpus (doc_id % 3
+    // → png/wav/gif pattern payloads) carries deterministic
+    // corruption (doc_id % 7: 0 → emptied, 2 → signature zeroed,
+    // 4 → truncated to the first third), and the census classifies
+    // every payload at the CONTAINER level (signature / trailer /
+    // declared-size checks + a real decode for complete containers)
+    // — so mode → failure_class is pure id arithmetic the oracle
+    // replays exactly, and a codec regression that nulls payloads
+    // becomes a visible decode_error count instead of a silent
+    // Option-drop (Multimodal.scala's decode-to-null contract is for
+    // feature UDFs mid-scan; this is the audit the pipeline owner
+    // runs).
+    "mm_corrupt_census" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").select(col("doc_id"))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val m7 = pmod(col("doc_id"), lit(7))
+      val kind = when(m3 === 0, "png").when(m3 === 1, "wav")
+        .otherwise("gif")
+      val mode = when(m7 === 0, 1).when(m7 === 2, 2)
+        .when(m7 === 4, 3).otherwise(0)
+      val payload = when(m3 === 0,
+          Multimodal.patternPng(col("doc_id"), lit(false)))
+        .when(m3 === 1, Multimodal.patternWav(col("doc_id"), lit(false)))
+        .otherwise(Multimodal.patternGif(col("doc_id"), lit(false)))
+      val corpus = ids.select(col("doc_id"), kind.as("kind"),
+        Multimodal.corruptPayload(payload, mode, kind).as("payload"))
+      Multimodal.corruptCensus(corpus, "doc_id", "payload", "kind")
+        .groupBy(col("modality"), col("failure_class"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(when(col("decoded_ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy("modality", "failure_class")
+    }),
+
     // IMAGE near-dup on REAL pooled pixels (VERDICT r17 #4): every
     // PlantMod-th doc gets a planted near-duplicate image — the same
     // deterministic 32×32 pattern PNG with ONE 4×4 block brightened
@@ -5975,6 +6010,26 @@ object SparkEntry {
           "(doc_id * 29 + f * 53) % 256 AS mean_b FROM (" +
           "SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS f " +
           "FROM documents WHERE doc_id < 200) WHERE f % 2 = 0"),
+
+      // corrupt-payload census: corruption mode → failure class is
+      // pure id arithmetic by construction (container-level checks;
+      // the truncation cut retreats past any accidental
+      // trailer-mimicking byte), so the oracle replays the whole
+      // census without decoding a byte; intact payloads classifying
+      // 'ok' rides on the three roundtrip oracles proving the
+      // codecs decode these exact pattern payloads
+      "mm_corrupt_census" ->
+        ("WITH c AS (SELECT doc_id, " +
+          "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' " +
+          "ELSE 'gif' END AS modality, " +
+          "CASE doc_id % 7 WHEN 0 THEN 'empty' " +
+          "WHEN 2 THEN 'bad_magic' WHEN 4 THEN 'truncated' " +
+          "ELSE 'ok' END AS failure_class FROM documents) " +
+          "SELECT modality, failure_class, " +
+          "CAST(count(*) AS BIGINT) AS n_payloads, " +
+          "CAST(sum(CASE WHEN failure_class = 'ok' THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_ok " +
+          "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
 
       "time_window_agg" ->
         ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) " +

@@ -853,4 +853,136 @@ object Multimodal {
         col("fr._2").as("mean_r"), col("fr._3").as("mean_g"),
         col("fr._4").as("mean_b"))
   }
+
+  // ------------------------------------------------------------------
+  // Corrupt-payload quarantine (VERDICT r19 #4): the JSONL convention
+  // (CorpusSources.readJsonl — quarantine + triage, never silent
+  // drops) extended to the three binary modalities. Decode-to-null
+  // stays the in-pipeline contract for FEATURE UDFs (a mixed corpus
+  // must not fail mid-scan), but a pipeline owner now has a
+  // first-class census: per payload, a failure class or ok — so a
+  // codec regression that nulls 10% of a corpus is a visible count,
+  // not an invisible Option-drop.
+  // ------------------------------------------------------------------
+
+  /** Failure class of one payload under its declared modality, null
+    * if healthy. Classes, coarsest first (each deterministic at the
+    * CONTAINER level, so the census oracle replays them from planted
+    * corruption arithmetic alone — no reliance on how lenient a
+    * specific codec build happens to be):
+    *  - `empty`      — null or zero-length payload;
+    *  - `bad_magic`  — the container signature is not the declared
+    *                   modality's (PNG 8-byte signature / RIFF+WAVE /
+    *                   GIF8);
+    *  - `truncated`  — signature intact but the container is
+    *                   incomplete: PNG missing its IEND trailer
+    *                   chunk, WAV RIFF size field ≠ actual byte
+    *                   count − 8, GIF missing its 0x3B trailer;
+    *  - `decode_error` — container complete but the REAL decoder
+    *                   still failed (the residual class; planted
+    *                   corruption never lands here, a codec
+    *                   regression does).
+    */
+  /** Container signature check for the declared modality. */
+  def containerMagicOk(bytes: Array[Byte], kind: String): Boolean = {
+    def u(i: Int): Int = bytes(i) & 0xFF
+    kind match {
+      case "png" =>
+        bytes.length >= 8 && u(0) == 0x89 && u(1) == 'P' &&
+          u(2) == 'N' && u(3) == 'G' && u(4) == 0x0D && u(5) == 0x0A &&
+          u(6) == 0x1A && u(7) == 0x0A
+      case "wav" =>
+        bytes.length >= 12 && u(0) == 'R' && u(1) == 'I' &&
+          u(2) == 'F' && u(3) == 'F' && u(8) == 'W' && u(9) == 'A' &&
+          u(10) == 'V' && u(11) == 'E'
+      case "gif" =>
+        bytes.length >= 6 && u(0) == 'G' && u(1) == 'I' &&
+          u(2) == 'F' && u(3) == '8'
+      case other =>
+        throw new IllegalArgumentException(
+          s"containerMagicOk: unknown modality '$other'")
+    }
+  }
+
+  /** Container completeness check (signature assumed ok): PNG ends
+    * with its IEND trailer chunk, WAV's RIFF size field matches the
+    * actual byte count, GIF ends with the 0x3B trailer byte.
+    */
+  def containerComplete(bytes: Array[Byte], kind: String): Boolean = {
+    def u(i: Int): Int = bytes(i) & 0xFF
+    val n = bytes.length
+    kind match {
+      case "png" =>
+        n >= 12 && u(n - 8) == 'I' && u(n - 7) == 'E' &&
+          u(n - 6) == 'N' && u(n - 5) == 'D'
+      case "wav" =>
+        val riffSize = (u(4) | (u(5) << 8) | (u(6) << 16) |
+          (u(7).toLong << 24))
+        riffSize + 8L == n.toLong
+      case "gif" => u(n - 1) == 0x3B
+      case other =>
+        throw new IllegalArgumentException(
+          s"containerComplete: unknown modality '$other'")
+    }
+  }
+
+  def payloadFailure(bytes: Array[Byte], kind: String): String =
+    if (bytes == null || bytes.isEmpty) "empty"
+    else if (!containerMagicOk(bytes, kind)) "bad_magic"
+    else if (!containerComplete(bytes, kind)) "truncated"
+    else {
+      val decodeOk = kind match {
+        case "png" => sharedImageSession.decode(bytes) != null
+        case "wav" => sharedAudioSession.decodeSamples(bytes).nonEmpty
+        case "gif" => sharedVideoSession.decodeFrames(bytes).nonEmpty
+      }
+      if (decodeOk) null else "decode_error"
+    }
+
+  /** Deterministic corruption modes for the planted census corpus —
+    * 0 intact, 1 empty, 2 first 12 bytes zeroed (kills any of the
+    * three signatures), 3 truncated to the first third (signature
+    * survives, trailer/size does not; if the cut happens to land on
+    * bytes that mimic a complete container — e.g. a GIF data byte
+    * that equals the 0x3B trailer — the cut retreats until the
+    * container is measurably incomplete, so mode→class stays a
+    * deterministic function the oracle replays from id arithmetic
+    * alone).
+    */
+  val corruptPayload = udf { (bytes: Array[Byte], mode: Int, kind: String) =>
+    mode match {
+      case 0 => bytes
+      case 1 => Array.empty[Byte]
+      case 2 =>
+        val out = bytes.clone()
+        java.util.Arrays.fill(out, 0, math.min(12, out.length), 0.toByte)
+        out
+      case 3 =>
+        var cut = bytes.length / 3
+        while (cut > 12 &&
+            containerComplete(java.util.Arrays.copyOf(bytes, cut), kind))
+          cut -= 1
+        java.util.Arrays.copyOf(bytes, cut)
+      case m => throw new IllegalArgumentException(
+        s"corruptPayload: unknown mode $m")
+    }
+  }
+
+  /** Per-payload triage frame: `(id, modality, decoded_ok,
+    * failure_class)` with `failure_class = 'ok'` for healthy rows —
+    * the binary-modality analog of readJsonl's quarantine side. One
+    * scan, one validator call per row, no shuffle.
+    */
+  def corruptCensus(payloads: DataFrame, idCol: String,
+      payloadCol: String, kindCol: String): DataFrame = {
+    val triage = udf { (bytes: Array[Byte], kind: String) =>
+      payloadFailure(bytes, kind)
+    }
+    payloads
+      .withColumn("failure_class",
+        coalesce(triage(col(payloadCol), col(kindCol)), lit("ok")))
+      .select(col(idCol), col(kindCol).as("modality"),
+        (col("failure_class") === "ok").as("decoded_ok"),
+        col("failure_class"))
+  }
 }

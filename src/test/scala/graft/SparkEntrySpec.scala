@@ -236,9 +236,9 @@ class SparkEntrySpec extends SparkSpec {
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 238,
+    assert(SparkEntry.queries.size == 239,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 238,
+    assert(SparkEntry.oracleSql.size == 239,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set is pinned EMPTY since round 10: every query
     // carries an oracle — the two whose raw values aren't

@@ -378,4 +378,81 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1000L), (20L, 1020L), (40L, 1040L)),
       pairs.toString)
   }
+
+  test("payloadFailure: every class, all three modalities (VERDICT " +
+      "r19 #4 — corrupt binaries quarantine instead of nulling)") {
+    val img = new Multimodal.ImageDecoderSession
+    val aud = new Multimodal.AudioDecoderSession
+    val vid = new Multimodal.VideoDecoderSession
+    val png = img.encodePatternPng(7L, bump = false)
+    val wav = aud.encodePatternWav(7L, bump = false)
+    val gif = vid.encodeSolidGif(8, 8,
+      Array.tabulate(16)(f => (40 + f, 50 + f, 60 + f)))
+    def cls(b: Array[Byte], k: String) = Multimodal.payloadFailure(b, k)
+    // intact → ok (null)
+    assert(cls(png, "png") == null)
+    assert(cls(wav, "wav") == null)
+    assert(cls(gif, "gif") == null)
+    // empty
+    assert(cls(Array.empty[Byte], "png") == "empty")
+    assert(cls(null, "wav") == "empty")
+    // signature zeroed
+    def zeroHead(b: Array[Byte]) = {
+      val o = b.clone(); java.util.Arrays.fill(o, 0, 12, 0.toByte); o
+    }
+    assert(cls(zeroHead(png), "png") == "bad_magic")
+    assert(cls(zeroHead(wav), "wav") == "bad_magic")
+    assert(cls(zeroHead(gif), "gif") == "bad_magic")
+    // truncated to the first third
+    def trunc(b: Array[Byte]) = java.util.Arrays.copyOf(b, b.length / 3)
+    assert(cls(trunc(png), "png") == "truncated")
+    assert(cls(trunc(wav), "wav") == "truncated")
+    assert(cls(trunc(gif), "gif") == "truncated")
+    // decode_error: complete container, broken interior — flip a
+    // mid-file byte of the PNG (CRC breaks, IEND intact)
+    val broken = png.clone()
+    broken(png.length / 2) = (broken(png.length / 2) ^ 0xFF).toByte
+    assert(cls(broken, "png") == "decode_error")
+    // honesty pin: PCM carries no checksum, so a mid-DATA flip in a
+    // WAV is legitimately decodable — the census reports ok, which
+    // is the true semantics (only container-level damage and codec
+    // failures quarantine)
+    val wavFlip = wav.clone()
+    wavFlip(wav.length - 100) = (wavFlip(wav.length - 100) ^ 0x55).toByte
+    assert(cls(wavFlip, "wav") == null)
+  }
+
+  test("corruptCensus triage + planted-mode mapping is exact " +
+      "(mode -> class is id arithmetic, the oracle's contract)") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 210).select(col("id").as("doc_id"))
+    val m3 = pmod(col("doc_id"), lit(3))
+    val m7 = pmod(col("doc_id"), lit(7))
+    val kind = when(m3 === 0, "png").when(m3 === 1, "wav")
+      .otherwise("gif")
+    val mode = when(m7 === 0, 1).when(m7 === 2, 2)
+      .when(m7 === 4, 3).otherwise(0)
+    val payload = when(m3 === 0,
+        Multimodal.patternPng(col("doc_id"), lit(false)))
+      .when(m3 === 1, Multimodal.patternWav(col("doc_id"), lit(false)))
+      .otherwise(Multimodal.patternGif(col("doc_id"), lit(false)))
+    val corpus = ids.select(col("doc_id"), kind.as("kind"),
+      Multimodal.corruptPayload(payload, mode, kind).as("payload"))
+    val triage = Multimodal.corruptCensus(
+        corpus, "doc_id", "payload", "kind")
+      .as[(Long, String, Boolean, String)].collect()
+    assert(triage.length == 210)
+    triage.foreach { case (id, modality, ok, fc) =>
+      val expKind = (id % 3) match {
+        case 0 => "png"; case 1 => "wav"; case _ => "gif"
+      }
+      val expClass = (id % 7) match {
+        case 0 => "empty"; case 2 => "bad_magic"; case 4 => "truncated"
+        case _ => "ok"
+      }
+      assert(modality == expKind && fc == expClass && ok == (fc == "ok"),
+        s"doc $id: got ($modality, $ok, $fc), expected " +
+          s"($expKind, ${expClass == "ok"}, $expClass)")
+    }
+  }
 }
