@@ -4634,6 +4634,53 @@ object SparkEntry {
             md5(TextDedup.normText(clean)))).as("n_deduped"))
     }),
 
+    // Per-document curation PROVENANCE (VERDICT r19 #5, Dolma-style
+    // attributes): alongside the survivor frame, every input document
+    // gets its rejection reasons as flags + a bitmask (gopher=1,
+    // page=2, exact_dup=4) plus informational attributes (line-clean
+    // emptied; PII found on the survivor form) — the per-doc record a
+    // filter-ablation study or an auditor consumes, where
+    // curation_funnel only gives stage totals. By construction the
+    // frame reconciles EXACTLY with the funnel (spec-pinned):
+    // n_gopher = Σ(gopher_fail=0), n_page = Σ(gated),
+    // n_line_nonempty = Σ(gated ∧ ¬line_empty),
+    // n_deduped = Σ(survived) = curation_e2e_v2's row count.
+    // Plan: one scan + the dedup-ownership hash window (the shuffle
+    // the pipeline pays anyway) + a survivor-only scrub joined back.
+    "curation_attributes" -> ((s, dir) => {
+      val gk = TextAnalysis.gopherKeep(col("text"))
+      val pk = TextAnalysis.c4PageKeep(col("text"))
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), curationSynth.as("text"))
+        .select(col("doc_id"),
+          (!gk).cast("int").as("gopher_fail"),
+          (!pk).cast("int").as("page_fail"),
+          TextAnalysis.c4LineClean(col("text")).as("clean"))
+      val gated = col("gopher_fail") === 0 && col("page_fail") === 0
+      val owner = min(when(gated, col("doc_id")))
+        .over(Window.partitionBy(md5(TextDedup.normText(col("clean")))))
+      val attrs = base
+        .withColumn("exact_dup",
+          (gated && col("doc_id") =!= owner).cast("int"))
+        .withColumn("line_empty",
+          (gated && length(col("clean")) === 0).cast("int"))
+        .withColumn("survived",
+          (gated && col("exact_dup") === 0).cast("int"))
+      val survivors = attrs.filter(col("survived") === 1)
+        .select(col("doc_id"), col("clean").as("text"))
+      val pii = Redaction.piiScrub(Redaction.withFakePii(survivors))
+        .select(col("doc_id"),
+          (Redaction.Patterns.map(p => col(s"n_${p._1}"))
+            .reduce(_ + _) > 0).cast("int").as("pii_present"))
+      attrs.join(pii, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gopher_fail"), col("page_fail"),
+          col("line_empty"), col("exact_dup"),
+          (col("gopher_fail") + col("page_fail") * 2 +
+            col("exact_dup") * 4).as("reject_mask"),
+          col("survived"),
+          coalesce(col("pii_present"), lit(0)).as("pii_present"))
+    }),
+
     // Aggregate-based argmax (max_by on a struct ordering key): each
     // customer's highest-value order in ONE hash aggregate — no
     // per-group sort, no window shuffle; ties broken by orderkey so
@@ -6386,6 +6433,50 @@ object SparkEntry {
           "THEN 1 ELSE 0 END) AS BIGINT) AS n_line_nonempty, " +
           "count(DISTINCT CASE WHEN gok = 1 AND pok = 1 " +
           s"THEN md5($normClean) END) AS n_deduped FROM cl"
+      },
+
+      // per-doc provenance: gates, ownership window and the survivor
+      // scrub all replayed; pii_present is the exact token-diff
+      // arithmetic (never id-mod shortcuts — raw text could carry
+      // matchable spans of its own)
+      "curation_attributes" -> {
+        def occ2(src: String, tok: String) =
+          s"(len($src) - len(replace($src, '$tok', ''))) // ${tok.length}"
+        val redacted = Redaction.Patterns.foldLeft("t") {
+          case (acc, (_, pat, tok)) =>
+            s"regexp_replace($acc, '$pat', '$tok', 'g')"
+        }
+        val diffSum = Redaction.Patterns.map { case (_, _, tok) =>
+          s"(${occ2("redacted", tok)} - ${occ2("t", tok)})"
+        }.mkString(" + ")
+        val normClean = NormTextSql.replace("text", "clean")
+        s"WITH $CurationSynthCtes, " +
+          s"cl AS (SELECT doc_id, $C4LineCleanSql AS clean, " +
+          s"CASE WHEN $GopherCondSql THEN 0 ELSE 1 END AS gopher_fail, " +
+          s"CASE WHEN $PageCondSql THEN 0 ELSE 1 END AS page_fail " +
+          "FROM st), " +
+          "d AS (SELECT *, CASE WHEN gopher_fail = 0 AND page_fail = 0 " +
+          "THEN 1 ELSE 0 END AS gated FROM cl), " +
+          "o AS (SELECT *, CASE WHEN gated = 1 AND doc_id <> " +
+          "min(CASE WHEN gated = 1 THEN doc_id END) " +
+          s"OVER (PARTITION BY md5($normClean)) " +
+          "THEN 1 ELSE 0 END AS exact_dup FROM d), " +
+          "a AS (SELECT doc_id, clean, gopher_fail, page_fail, " +
+          "CASE WHEN gated = 1 AND length(clean) = 0 " +
+          "THEN 1 ELSE 0 END AS line_empty, exact_dup, " +
+          "CASE WHEN gated = 1 AND exact_dup = 0 " +
+          "THEN 1 ELSE 0 END AS survived FROM o), " +
+          "s AS (SELECT doc_id, clean AS text FROM a " +
+          "WHERE survived = 1), " +
+          s"p AS (SELECT doc_id, $PiiInjSql AS t FROM s), " +
+          s"r AS (SELECT doc_id, t, $redacted AS redacted FROM p), " +
+          s"pii AS (SELECT doc_id, CASE WHEN $diffSum > 0 " +
+          "THEN 1 ELSE 0 END AS pii_present FROM r) " +
+          "SELECT a.doc_id, gopher_fail, page_fail, line_empty, " +
+          "exact_dup, gopher_fail + page_fail * 2 + exact_dup * 4 " +
+          "AS reject_mask, survived, " +
+          "COALESCE(pii.pii_present, 0) AS pii_present " +
+          "FROM a LEFT JOIN pii ON a.doc_id = pii.doc_id"
       },
 
       "pii_redact" -> {

@@ -233,12 +233,40 @@ class SparkEntrySpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("curation_attributes reconciles EXACTLY with curation_funnel " +
+      "and curation_e2e_v2 (VERDICT r19 #5's done-criterion)") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestSession.spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val attrs = SparkEntry.queries("curation_attributes")(spark, dir)
+    val got = attrs.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("gopher_fail") === 0, 1L).otherwise(0L)),
+      sum(when(col("gopher_fail") === 0 && col("page_fail") === 0, 1L)
+        .otherwise(0L)),
+      sum(when(col("gopher_fail") === 0 && col("page_fail") === 0 &&
+        col("line_empty") === 0, 1L).otherwise(0L)),
+      sum(when(col("survived") === 1, 1L).otherwise(0L)))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val f = SparkEntry.queries("curation_funnel")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == f, s"attributes roll-up $got != funnel $f")
+    val e2eRows = SparkEntry.queries("curation_e2e_v2")(spark, dir).count()
+    assert(got._5 == e2eRows,
+      s"survivors ${got._5} != curation_e2e_v2 rows $e2eRows")
+    // the mask is exactly its bits
+    val badMask = attrs.filter(col("reject_mask") =!=
+      col("gopher_fail") + col("page_fail") * 2 + col("exact_dup") * 4)
+      .count()
+    assert(badMask == 0L)
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
-    assert(SparkEntry.queries.size == 239,
+    assert(SparkEntry.queries.size == 240,
       s"queries: ${SparkEntry.queries.keySet.toSeq.sorted}")
-    assert(SparkEntry.oracleSql.size == 239,
+    assert(SparkEntry.oracleSql.size == 240,
       s"oracles: ${SparkEntry.oracleSql.keySet.toSeq.sorted}")
     // the rows-only set is pinned EMPTY since round 10: every query
     // carries an oracle — the two whose raw values aren't
