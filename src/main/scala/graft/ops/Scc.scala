@@ -68,6 +68,20 @@ object Scc {
     */
   private val StepsPerSync = 1
 
+  /** [[minLabels]] sync batching, MEASURED 1 (r20, the
+    * bowtie_regions adjudication — bowtie's 60-cycle is the
+    * degenerate direction needing 11 syncs): at 2 units/sync the
+    * round-trips drop to 6 but wall-clock RISES ~25% — the composed
+    * block's plan (6 joins deep) pays more in planning + sequential
+    * stage scheduling than the saved driver round-trips, the same
+    * shape r17 measured on the SCC outer loop. A doubled pointer
+    * jump per unit was also neutral (syncs −20%, wall flat): the
+    * slow direction is the honest O(diameter) case where the jump
+    * degenerates to identity. Both measured via
+    * SPARK_GRAFT_SCC_DEBUG + tools/BowtieProbe.
+    */
+  private val MinLabelStepsPerSync = 1
+
   /** Convergence evidence from one [[stronglyConnectedWithStats]]
     * run: outer trim+peel rounds, total trim layers that removed
     * nodes, and peel steps — the numbers that prove (or refute) the
@@ -372,55 +386,52 @@ object Scc {
       .filter(col("s_scc") =!= col("d_scc"))
       .select(col("s_scc"), col("d_scc")).distinct()
       .localCheckpoint()
-    // components with a path to the seed along (s_scc → d_scc),
-    // seed included: BFS with an exact set-size certificate
-    def reaches(edgesC: DataFrame): DataFrame = {
-      var r = giant.select(col("scc_id")).localCheckpoint()
-      var prevN = -1L
-      var n = r.count()
-      var iter = 0
-      while (n != prevN && iter < maxDepth) {
-        // StepsPerSync BFS expansions per action, lazy checkpoint
-        // between steps (each expansion reads its input TWICE — union
-        // + join — so the barrier stops subtree doubling); the set
-        // only grows, so an unchanged size certifies the closure
-        var cur = r
-        var intermediates = List.empty[DataFrame]
-        for (_ <- 1 to StepsPerSync) {
-          cur = cur.unionByName(
-            edgesC.join(cur.withColumnRenamed("scc_id", "d_scc"),
-                "d_scc")
-              .select(col("s_scc").as("scc_id")))
-            .distinct()
-            .localCheckpoint(false)
-          intermediates ::= cur
-        }
-        val grown = cur
-        intermediates = intermediates.tail // keep the block's result
-        prevN = n
-        n = grown.count()
-        CheckpointUtil.free(r :: intermediates: _*)
-        r = grown
-        iter += 1
-      }
-      if (n != prevN) {
-        CheckpointUtil.free(r, sizes, giant, ce, labels)
-        throw new IllegalStateException(
-          s"bowtie reach set still growing after $maxDepth round(s) — " +
-            "condensation deeper than maxDepth; raise it")
-      }
-      r
+    // The two reach closures (predecessors of the giant = IN,
+    // successors = OUT) run as ONE tagged BFS (r20, the
+    // bowtie_regions latency cut): side 0 carries the condensation
+    // edges as-is (expanding r by predecessors), side 1 carries them
+    // swapped — so a single union+join+distinct job grows BOTH sets
+    // and a single count() certifies both, halving the
+    // driver-synchronized actions per round vs the former concurrent-
+    // futures formulation (which overlapped wall-clock but still paid
+    // two job-submission+count round-trips per round). Sides cannot
+    // mix: the join key includes the tag.
+    val tagged = ce
+      .select(lit(0).as("side"), col("s_scc"), col("d_scc"))
+      .unionByName(ce.select(lit(1).as("side"),
+        col("d_scc").as("s_scc"), col("s_scc").as("d_scc")))
+      .localCheckpoint(false)
+    var r = giant
+      .select(explode(array(lit(0), lit(1))).as("side"), col("scc_id"))
+      .localCheckpoint()
+    var prevN = -1L
+    var n = r.count()
+    var iter = 0
+    while (n != prevN && iter < maxDepth) {
+      // one BFS expansion per action, lazy checkpoint (the expansion
+      // reads its input TWICE — union + join — so the barrier stops
+      // subtree doubling); the sets only grow, so an unchanged
+      // combined size certifies BOTH closures
+      val grown = r.unionByName(
+          tagged.join(r.withColumnRenamed("scc_id", "d_scc"),
+            Seq("side", "d_scc"))
+            .select(col("side"), col("s_scc").as("scc_id")))
+        .distinct()
+        .localCheckpoint(false)
+      prevN = n
+      n = grown.count()
+      CheckpointUtil.free(r)
+      r = grown
+      iter += 1
     }
-    // the two BFS closures are independent — interleave their jobs
-    // (same reasoning as the fwd/bwd peel propagations)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val inF = Future(reaches(ce))
-    val outF = Future(reaches(
-      ce.select(col("d_scc").as("s_scc"), col("s_scc").as("d_scc"))))
-    val inSet = Await.result(inF, Duration.Inf)
-    val outSet = Await.result(outF, Duration.Inf)
+    if (n != prevN) {
+      CheckpointUtil.free(r, tagged, sizes, giant, ce, labels)
+      throw new IllegalStateException(
+        s"bowtie reach set still growing after $maxDepth round(s) — " +
+          "condensation deeper than maxDepth; raise it")
+    }
+    val inSet = r.filter(col("side") === 0).select(col("scc_id"))
+    val outSet = r.filter(col("side") === 1).select(col("scc_id"))
     val regionByComp = sizes.select(col("scc_id"))
       .join(giant.select(col("scc_id"), lit(1).as("__g")),
         Seq("scc_id"), "left")
@@ -434,7 +445,7 @@ object Scc {
     val out = labels.join(regionByComp, "scc_id")
       .select(col("node"), col("region"))
       .localCheckpoint()
-    CheckpointUtil.free(labels, sizes, giant, ce, inSet, outSet)
+    CheckpointUtil.free(labels, sizes, giant, ce, tagged, r)
     out
   }
 
@@ -468,7 +479,7 @@ object Scc {
       // the block's start.
       var cur = labels
       var intermediates = List.empty[DataFrame]
-      for (_ <- 1 to StepsPerSync) {
+      for (_ <- 1 to MinLabelStepsPerSync) {
         val stepped = (
           if (cur == null)
             withSelf.groupBy(col("dst").as("node"))
@@ -519,6 +530,10 @@ object Scc {
           "round(s) — diameter beyond 2^rounds or a non-deterministic " +
           "edge source")
     }
+    if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
+      // scalastyle:off println
+      System.err.println(s"[scc] minLabels iters=$iter")
+      // scalastyle:on println
     CheckpointUtil.free(withSelf)
     labels
   }
