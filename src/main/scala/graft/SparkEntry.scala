@@ -1064,6 +1064,14 @@ object SparkEntry {
     */
   private val dedupReportMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  /** Number of times the five-detector frame was actually BUILT —
+    * lets the sharing spec prove the second consumer reads the memo
+    * (the driver's Bench/Verify sweeps unpersist between queries, so
+    * the sharing engages exactly where the verdict aimed it: a real
+    * session running both queries).
+    */
+  private[graft] val dedupReportBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   private def dedupReportShared(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val key = (s, dir)
@@ -1076,6 +1084,7 @@ object SparkEntry {
       scala.util.Try(cached.take(1)).isSuccess
     if (live) cached
     else {
+      dedupReportBuilds.incrementAndGet()
       val fresh = dedupReportFrame(s, dir).localCheckpoint(true)
       dedupReportMemo.put(key, fresh)
       fresh

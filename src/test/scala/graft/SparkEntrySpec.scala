@@ -261,6 +261,24 @@ class SparkEntrySpec extends SparkSpec {
     assert(badMask == 0L)
   }
 
+  test("dedup_report_summary reads the shared verdict build in one " +
+      "session (VERDICT r19 #8): two queries, ONE five-detector build") {
+    val dir = "/root/testdata/sf0.001"
+    val before = SparkEntry.dedupReportBuilds.get()
+    SparkEntry.queries("dedup_report")(spark, dir).count()
+    SparkEntry.queries("dedup_report_summary")(spark, dir).count()
+    val built = SparkEntry.dedupReportBuilds.get() - before
+    assert(built == 1L,
+      s"expected exactly 1 shared build for the pair, got $built")
+    // and the self-healing path: sweep the blocks (what Verify/Bench
+    // do between queries), the next consumer rebuilds instead of
+    // crashing on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    SparkEntry.queries("dedup_report_summary")(spark, dir).count()
+    assert(SparkEntry.dedupReportBuilds.get() - before == 2L)
+  }
+
   test("registry sizes are exact (guards against silent Map-key dupes)") {
     // A duplicated key in the Map literal would silently drop an entry;
     // pin the exact counts so that shows up as a test failure.
