@@ -1073,23 +1073,20 @@ object SparkEntry {
   private[graft] val dedupReportBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
   private def dedupReportShared(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val key = (s, dir)
-    val cached = dedupReportMemo.get(key)
-    // Self-healing: an external sweep (Verify unpersists every
-    // persistent RDD between queries) can drop the checkpoint blocks
-    // out from under the memo — probe one partition and rebuild on
-    // failure instead of crashing the second consumer.
-    val live = cached != null &&
-      scala.util.Try(cached.take(1)).isSuccess
-    if (live) cached
-    else {
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    // persist(), NOT localCheckpoint: the cache keeps its lineage, so
+    // an external sweep (Bench/Verify unpersist every RDD between
+    // queries/reps) silently degrades to recompute instead of
+    // crashing on missing checkpoint blocks — and the bench's
+    // one-query-at-a-time cost stays what the direct plan costs. In a
+    // real session the first consumer materializes the cache and the
+    // second reads it: one five-detector build for the pair
+    // (spec-pinned via dedupReportBuilds).
+    dedupReportMemo.computeIfAbsent((s, dir), _ => {
       dedupReportBuilds.incrementAndGet()
-      val fresh = dedupReportFrame(s, dir).localCheckpoint(true)
-      dedupReportMemo.put(key, fresh)
-      fresh
-    }
-  }
+      dedupReportFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Docs that get a planted near-dup copy: a deterministic 1-in-13
     * slice, long enough (≥ 50 tokens) that every copy gets at least

@@ -270,13 +270,16 @@ class SparkEntrySpec extends SparkSpec {
     val built = SparkEntry.dedupReportBuilds.get() - before
     assert(built == 1L,
       s"expected exactly 1 shared build for the pair, got $built")
-    // and the self-healing path: sweep the blocks (what Verify/Bench
-    // do between queries), the next consumer rebuilds instead of
-    // crashing on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // and the sweep-resilience path: unpersisting every RDD (what
+    // Verify/Bench do between queries) must degrade to a silent
+    // lineage recompute, not a missing-checkpoint-block crash
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    SparkEntry.queries("dedup_report_summary")(spark, dir).count()
-    assert(SparkEntry.dedupReportBuilds.get() - before == 2L)
+    val rows =
+      SparkEntry.queries("dedup_report_summary")(spark, dir).count()
+    assert(rows == 1L)
+    assert(SparkEntry.dedupReportBuilds.get() - before == 1L,
+      "a swept cache must recompute through its lineage, not rebuild")
   }
 
   test("registry sizes are exact (guards against silent Map-key dupes)") {
