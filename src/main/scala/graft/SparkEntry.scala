@@ -1072,16 +1072,24 @@ object SparkEntry {
     */
   private[graft] val dedupReportBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
-  private def dedupReportShared(
+  /** The SESSION-SHARING path for the dedup-report pair (VERDICT r19
+    * #8): persist(), NOT localCheckpoint — the cache keeps its
+    * lineage, so an external unpersist sweep silently degrades to
+    * recompute instead of crashing on missing checkpoint blocks. A
+    * real session running both report queries through this entry
+    * pays ONE five-detector build (spec-pinned via
+    * [[dedupReportBuilds]]).
+    *
+    * The REGISTRY queries deliberately do NOT route through the memo:
+    * Bench sweeps persistent RDDs between reps, and whether the
+    * sweep's async unpersist lands before the next rep is a race —
+    * a memoized registry entry would report timing-lottery medians
+    * (measured: 0.3 s when the blocks survive the race, ~4.5 s when
+    * they don't). The bench artifact stays the honest one-query
+    * cost; the sharing is the documented session API.
+    */
+  private[graft] def dedupReportShared(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    // persist(), NOT localCheckpoint: the cache keeps its lineage, so
-    // an external sweep (Bench/Verify unpersist every RDD between
-    // queries/reps) silently degrades to recompute instead of
-    // crashing on missing checkpoint blocks — and the bench's
-    // one-query-at-a-time cost stays what the direct plan costs. In a
-    // real session the first consumer materializes the cache and the
-    // second reads it: one five-detector build for the pair
-    // (spec-pinned via dedupReportBuilds).
     dedupReportMemo.computeIfAbsent((s, dir), _ => {
       dedupReportBuilds.incrementAndGet()
       dedupReportFrame(s, dir)
@@ -3258,7 +3266,7 @@ object SparkEntry {
     // plus the cross-detector flag count — the table a curation run
     // reviews before committing drops. See dedupReportFrame.
     "dedup_report" -> ((s, dir) =>
-      dedupReportShared(s, dir)
+      dedupReportFrame(s, dir)
         .withColumn("n_flags",
           (col("exact_dup") + col("line_dup") + col("substr_dup") +
             col("neardup_dup") + col("sem_dup")).cast("int"))),
@@ -3268,7 +3276,7 @@ object SparkEntry {
     "dedup_report_summary" -> ((s, dir) => {
       val nf = col("exact_dup") + col("line_dup") + col("substr_dup") +
         col("neardup_dup") + col("sem_dup")
-      dedupReportShared(s, dir).agg(
+      dedupReportFrame(s, dir).agg(
         count(lit(1)).as("n_docs"),
         sum(col("exact_dup")).as("exact_dups"),
         sum(col("line_dup")).as("line_dups"),

