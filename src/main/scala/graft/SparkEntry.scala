@@ -4680,19 +4680,24 @@ object SparkEntry {
           (gated && length(col("clean")) === 0).cast("int"))
         .withColumn("survived",
           (gated && col("exact_dup") === 0).cast("int"))
-      val survivors = attrs.filter(col("survived") === 1)
-        .select(col("doc_id"), col("clean").as("text"))
-      val pii = Redaction.piiScrub(Redaction.withFakePii(survivors))
-        .select(col("doc_id"),
-          (Redaction.Patterns.map(p => col(s"n_${p._1}"))
-            .reduce(_ + _) > 0).cast("int").as("pii_present"))
-      attrs.join(pii, Seq("doc_id"), "left")
+      // pii_present is ROW-LOCAL (injection is id-keyed, redaction is
+      // per-row), so it rides the same projection instead of a second
+      // corpus scan + join: "the redaction chain changed the injected
+      // string" is exactly "some category matched" — no replacement
+      // token can occur naturally mid-match or compose across a
+      // boundary (Redaction.piiScrub's scaladoc argument), and the
+      // CaseWhen guard runs the regex chain only on survivor rows.
+      val injected =
+        concat(col("clean"), Redaction.fakePiiSuffix(col("doc_id")))
+      attrs
         .select(col("doc_id"), col("gopher_fail"), col("page_fail"),
           col("line_empty"), col("exact_dup"),
           (col("gopher_fail") + col("page_fail") * 2 +
             col("exact_dup") * 4).as("reject_mask"),
           col("survived"),
-          coalesce(col("pii_present"), lit(0)).as("pii_present"))
+          when(col("survived") === 1 &&
+              Redaction.redact(injected) =!= injected, 1)
+            .otherwise(0).as("pii_present"))
     }),
 
     // Aggregate-based argmax (max_by on a struct ordering key): each
@@ -6450,20 +6455,16 @@ object SparkEntry {
       },
 
       // per-doc provenance: gates, ownership window and the survivor
-      // scrub all replayed; pii_present is the exact token-diff
-      // arithmetic (never id-mod shortcuts — raw text could carry
-      // matchable spans of its own)
+      // redaction all replayed; pii_present = "the redaction chain
+      // changed the injected string" (never id-mod shortcuts — raw
+      // text could carry matchable spans of its own)
       "curation_attributes" -> {
-        def occ2(src: String, tok: String) =
-          s"(len($src) - len(replace($src, '$tok', ''))) // ${tok.length}"
         val redacted = Redaction.Patterns.foldLeft("t") {
           case (acc, (_, pat, tok)) =>
             s"regexp_replace($acc, '$pat', '$tok', 'g')"
         }
-        val diffSum = Redaction.Patterns.map { case (_, _, tok) =>
-          s"(${occ2("redacted", tok)} - ${occ2("t", tok)})"
-        }.mkString(" + ")
         val normClean = NormTextSql.replace("text", "clean")
+        val injected = PiiInjSql.replace("(text ||", "(clean ||")
         s"WITH $CurationSynthCtes, " +
           s"cl AS (SELECT doc_id, $C4LineCleanSql AS clean, " +
           s"CASE WHEN $GopherCondSql THEN 0 ELSE 1 END AS gopher_fail, " +
@@ -6480,17 +6481,12 @@ object SparkEntry {
           "THEN 1 ELSE 0 END AS line_empty, exact_dup, " +
           "CASE WHEN gated = 1 AND exact_dup = 0 " +
           "THEN 1 ELSE 0 END AS survived FROM o), " +
-          "s AS (SELECT doc_id, clean AS text FROM a " +
-          "WHERE survived = 1), " +
-          s"p AS (SELECT doc_id, $PiiInjSql AS t FROM s), " +
-          s"r AS (SELECT doc_id, t, $redacted AS redacted FROM p), " +
-          s"pii AS (SELECT doc_id, CASE WHEN $diffSum > 0 " +
-          "THEN 1 ELSE 0 END AS pii_present FROM r) " +
-          "SELECT a.doc_id, gopher_fail, page_fail, line_empty, " +
+          s"p AS (SELECT *, $injected AS t FROM a) " +
+          "SELECT doc_id, gopher_fail, page_fail, line_empty, " +
           "exact_dup, gopher_fail + page_fail * 2 + exact_dup * 4 " +
           "AS reject_mask, survived, " +
-          "COALESCE(pii.pii_present, 0) AS pii_present " +
-          "FROM a LEFT JOIN pii ON a.doc_id = pii.doc_id"
+          s"CASE WHEN survived = 1 AND $redacted <> t " +
+          "THEN 1 ELSE 0 END AS pii_present FROM p"
       },
 
       "pii_redact" -> {

@@ -265,8 +265,10 @@ object Multimodal {
             val p = img.getRGB(x, y)
             val luma = (((p >> 16) & 0xFF) * 299 +
               ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
-            val cell = math.min(y * g / h, g - 1) * g +
-              math.min(x * g / w, g - 1)
+            // Long arithmetic like pooledPcm (ADVICE r19): y * g
+            // overflows Int on a degenerate ~270M-pixel-tall image
+            val cell = math.min((y.toLong * g / h).toInt, g - 1) * g +
+              math.min((x.toLong * g / w).toInt, g - 1)
             sums(cell) += luma; counts(cell) += 1
             x += 1
           }

@@ -93,19 +93,25 @@ object Redaction {
     * the oracle SQL so both engines scrub identical input.
     */
   def withFakePii(docs: DataFrame): DataFrame =
-    docs.withColumn("text", concat(
-      col("text"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
-        .otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        concat(lit(" see https://example.org/d/"), col("doc_id")))
-        .otherwise(lit("")),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
-          col("doc_id") % 100))
-        .otherwise(lit("")),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" call +62"), col("doc_id") + 1000000))
-        .otherwise(lit(""))))
+    docs.withColumn("text",
+      concat(col("text"), fakePiiSuffix(col("doc_id"))))
+
+  /** The injector's suffix as a COLUMN over the id — for callers
+    * that need the injected form row-locally inside a wider
+    * projection (curation_attributes' single-scan pii flag) without
+    * the DataFrame-level rewrite.
+    */
+  def fakePiiSuffix(docId: Column): Column = concat(
+    when(docId % 3 === 0,
+      concat(lit(" contact user"), docId, lit("@example.com")))
+      .otherwise(lit("")),
+    when(docId % 5 === 0,
+      concat(lit(" see https://example.org/d/"), docId))
+      .otherwise(lit("")),
+    when(docId % 7 === 0,
+      concat(lit(" from 10."), docId % 256, lit(".0."), docId % 100))
+      .otherwise(lit("")),
+    when(docId % 11 === 0,
+      concat(lit(" call +62"), docId + 1000000))
+      .otherwise(lit("")))
 }
