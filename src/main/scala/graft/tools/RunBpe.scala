@@ -16,10 +16,15 @@ import graft.ops.BpeMiner
   *
   * Usage:
   *   RunBpe train  <docs.parquet> <modelDir> [rounds]
+  *   RunBpe train-bytelevel <docs.parquet> <modelDir> [rounds] [minCount]
+  *   RunBpe train-unigram   <docs.parquet> <modelDir> [vocabSize]
   *   RunBpe encode <docs.parquet> <modelDir> <outDir>
   *   RunBpe encode <docs.parquet> --merges <merges.txt> <outDir>
   *   RunBpe stats  <docs.parquet> <modelDir>
   *   RunBpe stats  <docs.parquet> --merges <merges.txt>
+  *   RunBpe stats  <docs.parquet> --merges-bytelevel <merges.txt>
+  *   RunBpe stats  <docs.parquet> --model-bytelevel <modelDir>
+  *   RunBpe stats  <docs.parquet> --unigram <modelDir>
   *   RunBpe depthbench <docs.parquet> <rounds,rounds,...>
   *
   * Layout under `modelDir`:
@@ -100,6 +105,57 @@ object RunBpe {
         val merges = spark.read.parquet(s"$modelDir/merges")
         statsLine(BpeMiner.encodeWithMerges(
           spark.read.parquet(docs), merges), merges.count())
+      // BYTE-LEVEL training (r20): learn a GPT-2-dialect merge table
+      // from corpus bytes and persist it in merges.txt symbol
+      // semantics — the model a byte-level tokenizer team ships
+      case "train-bytelevel" :: docs :: modelDir :: rest =>
+        val rounds = rest.headOption.map(_.toInt).getOrElse(16)
+        val minCount = rest.drop(1).headOption.map(_.toLong).getOrElse(1L)
+        val trained = BpeMiner.trainByteLevelMergesLocal(
+          spark.read.parquet(docs), rounds, minCount)
+        import spark.implicits._
+        trained.zipWithIndex
+          .map { case ((l, r, c), i) => (i + 1L, l, r, c) }.toSeq
+          .toDF("merge_rank", "l", "r", "pair_cnt")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$modelDir/merges_bytelevel")
+      case "stats" :: docs :: "--model-bytelevel" :: modelDir :: Nil =>
+        val m = spark.read.parquet(s"$modelDir/merges_bytelevel")
+          .orderBy(col("merge_rank"))
+          .select(col("l").cast("string"), col("r").cast("string"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        val table = graft.functions.BpeMergeTable.fromSymbolMerges(m)
+        val enc = spark.read.parquet(docs)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.functions.Gpt2ByteLevel.count(col("text"), table)
+              .as("n_tokens"))
+        statsLine(enc, m.size.toLong)
+      // UNIGRAM-LM training (r20): the SentencePiece-family model as
+      // a persisted (piece, cnt) frame; stats Viterbi-encodes with it
+      case "train-unigram" :: docs :: modelDir :: rest =>
+        val vocabSize = rest.headOption.map(_.toInt).getOrElse(8)
+        val model = graft.ops.UnigramLm.trainLocal(
+          spark.read.parquet(docs), vocabSize = vocabSize)
+        import spark.implicits._
+        model.pieces.toSeq.sorted.toDF("piece", "cnt")
+          .withColumn("max_piece_len", lit(model.maxPieceLen))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$modelDir/unigram")
+      case "stats" :: docs :: "--unigram" :: modelDir :: Nil =>
+        val rows = spark.read.parquet(s"$modelDir/unigram").collect()
+        require(rows.nonEmpty, s"empty unigram model at $modelDir")
+        val model = new graft.functions.UnigramModel(
+          rows.map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt")))
+            .toMap,
+          rows.head.getAs[Int]("max_piece_len"))
+        val enc = spark.read.parquet(docs)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.functions.UnigramExprs.countTokens(
+              graft.ops.TextDedup.normText(col("text")), model)
+              .as("n_tokens"))
+        statsLine(enc, model.pieces.size.toLong)
       case "depthbench" :: docs :: depths :: Nil =>
         // plant the same per-doc pseudo-word as the deep bpe_*
         // queries so every depth has pairs to mine, then time the
@@ -130,9 +186,12 @@ object RunBpe {
       case other =>
         System.err.println(
           "usage: RunBpe train <docs> <modelDir> [rounds] | " +
+            "train-bytelevel <docs> <modelDir> [rounds] [minCount] | " +
+            "train-unigram <docs> <modelDir> [vocabSize] | " +
             "encode <docs> (<modelDir>|--merges <merges.txt>) <outDir> | " +
             "stats <docs> (<modelDir>|--merges <merges.txt>" +
-            "|--merges-bytelevel <merges.txt>) | " +
+            "|--merges-bytelevel <merges.txt>|--model-bytelevel " +
+            "<modelDir>|--unigram <modelDir>) | " +
             s"depthbench <docs> <rounds,...> (got: ${other.mkString(" ")})")
         sys.exit(2)
     }
