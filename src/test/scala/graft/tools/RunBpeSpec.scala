@@ -95,4 +95,50 @@ class RunBpeSpec extends SparkSpec {
       .as[(Long, String, Long, String, String)].collect().head
     assert(got._3 == 1L && got._5 == s"${0x110002}", got.toString)
   }
+
+  test("byte-level TRAINED model persists and reads back rank-exact " +
+      "(the RunBpe train-bytelevel / --model-bytelevel lifecycle)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "ab ab ab"), (1L, "ab qq")).toDF("doc_id", "text")
+    val trained = BpeMiner.trainByteLevelMergesLocal(docs, rounds = 3)
+    // persist in the CLI's parquet layout, read back, rebuild the table
+    val dir = Files.createTempDirectory("blt-model").toString
+    trained.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }.toSeq
+      .toDF("merge_rank", "l", "r", "pair_cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges_bytelevel")
+    val back = spark.read.parquet(s"$dir/merges_bytelevel")
+      .orderBy(col("merge_rank"))
+      .select(col("l"), col("r")).as[(String, String)].collect().toSeq
+    assert(back == trained.map(t => (t._1, t._2)).toSeq, back.toString)
+    // the rebuilt table counts identically to the in-memory one
+    val t1 = BpeMergeTable.fromSymbolMerges(back)
+    val n = docs.select(
+        graft.functions.Gpt2ByteLevel.count(col("text"), t1).as("n"))
+      .agg(sum(col("n"))).as[Long].collect().head
+    val t0 = BpeMiner.byteLevelTableFor(docs, rounds = 3)
+    val n0 = docs.select(
+        graft.functions.Gpt2ByteLevel.count(col("text"), t0).as("n"))
+      .agg(sum(col("n"))).as[Long].collect().head
+    assert(n == n0, s"$n != $n0")
+  }
+
+  test("unigram model persists and reads back piece-exact (the " +
+      "RunBpe train-unigram / --unigram lifecycle)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "abab abab cd"), (1L, "abab cd cd"))
+      .toDF("doc_id", "text")
+    val model = graft.ops.UnigramLm.trainLocal(docs, vocabSize = 4)
+    val dir = Files.createTempDirectory("uni-model").toString
+    model.pieces.toSeq.sorted.toDF("piece", "cnt")
+      .withColumn("max_piece_len", lit(model.maxPieceLen))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/unigram")
+    val rows = spark.read.parquet(s"$dir/unigram").collect()
+    val back = new graft.functions.UnigramModel(
+      rows.map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt")))
+        .toMap,
+      rows.head.getAs[Int]("max_piece_len"))
+    assert(back.pieces == model.pieces)
+    assert(back.segment("ababcd") == model.segment("ababcd"))
+  }
 }
