@@ -69,6 +69,32 @@ object SparkEntry {
     upd.unionByName(del).unionByName(ins)
   }
 
+  /** Scale-guarded scan spread (optimization guide §2.5 "input skew" /
+    * §6): the driver's fixture tables are single-row-group parquet
+    * files, and a Spark scan cannot split inside a row group — so
+    * every scan stage runs as ONE task, and any heavy per-row work
+    * Catalyst collapses into the scan stage (regex reconstruction,
+    * codec decode, gram explosion, 64-dim integer kernels) runs
+    * single-threaded until the first Exchange. A round-robin
+    * repartition to the session's core count moves that work behind
+    * one tiny exchange (the spread ships keys/short text, never
+    * derived payloads) and restores full parallelism.
+    *
+    * The guard makes it scale-adaptive rather than a local[32] hack:
+    * it fires ONLY when the planned scan parallelism is at most half
+    * the machine (measured from the actual physical plan, not
+    * assumed). At 100 TB a scan yields thousands of row groups ≥
+    * cores and this is a no-op — exactly the "derive partitioning
+    * from input size instead of a constant" rule. Applied selectively
+    * to queries whose scan-stage work is measured to dominate; a
+    * blanket application would tax every floor query with a useless
+    * exchange.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     // events.ts has carried two physical parquet types across driver
     // rounds (TIMESTAMP(NANOS) — which plain schema inference rejects —
@@ -2740,7 +2766,10 @@ object SparkEntry {
     // feature UDFs mid-scan; this is the audit the pipeline owner
     // runs).
     "mm_corrupt_census" -> ((s, dir) => {
-      val ids = T(s, dir, "documents").select(col("doc_id"))
+      // spread: payload synthesis + real codec decode are the cost,
+      // and both collapse into the single-row-group scan task without
+      // it; the spread shuffles 8-byte ids, never payloads
+      val ids = spread(T(s, dir, "documents").select(col("doc_id")))
       val m3 = pmod(col("doc_id"), lit(3))
       val m7 = pmod(col("doc_id"), lit(7))
       val kind = when(m3 === 0, "png").when(m3 === 1, "wav")
@@ -2781,7 +2810,10 @@ object SparkEntry {
     // measured 97.4%/99.7% at sf0.01/sf0.1, zero false positives at
     // either scale, floor 90.
     "mm_image_neardup" -> ((s, dir) => {
-      val ids = T(s, dir, "documents").select(col("doc_id"))
+      // spread: payload synthesis + real codec decode are the cost,
+      // and both collapse into the single-row-group scan task without
+      // it; the spread shuffles 8-byte ids, never payloads
+      val ids = spread(T(s, dir, "documents").select(col("doc_id")))
       val eligible = ids.filter(col("doc_id") % PlantMod === 0)
       val payloads = ids.select(col("doc_id"),
           Multimodal.patternPng(col("doc_id"), lit(false)).as("payload"))
@@ -2821,6 +2853,11 @@ object SparkEntry {
     // −127.5 shift, made unnecessary instead of applied). Recall
     // floor 90 as the image gate; fp_pairs gated to exactly 0.
     "mm_audio_neardup" -> ((s, dir) => {
+      // NOT spread (unlike the image/video/corrupt gates): measured
+      // 1.76 s → 3.44 s WITH the scan spread — the javax.sound
+      // AudioSystem.getAudioInputStream provider lookup contends
+      // under 32 decode threads, so parallel WAV decode is slower
+      // than the single scan task (r21 A/B)
       val ids = T(s, dir, "documents").select(col("doc_id"))
       val eligible = ids.filter(col("doc_id") % PlantMod === 0)
       val payloads = ids.select(col("doc_id"),
@@ -2852,7 +2889,10 @@ object SparkEntry {
     // load-bearing here, unlike signed PCM) → L=2 LSH tables.
     // Recall floor 90, fp_pairs gated to exactly 0.
     "mm_video_neardup" -> ((s, dir) => {
-      val ids = T(s, dir, "documents").select(col("doc_id"))
+      // spread: payload synthesis + real codec decode are the cost,
+      // and both collapse into the single-row-group scan task without
+      // it; the spread shuffles 8-byte ids, never payloads
+      val ids = spread(T(s, dir, "documents").select(col("doc_id")))
       val eligible = ids.filter(col("doc_id") % PlantMod === 0)
       val payloads = ids.select(col("doc_id"),
           Multimodal.patternGif(col("doc_id"), lit(false)).as("payload"))
