@@ -1115,12 +1115,20 @@ object SparkEntry {
     * cost; the sharing is the documented session API.
     */
   private[graft] def dedupReportShared(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // ADVICE r20: entries keyed by a STOPPED session pinned their
+    // DataFrames (and cache metadata) for the driver's lifetime in
+    // long-running processes with session churn — evict them before
+    // inserting, so the memo never outgrows the set of live sessions
+    dedupReportMemo.keySet.removeIf { case (sess, _) =>
+      sess.sparkContext.isStopped
+    }
     dedupReportMemo.computeIfAbsent((s, dir), _ => {
       dedupReportBuilds.incrementAndGet()
       dedupReportFrame(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Docs that get a planted near-dup copy: a deterministic 1-in-13
     * slice, long enough (≥ 50 tokens) that every copy gets at least
@@ -1901,7 +1909,10 @@ object SparkEntry {
     // wide-decimal convention) plus the cross-multiplied κ > 0.4
     // Landis–Koch verdict. One map-side-combined global aggregate.
     "annotator_agreement" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
+      // spread: both per-row classifiers otherwise run inside the
+      // single-row-group scan task (cf. curation_funnel)
+      val docs = spread(T(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .filter(length(trim(col("text"))) > 0)
       EvalMetrics.cohenKappa(docs,
         (TextAnalysis.qualityVerdict(col("text")) === "good")
@@ -1916,8 +1927,9 @@ object SparkEntry {
     // so raw calibration would be a degenerate all-zero column). One
     // scan, one small-key aggregate.
     "classifier_calibration" -> ((s, dir) =>
+      // spread: cf. curation_funnel (synthesis + classifier per row)
       TextAnalysis.classifierCalibration(
-        T(s, dir, "documents")
+        spread(T(s, dir, "documents").select(col("doc_id"), col("text")))
           .select(col("doc_id"), curationSynth.as("text")),
         binWidth = 50L)),
 
@@ -1954,7 +1966,9 @@ object SparkEntry {
           lit("\njavascript click right here now.")))
         .otherwise(array_join(punct, "\n"))
       TextAnalysis.c4LineFilter(
-        T(s, dir, "documents").select(col("doc_id"), withJs.as("text")))
+        // spread: cf. curation_funnel (per-row synthesis + line gates)
+        spread(T(s, dir, "documents").select(col("doc_id"), col("text")))
+          .select(col("doc_id"), withJs.as("text")))
     }),
 
     // Document fingerprint (normalized md5).
@@ -2040,11 +2054,21 @@ object SparkEntry {
     // aggregates.
     "split_leakage_audit" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val (edges, _) = neardupEdges(s, dir)
+      // ONE candidate pipeline (r21): the entry used to derive its
+      // audit edges AND call neardupLabeled — which re-ran the whole
+      // shingle/Jaccard candidate stage a second time internally.
+      // Checkpoint the edge list once and feed both the audits and
+      // the component labeling from it (neardupLabeled IS
+      // connectedComponents over this same frame, so results are
+      // unchanged — oracle stays green).
+      val (edges0, ids) = neardupEdges(s, dir)
+      val edges = edges0.localCheckpoint()
+      val labeled = Components.connectedComponents(edges,
+        ids.select(col("doc_id").as("node")))
       val naive = Sampling.hashSplit(docs, col("text"), evalRate = 0.2)
         .select(col("doc_id"), col("split"))
       val safe = Sampling.leakageSafeSplit(docs,
-          neardupLabeled(s, dir), col("text"), evalRate = 0.2)
+          labeled, col("text"), evalRate = 0.2)
         .select(col("doc_id"), col("split"))
       Sampling.splitLeakageAudit(edges, naive)
         .select(col("n_pairs"), col("leaks").as("naive_leaks"))
@@ -2472,18 +2496,29 @@ object SparkEntry {
     // above its absolute floor; the xxhash-free integer pipeline makes
     // the flags in-band self-audits the oracle pins TRUE.
     "ann_ivfpq_adc_recall" -> ((s, dir) => {
-      val corpus = T(s, dir, "embeddings").select("vec_id", "embedding")
+      // spread: the per-row integer kernels (int8 quantize, m×kCode
+      // PQ argmins, ADC dots) otherwise run inside the single-row-
+      // group scan task (cf. the mm gates)
+      val corpus = spread(
+        T(s, dir, "embeddings").select("vec_id", "embedding"))
       val queries = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 110)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val cents = graft.tools.RunAnnIndex
         .trainCentroids(corpus, kCells = 8, iters = 1)
         .localCheckpoint()
+      // ONE coarse assignment shared by all three index flavors
+      // (r21): sq8 + residual + raw each re-ran the ivfAssign window
+      // over the same corpus/centroid pair — identical rows by
+      // construction, so the checkpoint changes no result
+      val assigned = Some(Similarity.ivfAssign(corpus, cents)
+        .localCheckpoint())
       val exact = Quantization.ivfSq8TopK(corpus, queries, cents,
-        topK = 10, nProbe = 2)
+        topK = 10, nProbe = 2, assigned = assigned)
         .select("q_id", "vec_id").localCheckpoint()
       def hits(residual: Boolean): DataFrame =
         Quantization.ivfPqTopK(corpus, queries, cents,
-          topK = 10, nProbe = 2, rerank = 0, residual = residual)
+          topK = 10, nProbe = 2, rerank = 0, residual = residual,
+          assigned = assigned)
           .select("q_id", "vec_id")
           .join(exact, Seq("q_id", "vec_id"))
           .agg(count(lit(1)).as(if (residual) "res_hits" else "raw_hits"))
@@ -2549,7 +2584,11 @@ object SparkEntry {
       val planted = base.filter(col("vec_id") % 17 === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"),
           col("embedding"))
-      SemDedup.semDedup(KMeans.fitAssign(base.unionByName(planted)))
+      // checkpoint the labeling once: semDedup reads it on both pair
+      // sides plus the final labeling (3 references), each of which
+      // re-ran the assign projection + model broadcast otherwise
+      SemDedup.semDedup(
+        KMeans.fitAssign(base.unionByName(planted)).localCheckpoint())
     }),
 
     // the APPLIED form of the same end-to-end pass: raw embeddings →
@@ -2561,7 +2600,9 @@ object SparkEntry {
       val planted = base.filter(col("vec_id") % 17 === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"),
           col("embedding"))
-      SemDedup.semDedup(KMeans.fitAssign(base.unionByName(planted)))
+      // same shared-labeling checkpoint as semdedup_e2e
+      SemDedup.semDedup(
+        KMeans.fitAssign(base.unionByName(planted)).localCheckpoint())
         .filter(col("is_dup") === 0)
         .select(col("vec_id"), col("label"))
     }),
@@ -3276,7 +3317,9 @@ object SparkEntry {
         concat(withLorem, lit("\ncode { sample }")))
         .otherwise(withLorem)
       TextAnalysis.c4PageFilter(
-        T(s, dir, "documents").select(col("doc_id"), withBrace.as("text")))
+        // spread: cf. curation_funnel (per-row synthesis + page gates)
+        spread(T(s, dir, "documents").select(col("doc_id"), col("text")))
+          .select(col("doc_id"), withBrace.as("text")))
     }),
 
     // Exact-substring cross-document dedup at 50-token granularity —
@@ -4501,7 +4544,11 @@ object SparkEntry {
     // (up to ~e27) leaves as a canonical digit STRING — wide decimals
     // in a final schema are hash-unstable across engines (r15 gate).
     "cov_matrix" -> ((s, dir) =>
-      Profiling.covMatrix(T(s, dir, "lineitem"),
+      // spread: the DECIMAL(38) moment partials over 600k rows
+      // otherwise accumulate inside the single-row-group scan task
+      Profiling.covMatrix(
+        spread(T(s, dir, "lineitem").select(
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .withColumn("cov_num", col("cov_num").cast("string"))
         .orderBy("x_col", "y_col")),
@@ -4653,7 +4700,9 @@ object SparkEntry {
     // nondeterministic barrier as curation_e2e; the line stage uses
     // the per-row c4LineClean, so nothing before the dedup shuffles.
     "curation_e2e_v2" -> ((s, dir) => {
-      val gated = T(s, dir, "documents")
+      // spread: same single-row-group-scan reasoning as curation_funnel
+      val gated = spread(T(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), curationSynth.as("text"))
         .withColumn("__keep",
           TextAnalysis.gopherKeep(col("text")) &&
@@ -4676,7 +4725,9 @@ object SparkEntry {
       val gk = TextAnalysis.gopherKeep(col("text"))
       val pk = TextAnalysis.c4PageKeep(col("text"))
       val clean = TextAnalysis.c4LineClean(col("text"))
-      T(s, dir, "documents")
+      // spread: the synthesis + all four gate expressions otherwise
+      // fold into the single-row-group scan task (one core)
+      spread(T(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), curationSynth.as("text"))
         .agg(
           count(lit(1)).as("n_input"),
@@ -4704,7 +4755,9 @@ object SparkEntry {
     "curation_attributes" -> ((s, dir) => {
       val gk = TextAnalysis.gopherKeep(col("text"))
       val pk = TextAnalysis.c4PageKeep(col("text"))
-      val base = T(s, dir, "documents")
+      // spread: same single-row-group-scan reasoning as curation_funnel
+      val base = spread(T(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), curationSynth.as("text"))
         .select(col("doc_id"),
           (!gk).cast("int").as("gopher_fail"),

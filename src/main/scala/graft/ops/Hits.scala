@@ -40,9 +40,18 @@ object Hits {
     */
   def hitsFixed(edges: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // e is referenced 2× per round and nodes 2× per round + the final
+    // join; AQE's runtime exchange reuse recovers SOME of that (the
+    // r21 ReuseAudit measured the un-checkpointed final plan at 5
+    // source scans / 10 reused stages), but the edge derivation
+    // (scan→join→distinct) still executed repeatedly. Checkpointing
+    // both graph tables once (the PageRank lifecycle) costs 2 driver
+    // actions and makes every later reference a block read.
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     var hub = nodes.withColumn("hub", lit(1L))
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -59,7 +68,14 @@ object Hits {
       hub = nodes.join(h, Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
     }
-    hub.join(auth, Seq("node"))
+    // final eager checkpoint makes the returned frame self-contained
+    // (node-sized blocks) so the graph-table checkpoints release now
+    // instead of staying pinned until the session sweep — the
+    // PageRank lifecycle
+    val out = hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
+      .localCheckpoint()
+    CheckpointUtil.free(e, nodes)
+    out
   }
 }

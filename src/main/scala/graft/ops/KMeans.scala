@@ -127,22 +127,39 @@ object KMeans {
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cell"), col("qvec").as("cvec"))
-    // Materialize the k-row centroid state after every round: a lazy
-    // centroid frame embeds the FULL corpus scan of all prior rounds
-    // in its lineage, and each downstream reference (the next round's
-    // broadcast, the final assignment, every consumer of the labels)
-    // would re-execute that whole chain. The model state is k×(d+1)
-    // ints — checkpointing it per round is the iterative-algorithm
-    // contract (same reasoning as Components' single edge checkpoint),
-    // and turns `iters` rounds into exactly `iters` corpus scans.
-    // superseded rounds release their pinned blocks as soon as the
-    // next round's (eager) checkpoint materializes — round 1's seed
-    // derives from the caller's frame, so only rounds >= 2 free one
-    val fitted = (1 to iters).foldLeft(init) { (c, round) =>
-      val next = refine(assign(q, c), dims).localCheckpoint()
-      if (round > 1) CheckpointUtil.free(c)
-      next
+    // Round-state lifecycle is DEPTH-DEPENDENT (r21 optimization):
+    // each round's centroid frame is referenced exactly ONCE
+    // downstream (the next assign's packed-agg is its only consumer,
+    // and the final labeling reads the last round once), so for small
+    // static round counts the lazy chain evaluates every round
+    // exactly once inside ONE final action — per-round eager
+    // checkpoints added `iters` driver-synchronized jobs and block
+    // materializations for nothing (measured at sf0.1:
+    // kmeans_assign 2.14 → ~1.3 s, and the semdedup_e2e family
+    // inherits the same cut). This is NOT the r17 anti-pattern
+    // ("don't compose multiply-referenced join layers lazily"): that
+    // failure mode needs a frame referenced 2-3× per layer; a
+    // single-reference chain has no re-execution term. Deeper
+    // trainings (iters > 4) keep the per-round checkpoint so plan
+    // depth and optimizer time stay bounded; superseded rounds then
+    // free their pinned blocks as the next round materializes.
+    val chained = (1 to iters).foldLeft(init) { (c, round) =>
+      if (iters <= 4) refine(assign(q, c), dims)
+      else {
+        val next = refine(assign(q, c), dims).localCheckpoint()
+        if (round > 1) CheckpointUtil.free(c)
+        next
+      }
     }
+    // The FINAL model is always eagerly checkpointed (k×(d+1) ints —
+    // bytes): consumers reference the returned labeling several times
+    // (SemDedup reads it on both pair sides plus the final labeling),
+    // and without this barrier each reference would re-execute the
+    // whole training chain (measured at sf0.1: semdedup_e2e 5.1 →
+    // 7.7 s when left lazy). With it, a re-reference only replays the
+    // cheap final broadcast-assign projection. Net actions per
+    // fitAssign in the lazy regime: exactly one.
+    val fitted = if (iters >= 1) chained.localCheckpoint() else chained
     assign(q, fitted)
       .select(col("vec_id"), col("embedding"), col("label"))
   }

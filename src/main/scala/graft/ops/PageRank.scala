@@ -65,26 +65,34 @@ object PageRank {
       .localCheckpoint()
     val base = (100L - dampingPct) * scale
     var r = nodes.withColumn("r", lit(scale))
+    // Round-state lifecycle is DEPTH-DEPENDENT (r21 optimization, the
+    // KMeans.fitAssign reasoning): each round's rank frame is
+    // referenced exactly ONCE downstream (the next round's inflow
+    // join is its only consumer — `ed`/`nodes`, the multiply-
+    // referenced frames, stay checkpointed above), so for small
+    // static round counts the lazy chain evaluates once inside the
+    // caller's single action and per-round eager checkpoints only
+    // added `iters` driver round-trips. Deeper runs keep the
+    // per-round checkpoint (bounded plan depth + block release);
+    // stats stay additive either way — each round joins the
+    // fixed-stats checkpoints against the evolving frame once.
+    val lazyChain = iters <= 4
     for (i <- 1 to iters) {
       val inflow = ed
         .join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      val next = nodes.join(inflow, Seq("node"), "left")
+      val stepped = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           expr(s"cast(($base + $dampingPct * coalesce(m, 0L)) div 100 " +
             "AS bigint)").as("r"))
-        .localCheckpoint()
-      // `next` is materialized (eager checkpoint): the superseded
-      // round's blocks release now — round 1's seed derives from
-      // `nodes`, not a checkpoint of its own, so nothing frees yet
-      //
-      // Stats-blowup audit (r19, the Scc/KCore class): no
-      // freshStatsFrame needed — each round joins the fixed-stats
-      // `ed`/`nodes` checkpoints against the evolving rank frame
-      // once each, so the inherited estimate's digit count grows
-      // additively per round, never by self-multiplication.
-      if (i > 1) CheckpointUtil.free(r)
+      // the FINAL round is always eagerly checkpointed: it makes the
+      // returned frame self-contained (node-sized blocks) so the
+      // graph-table checkpoints can release below — in the lazy
+      // regime that one job is the ONLY action the whole loop costs
+      val next = if (lazyChain && i < iters) stepped
+        else stepped.localCheckpoint()
+      if (!lazyChain && i > 1) CheckpointUtil.free(r)
       r = next
     }
     // the final rank frame is a self-contained checkpoint; the graph

@@ -293,8 +293,9 @@ object Quantization {
   def residualCodes(
       corpus: DataFrame,
       centroids: DataFrame,
-      logScale: Int = 6): DataFrame =
-    Similarity.ivfAssign(corpus, centroids)
+      logScale: Int = 6,
+      assigned: Option[DataFrame] = None): DataFrame =
+    assigned.getOrElse(Similarity.ivfAssign(corpus, centroids))
       .select(col("vec_id"),
         int8Codes(col("embedding"), logScale).as("__v8"), col("cell"))
       .join(broadcast(centroidCodes(centroids, logScale)), "cell")
@@ -303,14 +304,22 @@ object Quantization {
 
   /** The frame the IVFPQ paths PQ-encode: `(vec_id, cell, qv)` —
     * residual codes by default, raw int8 codes (+ cell) otherwise.
+    * `assigned` (r21): an optional PRECOMPUTED
+    * `Similarity.ivfAssign(corpus, centroids)` frame
+    * `(vec_id, embedding, cell)` — callers that run several index
+    * flavors over ONE corpus/centroid pair (the adc-recall gate runs
+    * sq8 + residual + raw in a single query) checkpoint the
+    * assignment once instead of re-running its window per flavor.
+    * Same rows by construction, so every oracle is unchanged.
     */
   private def codedFrame(
       corpus: DataFrame,
       centroids: DataFrame,
       logScale: Int,
-      residual: Boolean): DataFrame =
-    if (residual) residualCodes(corpus, centroids, logScale)
-    else Similarity.ivfAssign(corpus, centroids)
+      residual: Boolean,
+      assigned: Option[DataFrame] = None): DataFrame =
+    if (residual) residualCodes(corpus, centroids, logScale, assigned)
+    else assigned.getOrElse(Similarity.ivfAssign(corpus, centroids))
       .select(col("vec_id"),
         int8Codes(col("embedding"), logScale).as("qv"), col("cell"))
 
@@ -434,14 +443,15 @@ object Quantization {
       subDim: Int = 8,
       logScale: Int = 6,
       codebook: Option[DataFrame] = None,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true,
+      assigned: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kCode <= 16,
       s"pq_code packs codes in radix 16; kCode=$kCode would collide nibbles")
     // what gets PQ-encoded: per-cell integer residuals (default), or
     // the raw int8 codes (the pre-residual behavior, kept for A/B —
     // same bits/vector, measurably lower recall; see SCALE.md)
-    val coded = codedFrame(corpus, centroids, logScale, residual)
+    val coded = codedFrame(corpus, centroids, logScale, residual, assigned)
     val cb = codebook.getOrElse(
       seededCodebookCodes(coded.select(col("vec_id"), col("qv")),
         kCode, m, subDim))
@@ -505,10 +515,11 @@ object Quantization {
       centroids: DataFrame,
       topK: Int = 10,
       nProbe: Int = 2,
-      logScale: Int = 6): DataFrame = {
+      logScale: Int = 6,
+      assigned: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val index = quantize(corpus, logScale).select(col("vec_id"), col("qvec"))
-      .join(Similarity.ivfAssign(corpus, centroids)
+      .join(assigned.getOrElse(Similarity.ivfAssign(corpus, centroids))
         .select(col("vec_id"), col("cell")), "vec_id")
     val probes = probeFrame(queries, centroids, nProbe, logScale,
       residual = false)

@@ -41,10 +41,16 @@ class SparkEntrySpec extends SparkSpec {
   test("curation_e2e_v2 runs every published gate before its single shuffle") {
     val plan = SparkEntry.queries("curation_e2e_v2")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-    // one Exchange total — the dedup window; the Gopher/C4-page flags
-    // and the per-row C4 line clean must not add any
-    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
-      s"expected exactly one Exchange:\n$plan")
+    // two Exchanges total (r21): the dedup window PLUS the
+    // scale-guarded scan spread (a RoundRobinPartitioning repartition
+    // that parallelizes the gate expressions off the single-row-group
+    // fixture scan — measured 1.42 → 0.81 s at sf0.1; a no-op at
+    // production scan parallelism). The Gopher/C4-page flags and the
+    // per-row C4 line clean must not add any beyond those.
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 2,
+      s"expected exactly two Exchanges (spread + dedup window):\n$plan")
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"the spread exchange should be round-robin:\n$plan")
     assert(plan.contains("monotonically_increasing_id"),
       s"pushdown barrier disappeared — gates likely re-inlined:\n$plan")
   }
@@ -142,17 +148,25 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("per-row quality operators plan with zero exchanges") {
-    // gopher_quality, c4_page_filter, line_dedup_within_doc and
-    // quality_classifier are scan-shaped by design (per-row verdicts,
-    // no corpus-wide stage) — a shuffle appearing in any of them is a
-    // regression, not noise.
-    for (name <- Seq("gopher_quality", "c4_page_filter",
+    // gopher_quality, line_dedup_within_doc and quality_classifier
+    // are scan-shaped by design (per-row verdicts, no corpus-wide
+    // stage) — a shuffle appearing in any of them is a regression,
+    // not noise. c4_page_filter (r21) carries exactly ONE deliberate
+    // exchange: the scale-guarded round-robin scan spread (0.98 →
+    // 0.85 s at sf0.1; a no-op at production scan parallelism) — its
+    // gates stay per-row, so anything beyond that one is a regression.
+    for (name <- Seq("gopher_quality",
         "line_dedup_within_doc", "quality_classifier")) {
       val plan = SparkEntry.queries(name)(
         spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"$name grew a shuffle:\n$plan")
     }
+    val c4 = SparkEntry.queries("c4_page_filter")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(c4.sliding("Exchange".length).count(_ == "Exchange") == 1 &&
+      c4.contains("RoundRobinPartitioning"),
+      s"c4_page_filter should have exactly the one spread exchange:\n$c4")
   }
 
   test("planted-mutation regex == token-indexed HOF mutation") {
