@@ -4544,11 +4544,11 @@ object SparkEntry {
     // (up to ~e27) leaves as a canonical digit STRING — wide decimals
     // in a final schema are hash-unstable across engines (r15 gate).
     "cov_matrix" -> ((s, dir) =>
-      // spread: the DECIMAL(38) moment partials over 600k rows
-      // otherwise accumulate inside the single-row-group scan task
-      Profiling.covMatrix(
-        spread(T(s, dir, "lineitem").select(
-          "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      // NOT spread: Catalyst eliminates a round-robin repartition
+      // directly below the global moment aggregate (verified in the
+      // r21 plan capture — the exchange never appears), so a spread
+      // here is a dead no-op; the apparent probe win was noise
+      Profiling.covMatrix(T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .withColumn("cov_num", col("cov_num").cast("string"))
         .orderBy("x_col", "y_col")),
